@@ -1,0 +1,136 @@
+"""Deterministic mention/triple extraction spec (the heart of Stage 2).
+
+Analog of the reference's per-document AST extraction
+(src/modules/ast-parser.ts:145-298 — parse a document, emit typed entity
+nodes + CALLS edges), re-targeted at transcript turns: a turn's ``text``
+is scanned for
+
+  R1 gazetteer mentions    — vocab surfaces, case-insensitive whole word
+  R2 @-mentions            — ``@name`` actors
+  R3 tool-call mentions    — ``call:<tool>`` in text
+  R4 DEPENDS_ON relations  — "<surface> depends on <surface>" SVO rule
+
+Rules are pure functions of (text); ids are pure functions of
+(conv_id, turn_idx, span) — deterministic business keys per the
+reference's enhanced schema (src/types/enhanced-graph.ts:211-251);
+never UUID/now() (the reference's nondeterministic fallbacks at
+ast-parser.ts:137 / NodeCreator.ts:8 are bugs we do not inherit).
+
+Execution shape: ``extract_mentions_batch`` is applied via
+``mapInPandas`` — Arrow-batched, no per-row Python at the Spark
+boundary. The regexes are compiled once per python worker.
+Everything downstream of mention detection (triple assembly) is pure
+JVM-side DataFrame code — see stages/extract.py.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from . import vocab
+
+# ---- compiled patterns (module-level: compiled once per python worker) ----
+_GAZ_RE = re.compile(vocab.gazetteer_pattern(), re.IGNORECASE)
+_AT_RE = re.compile(vocab.AT_MENTION_PATTERN)
+_TOOL_RE = re.compile(vocab.TOOL_CALL_PATTERN)
+_DEP_RE = re.compile(
+    vocab.DEPENDS_ON_TEMPLATE.format(g=vocab.gazetteer_pattern()),
+    re.IGNORECASE,
+)
+
+# Output schema of the extraction UDF (DDL form for mapInPandas)
+EXTRACTION_SCHEMA = (
+    "conv_id string, turn_idx int, start int, end int, "
+    "surface string, surface_norm string, kind string, obj_norm string"
+)
+
+KIND_GAZETTEER = "gazetteer"
+KIND_AT = "at"
+KIND_TOOLCALL = "toolcall"
+KIND_DEPENDS = "depends_on"
+
+
+def _scan_text(text: str) -> list[tuple[int, int, str, str, str, str | None]]:
+    """All extraction-rule matches in one turn's text.
+
+    Returns (start, end, surface, surface_norm, kind, obj_norm) tuples.
+    DEPENDS_ON rows carry the object surface in obj_norm; the subject
+    span is the subject surface's span.
+    """
+    out: list[tuple[int, int, str, str, str, str | None]] = []
+    if not text:
+        return out
+    for m in _GAZ_RE.finditer(text):
+        s = m.group(1)
+        out.append((m.start(1), m.end(1), s, s.lower(), KIND_GAZETTEER, None))
+    for m in _AT_RE.finditer(text):
+        s = m.group(1)
+        out.append((m.start(1), m.end(1), s, s.lower(), KIND_AT, None))
+    for m in _TOOL_RE.finditer(text):
+        s = m.group(1)
+        out.append((m.start(1), m.end(1), s, s.lower(), KIND_TOOLCALL, None))
+    for m in _DEP_RE.finditer(text):
+        subj, obj = m.group(1), m.group(2)
+        out.append(
+            (m.start(1), m.end(1), subj, subj.lower(), KIND_DEPENDS, obj.lower())
+        )
+    return out
+
+
+def extract_mentions_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: transcripts batch → mention rows (1→N flatMap).
+
+    Input columns used: conv_id, turn_idx, text. Emits EXTRACTION_SCHEMA.
+    """
+    for pdf in batches:
+        rows: list[tuple] = []
+        for conv_id, turn_idx, text in zip(
+            pdf["conv_id"].to_numpy(),
+            pdf["turn_idx"].to_numpy(),
+            pdf["text"].to_numpy(),
+        ):
+            for start, end, surface, norm, kind, obj in _scan_text(text):
+                rows.append(
+                    (conv_id, int(turn_idx), start, end, surface, norm, kind, obj)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id",
+                "turn_idx",
+                "start",
+                "end",
+                "surface",
+                "surface_norm",
+                "kind",
+                "obj_norm",
+            ],
+        )
+
+
+# ---- deterministic business-key minting (pure string formats) ----
+# (reference: createNodeId, src/modules/ast-parser.ts:130-139)
+
+def conv_node_id(conv_id: str) -> str:
+    return f"conv:{conv_id}"
+
+
+def turn_node_id(conv_id: str, turn_idx: int) -> str:
+    return f"turn:{conv_id}#{turn_idx}"
+
+
+def mention_node_id(conv_id: str, turn_idx: int, start: int) -> str:
+    return f"mention:{conv_id}#{turn_idx}#{start}"
+
+
+def entity_node_id(surface_norm: str) -> str:
+    return f"entity:{surface_norm}"
+
+
+def tool_node_id(tool_norm: str) -> str:
+    return f"tool:{tool_norm}"

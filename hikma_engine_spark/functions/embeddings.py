@@ -1,0 +1,81 @@
+"""Deterministic hash embeddings (Arrow-batched pandas UDF).
+
+Mirrors the reference's hash-fallback embedding
+(src/modules/embedding-service.ts:259-282: char-code hash scaled to
+[-1,1]) as the deterministic test/bench embedding; a real model would
+drop into the same iterator-of-series UDF shape (model loaded once per
+executor python worker — the Spark analog of the reference's persistent
+Python sidecar, src/modules/embedding-py.ts:59-97).
+
+Spec (shared with the pure-Python test oracle):
+  tokens  = lowercase [a-z0-9]+ runs of the text
+  for each token: d = md5(token); bucket = d[:4] % DIM; sign from d[4]&1
+  vec[bucket] += sign; then L2-normalize (zero vector stays zero).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import EMBEDDING_DIM
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+@lru_cache(maxsize=1 << 16)
+def _token_feature(token: str, dim: int) -> tuple[int, float]:
+    d = hashlib.md5(token.encode("utf-8")).digest()
+    bucket = int.from_bytes(d[:4], "big") % dim
+    sign = 1.0 if d[4] & 1 else -1.0
+    return bucket, sign
+
+
+def embed_text(text: str, dim: int = EMBEDDING_DIM) -> np.ndarray:
+    """Single-text embedding (driver-side use: query embedding)."""
+    vec = np.zeros(dim, dtype=np.float64)
+    if text:
+        for tok in _TOKEN_RE.findall(text.lower()):
+            b, s = _token_feature(tok, dim)
+            vec[b] += s
+    n = np.linalg.norm(vec)
+    if n > 0:
+        vec /= n
+    return vec.astype(np.float32)
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) embedding column: string → array<float>."""
+    return texts.map(lambda t: embed_text(t if isinstance(t, str) else ""))
+
+
+def with_embedding(df, text_col: str = "source_text", out_col: str = "embedding"):
+    return df.withColumn(out_col, embed_udf(F.col(text_col)))
+
+
+def embed_tokens(tokens: list[str], dim: int = EMBEDDING_DIM) -> np.ndarray:
+    """Embedding over an explicit token list (e.g. character shingles —
+    used by entity linking so near-spellings get high cosine)."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in tokens:
+        b, s = _token_feature(tok, dim)
+        vec[b] += s
+    n = np.linalg.norm(vec)
+    if n > 0:
+        vec /= n
+    return vec.astype(np.float32)
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_tokens_udf(token_arrays: pd.Series) -> pd.Series:
+    """array<string> → array<float> (Arrow-batched shingle embedding)."""
+    return token_arrays.map(
+        lambda arr: embed_tokens(list(arr) if arr is not None else [])
+    )

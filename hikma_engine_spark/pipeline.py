@@ -1,0 +1,264 @@
+"""Driver-side orchestrator: phases, checkpoint/resume, lineage, metrics.
+
+Analog of the reference's PhaseManager (src/core/PhaseManager.ts:82-228):
+- ordered phase list (data_discovery → structure_extraction →
+  ai_enrichment → final_assembly ⇒ discover → extract → link →
+  materialize)
+- skip-if-complete resume (PhaseManager.ts:167-187): a phase whose
+  state row says 'completed' and whose output exists is loaded, not
+  recomputed
+- markPhaseStarted/Completed/Failed bookkeeping (phase_status table ⇒
+  ``_pipeline_state`` JSONL, written atomically per phase)
+- per-phase AND per-partition metrics (itemsProcessed analog,
+  PhaseManager.ts:480-486; per-partition row counts = lineage manifest)
+
+Outputs are parquet directories under ``out_dir`` (with an Iceberg
+catalog these become MERGE INTO table writes; deterministic business
+keys make either idempotent). Each phase write is atomic at the
+directory level: write to ``<name>.tmp`` then rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .stages import discover, extract, link, materialize
+
+PHASES = ("discover", "extract", "link", "materialize")
+
+_OUTPUTS = {
+    "discover": ["conversations"],
+    "extract": ["mentions", "triples"],
+    "link": ["links", "same_as"],
+    "materialize": ["nodes", "edges"],
+}
+
+_PARTITION_BY = {"nodes": ["node_type"], "edges": ["edge_type"]}
+
+
+def _now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    out_dir: str
+    phase_stats: dict[str, dict] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
+    elapsed_sec: float = 0.0
+
+
+class StateStore:
+    """``_pipeline_state`` — JSONL of phase status rows (schema mirrors
+    phase_status, src/persistence/models/PhaseStatusModel.ts:9-27)."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.path = os.path.join(out_dir, "_pipeline_state", "state.jsonl")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+
+    def rows(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def append(self, row: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row, sort_keys=True) + "\n")
+
+    def status(self, run_id: str, phase: str) -> str | None:
+        """Latest status for (run, phase); any run counts — outputs are
+        keyed by deterministic ids, so a completed phase from a prior
+        run is equally valid (INSERT OR REPLACE semantics)."""
+        st = None
+        for r in self.rows():
+            if r["phase_name"] == phase:
+                st = r["status"]
+        return st
+
+    def watermark(self) -> str | None:
+        wm = None
+        for r in self.rows():
+            if r.get("watermark"):
+                wm = r["watermark"]
+        return wm
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        transcripts_path: str,
+        out_dir: str,
+        run_id: str = "run-0",
+    ) -> None:
+        self.spark = spark
+        self.transcripts_path = transcripts_path
+        self.out_dir = out_dir
+        self.run_id = run_id
+        os.makedirs(out_dir, exist_ok=True)
+        self.state = StateStore(out_dir)
+
+    # ---- IO helpers ----
+    def _path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def _exists(self, name: str) -> bool:
+        p = self._path(name)
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def _write(self, df: DataFrame, name: str) -> dict:
+        """Atomic parquet write + per-partition lineage counts."""
+        part_counts = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        tmp = self._path(name) + ".tmp"
+        final = self._path(name)
+        writer = df.write.mode("overwrite")
+        if name in _PARTITION_BY:
+            writer = writer.partitionBy(*_PARTITION_BY[name])
+        writer.parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        total = sum(r["count"] for r in part_counts)
+        return {
+            "rows": total,
+            "partitions": len(part_counts),
+            "per_partition": {str(r["pid"]): r["count"] for r in part_counts},
+        }
+
+    def _read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    # ---- phase bodies ----
+    def transcripts(self) -> DataFrame:
+        return self.spark.read.parquet(self.transcripts_path)
+
+    def _run_discover(self) -> dict:
+        t = self.transcripts()
+        dupes = discover.validate(t).limit(1).count()
+        if dupes:
+            raise ValueError("duplicate (conv_id, turn_idx) keys in input")
+        return {"conversations": self._write(discover.conversations_dim(t), "conversations")}
+
+    def _run_extract(self) -> dict:
+        t = self.transcripts()
+        mentions = extract.extract_mentions(t)
+        stats = {"mentions": self._write(mentions, "mentions")}
+        mentions = self._read("mentions")
+        triples = extract.assemble_triples(t, mentions)
+        stats["triples"] = self._write(triples, "triples")
+        return stats
+
+    def _run_link(self) -> dict:
+        mentions = self._read("mentions")
+        links = link.build_links(mentions)
+        stats = {"links": self._write(links, "links")}
+        stats["same_as"] = self._write(link.same_as_edges(self._read("links")), "same_as")
+        return stats
+
+    def _run_materialize(self) -> dict:
+        t = self.transcripts()
+        nodes = materialize.build_nodes(
+            t,
+            self._read("conversations"),
+            self._read("mentions"),
+            self._read("triples"),
+            self._read("links"),
+        )
+        stats = {"nodes": self._write(nodes, "nodes")}
+        edges = materialize.build_edges(self._read("triples"), self._read("same_as"))
+        stats["edges"] = self._write(edges, "edges")
+        # node/edge-type histograms — per-phase metrics (A2)
+        nd = self.spark.read.parquet(self._path("nodes"))
+        ed = self.spark.read.parquet(self._path("edges"))
+        stats["node_types"] = {
+            r["node_type"]: r["count"] for r in nd.groupBy("node_type").count().collect()
+        }
+        stats["edge_types"] = {
+            r["edge_type"]: r["count"] for r in ed.groupBy("edge_type").count().collect()
+        }
+        return stats
+
+    # ---- orchestration ----
+    def run(self, resume: bool = True, stop_after: str | None = None) -> PipelineResult:
+        bodies = {
+            "discover": self._run_discover,
+            "extract": self._run_extract,
+            "link": self._run_link,
+            "materialize": self._run_materialize,
+        }
+        result = PipelineResult(run_id=self.run_id, out_dir=self.out_dir)
+        t0 = time.time()
+        watermark = str(int(os.path.getmtime(self.transcripts_path)))
+        for phase in PHASES:
+            outputs_ok = all(self._exists(o) for o in _OUTPUTS[phase])
+            if resume and self.state.status(self.run_id, phase) == "completed" and outputs_ok:
+                result.skipped.append(phase)
+                if phase == stop_after:
+                    break
+                continue
+            started = _now()
+            self.state.append(
+                {
+                    "run_id": self.run_id,
+                    "phase_name": phase,
+                    "partition_id": None,
+                    "status": "running",
+                    "started_at": started,
+                    "completed_at": None,
+                    "watermark": watermark,
+                    "stats": {},
+                }
+            )
+            try:
+                stats = bodies[phase]()
+            except Exception:
+                self.state.append(
+                    {
+                        "run_id": self.run_id,
+                        "phase_name": phase,
+                        "partition_id": None,
+                        "status": "failed",
+                        "started_at": started,
+                        "completed_at": _now(),
+                        "watermark": watermark,
+                        "stats": {},
+                    }
+                )
+                raise
+            result.phase_stats[phase] = stats
+            self.state.append(
+                {
+                    "run_id": self.run_id,
+                    "phase_name": phase,
+                    "partition_id": None,
+                    "status": "completed",
+                    "started_at": started,
+                    "completed_at": _now(),
+                    "watermark": watermark,
+                    "stats": stats,
+                }
+            )
+            if phase == stop_after:
+                break
+        result.elapsed_sec = time.time() - t0
+        return result
+
+    # convenience readers
+    def nodes(self) -> DataFrame:
+        return self._read("nodes")
+
+    def edges(self) -> DataFrame:
+        return self._read("edges")

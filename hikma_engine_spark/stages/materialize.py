@@ -1,0 +1,232 @@
+"""Stage 4 — materialize: nodes (NodeWithEmbedding schema) + edges.
+
+Analog of the reference's phase 4 ``final_assembly``
+(src/core/PhaseManager.ts:352-412: union phase-2 nodes/edges, merge
+summaries back, embed, persist graph_nodes/graph_edges/embedding_nodes
+via PhaseRepository.persistPhase4Data).
+
+Node schema mirrors NodeWithEmbedding (src/types/index.ts:203-206) +
+graph_nodes (src/persistence/models/GraphNodeModel.ts:13-30); edges
+mirror graph_edges (GraphEdgeModel.ts:13-29). All ids are deterministic
+business keys, so rewrites are idempotent — the Spark analog of the
+reference's INSERT OR REPLACE upsert (GenericRepository.ts:23,64); with
+an Iceberg catalog this becomes MERGE INTO (jars not in this image —
+parquet overwrite gives the same last-writer-wins result for batch).
+
+Turn nodes carry ``source_text`` = the turn's text VERBATIM — the
+per-row invariant (byte equality under stable (conv_id, turn_idx)
+ordering) is checked against this column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extraction import KIND_AT, KIND_GAZETTEER
+from ..functions.embeddings import embed_udf
+
+_NODE_COLS = [
+    "id",
+    "business_key",
+    "node_type",
+    "properties",
+    "conv_id",
+    "turn_idx",
+    "signature_hash",
+    "source_text",
+    "embedding",
+    "canonical_id",
+]
+
+def _NULL_EMB() -> F.Column:
+    return F.lit(None).cast("array<float>")
+
+
+def _NULL_STR() -> F.Column:
+    return F.lit(None).cast("string")
+
+
+def _NULL_INT() -> F.Column:
+    return F.lit(None).cast("int")
+
+
+def _sig(node_type: str, name_col: F.Column) -> F.Column:
+    # reference: md5(`${type}:${name}:${signature}`), data-loader.ts:193-197
+    return F.md5(F.concat_ws(":", F.lit(node_type), name_col))
+
+
+def conversation_nodes(conversations: DataFrame) -> DataFrame:
+    cid = F.concat(F.lit("conv:"), F.col("conv_id"))
+    return conversations.select(
+        cid.alias("id"),
+        cid.alias("business_key"),
+        F.lit("Conversation").alias("node_type"),
+        F.create_map(
+            F.lit("n_turns"), F.col("n_turns").cast("string"),
+            F.lit("n_tool_turns"), F.col("n_tool_turns").cast("string"),
+            F.lit("total_chars"), F.col("total_chars").cast("string"),
+            F.lit("content_hash"), F.col("content_hash"),
+        ).alias("properties"),
+        F.col("conv_id"),
+        _NULL_INT().alias("turn_idx"),
+        _sig("Conversation", F.col("conv_id")).alias("signature_hash"),
+        _NULL_STR().alias("source_text"),
+        _NULL_EMB().alias("embedding"),
+        cid.alias("canonical_id"),
+    )
+
+
+def turn_nodes(transcripts: DataFrame) -> DataFrame:
+    tid = F.concat(F.lit("turn:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx"))
+    return transcripts.select(
+        tid.alias("id"),
+        tid.alias("business_key"),
+        F.lit("Turn").alias("node_type"),
+        F.create_map(
+            F.lit("role"), F.coalesce(F.col("role"), F.lit("")),
+            F.lit("tool"), F.coalesce(F.col("tool"), F.lit("")),
+            F.lit("ts"), F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        ).alias("properties"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        _sig("Turn", tid).alias("signature_hash"),
+        F.col("text").alias("source_text"),  # VERBATIM — invariant column
+        embed_udf(F.col("text")).alias("embedding"),
+        tid.alias("canonical_id"),
+    )
+
+
+def mention_nodes(mentions: DataFrame, links: DataFrame) -> DataFrame:
+    m = mentions.filter(F.col("kind").isin(KIND_GAZETTEER, KIND_AT))
+    mid = F.concat(
+        F.lit("mention:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx"),
+        F.lit("#"), F.col("start"),
+    )
+    return (
+        m.join(F.broadcast(links), "surface_norm", "left")
+        .select(
+            mid.alias("id"),
+            mid.alias("business_key"),
+            F.lit("Mention").alias("node_type"),
+            F.create_map(
+                F.lit("kind"), F.col("kind"),
+                F.lit("start"), F.col("start").cast("string"),
+                F.lit("end"), F.col("end").cast("string"),
+            ).alias("properties"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            _sig("Mention", F.col("surface_norm")).alias("signature_hash"),
+            F.col("surface").alias("source_text"),
+            _NULL_EMB().alias("embedding"),
+            F.concat(
+                F.lit("entity:"), F.coalesce(F.col("canonical_norm"), F.col("surface_norm"))
+            ).alias("canonical_id"),
+        )
+    )
+
+
+def entity_nodes(links: DataFrame) -> DataFrame:
+    """One node per surface form (canonical_id → its canonical entity),
+    plus the canonical entities themselves (which may be unobserved
+    gazetteer canonicals)."""
+    surfaces = links.select(
+        F.col("surface_norm").alias("name"), F.col("canonical_norm")
+    )
+    canonicals = links.select(
+        F.col("canonical_norm").alias("name"), F.col("canonical_norm")
+    ).distinct()
+    all_ents = surfaces.unionByName(canonicals).dropDuplicates(["name"])
+    eid = F.concat(F.lit("entity:"), F.col("name"))
+    return all_ents.select(
+        eid.alias("id"),
+        eid.alias("business_key"),
+        F.lit("Entity").alias("node_type"),
+        F.create_map(F.lit("surface"), F.col("name")).alias("properties"),
+        _NULL_STR().alias("conv_id"),
+        _NULL_INT().alias("turn_idx"),
+        _sig("Entity", F.col("name")).alias("signature_hash"),
+        F.col("name").alias("source_text"),
+        embed_udf(F.col("name")).alias("embedding"),
+        F.concat(F.lit("entity:"), F.col("canonical_norm")).alias("canonical_id"),
+    )
+
+
+def tool_nodes(triples: DataFrame) -> DataFrame:
+    tools = (
+        triples.filter(F.col("edge_type") == "INVOKES")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+    )
+    name = F.regexp_replace(F.col("id"), "^tool:", "")
+    return tools.select(
+        F.col("id"),
+        F.col("id").alias("business_key"),
+        F.lit("Tool").alias("node_type"),
+        F.create_map(F.lit("name"), name).alias("properties"),
+        _NULL_STR().alias("conv_id"),
+        _NULL_INT().alias("turn_idx"),
+        _sig("Tool", name).alias("signature_hash"),
+        name.alias("source_text"),
+        _NULL_EMB().alias("embedding"),
+        F.col("id").alias("canonical_id"),
+    )
+
+
+def build_nodes(
+    transcripts: DataFrame,
+    conversations: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    links: DataFrame,
+) -> DataFrame:
+    parts = [
+        conversation_nodes(conversations),
+        turn_nodes(transcripts),
+        mention_nodes(mentions, links),
+        entity_nodes(links),
+        tool_nodes(triples),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*_NODE_COLS)
+
+
+def build_edges(triples: DataFrame, same_as: DataFrame) -> DataFrame:
+    """Triples → graph_edges rows; id = md5(src|type|dst); dedup by id
+    keeping min provenance (deterministic last-writer-wins analog of
+    INSERT OR REPLACE)."""
+    all_triples = triples.unionByName(same_as)
+    edge_id = F.md5(F.concat_ws("|", "src", "edge_type", "dst"))
+    w_cols = ["src", "edge_type", "dst"]
+    return (
+        all_triples.groupBy(*w_cols)
+        .agg(
+            F.min("conv_id").alias("conv_id"),
+            F.min("turn_idx").alias("turn_idx"),
+            F.min("rule").alias("rule"),
+        )
+        .select(
+            edge_id.alias("id"),
+            "src",
+            "edge_type",
+            "dst",
+            F.create_map(F.lit("rule"), F.coalesce(F.col("rule"), F.lit(""))).alias(
+                "properties"
+            ),
+            "conv_id",
+            "turn_idx",
+            (F.col("rule") == "at").alias("dynamic"),  # low-confidence flag
+        )
+    )
+
+
+def referential_violations(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Edges whose endpoints are missing from nodes (reference:
+    validateDataConsistency anti-join, src/modules/data-loader.ts:1242-1267
+    and the orphan-edge SQL audit :1088-1095). Must be empty."""
+    ids = nodes.select(F.col("id").alias("nid"))
+    src_bad = edges.join(ids, edges.src == ids.nid, "left_anti")
+    dst_bad = edges.join(ids, edges.dst == ids.nid, "left_anti")
+    return src_bad.unionByName(dst_bad).select("id", "src", "edge_type", "dst").distinct()
