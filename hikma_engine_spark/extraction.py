@@ -37,7 +37,7 @@ _GAZ_RE = re.compile(vocab.gazetteer_pattern(), re.IGNORECASE)
 _AT_RE = re.compile(vocab.AT_MENTION_PATTERN)
 _TOOL_RE = re.compile(vocab.TOOL_CALL_PATTERN)
 _DEP_RE = re.compile(
-    vocab.DEPENDS_ON_TEMPLATE.format(g=vocab.gazetteer_pattern()),
+    vocab.DEPENDS_ON_TEMPLATE.format(g=vocab.gazetteer_pattern(capture=False)),
     re.IGNORECASE,
 )
 

@@ -46,14 +46,20 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def _seeded_hash(i: int):
+    # single-param lambda: F.transform passes (element, index) to
+    # two-param lambdas, which would silently shadow the seed
+    def fn(s: Column) -> Column:
+        return F.xxhash64(F.lit(i), s)
+
+    return fn
+
+
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
     """array<long> of k MinHash values: min over shingle hashes, where
     hash_i(s) = xxhash64(i, s). All JVM (higher-order functions)."""
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(k)
-        ]
+        *[F.array_min(F.transform(shingles, _seeded_hash(i))) for i in range(k)]
     )
 
 

@@ -67,10 +67,11 @@ def all_surfaces() -> list[str]:
     return sorted(s, key=lambda x: (-len(x), x))
 
 
-def gazetteer_pattern() -> str:
+def gazetteer_pattern(capture: bool = True) -> str:
     """Case-insensitive whole-word alternation over all surfaces."""
     alts = "|".join(re.escape(s) for s in all_surfaces())
-    return r"(?<![A-Za-z0-9_])(" + alts + r")(?![A-Za-z0-9_])"
+    group = "(" if capture else "(?:"
+    return r"(?<![A-Za-z0-9_])" + group + alts + r")(?![A-Za-z0-9_])"
 
 
 AT_MENTION_PATTERN = r"@([A-Za-z][A-Za-z0-9_\-]{1,30})"
