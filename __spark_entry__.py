@@ -1,38 +1,682 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship: full KG pipeline (discover → extract →
+link → materialize) over transcripts derived from sf0.001 documents;
+returns the materialized edge (triple) table.
+
+``queries()``     — one entry per implemented operator family from
+SURVEY.md §2 (relational core, window ops, text analysis, dedup,
+similarity search, KG extraction/linking).
+
+``oracle_sql()``  — DuckDB-runnable ANSI-SQL twins. Column names and
+types are aligned on both sides; floating-point aggregates are rounded
+identically so the order-insensitive value hash matches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hikma_engine_spark.functions import text as tx
+from hikma_engine_spark.operators import dedup, similarity_search
+from hikma_engine_spark.stages import discover, extract, link, materialize
+
+# ---------------------------------------------------------------------------
+# document-domain gazetteer (surfaces drawn from the documents vocabulary)
+# shared, longest-first ordering for BOTH the Python scanner and the SQL regex
+# ---------------------------------------------------------------------------
+DOC_SURFACES = [
+    "table scan",
+    "hash join",
+    "sort merge",
+    "spark",
+    "window",
+    "filter",
+    "stream",
+    "vector",
+    "query",
+    "batch",
+]
+_ORDERED = sorted(set(DOC_SURFACES), key=lambda x: (-len(x), x))
+_SQL_GAZ = r"\b(" + "|".join(_ORDERED) + r")\b"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts view over documents: conv = source,
+    turn order = doc_id (same derivation as the SQL oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+_DOC_TRANSCRIPTS_SQL = """
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS int) AS turn_idx,
+         text
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan/filter/agg/join/window/anti/semi — SURVEY §2.1-2.7)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def w1_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.round("o_totalprice", 2).alias("best_totalprice"),
+        )
+    )
+
+
+def j_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no order since 1998-06-01 (J5/J6 family)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-06-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def j_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def a_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def w_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
+    )
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when gap > 30 min (lag + cumsum)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (functions/text.py) over documents
+# ---------------------------------------------------------------------------
+
+def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def d_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "doc_id", "text").orderBy("fp")
+
+
+def d_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(tx.lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(tx.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(tx.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup operators over documents
+# ---------------------------------------------------------------------------
+
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity_search.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), list(qv), k=10
+    )
+
+
+def e_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force near-dup pairs (cosine ≥ 0.95) — exact baseline."""
+    from hikma_engine_spark.functions.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 5))
+        .filter(F.col("cos") >= 0.95)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    )
+
+
+def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path (LSH bucket pruning) — rows-only check (approximate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    bucketed = similarity_search.add_lsh_buckets(emb.filter(F.col("vec_id") != 0))
+    return similarity_search.lsh_topk(bucketed, list(qv), k=10)
+
+
+# ---------------------------------------------------------------------------
+# KG extraction / linking over document-derived transcripts
+# ---------------------------------------------------------------------------
+
+def kg_mentions_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _doc_transcripts(spark, sf_dir)
+    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    return (
+        m.filter(F.col("kind") == "gazetteer")
+        .groupBy("surface_norm")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("surface_norm")
+    )
+
+
+def kg_mentions_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _doc_transcripts(spark, sf_dir)
+    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    triples = extract.assemble_triples(t, m)
+    return (
+        triples.filter(F.col("edge_type") == "MENTIONS")
+        .select("src", "edge_type", "dst")
+        .orderBy("src", "dst")
+    )
+
+
+def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity pairs co-mentioned in one turn (self-join on turn)."""
+    t = _doc_transcripts(spark, sf_dir)
+    m = (
+        extract.extract_mentions(t, surfaces=DOC_SURFACES)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    return (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").alias("n_turns"))
+        .orderBy("e1", "e2")
+    )
+
+
+def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end KG construction (no oracle — full pipeline incl.
+    LSH linking and CC canonicalization). Returns the edge table."""
+    t = _doc_transcripts(spark, sf_dir)
+    mentions = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    triples = extract.assemble_triples(t, mentions)
+    links = link.build_links(mentions)
+    edges = materialize.build_edges(triples, link.same_as_edges(links))
+    return edges.select("id", "src", "edge_type", "dst").orderBy("id")
+
+
+def kg_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 discover over the derived transcripts (window + agg)."""
+    t = _doc_transcripts(spark, sf_dir)
+    return discover.conversations_dim(t).select(
+        "conv_id", "n_turns", "max_turn_idx", "total_chars", "content_hash"
+    ).orderBy("conv_id")
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG pipeline over sf0.001-derived transcripts."""
+    return kg_full_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "w1_best_order_per_customer": w1_best_order_per_customer,
+        "j_customers_without_orders": j_customers_without_orders,
+        "j_active_customers_semi": j_active_customers_semi,
+        "a_event_histogram": a_event_histogram,
+        "w_top3_events_per_user": w_top3_events_per_user,
+        "ev_sessionize": ev_sessionize,
+        "d_token_stats": d_token_stats,
+        "d_fingerprint_dups": d_fingerprint_dups,
+        "d_lang_guess": d_lang_guess,
+        "d_quality": d_quality,
+        "d_jaccard_pairs": d_jaccard_pairs,
+        "d_minhash_pairs": d_minhash_pairs,
+        "d_simhash_pairs": d_simhash_pairs,
+        "e_cosine_topk": e_cosine_topk,
+        "e_cosine_pairs": e_cosine_pairs,
+        "e_ann_lsh_topk": e_ann_lsh_topk,
+        "kg_mentions_per_entity": kg_mentions_per_entity,
+        "kg_mentions_triples": kg_mentions_triples,
+        "kg_cooccurrence": kg_cooccurrence,
+        "kg_conversation_stats": kg_conversation_stats,
+        "kg_full_pipeline": kg_full_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SHINGLE_CTE = """
+  toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END
+           )) AS g
+    FROM toks
+  ),
+  sizes AS (
+    SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+  ),
+  pair_inter AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT p.a, p.b,
+           p.n_inter::double / (sa.sz + sb.sz - p.n_inter) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.a
+    JOIN sizes sb ON sb.doc_id = p.b
+  )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    gaz = _SQL_GAZ
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "w1_best_order_per_customer": """
+            SELECT o_custkey, best_orderkey, best_totalprice FROM (
+              SELECT o_custkey, o_orderkey AS best_orderkey,
+                     round(o_totalprice, 2) AS best_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "j_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+            )
+            ORDER BY c_custkey
+        """,
+        "j_active_customers_semi": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            )
+        """,
+        "a_event_histogram": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "w_top3_events_per_user": """
+            SELECT user_id, event_id, round(value, 2) AS value, rnk FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events
+            ) WHERE rnk <= 3
+        """,
+        "ev_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM g
+            ),
+            per_sess AS (
+              SELECT user_id, sess_id, count(*) AS n_events
+              FROM s GROUP BY user_id, sess_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "d_token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "d_fingerprint_dups": """
+            SELECT fp, count(*) AS n_dups, list_sort(list(doc_id)) AS doc_ids FROM (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents
+            ) GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+        """,
+        "d_lang_guess": """
+            WITH hits AS (
+              SELECT
+                len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS en,
+                len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS es,
+                len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS de
+              FROM documents
+            )
+            SELECT lang_guess, count(*) AS n_docs FROM (
+              SELECT CASE
+                WHEN greatest(en, es, de) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de) THEN 'en'
+                WHEN es = greatest(en, es, de) THEN 'es'
+                ELSE 'de' END AS lang_guess
+              FROM hits
+            ) GROUP BY lang_guess ORDER BY lang_guess
+        """,
+        "d_quality": """
+            SELECT doc_id,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::double
+                              / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+                   round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+                         THEN len(regexp_extract_all(lower(text),
+                              '\\b(the|and|of|to|is|el|la|de|que|los|der|die|und|das|ist)\\b'))::double
+                              / len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                         ELSE 0.0 END, 4) AS stopword_ratio
+            FROM documents
+        """,
+        "d_jaccard_pairs": f"""
+            WITH {_SHINGLE_CTE}
+            SELECT a, b, round(jaccard, 4) AS jaccard
+            FROM jac WHERE jaccard >= 0.8 ORDER BY a, b
+        """,
+        "d_minhash_pairs": f"""
+            WITH {_SHINGLE_CTE}
+            SELECT a, b, round(jaccard, 4) AS jaccard
+            FROM jac WHERE jaccard >= 0.8 ORDER BY a, b
+        """,
+        "e_cosine_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+                   6) AS cosine
+            FROM embeddings e, q
+            WHERE vec_id != 0
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "e_cosine_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                   5) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                   5) >= 0.95
+            ORDER BY a, b
+        """,
+        "kg_mentions_per_entity": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL})
+            SELECT m AS surface_norm, count(*) AS n_mentions FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '{gaz}')) AS m FROM t
+            ) GROUP BY surface_norm ORDER BY surface_norm
+        """,
+        "kg_mentions_triples": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL})
+            SELECT DISTINCT
+                   'turn:' || conv_id || '#' || turn_idx AS src,
+                   'MENTIONS' AS edge_type,
+                   'entity:' || m AS dst
+            FROM (
+              SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS m
+              FROM t
+            ) ORDER BY src, dst
+        """,
+        "kg_cooccurrence": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            )
+            SELECT a.e AS e1, b.e AS e2, count(*) AS n_turns
+            FROM m a JOIN m b
+              ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.e < b.e
+            GROUP BY e1, e2 ORDER BY e1, e2
+        """,
+        "kg_conversation_stats": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL})
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   max(turn_idx) AS max_turn_idx,
+                   sum(length(text)) AS total_chars,
+                   md5(string_agg(
+                     sha256(turn_idx::varchar || chr(31) || coalesce(text, '')),
+                     chr(31) ORDER BY turn_idx)) AS content_hash
+            FROM t GROUP BY conv_id ORDER BY conv_id
+        """,
+        # d_simhash_pairs / e_ann_lsh_topk / kg_full_pipeline: no SQL oracle
+        # (approximate or non-SQL-expressible) → rows-only checks.
+    }

@@ -32,6 +32,14 @@ import pandas as pd
 
 from . import vocab
 
+def build_gazetteer_pattern(surfaces: list[str], capture: bool = True) -> str:
+    """Longest-first, whole-word alternation over arbitrary surfaces."""
+    ordered = sorted(set(surfaces), key=lambda x: (-len(x), x))
+    alts = "|".join(re.escape(s) for s in ordered)
+    group = "(" if capture else "(?:"
+    return r"(?<![A-Za-z0-9_])" + group + alts + r")(?![A-Za-z0-9_])"
+
+
 # ---- compiled patterns (module-level: compiled once per python worker) ----
 _GAZ_RE = re.compile(vocab.gazetteer_pattern(), re.IGNORECASE)
 _AT_RE = re.compile(vocab.AT_MENTION_PATTERN)
@@ -53,7 +61,9 @@ KIND_TOOLCALL = "toolcall"
 KIND_DEPENDS = "depends_on"
 
 
-def _scan_text(text: str) -> list[tuple[int, int, str, str, str, str | None]]:
+def _scan_text(
+    text: str, gaz_re: re.Pattern | None = None
+) -> list[tuple[int, int, str, str, str, str | None]]:
     """All extraction-rule matches in one turn's text.
 
     Returns (start, end, surface, surface_norm, kind, obj_norm) tuples.
@@ -63,7 +73,7 @@ def _scan_text(text: str) -> list[tuple[int, int, str, str, str, str | None]]:
     out: list[tuple[int, int, str, str, str, str | None]] = []
     if not text:
         return out
-    for m in _GAZ_RE.finditer(text):
+    for m in (gaz_re or _GAZ_RE).finditer(text):
         s = m.group(1)
         out.append((m.start(1), m.end(1), s, s.lower(), KIND_GAZETTEER, None))
     for m in _AT_RE.finditer(text):
@@ -80,37 +90,52 @@ def _scan_text(text: str) -> list[tuple[int, int, str, str, str, str | None]]:
     return out
 
 
+_EXTRACTION_COLS = [
+    "conv_id",
+    "turn_idx",
+    "start",
+    "end",
+    "surface",
+    "surface_norm",
+    "kind",
+    "obj_norm",
+]
+
+
+def make_extractor(surfaces: list[str] | None = None):
+    """Build a mapInPandas body bound to a gazetteer (default: vocab's).
+
+    The compiled regex lives in the closure — compiled once per python
+    worker, reused across Arrow batches.
+    """
+    gaz_re = (
+        re.compile(build_gazetteer_pattern(surfaces), re.IGNORECASE)
+        if surfaces is not None
+        else None
+    )
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].to_numpy(),
+                pdf["turn_idx"].to_numpy(),
+                pdf["text"].to_numpy(),
+            ):
+                for start, end, surface, norm, kind, obj in _scan_text(text, gaz_re):
+                    rows.append(
+                        (conv_id, int(turn_idx), start, end, surface, norm, kind, obj)
+                    )
+            yield pd.DataFrame(rows, columns=_EXTRACTION_COLS)
+
+    return body
+
+
 def extract_mentions_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: transcripts batch → mention rows (1→N flatMap).
-
-    Input columns used: conv_id, turn_idx, text. Emits EXTRACTION_SCHEMA.
-    """
-    for pdf in batches:
-        rows: list[tuple] = []
-        for conv_id, turn_idx, text in zip(
-            pdf["conv_id"].to_numpy(),
-            pdf["turn_idx"].to_numpy(),
-            pdf["text"].to_numpy(),
-        ):
-            for start, end, surface, norm, kind, obj in _scan_text(text):
-                rows.append(
-                    (conv_id, int(turn_idx), start, end, surface, norm, kind, obj)
-                )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id",
-                "turn_idx",
-                "start",
-                "end",
-                "surface",
-                "surface_norm",
-                "kind",
-                "obj_norm",
-            ],
-        )
+    """mapInPandas body with the default vocab gazetteer."""
+    yield from make_extractor()(batches)
 
 
 # ---- deterministic business-key minting (pure string formats) ----

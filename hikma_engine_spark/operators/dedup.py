@@ -1,0 +1,248 @@
+"""Document deduplication operators (training-data-pipeline first-class).
+
+Five strategies, cheapest → most semantic:
+- exact_duplicates        — normalized-hash groupBy (zero false positives)
+- ngram_jaccard_pairs     — exact word-shingle Jaccard via shingle-explode
+                            join (quadratic only within shingle buckets)
+- minhash_pairs           — MinHash/LSH blocking + exact-Jaccard verify
+                            (the 100 TB path: candidate generation is
+                            O(band collisions), not O(n²))
+- simhash_pairs           — 64-bit SimHash, banded by 4×16-bit chunks,
+                            verified by Hamming distance (JVM bit ops)
+- embedding_near_dup_pairs— cosine ≥ τ pairs over an embedding column,
+                            blocked by random-hyperplane sign buckets
+
+All return pair DataFrames (a, b, score) with a < b. Blocking keys are
+deterministic (seeded hashes) so reruns are stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import fingerprint
+from . import lsh
+
+
+# ---------- exact ----------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    documents: (fingerprint, n_dups, doc_ids). Only groups with >1 doc."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------- exact n-gram Jaccard (shingle-explode join) ----------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets. Candidate pairs come from a
+    shingle-explode equi-join (docs sharing ≥1 shingle), then
+    |A∩B| is counted per pair and |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), lsh.word_shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = sh.select("doc", F.size("sh").alias("sz"))
+    exploded = sh.select("doc", F.explode("sh").alias("g"))
+    a = exploded.select(F.col("doc").alias("a"), "g")
+    b = exploded.select(F.col("doc").alias("b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------- MinHash + LSH (approximate blocking, exact verify) ----------
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH-blocked near-dup pairs verified by exact shingle Jaccard."""
+    feats = df.select(
+        F.col(id_col).alias("doc"), lsh.word_shingles(F.col(text_col), n).alias("sh")
+    ).cache()
+    cands = lsh.lsh_candidate_pairs(
+        feats, id_col="doc", shingle_col="sh", k=k, bands=bands, rows=rows
+    )
+    fa = feats.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
+    fb = feats.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("jaccard", lsh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------- SimHash ----------
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (Arrow-batched)."""
+
+    def simhash(text: str) -> int:
+        if not isinstance(text, str) or not text:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += bits * 2 - 1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        # to signed 64-bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(simhash)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
+    chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), equi-join on
+    chunks, verify Hamming distance with JVM bit_count(xor)."""
+    h = df.select(
+        F.col(id_col).alias("doc"), simhash64_udf(F.col(text_col)).alias("sim")
+    )
+    chunks = h.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("sim"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sim", "c.chunk_idx", "c.chunk")
+    a = chunks.select(
+        F.col("doc").alias("a"), F.col("sim").alias("sim_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc").alias("b"), F.col("sim").alias("sim_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---------- embedding cosine near-dup ----------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded — no Math.random)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """cosine ≥ τ pairs, blocked by random-hyperplane sign buckets.
+
+    Blocking is approximate (near-dups with cosine ≥ 0.9 agree on a
+    random hyperplane with prob ≥ 1 - acos(0.9)/π ≈ 0.86 per plane);
+    multiprobe (flipping each single bit) recovers most boundary pairs.
+    Exact verification by JVM-side cosine on the candidate pairs.
+    """
+    from ..functions.similarity import cosine
+
+    if dim is None:
+        dim = len(df.select(emb_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    planes_b = df.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(embs: pd.Series) -> pd.Series:
+        pl = planes_b.value
+
+        def bucket(e) -> list[int]:
+            v = np.asarray(e, dtype=np.float64)
+            bits = (pl @ v) > 0
+            base = int(sum(1 << i for i, b in enumerate(bits) if b))
+            # multiprobe: the bucket itself + every 1-bit flip
+            return [base] + [base ^ (1 << i) for i in range(len(pl))]
+
+        return embs.map(bucket)
+
+    hb = df.select(
+        F.col(id_col).alias("doc"), F.col(emb_col).alias("emb")
+    ).withColumn("bucket", F.explode(buckets_udf(F.col(emb_col))))
+    a = hb.select(F.col("doc").alias("a"), F.col("emb").alias("emb_a"), "bucket")
+    b = hb.select(F.col("doc").alias("b"), F.col("emb").alias("emb_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "emb_a", "emb_b")
+        .distinct()
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cosine"))
+    )

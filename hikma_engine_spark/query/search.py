@@ -1,0 +1,131 @@
+"""Query surface: semantic / text / metadata / hybrid search over nodes.
+
+Spark mapping of the reference's search services:
+- semantic_search   ⇒ enhanced-search-service.ts:102-202 (embed query,
+  vec_distance_cosine top-k with min-similarity threshold + type/path
+  filters, rank assignment)
+- text_search       ⇒ textBasedSearch LIKE fallback, :207-262
+  (ORDER BY LENGTH(source_text) ASC — T3 heuristic)
+- metadata_search   ⇒ search-service.ts metadata filters (LIKE on
+  name/path, node_type IN, date BETWEEN)
+- hybrid_search     ⇒ enhanced-search-service.ts:313-384 hybridSearch
+  (weighted semantic+metadata union, best-wins dedup per node — W2)
+- find_similar      ⇒ findSimilarNodes, :440-466
+
+All top-k paths end in orderBy(...).limit(k) which Spark executes as
+TakeOrderedAndProject (no global sort materialization). The single
+query vector rides along as a literal array — broadcast semantics, no
+shuffle of the nodes table beyond the final top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.embeddings import embed_text
+from ..functions.similarity import cosine_to_literal
+
+
+def _strip(df: DataFrame) -> DataFrame:
+    # result projection drops the vector (reference: convertToSearchResult,
+    # search-service.ts:262-274)
+    return df.drop("embedding")
+
+
+def semantic_search(
+    nodes: DataFrame,
+    query: str,
+    k: int = 10,
+    min_similarity: float = 0.0,
+    node_types: list[str] | None = None,
+    conv_id: str | None = None,
+) -> DataFrame:
+    qv = embed_text(query)
+    df = nodes.filter(F.col("embedding").isNotNull())
+    if node_types:
+        df = df.filter(F.col("node_type").isin(node_types))
+    if conv_id:
+        df = df.filter(F.col("conv_id") == conv_id)
+    df = df.withColumn("similarity", cosine_to_literal(F.col("embedding"), qv))
+    if min_similarity > 0:
+        df = df.filter(F.col("similarity") >= min_similarity)
+    df = df.orderBy(F.desc("similarity"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("similarity"), F.asc("id"))
+    return _strip(df.withColumn("rank", F.row_number().over(w)))
+
+
+def text_search(nodes: DataFrame, query: str, k: int = 10) -> DataFrame:
+    return _strip(
+        nodes.filter(F.col("source_text").contains(query))
+        .orderBy(F.length("source_text").asc(), F.asc("id"))
+        .limit(k)
+    )
+
+
+def metadata_search(
+    nodes: DataFrame,
+    node_types: list[str] | None = None,
+    conv_id: str | None = None,
+    name_like: str | None = None,
+    prop_equals: dict[str, str] | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    df = nodes
+    if node_types:
+        df = df.filter(F.col("node_type").isin(node_types))
+    if conv_id:
+        df = df.filter(F.col("conv_id") == conv_id)
+    if name_like:
+        df = df.filter(F.lower(F.col("source_text")).contains(name_like.lower()))
+    for key, val in (prop_equals or {}).items():
+        df = df.filter(F.col("properties")[key] == val)
+    return _strip(df.orderBy("id").limit(limit))
+
+
+def hybrid_search(
+    nodes: DataFrame,
+    query: str,
+    k: int = 10,
+    weights: tuple[float, float] = (0.7, 0.3),
+    node_types: list[str] | None = None,
+) -> DataFrame:
+    """Weighted semantic + text union, best-wins dedup per node id."""
+    sem = semantic_search(nodes, query, k=k * 3, node_types=node_types).withColumn(
+        "score", F.col("similarity") * weights[0]
+    )
+    txt = (
+        text_search(nodes, query, k=k * 3)
+        .withColumn("similarity", F.lit(None).cast("double"))
+        .withColumn("score", F.lit(weights[1]))
+        .withColumn("rank", F.lit(None).cast("int"))
+    )
+    both = sem.unionByName(txt.select(*sem.columns))
+    w_dedup = Window.partitionBy("id").orderBy(F.desc("score"))
+    best = (
+        both.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        best.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w_rank))
+    )
+
+
+def find_similar(nodes: DataFrame, node_id: str, k: int = 10) -> DataFrame:
+    """k nearest nodes to an existing node's embedding (point lookup +
+    broadcast-literal scoring — no crossJoin shuffle)."""
+    row = nodes.filter(F.col("id") == node_id).select("embedding").first()
+    if row is None or row["embedding"] is None:
+        raise KeyError(f"node {node_id} not found or has no embedding")
+    qv = list(row["embedding"])
+    df = (
+        nodes.filter(F.col("embedding").isNotNull() & (F.col("id") != node_id))
+        .withColumn("similarity", cosine_to_literal(F.col("embedding"), qv))
+        .orderBy(F.desc("similarity"), F.asc("id"))
+        .limit(k)
+    )
+    return _strip(df)

@@ -27,6 +27,7 @@ from ..extraction import (
     KIND_GAZETTEER,
     KIND_TOOLCALL,
     extract_mentions_batch,
+    make_extractor,
 )
 
 _TRIPLE_COLS = ["src", "edge_type", "dst", "conv_id", "turn_idx", "rule"]
@@ -47,10 +48,15 @@ def _mention_id() -> F.Column:
     )
 
 
-def extract_mentions(transcripts: DataFrame) -> DataFrame:
-    """transcripts → mention rows (1 turn → N matches, flatMap-shaped)."""
+def extract_mentions(
+    transcripts: DataFrame, surfaces: list[str] | None = None
+) -> DataFrame:
+    """transcripts → mention rows (1 turn → N matches, flatMap-shaped).
+
+    ``surfaces`` overrides the gazetteer (domain-specific lexicons)."""
+    body = extract_mentions_batch if surfaces is None else make_extractor(surfaces)
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
-        extract_mentions_batch, EXTRACTION_SCHEMA
+        body, EXTRACTION_SCHEMA
     )
 
 

@@ -1,0 +1,113 @@
+"""Local mimic of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at sf0.01; compare
+row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/verify_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    rows = sorted(
+        "\x1f".join(_norm(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def _norm(v) -> str:
+    import numpy as np
+
+    if v is None:
+        return "∅"
+    if isinstance(v, float) and v != v:
+        return "∅"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, float) or "float" in type(v).__name__:
+        return f"{float(v):.6f}".rstrip("0").rstrip(".")
+    return str(v)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from hikma_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="verify_entry", cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {exc}")
+            continue
+        took = time.time() - t0
+        if name not in oracles:
+            print(f"ok?   {name}: rows={len(spark_pdf)} ({took:.1f}s) [rows-only]")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {exc}")
+            continue
+        problems = []
+        if len(spark_pdf) != len(duck_pdf):
+            problems.append(f"rows {len(spark_pdf)} vs {len(duck_pdf)}")
+        if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+            problems.append(
+                f"cols {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+            )
+        if not problems:
+            hs, hd = value_hash(spark_pdf), value_hash(duck_pdf)
+            if hs != hd:
+                problems.append(f"value-hash {hs} vs {hd}")
+                # show first differing rows for debugging
+                sp = spark_pdf[sorted(spark_pdf.columns)].astype(str)
+                du = duck_pdf[sorted(duck_pdf.columns)].astype(str)
+                srows = {tuple(r) for r in sp.itertuples(index=False)}
+                drows = {tuple(r) for r in du.itertuples(index=False)}
+                print("   spark-only:", list(srows - drows)[:3])
+                print("   duck-only :", list(drows - srows)[:3])
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK    {name}: rows={len(spark_pdf)} ({took:.1f}s)")
+    print()
+    print("failures:", failures or "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
