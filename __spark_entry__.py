@@ -293,19 +293,9 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force near-dup pairs (cosine ≥ 0.95) — exact baseline."""
-    from hikma_engine_spark.functions.similarity import cosine
-
+    """Exact near-dup pairs (cosine ≥ 0.95) via blocked matrix product."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 5))
-        .filter(F.col("cos") >= 0.95)
-        .select("a", "b", "cos")
-        .orderBy("a", "b")
-    )
+    return similarity_search.all_pairs_cosine(emb, threshold=0.95).orderBy("a", "b")
 
 
 def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,10 +49,17 @@ _DEP_RE = re.compile(
     re.IGNORECASE,
 )
 
-# Output schema of the extraction UDF (DDL form for mapInPandas)
+# Output schema of the extraction UDF (DDL form for mapInPandas).
+# first_in_turn marks the first occurrence (in scan order) of a
+# surface within its dedup group in one turn — this makes every
+# downstream triple branch UNIQUE BY CONSTRUCTION, so triple assembly
+# and edge materialization are shuffle-free projections (no global
+# dedup aggregation; min(string) aggs would force SortAggregate over
+# the full triple set at scale).
 EXTRACTION_SCHEMA = (
     "conv_id string, turn_idx int, start int, end int, "
-    "surface string, surface_norm string, kind string, obj_norm string"
+    "surface string, surface_norm string, kind string, obj_norm string, "
+    "first_in_turn boolean"
 )
 
 KIND_GAZETTEER = "gazetteer"
@@ -99,7 +106,38 @@ _EXTRACTION_COLS = [
     "surface_norm",
     "kind",
     "obj_norm",
+    "first_in_turn",
 ]
+
+
+def _postprocess_turn(
+    matches: list[tuple[int, int, str, str, str, str | None]],
+) -> list[tuple[int, int, str, str, str, str | None, bool]]:
+    """Per-turn dedup rules (the uniqueness-by-construction contract):
+
+    1. drop @-mentions whose exact (start, end) span is also a
+       gazetteer match (e.g. ``@spark``) — the gazetteer reading wins,
+       so mention node ids (conv#turn#start) are unique;
+    2. flag the first occurrence of each surface within its dedup
+       group: entity kinds (gazetteer+at pooled) by surface_norm,
+       toolcalls by surface_norm, depends_on by (surface, obj).
+    """
+    gaz_spans = {(m[0], m[1]) for m in matches if m[4] == KIND_GAZETTEER}
+    seen: set[tuple] = set()
+    out = []
+    for start, end, surface, norm, kind, obj in matches:
+        if kind == KIND_AT and (start, end) in gaz_spans:
+            continue
+        if kind in (KIND_GAZETTEER, KIND_AT):
+            key = ("ent", norm)
+        elif kind == KIND_TOOLCALL:
+            key = ("tool", norm)
+        else:
+            key = ("dep", norm, obj)
+        first = key not in seen
+        seen.add(key)
+        out.append((start, end, surface, norm, kind, obj, first))
+    return out
 
 
 def make_extractor(surfaces: list[str] | None = None):
@@ -122,9 +160,21 @@ def make_extractor(surfaces: list[str] | None = None):
                 pdf["turn_idx"].to_numpy(),
                 pdf["text"].to_numpy(),
             ):
-                for start, end, surface, norm, kind, obj in _scan_text(text, gaz_re):
+                for start, end, surface, norm, kind, obj, first in _postprocess_turn(
+                    _scan_text(text, gaz_re)
+                ):
                     rows.append(
-                        (conv_id, int(turn_idx), start, end, surface, norm, kind, obj)
+                        (
+                            conv_id,
+                            int(turn_idx),
+                            start,
+                            end,
+                            surface,
+                            norm,
+                            kind,
+                            obj,
+                            first,
+                        )
                     )
             yield pd.DataFrame(rows, columns=_EXTRACTION_COLS)
 

@@ -19,16 +19,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find (path compression); component = min member."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach larger-string root under smaller → min-label result
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Undirected CC. Returns (node, component) with component = min node
     id (lexicographic) in the component. Deterministic.
+
+    Two physical strategies, same result:
+    - ≤ ``driver_threshold`` edges: collect + union-find on the driver
+      (an iterative join loop on a dozen-row graph is pure scheduler
+      overhead). This covers per-corpus entity-alias graphs comfortably.
+    - larger: distributed iterative min-label propagation with lineage
+      cut per round — the 100 TB path (hot entities are absorbed by
+      map-side partial min aggregation).
     """
     spark = edges.sparkSession
+    small = edges.limit(driver_threshold + 1).count() <= driver_threshold
+    if small:
+        pairs = [
+            (r[0], r[1])
+            for r in edges.select(src, dst).collect()
+            if r[0] is not None and r[1] is not None and r[0] != r[1]
+        ]
+        mapping = _union_find_local(pairs)
+        if not mapping:
+            return spark.createDataFrame([], "node string, component string")
+        return spark.createDataFrame(
+            sorted(mapping.items()), ["node", "component"]
+        )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -36,10 +77,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size the iteration's shuffle width to the data: tiny graphs on a
+    # 32-way shuffle are pure task overhead; big graphs keep full width
+    n_edges = sym.count()
+    default_par = spark.sparkContext.defaultParallelism
+    npart = max(1, min(default_par, n_edges // 20_000 + 1))
+    sym = sym.repartition(npart, "v")
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .repartition(npart, "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

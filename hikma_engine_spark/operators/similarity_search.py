@@ -17,6 +17,61 @@ from ..functions.similarity import cosine_to_literal
 from .dedup import _hyperplanes
 
 
+def all_pairs_cosine(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — blocked matrix product.
+
+    Pattern: the full (normalized) matrix is broadcast; each Arrow batch
+    computes its rows' similarities against it in one numpy GEMM and
+    emits only qualifying pairs. This is the sharded-GEMM shape that
+    scales linearly in input partitions (at true scale the broadcast
+    side becomes the IVF/LSH-pruned candidate set, not the full
+    matrix — see lsh_topk). For brute-force-exactness baselines and
+    ≤10^5-vector blocks it is the fastest exact method by far
+    (vectorized, no per-pair lambda interpretation).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    rows = df.select(id_col, emb_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(matn)
+
+    def body(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        all_ids = b_ids.value
+        allm = b_mat.value
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            if len(pdf):
+                q = np.array([list(v) for v in pdf[emb_col]], dtype=np.float64)
+                qn = np.linalg.norm(q, axis=1)
+                qn[qn == 0] = 1.0
+                sims = (q / qn[:, None]) @ allm.T
+                sims = np.round(sims, round_digits)
+                qids = pdf[id_col].to_numpy()
+                for i in range(sims.shape[0]):
+                    mask = (sims[i] >= threshold) & (all_ids > qids[i])
+                    for j in np.nonzero(mask)[0]:
+                        out_a.append(qids[i])
+                        out_b.append(all_ids[j])
+                        out_c.append(sims[i, j])
+            yield pd.DataFrame({"a": out_a, "b": out_b, "cos": out_c})
+
+    return df.select(id_col, emb_col).mapInPandas(body, "a long, b long, cos double")
+
+
 def brute_force_topk(
     df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id",
     emb_col: str = "embedding",

@@ -35,7 +35,7 @@ PHASES = ("discover", "extract", "link", "materialize")
 
 _OUTPUTS = {
     "discover": ["conversations"],
-    "extract": ["mentions", "triples"],
+    "extract": ["mentions"],
     "link": ["links", "same_as"],
     "materialize": ["nodes", "edges"],
 }
@@ -45,6 +45,33 @@ _PARTITION_BY = {"nodes": ["node_type"], "edges": ["edge_type"]}
 
 def _now() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def _histogram_from_lineage(per_partition: dict[str, int], prefix: str) -> dict[str, int]:
+    """Aggregate per-file lineage counts by partition value (the dirs
+    written by partitionBy carry '<col>=<value>/' path segments)."""
+    hist: dict[str, int] = {}
+    for rel, n in per_partition.items():
+        for seg in rel.split(os.sep):
+            if seg.startswith(prefix):
+                key = seg[len(prefix):]
+                hist[key] = hist.get(key, 0) + n
+    return hist
+
+
+def _parquet_file_counts(root: str) -> dict[str, int]:
+    """Per-file row counts straight from parquet footers (driver-side
+    metadata read — zero Spark jobs). Keys are paths relative to root,
+    so partitionBy dirs (node_type=.../) stay visible in the lineage."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = pq.read_metadata(p).num_rows
+    return out
 
 
 @dataclass
@@ -116,12 +143,12 @@ class Pipeline:
         return os.path.exists(os.path.join(p, "_SUCCESS"))
 
     def _write(self, df: DataFrame, name: str) -> dict:
-        """Atomic parquet write + per-partition lineage counts."""
-        part_counts = (
-            df.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        )
+        """Atomic parquet write + per-partition lineage counts.
+
+        Lineage counts are computed from the *written files* (cheap
+        metadata-only scan), not from the input plan — counting the
+        plan itself would re-execute every upstream UDF a second time.
+        """
         tmp = self._path(name) + ".tmp"
         final = self._path(name)
         writer = df.write.mode("overwrite")
@@ -131,11 +158,11 @@ class Pipeline:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
-        total = sum(r["count"] for r in part_counts)
+        per_part = _parquet_file_counts(final)
         return {
-            "rows": total,
-            "partitions": len(part_counts),
-            "per_partition": {str(r["pid"]): r["count"] for r in part_counts},
+            "rows": sum(per_part.values()),
+            "partitions": len(per_part),
+            "per_partition": per_part,
         }
 
     def _read(self, name: str) -> DataFrame:
@@ -143,23 +170,47 @@ class Pipeline:
 
     # ---- phase bodies ----
     def transcripts(self) -> DataFrame:
-        return self.spark.read.parquet(self.transcripts_path)
+        """Input scan, rebalanced for the UDF-heavy stages.
+
+        Small local corpora arrive as a single parquet split; the
+        extraction/embedding pandas UDFs are CPU-bound per row, so a
+        one-split input would serialize them on one core. Hash-
+        repartitioning on (conv_id, turn_idx) spreads rows evenly —
+        including the rows of pathological 10k-turn conversations
+        (extraction is per-turn, so no co-location is needed; the
+        window stage re-shuffles by conv_id itself). On a real cluster
+        the input already has ≥ parallelism splits and this is a no-op.
+        """
+        df = self.spark.read.parquet(self.transcripts_path)
+        target = self.spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, "conv_id", "turn_idx")
+        return df
 
     def _run_discover(self) -> dict:
         t = self.transcripts()
-        dupes = discover.validate(t).limit(1).count()
-        if dupes:
-            raise ValueError("duplicate (conv_id, turn_idx) keys in input")
-        return {"conversations": self._write(discover.conversations_dim(t), "conversations")}
+        stats = {"conversations": self._write(discover.conversations_dim(t), "conversations")}
+        # duplicate-key validation from the written dim (n_turns vs
+        # distinct turn_idx count — no extra pass over the input)
+        import pandas as pd  # noqa: PLC0415
+
+        dim = pd.read_parquet(self._path("conversations"))
+        bad = dim[dim.n_turns != dim.n_distinct_turns]
+        if len(bad):
+            raise ValueError(
+                f"duplicate (conv_id, turn_idx) keys in {len(bad)} conversations"
+            )
+        return stats
 
     def _run_extract(self) -> dict:
+        """Mention detection (the expensive UDF pass) is the extract
+        phase's materialized output; triple assembly is a cheap
+        projection over it and is folded into materialize — writing the
+        triple set twice (triples + edges) would double the pipeline's
+        largest IO volume for no resume benefit."""
         t = self.transcripts()
         mentions = extract.extract_mentions(t)
-        stats = {"mentions": self._write(mentions, "mentions")}
-        mentions = self._read("mentions")
-        triples = extract.assemble_triples(t, mentions)
-        stats["triples"] = self._write(triples, "triples")
-        return stats
+        return {"mentions": self._write(mentions, "mentions")}
 
     def _run_link(self) -> dict:
         mentions = self._read("mentions")
@@ -170,25 +221,29 @@ class Pipeline:
 
     def _run_materialize(self) -> dict:
         t = self.transcripts()
+        mentions = self._read("mentions")
+        # edges first: the triple assembly executes exactly once; the
+        # node build then reads tool ids from the written edges table
+        # (edge_type partition pruning) instead of recomputing triples
+        triples = extract.assemble_triples(t, mentions)
+        edges = materialize.build_edges(triples, self._read("same_as"))
+        stats = {"edges": self._write(edges, "edges")}
         nodes = materialize.build_nodes(
             t,
             self._read("conversations"),
-            self._read("mentions"),
-            self._read("triples"),
+            mentions,
+            self._read("edges"),
             self._read("links"),
         )
-        stats = {"nodes": self._write(nodes, "nodes")}
-        edges = materialize.build_edges(self._read("triples"), self._read("same_as"))
-        stats["edges"] = self._write(edges, "edges")
-        # node/edge-type histograms — per-phase metrics (A2)
-        nd = self.spark.read.parquet(self._path("nodes"))
-        ed = self.spark.read.parquet(self._path("edges"))
-        stats["node_types"] = {
-            r["node_type"]: r["count"] for r in nd.groupBy("node_type").count().collect()
-        }
-        stats["edge_types"] = {
-            r["edge_type"]: r["count"] for r in ed.groupBy("edge_type").count().collect()
-        }
+        stats["nodes"] = self._write(nodes, "nodes")
+        # node/edge-type histograms (A2 metrics) — free from the
+        # partitionBy directory layout + footer counts, no Spark job
+        stats["node_types"] = _histogram_from_lineage(
+            stats["nodes"]["per_partition"], "node_type="
+        )
+        stats["edge_types"] = _histogram_from_lineage(
+            stats["edges"]["per_partition"], "edge_type="
+        )
         return stats
 
     # ---- orchestration ----

@@ -50,6 +50,7 @@ def conversations_dim(transcripts: DataFrame) -> DataFrame:
         turn.groupBy("conv_id")
         .agg(
             F.count("*").alias("n_turns"),
+            F.countDistinct("turn_idx").alias("n_distinct_turns"),
             F.max("turn_idx").alias("max_turn_idx"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),

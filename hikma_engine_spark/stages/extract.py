@@ -60,6 +60,15 @@ def extract_mentions(
     )
 
 
+def _triple_struct(edge_type: str, src: F.Column, dst: F.Column, rule: F.Column) -> F.Column:
+    return F.struct(
+        src.alias("src"),
+        F.lit(edge_type).alias("edge_type"),
+        dst.alias("dst"),
+        rule.alias("rule"),
+    )
+
+
 def assemble_triples(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
     """Mentions + transcripts → the raw (pre-canonicalization) triple set.
 
@@ -68,93 +77,88 @@ def assemble_triples(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
       turn IN_CONV conv | mention IN_TURN turn | mention REFERS_TO entity
       turn MENTIONS entity (distinct per turn) | turn INVOKES tool
       entity DEPENDS_ON entity (SVO rule)
+
+    Plan shape: ONE pass over each input. Each mention row explodes
+    into its 0-3 triples via a guarded struct array (a union of 5
+    per-branch subplans would scan the mentions table 5 times); every
+    branch is unique by construction (first_in_turn), so there is no
+    dedup shuffle anywhere — the whole assembly is narrow.
     """
-    entity_mentions = mentions.filter(F.col("kind").isin(KIND_GAZETTEER, KIND_AT))
+    is_entity = F.col("kind").isin(KIND_GAZETTEER, KIND_AT)
+    first = F.col("first_in_turn")
+    ent_dst = F.concat(F.lit("entity:"), F.col("surface_norm"))
 
-    in_conv = transcripts.select(
-        _turn_id().alias("src"),
-        F.lit("IN_CONV").alias("edge_type"),
-        F.concat(F.lit("conv:"), F.col("conv_id")).alias("dst"),
-        "conv_id",
-        "turn_idx",
-        F.lit("structural").alias("rule"),
-    )
-
-    in_turn = entity_mentions.select(
-        _mention_id().alias("src"),
-        F.lit("IN_TURN").alias("edge_type"),
-        _turn_id().alias("dst"),
-        "conv_id",
-        "turn_idx",
-        F.lit("structural").alias("rule"),
-    )
-
-    refers_to = entity_mentions.select(
-        _mention_id().alias("src"),
-        F.lit("REFERS_TO").alias("edge_type"),
-        F.concat(F.lit("entity:"), F.col("surface_norm")).alias("dst"),
-        "conv_id",
-        "turn_idx",
-        F.col("kind").alias("rule"),
-    )
-
-    mentions_edge = (
-        entity_mentions.select("conv_id", "turn_idx", "surface_norm", "kind")
-        .groupBy("conv_id", "turn_idx", "surface_norm")
-        .agg(F.min("kind").alias("rule"))
-        .select(
-            _turn_id().alias("src"),
-            F.lit("MENTIONS").alias("edge_type"),
-            F.concat(F.lit("entity:"), F.col("surface_norm")).alias("dst"),
+    mention_triples = (
+        mentions.select(
             "conv_id",
             "turn_idx",
-            "rule",
+            F.explode(
+                F.array(
+                    F.when(
+                        is_entity,
+                        _triple_struct(
+                            "IN_TURN", _mention_id(), _turn_id(), F.lit("structural")
+                        ),
+                    ),
+                    F.when(
+                        is_entity,
+                        _triple_struct(
+                            "REFERS_TO", _mention_id(), ent_dst, F.col("kind")
+                        ),
+                    ),
+                    F.when(
+                        is_entity & first,
+                        _triple_struct("MENTIONS", _turn_id(), ent_dst, F.col("kind")),
+                    ).when(
+                        (F.col("kind") == KIND_TOOLCALL) & first,
+                        _triple_struct(
+                            "INVOKES",
+                            _turn_id(),
+                            F.concat(F.lit("tool:"), F.col("surface_norm")),
+                            F.lit(KIND_TOOLCALL),
+                        ),
+                    ).when(
+                        (F.col("kind") == KIND_DEPENDS) & first,
+                        _triple_struct(
+                            "DEPENDS_ON",
+                            F.concat(F.lit("entity:"), F.col("surface_norm")),
+                            F.concat(F.lit("entity:"), F.col("obj_norm")),
+                            F.lit(KIND_DEPENDS),
+                        ),
+                    ),
+                )
+            ).alias("t"),
         )
+        .filter(F.col("t").isNotNull())
+        .select("t.src", "t.edge_type", "t.dst", "conv_id", "turn_idx", "t.rule")
     )
 
-    # INVOKES from the tool column (role='tool' turns) …
-    invokes_col = (
-        transcripts.filter((F.col("role") == "tool") & F.col("tool").isNotNull())
-        .select(
-            _turn_id().alias("src"),
-            F.lit("INVOKES").alias("edge_type"),
-            F.concat(F.lit("tool:"), F.lower(F.col("tool"))).alias("dst"),
+    turn_triples = (
+        transcripts.select(
             "conv_id",
             "turn_idx",
-            F.lit("tool_col").alias("rule"),
+            F.explode(
+                F.array(
+                    _triple_struct(
+                        "IN_CONV",
+                        _turn_id(),
+                        F.concat(F.lit("conv:"), F.col("conv_id")),
+                        F.lit("structural"),
+                    ),
+                    F.when(
+                        (F.col("role") == "tool") & F.col("tool").isNotNull(),
+                        _triple_struct(
+                            "INVOKES",
+                            _turn_id(),
+                            F.concat(F.lit("tool:"), F.lower(F.col("tool"))),
+                            F.lit("tool_col"),
+                        ),
+                    ),
+                )
+            ).alias("t"),
         )
-    )
-    # … and from call:<tool> patterns in text
-    invokes_txt = (
-        mentions.filter(F.col("kind") == KIND_TOOLCALL)
-        .select("conv_id", "turn_idx", "surface_norm")
-        .distinct()
-        .select(
-            _turn_id().alias("src"),
-            F.lit("INVOKES").alias("edge_type"),
-            F.concat(F.lit("tool:"), F.col("surface_norm")).alias("dst"),
-            "conv_id",
-            "turn_idx",
-            F.lit(KIND_TOOLCALL).alias("rule"),
-        )
-    )
-
-    depends_on = (
-        mentions.filter(F.col("kind") == KIND_DEPENDS)
-        .select("conv_id", "turn_idx", "surface_norm", "obj_norm")
-        .distinct()
-        .select(
-            F.concat(F.lit("entity:"), F.col("surface_norm")).alias("src"),
-            F.lit("DEPENDS_ON").alias("edge_type"),
-            F.concat(F.lit("entity:"), F.col("obj_norm")).alias("dst"),
-            "conv_id",
-            "turn_idx",
-            F.lit(KIND_DEPENDS).alias("rule"),
-        )
+        .filter(F.col("t").isNotNull())
+        .select("t.src", "t.edge_type", "t.dst", "conv_id", "turn_idx", "t.rule")
     )
 
-    parts = [in_conv, in_turn, refers_to, mentions_edge, invokes_col, invokes_txt, depends_on]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(*_TRIPLE_COLS)
+    return mention_triples.unionByName(turn_triples).select(*_TRIPLE_COLS)

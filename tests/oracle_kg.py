@@ -143,7 +143,12 @@ def golden_triples(transcripts: pd.DataFrame) -> set[tuple[str, str, str]]:
         turn = f"turn:{conv}#{idx}"
         triples.add((turn, "IN_CONV", f"conv:{conv}"))
 
-        ent_mentions = _gaz_matches(text) + _at_matches(text)
+        gaz = _gaz_matches(text)
+        gaz_spans = {(s, e) for s, e, _ in gaz}
+        # spec: an @-mention whose exact span is also a gazetteer match
+        # is dropped (the gazetteer reading wins)
+        ats = [m for m in _at_matches(text) if (m[0], m[1]) not in gaz_spans]
+        ent_mentions = gaz + ats
         for start, _end, surf in ent_mentions:
             norm = surf.lower()
             observed_surfaces.add(norm)

@@ -50,7 +50,14 @@ def test_tiny_triples(spark, tiny_df):
 
 @pytest.fixture(scope="module")
 def engine_triples(pipeline_out):
-    t = pipeline_out._read("triples").toPandas()
+    """Triple projection of the materialized edge table (minus the
+    linking-derived SAME_AS edges, which join the set in the P/R test)."""
+    t = (
+        pipeline_out.edges()
+        .filter("edge_type != 'SAME_AS'")
+        .select("src", "edge_type", "dst")
+        .toPandas()
+    )
     return set(zip(t.src, t.edge_type, t.dst))
 
 
