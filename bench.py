@@ -29,7 +29,10 @@ from hikma_engine_spark.pipeline import Pipeline
 from hikma_engine_spark.session import get_spark, stop_all
 
 # corpus size for the pipeline bench, scaled to the sf under test
-N_CONVS_BY_SF = {0.001: 100, 0.01: 400, 0.1: 4000}
+# (sf0.1 → ~520k turns / ~70MB text — enough parallel work that the
+# two-parallelism scaling measurement is not fixed-overhead-bound)
+N_CONVS_BY_SF = {0.001: 300, 0.01: 3000, 0.1: 30000}
+SCALING_CORES = (4, 16)  # N and 4N
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -51,18 +54,22 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def run_pipeline(cores: int, corpus: str, n_turns: int) -> dict:
+def run_pipeline(cores: int, corpus: str, n_turns: int, reps: int = 2) -> dict:
+    """Best-of-N timing in one JVM (first run pays JIT/codegen warmup —
+    the steady-state number is what a long-running cluster job sees)."""
     spark = get_spark(app_name=f"bench_pipeline_{cores}", cores=cores)
-    out = f"/tmp/hikma_bench_out_{cores}"
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.time()
-    Pipeline(spark, corpus, out, run_id=f"bench-{cores}").run(resume=False)
-    sec = time.time() - t0
+    best = float("inf")
+    for rep in range(reps):
+        out = f"/tmp/hikma_bench_out_{cores}_{rep}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        Pipeline(spark, corpus, out, run_id=f"bench-{cores}-{rep}").run(resume=False)
+        best = min(best, time.time() - t0)
     stop_all()
     return {
         "cores": cores,
-        "sec": round(sec, 2),
-        "turns_per_sec": round(n_turns / sec, 1),
+        "sec": round(best, 2),
+        "turns_per_sec": round(n_turns / best, 1),
     }
 
 
@@ -84,9 +91,9 @@ def main() -> None:
     import pyarrow.parquet as pq
 
     n_turns = pq.read_metadata(corpus).num_rows
-    lo = run_pipeline(8, corpus, n_turns)
-    hi = run_pipeline(32, corpus, n_turns)
-    efficiency = round((lo["sec"] / hi["sec"]) / (32 / 8), 3)
+    lo = run_pipeline(SCALING_CORES[0], corpus, n_turns)
+    hi = run_pipeline(SCALING_CORES[1], corpus, n_turns)
+    efficiency = round((lo["sec"] / hi["sec"]) / (SCALING_CORES[1] / SCALING_CORES[0]), 3)
 
     print(
         json.dumps(
@@ -99,8 +106,8 @@ def main() -> None:
                 "pipeline": {
                     "n_convs": n_convs,
                     "turns": n_turns,
-                    "local8": lo,
-                    "local32": hi,
+                    f"local{SCALING_CORES[0]}": lo,
+                    f"local{SCALING_CORES[1]}": hi,
                     "turns_per_sec": hi["turns_per_sec"],
                     "scaling_efficiency": efficiency,
                 },

@@ -50,10 +50,29 @@ def embed_text(text: str, dim: int = EMBEDDING_DIM) -> np.ndarray:
     return vec.astype(np.float32)
 
 
+def _embed_series(texts: pd.Series, dim: int = EMBEDDING_DIM) -> pd.Series:
+    """Batch embedding: one flat scatter-add over the whole Arrow batch
+    (tokenize per row, then np.add.at on a (rows × dim) matrix) — no
+    per-row vector construction."""
+    n = len(texts)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    toks_per_row = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+    counts = toks_per_row.str.len().to_numpy(dtype=np.int64)
+    if counts.sum() > 0:
+        flat = [t for row in toks_per_row for t in row]
+        row_idx = np.repeat(np.arange(n), counts)
+        feats = np.array([_token_feature(t, dim) for t in flat], dtype=np.float64)
+        np.add.at(mat, (row_idx, feats[:, 0].astype(np.int64)), feats[:, 1])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = (mat / norms[:, None]).astype(np.float32)
+    return pd.Series(list(mat), index=texts.index)
+
+
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def embed_udf(texts: pd.Series) -> pd.Series:
     """Vectorized (Arrow-batched) embedding column: string → array<float>."""
-    return texts.map(lambda t: embed_text(t if isinstance(t, str) else ""))
+    return _embed_series(texts)
 
 
 def with_embedding(df, text_col: str = "source_text", out_col: str = "embedding"):

@@ -119,26 +119,34 @@ def minhash_pairs(
 
 # ---------- SimHash ----------
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
+def _token_bits(tok: str) -> np.ndarray:
+    """±1 bit vector of a token's 64-bit md5 prefix."""
+    h = hashlib.md5(tok.encode()).digest()[:8]
+    bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8))[::-1]
+    return bits.astype(np.int64) * 2 - 1
+
+
 @F.pandas_udf(T.LongType())
 def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (Arrow-batched)."""
-
-    def simhash(text: str) -> int:
-        if not isinstance(text, str) or not text:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += bits * 2 - 1
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        # to signed 64-bit
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return texts.map(simhash)
+    """64-bit SimHash over word tokens — one scatter-add per Arrow batch
+    (rows × 64 sign matrix; no per-row bit loops)."""
+    n = len(texts)
+    toks_per_row = texts.fillna("").str.lower().str.split()
+    counts = toks_per_row.str.len().to_numpy(dtype=np.int64)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    if counts.sum() > 0:
+        flat = [t for row in toks_per_row for t in row]
+        row_idx = np.repeat(np.arange(n), counts)
+        bit_mat = np.stack([_token_bits(t) for t in flat])
+        np.add.at(acc, row_idx, bit_mat)
+    sign = (acc > 0).astype(np.uint64)
+    vals = (sign << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    vals[counts == 0] = 0
+    return pd.Series(vals.astype(np.int64), index=texts.index)
 
 
 def simhash_pairs(

@@ -169,7 +169,7 @@ class Pipeline:
         return self.spark.read.parquet(self._path(name))
 
     # ---- phase bodies ----
-    def transcripts(self) -> DataFrame:
+    def transcripts(self, keys: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:
         """Input scan, rebalanced for the UDF-heavy stages.
 
         Small local corpora arrive as a single parquet split; the
@@ -177,18 +177,21 @@ class Pipeline:
         one-split input would serialize them on one core. Hash-
         repartitioning on (conv_id, turn_idx) spreads rows evenly —
         including the rows of pathological 10k-turn conversations
-        (extraction is per-turn, so no co-location is needed; the
-        window stage re-shuffles by conv_id itself). On a real cluster
-        the input already has ≥ parallelism splits and this is a no-op.
+        (extraction is per-turn, so no co-location is needed). On a
+        real cluster the input already has ≥ parallelism splits and
+        this is a no-op. Discover passes keys=("conv_id",) so its
+        groupBy(conv_id) REUSES this exchange (Catalyst sees the
+        hashpartitioning requirement already satisfied — one shuffle,
+        not two).
         """
         df = self.spark.read.parquet(self.transcripts_path)
         target = self.spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target, "conv_id", "turn_idx")
+            df = df.repartition(target, *keys)
         return df
 
     def _run_discover(self) -> dict:
-        t = self.transcripts()
+        t = self.transcripts(keys=("conv_id",))
         stats = {"conversations": self._write(discover.conversations_dim(t), "conversations")}
         # duplicate-key validation from the written dim (n_turns vs
         # distinct turn_idx count — no extra pass over the input)
