@@ -314,6 +314,148 @@ class Pipeline:
         result.elapsed_sec = time.time() - t0
         return result
 
+    # ---- incremental (reference: IndexingStrategy.determine,
+    # src/core/indexing/IndexingStrategy.ts:15-75 — compare watermark,
+    # process only the changed set, upsert) ----
+    def run_incremental(self, run_id: str | None = None) -> PipelineResult:
+        """Re-index only conversations whose content changed.
+
+        Change detection: per-conversation content_hash from the
+        discover dim (stronger than the reference's commit watermark —
+        it is content-addressed). The expensive per-turn work (regex
+        extraction, turn embedding) runs ONLY on changed conversations;
+        unchanged rows are carried over. The merge itself is a full
+        table rewrite here (parquet); on an Iceberg catalog it becomes
+        MERGE INTO keyed by the deterministic ids, same semantics as
+        the reference's INSERT OR REPLACE (GenericRepository.ts:23,64).
+        """
+        rid = run_id or (self.run_id + "-incr")
+        t0 = time.time()
+        result = PipelineResult(run_id=rid, out_dir=self.out_dir)
+        old_conv = self._read("conversations").select(
+            "conv_id", F.col("content_hash").alias("old_hash")
+        )
+        t_all = self.transcripts()
+
+        # --- discover (full refresh of the cheap dim) + changed set ---
+        # new dim goes to a tmp table first: the changed-set comparison
+        # must see the OLD files (on Iceberg the old snapshot stays
+        # readable; on raw parquet we sequence the writes instead)
+        new_conv = discover.conversations_dim(self.transcripts(keys=("conv_id",)))
+        stats_d = self._write(new_conv, "conversations_incr")
+        changed_ids = [
+            r["conv_id"]
+            for r in (
+                self._read("conversations_incr")
+                .select("conv_id", "content_hash")
+                .join(old_conv, "conv_id", "left")
+                .filter(
+                    F.col("old_hash").isNull()
+                    | (F.col("content_hash") != F.col("old_hash"))
+                )
+                .select("conv_id")
+                .collect()
+            )
+        ]
+        self._swap("conversations_incr", "conversations")
+        changed = self.spark.createDataFrame(
+            [(c,) for c in changed_ids] or [("__none__",)], "conv_id string"
+        )
+        n_changed = len(changed_ids)
+        result.phase_stats["discover"] = {
+            "conversations": stats_d,
+            "changed_convs": n_changed,
+        }
+
+        # --- extract only changed conversations; merge mentions ---
+        t_changed = t_all.join(F.broadcast(changed), "conv_id", "left_semi")
+        mentions_new = extract.extract_mentions(t_changed)
+        mentions_keep = self._read("mentions").join(
+            F.broadcast(changed), "conv_id", "left_anti"
+        )
+        merged = mentions_keep.unionByName(mentions_new)
+        result.phase_stats["extract"] = {
+            "mentions": self._write(merged, "mentions_incr")
+        }
+        self._swap("mentions_incr", "mentions")
+
+        # --- link globally (cheap: distinct surfaces) ---
+        mentions = self._read("mentions")
+        links = link.build_links(mentions)
+        result.phase_stats["link"] = {"links": self._write(links, "links")}
+        self._write(link.same_as_edges(self._read("links")), "same_as")
+
+        # --- materialize: recompute edges (projection, no UDF);
+        #     carry over unchanged per-conv nodes, re-embed only changed ---
+        triples = extract.assemble_triples(t_all, mentions)
+        edges = materialize.build_edges(triples, self._read("same_as"))
+        result.phase_stats.setdefault("materialize", {})["edges"] = self._write(
+            edges, "edges_incr"
+        )
+        self._swap("edges_incr", "edges")
+
+        links_df = self._read("links")
+        old_nodes = self._read("nodes")
+        keep_perconv = (
+            old_nodes.filter(F.col("node_type").isin("Turn", "Mention"))
+            .join(F.broadcast(changed), "conv_id", "left_anti")
+        )
+        # refresh canonical_id on carried-over mentions (links may have changed)
+        keep_refreshed = (
+            keep_perconv.withColumn("surface_norm", F.col("properties")["surface_norm"])
+            .join(F.broadcast(links_df), "surface_norm", "left")
+            .withColumn(
+                "canonical_id",
+                F.when(
+                    (F.col("node_type") == "Mention")
+                    & F.col("canonical_norm").isNotNull(),
+                    F.concat(F.lit("entity:"), F.col("canonical_norm")),
+                ).otherwise(F.col("canonical_id")),
+            )
+            .drop("surface_norm", "canonical_norm")
+        )
+        recomputed = materialize.build_nodes(
+            t_changed,
+            self._read("conversations").join(F.broadcast(changed), "conv_id", "left_semi"),
+            mentions.join(F.broadcast(changed), "conv_id", "left_semi"),
+            self._read("edges"),
+            links_df,
+        ).filter(F.col("node_type").isin("Turn", "Mention"))
+        global_nodes = materialize.build_nodes(
+            t_changed.limit(0),
+            self._read("conversations"),
+            mentions.limit(0),
+            self._read("edges"),
+            links_df,
+        ).filter(F.col("node_type").isin("Conversation", "Entity", "Tool"))
+        nodes = keep_refreshed.select(*[f.name for f in old_nodes.schema.fields]) \
+            .unionByName(recomputed).unionByName(global_nodes)
+        result.phase_stats["materialize"]["nodes"] = self._write(nodes, "nodes_incr")
+        self._swap("nodes_incr", "nodes")
+
+        self.state.append(
+            {
+                "run_id": rid,
+                "phase_name": "incremental",
+                "partition_id": None,
+                "status": "completed",
+                "started_at": _now(),
+                "completed_at": _now(),
+                "watermark": str(int(os.path.getmtime(self.transcripts_path))),
+                "stats": {"changed_convs": n_changed},
+            }
+        )
+        result.elapsed_sec = time.time() - t0
+        return result
+
+    def _swap(self, tmp_name: str, final_name: str) -> None:
+        """Replace a table dir with a freshly-written one (the parquet
+        emulation of an atomic MERGE commit)."""
+        tmp, final = self._path(tmp_name), self._path(final_name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
     # convenience readers
     def nodes(self) -> DataFrame:
         return self._read("nodes")

@@ -113,6 +113,9 @@ def mention_nodes(mentions: DataFrame, links: DataFrame) -> DataFrame:
                 F.lit("kind"), F.col("kind"),
                 F.lit("start"), F.col("start").cast("string"),
                 F.lit("end"), F.col("end").cast("string"),
+                # kept so incremental runs can refresh canonical_id
+                # after a global re-link without re-extraction
+                F.lit("surface_norm"), F.col("surface_norm"),
             ).alias("properties"),
             F.col("conv_id"),
             F.col("turn_idx"),

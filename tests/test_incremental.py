@@ -1,0 +1,79 @@
+"""Incremental re-indexing: only changed conversations re-extracted;
+result identical to a full rebuild (reference: IndexingStrategy
+full-vs-incremental semantics, src/core/indexing/IndexingStrategy.ts)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hikma_engine_spark.pipeline import Pipeline
+
+
+def _digest(df) -> str:
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    rows = sorted(
+        pdf.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1).tolist()
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def _make_v2(corpus_pdf: pd.DataFrame) -> pd.DataFrame:
+    """v2 = v1 + two appended turns on conv0000003 + one new conversation."""
+    extra = pd.DataFrame(
+        {
+            "conv_id": ["conv0000003", "conv0000003", "convNEW0001", "convNEW0001"],
+            "turn_idx": [9000, 9001, 0, 1],
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": [
+                "We should benchmark postgresql against duckdb.",
+                "call:sql_runner compare pgsql and duckdb please.",
+                "@erin is kafka better than redis here?",
+                "kafka depends on zookeeper, but that is not in the gazetteer.",
+            ],
+            "tool": [None, None, None, None],
+            "ts": pd.to_datetime(
+                ["2025-06-01T00:00:00"] * 2 + ["2025-06-02T00:00:00"] * 2
+            ),
+        }
+    )
+    extra["turn_idx"] = extra["turn_idx"].astype("int32")
+    out = pd.concat([corpus_pdf, extra], ignore_index=True)
+    return out
+
+
+def test_incremental_matches_full_rebuild(spark, corpus_pdf, corpus_path, tmp_path):
+    v2_path = str(tmp_path / "v2.parquet")
+    _make_v2(corpus_pdf).to_parquet(
+        v2_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    # full rebuild on v2
+    full_out = str(tmp_path / "full_v2")
+    p_full = Pipeline(spark, v2_path, full_out, run_id="full-v2")
+    p_full.run(resume=False)
+
+    # v1 run, then incremental to v2
+    incr_out = str(tmp_path / "incr")
+    Pipeline(spark, corpus_path, incr_out, run_id="v1").run(resume=False)
+    p_incr = Pipeline(spark, v2_path, incr_out, run_id="v2")
+    res = p_incr.run_incremental()
+
+    # only the touched conversations were re-extracted
+    assert res.phase_stats["discover"]["changed_convs"] == 2
+
+    assert _digest(p_incr.nodes()) == _digest(p_full.nodes())
+    assert _digest(p_incr.edges()) == _digest(p_full.edges())
+
+
+def test_incremental_noop_when_unchanged(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "noop")
+    Pipeline(spark, corpus_path, out, run_id="base").run(resume=False)
+    before_nodes = _digest(Pipeline(spark, corpus_path, out).nodes())
+    p = Pipeline(spark, corpus_path, out, run_id="again")
+    res = p.run_incremental()
+    assert res.phase_stats["discover"]["changed_convs"] == 0
+    assert _digest(p.nodes()) == before_nodes

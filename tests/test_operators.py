@@ -1,0 +1,128 @@
+"""operators/: dedup family, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hikma_engine_spark.operators import dedup, multimodal, similarity_search
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),    # near dup
+        (3, "completely different content about databases and queries"),
+        (4, "THE  quick   Brown fox jumps over the lazy dog"),  # ws/case dup of 0
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs, "doc_id", "text").toPandas()
+    assert len(groups) == 1
+    assert sorted(groups.iloc[0].doc_ids) == [0, 1, 4]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    assert (0, 2) in got  # one-word edit → J = 4/10 = 0.4
+    assert not any(3 in p or 5 in p for p in got)
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert abs(jac[(0, 2)] - 0.4) < 1e-9
+    assert abs(jac[(0, 1)] - 1.0) < 1e-9
+
+
+def test_minhash_pairs_match_exact(spark, docs):
+    mh = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert mh == exact  # LSH blocking at this size must not lose pairs
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).toPandas()
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    assert (0, 1) in got  # identical text → hamming 0
+    hm = {(r.a, r.b): r.hamming for r in pairs.itertuples()}
+    assert hm[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.randn(16).astype(np.float32)  # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter("vec_id = 0").first()["embedding"]
+    res = similarity_search.brute_force_topk(
+        vectors.filter("vec_id != 0"), q, k=5
+    ).toPandas()
+    assert res.iloc[0].vec_id == 1  # the planted near-duplicate
+    assert res.cosine.is_monotonic_decreasing
+
+
+def test_lsh_topk_recall(spark, vectors):
+    q = vectors.filter("vec_id = 0").first()["embedding"]
+    bucketed = similarity_search.add_lsh_buckets(
+        vectors.filter("vec_id != 0"), n_planes=4
+    )
+    res = similarity_search.lsh_topk(bucketed, q, k=5, n_planes=4).toPandas()
+    assert res.iloc[0].vec_id == 1  # near dup lands in the probed buckets
+
+
+def test_all_pairs_cosine(spark, vectors):
+    pairs = similarity_search.all_pairs_cosine(vectors, threshold=0.99).toPandas()
+    assert {(r.a, r.b) for r in pairs.itertuples()} == {(0, 1)}
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        ("m1", "image", bytearray(b"\x89PNG fake"), ("image/png", 64, 64, None)),
+        ("m2", "video", bytearray(b"fake mp4"), ("video/mp4", None, None, 3500)),
+        ("m3", "image", None, ("image/png", 1, 1, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df).toPandas()
+    assert len(feats) == 3
+    assert all(len(f) == 16 for f in feats.feature)
+    assert feats.set_index("media_id").loc["m3", "n_bytes"] == 0
+    # determinism
+    feats2 = multimodal.extract_features(df).toPandas()
+    assert list(feats.sort_values("media_id").feature.map(tuple)) == list(
+        feats2.sort_values("media_id").feature.map(tuple)
+    )
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [("v1", "video", bytearray(b"x"), ("video/mp4", None, None, 3500))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.sample_frames(df, every_ms=1000).toPandas()
+    assert len(frames) == 3  # 3500ms // 1000ms
+    assert list(frames.frame_ts_ms) == [0, 1000, 2000]
+
+
+def test_multimodal_stub_raises_without_codec(spark):
+    rows = [("m1", "image", bytearray(b"z"), ("image/png", 4, 4, None))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(df, decode_stub=False).collect()
