@@ -1,0 +1,96 @@
+"""Structured-Streaming ingestion of transcript turns (optional layer).
+
+The reference is strictly batch (SURVEY.md §2.9 — its "incremental"
+mode is a commit-watermark re-run). This module is the optional
+streaming front-end the Spark-first design gets almost for free:
+
+- ``stream_transcripts``: file-source stream over a transcripts
+  directory with the fixed input schema (no inference in prod).
+- ``streaming_mention_counts``: watermarked event-time windowed
+  aggregation over detected mentions — late turns beyond the watermark
+  are dropped deterministically.
+- ``stream_extract_mentions``: the SAME mapInPandas extraction body as
+  batch Stage 2 — one extraction spec, two execution modes.
+
+``trigger(availableNow=True)`` turns any of these into an incremental
+batch job with exactly-once file-source tracking — the productionized
+version of the reference's last_indexed_commit loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extraction import EXTRACTION_SCHEMA, extract_mentions_batch
+from ..schemas import TRANSCRIPTS
+
+
+def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def stream_extract_mentions(turns: DataFrame) -> DataFrame:
+    """Streaming mention extraction — identical spec to batch Stage 2."""
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(
+        extract_mentions_batch, EXTRACTION_SCHEMA
+    )
+
+
+def streaming_mention_counts(
+    turns: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Windowed per-entity mention counts with late-data watermarking."""
+    mentions = (
+        turns.withWatermark("ts", watermark)
+        .select("ts", "conv_id", "turn_idx", "text")
+        .withColumn(
+            "surface_norm",
+            F.explode(
+                F.expr(
+                    # JVM-side gazetteer scan for the streaming agg path
+                    # (regexp_extract_all; the UDF path works too but the
+                    # windowed agg only needs surfaces, not spans)
+                    "regexp_extract_all(lower(text), '(?<![a-z0-9_])("
+                    + _sql_gazetteer()
+                    + ")(?![a-z0-9_])', 1)"
+                )
+            ),
+        )
+        .groupBy(F.window("ts", window), "surface_norm")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "surface_norm",
+            "n_mentions",
+        )
+    )
+    return mentions
+
+
+def _sql_gazetteer() -> str:
+    from .. import vocab
+
+    return "|".join(s.replace(" ", r"\\s") for s in vocab.all_surfaces())
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain everything currently available into an in-memory sink
+    (exactly-once per file), then stop — the incremental-batch trigger.
+    Windowed aggregations use output_mode='complete' (append would hold
+    back open windows until the watermark passes them)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
