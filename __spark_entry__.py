@@ -352,6 +352,44 @@ def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_salted_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-entity mention histogram via explicit two-phase SALTED
+    aggregation (north-rule skew handling) — same result as a plain
+    GROUP BY, proven by the oracle."""
+    from hikma_engine_spark.operators import skew
+
+    t = _doc_transcripts(spark, sf_dir)
+    m = extract.extract_mentions(t, surfaces=DOC_SURFACES).filter(
+        F.col("kind") == "gazetteer"
+    )
+    return skew.salted_agg(
+        m,
+        key_cols=["surface_norm"],
+        aggs_partial=[F.count("*").alias("partial_n")],
+        aggs_final=[F.sum("partial_n").alias("n_mentions")],
+        n_salt=16,
+        salt_source=["conv_id", "turn_idx", "start"],
+    ).orderBy("surface_norm")
+
+
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (F10 family) over events.props."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end KG construction (no oracle — full pipeline incl.
     LSH linking and CC canonicalization). Returns the edge table."""
@@ -400,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_cosine_topk": e_cosine_topk,
         "e_cosine_pairs": e_cosine_pairs,
         "e_ann_lsh_topk": e_ann_lsh_topk,
+        "kg_salted_entity_histogram": kg_salted_entity_histogram,
+        "f_json_extract": f_json_extract,
         "kg_mentions_per_entity": kg_mentions_per_entity,
         "kg_mentions_triples": kg_mentions_triples,
         "kg_cooccurrence": kg_cooccurrence,
@@ -625,6 +665,18 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                    5) >= 0.95
             ORDER BY a, b
+        """,
+        "kg_salted_entity_histogram": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL})
+            SELECT m AS surface_norm, count(*) AS n_mentions FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '{gaz}')) AS m FROM t
+            ) GROUP BY surface_norm ORDER BY surface_norm
+        """,
+        "f_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS bigint) AS sum_k,
+                   max(cast(json_extract_string(props, '$.k') AS int)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "kg_mentions_per_entity": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL})
