@@ -1,0 +1,112 @@
+"""Graph-query surface — parity with the reference's graph-query CLI
+(src/cli/graph-query.ts:251-299 → InMemoryGraphService), re-expressed
+as DataFrame programs over the materialized nodes/edges tables:
+
+  stats       → kg_stats            (per-type counts)
+  functions   → entities_in_conversation (type+container filter)
+  calls       → entity_mentioners / entity_cooccurrence (1-hop)
+  chain       → find_path           (BFS with path reconstruction)
+  search      → search_nodes        (regex predicate)
+  deps        → conversation_entities (reverse 1-hop)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kg_stats(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Per-type histograms (reference: getStats, in-memory-graph.ts:298-322)."""
+    return {
+        "nodes": {
+            r["node_type"]: r["count"]
+            for r in nodes.groupBy("node_type").count().collect()
+        },
+        "edges": {
+            r["edge_type"]: r["count"]
+            for r in edges.groupBy("edge_type").count().collect()
+        },
+    }
+
+
+def entities_in_conversation(edges: DataFrame, conv_id: str) -> DataFrame:
+    """Distinct entities mentioned anywhere in one conversation
+    (reference: getFunctionsInFile)."""
+    return (
+        edges.filter(
+            (F.col("edge_type") == "MENTIONS") & (F.col("conv_id") == conv_id)
+        )
+        .select(F.col("dst").alias("entity_id"))
+        .distinct()
+        .orderBy("entity_id")
+    )
+
+
+def entity_mentioners(edges: DataFrame, entity_id: str) -> DataFrame:
+    """Turns that mention an entity — reverse 1-hop
+    (reference: getFunctionCallers)."""
+    return (
+        edges.filter(
+            (F.col("edge_type") == "MENTIONS") & (F.col("dst") == entity_id)
+        )
+        .select(F.col("src").alias("turn_id"), "conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def search_nodes(nodes: DataFrame, pattern: str, limit: int = 50) -> DataFrame:
+    """Regex search over node text (reference: searchNodes regex,
+    graph-query.ts:174-178 — case-insensitive)."""
+    return (
+        nodes.filter(F.col("source_text").rlike(f"(?i){pattern}"))
+        .select("id", "node_type", "source_text")
+        .orderBy("id")
+        .limit(limit)
+    )
+
+
+def find_path(
+    edges: DataFrame,
+    src_id: str,
+    dst_id: str,
+    max_depth: int = 10,
+    edge_types: list[str] | None = None,
+) -> list[str] | None:
+    """Shortest path (BFS) with path reconstruction — the distributed
+    analog of findCallChain (in-memory-graph.ts:236-266). Frontier
+    carries predecessor links; the path is backtracked driver-side from
+    the (small) visited set. Each round is one join; lineage is cut per
+    round; the visited anti-join bounds re-expansion.
+    """
+    e = edges.select("src", "dst", "edge_type")
+    if edge_types:
+        e = e.filter(F.col("edge_type").isin(edge_types))
+    e = e.select("src", "dst")
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(src_id, None)], "id string, pred string")
+    visited = frontier
+    found = src_id == dst_id
+    for _ in range(max_depth):
+        if found:
+            break
+        nxt = (
+            e.join(frontier.hint("broadcast"), e.src == frontier.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src").alias("pred"))  # deterministic predecessor
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        if nxt.filter(F.col("id") == dst_id).limit(1).count() > 0:
+            found = True
+    preds = {r["id"]: r["pred"] for r in visited.collect()}
+    if dst_id not in preds:
+        return None
+    path = [dst_id]
+    while path[-1] != src_id:
+        path.append(preds[path[-1]])
+    return list(reversed(path))
