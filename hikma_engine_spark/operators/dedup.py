@@ -22,7 +22,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,17 +48,10 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ---------- exact n-gram Jaccard (shingle-explode join) ----------
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.8,
+def _ngram_jaccard_pairs_naive(
+    df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram sets. Candidate pairs come from a
-    shingle-explode equi-join (docs sharing ≥1 shingle), then
-    |A∩B| is counted per pair and |A∪B| = |A|+|B|-|A∩B|.
-    """
+    """Exact co-shingle join (one shuffle) — small-input path."""
     sh = df.select(
         F.col(id_col).alias("doc"), lsh.word_shingles(F.col(text_col), n).alias("sh")
     )
@@ -82,6 +75,91 @@ def ngram_jaccard_pairs(
             F.col("n_inter")
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    small_threshold: int = 2000,
+) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs over word n-gram sets, with
+    prefix filtering (AllPairs/PPJoin family — cf. the set-similarity-
+    join literature, e.g. "Scalable and Robust Set Similarity Join",
+    ICDE 2018): order each set's shingles by ascending global frequency
+    and join only on each doc's PREFIX of length ⌊(1−t)·|A|⌋+1. Any
+    pair with J ≥ t must collide inside both prefixes, so the candidate
+    set shrinks from "share any shingle" (quadratic blowup on hot
+    shingles like 'the quick brown') to "share a RARE shingle" —
+    exactness preserved, verification by full array intersection.
+
+    Also applies the size filter: J(A,B) ≥ t ⇒ |B| ≥ t·|A|.
+
+    Below ``small_threshold`` docs the simple one-shuffle co-shingle
+    join wins (the prefix pipeline is ~6 stages of fixed latency);
+    both paths are exact and return identical pairs.
+    """
+    from fractions import Fraction
+
+    # exact rational threshold math: float expressions like
+    # floor((1-0.8)*10) evaluate to floor(1.9999...)=1 and silently
+    # shrink the prefix below the theorem's bound (drops true pairs)
+    if df.limit(small_threshold + 1).count() <= small_threshold:
+        return _ngram_jaccard_pairs_naive(df, id_col, text_col, n, threshold)
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+
+    def ceil_t_times(col: str) -> Column:
+        # ⌈t·x⌉ with integer arithmetic only
+        return F.expr(f"CAST(({num} * {col} + {den} - 1) DIV {den} AS INT)")
+
+    sh = df.select(
+        F.col(id_col).alias("doc"), lsh.word_shingles(F.col(text_col), n).alias("sh")
+    ).cache()
+    exploded = sh.select("doc", F.explode("sh").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count("*").alias("freq"))
+    # rank each doc's shingles by rarity; keep the prefix
+    ranked = (
+        exploded.join(freq, "g")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.asc("freq"), F.asc("g"))
+            ),
+        )
+    )
+    doc_sz = sh.select("doc", F.size("sh").alias("sz"))
+    prefix = (
+        ranked.join(doc_sz, "doc")
+        # prefix length = |A| − ⌈t·|A|⌉ + 1
+        .filter(F.col("rk") <= F.col("sz") - ceil_t_times("sz") + F.lit(1))
+        .select("doc", "g", "sz")
+    )
+    a = prefix.select(F.col("doc").alias("a"), "g", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc").alias("b"), "g", F.col("sz").alias("sz_b"))
+    cands = (
+        a.join(b, "g")
+        .filter(
+            (F.col("a") < F.col("b"))
+            # size filter: t·|A| ≤ |B| and t·|B| ≤ |A|
+            & (F.col("sz_b") >= ceil_t_times("sz_a"))
+            & (F.col("sz_a") >= ceil_t_times("sz_b"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    fa = sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
+    fb = sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("jaccard", lsh.jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
