@@ -43,7 +43,10 @@ def get_spark(
         # cap Arrow batches so pathological turns (1M-char text) cannot
         # blow up a python worker (SURVEY.md §7.4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only: this is the whole memory budget.
+        # (8g starves the 32-thread executor pool — measured 2x slowdown
+        # on a 2M-turn run from GC/spill; the host has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
