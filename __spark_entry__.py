@@ -191,7 +191,12 @@ def w_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
 
 
@@ -224,14 +229,30 @@ def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        tx.token_count(F.col("text")).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
     )
 
 
 def d_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint groups, largest first (dup groups when they exist;
+    the fingerprint values themselves are the cross-engine check)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(d, "doc_id", "text").orderBy("fp")
+    from hikma_engine_spark.functions.text import fingerprint
+
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            # list column → joined string (portable across value-hashers)
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("doc_ids"),
+        )
+        .orderBy(F.desc("n_dups"), F.asc("fp"))
+        .limit(20)
+    )
 
 
 def d_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,9 +314,10 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs (cosine ≥ 0.95) via blocked matrix product."""
+    """Exact similar pairs (cosine ≥ 0.45 — calibrated to the testdata
+    embedding distribution, max pair ≈ 0.6) via blocked matrix product."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity_search.all_pairs_cosine(emb, threshold=0.95).orderBy("a", "b")
+    return similarity_search.all_pairs_cosine(emb, threshold=0.45).orderBy("a", "b")
 
 
 def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,7 +577,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "w_top3_events_per_user": """
-            SELECT user_id, event_id, round(value, 2) AS value, rnk FROM (
+            SELECT user_id, event_id, round(value, 2) AS value,
+                   CAST(rnk AS bigint) AS rnk FROM (
               SELECT user_id, event_id, value,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, event_id ASC) AS rnk
@@ -588,16 +611,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d_token_stats": """
             SELECT doc_id,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
-                   length(text) AS n_chars_actual
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS bigint) AS n_tokens,
+                   CAST(length(text) AS bigint) AS n_chars_actual
             FROM documents
         """,
         "d_fingerprint_dups": """
-            SELECT fp, count(*) AS n_dups, list_sort(list(doc_id)) AS doc_ids FROM (
+            SELECT fp, count(*) AS n_dups,
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids FROM (
               SELECT doc_id,
                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
               FROM documents
-            ) GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+            ) GROUP BY fp ORDER BY n_dups DESC, fp ASC LIMIT 20
         """,
         "d_lang_guess": """
             WITH hits AS (
@@ -663,7 +687,7 @@ def oracle_sql() -> dict[str, str]:
                      list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                   5) >= 0.95
+                   5) >= 0.45
             ORDER BY a, b
         """,
         "kg_salted_entity_histogram": f"""
@@ -713,7 +737,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    count(*) AS n_turns,
                    max(turn_idx) AS max_turn_idx,
-                   sum(length(text)) AS total_chars,
+                   CAST(sum(length(text)) AS bigint) AS total_chars,
                    md5(string_agg(
                      sha256(turn_idx::varchar || chr(31) || coalesce(text, '')),
                      chr(31) ORDER BY turn_idx)) AS content_hash

@@ -88,6 +88,14 @@ def main() -> None:
             problems.append(
                 f"cols {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
             )
+        else:
+            dt_mismatch = {
+                c: (str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+                for c in spark_pdf.columns
+                if str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype)
+            }
+            if dt_mismatch:
+                problems.append(f"dtypes {dt_mismatch}")
         if not problems:
             hs, hd = value_hash(spark_pdf), value_hash(duck_pdf)
             if hs != hd:
