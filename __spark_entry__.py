@@ -412,6 +412,40 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_conversation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic template summary per conversation (the reference's
+    SummaryGenerator fallback semantics: counts + content sniffing, no
+    model — src/modules/summary-generator.ts:74-148)."""
+    t = _doc_transcripts(spark, sf_dir)
+    dim = discover.conversations_dim(t)
+    return dim.select(
+        "conv_id",
+        F.concat(
+            F.lit("Conversation "),
+            F.col("conv_id"),
+            F.lit(" with "),
+            F.col("n_turns").cast("string"),
+            F.lit(" turns, ~"),
+            F.col("total_chars").cast("string"),
+            F.lit(" chars."),
+        ).alias("summary"),
+    ).orderBy("conv_id")
+
+
+def kg_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-entity leaderboard: top 5 surfaces by mention count (A3-style
+    ORDER BY count DESC LIMIT; count ties broken by surface)."""
+    t = _doc_transcripts(spark, sf_dir)
+    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    return (
+        m.filter(F.col("kind") == "gazetteer")
+        .groupBy("surface_norm")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy(F.desc("n_mentions"), F.asc("surface_norm"))
+        .limit(5)
+    )
+
+
 def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end KG construction (no oracle — full pipeline incl.
     LSH linking and CC canonicalization). Returns the edge table."""
@@ -466,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_triples": kg_mentions_triples,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_conversation_stats": kg_conversation_stats,
+        "kg_conversation_summary": kg_conversation_summary,
+        "kg_top_entities": kg_top_entities,
         "kg_full_pipeline": kg_full_pipeline,
     }
 
@@ -742,6 +778,21 @@ def oracle_sql() -> dict[str, str]:
                      sha256(turn_idx::varchar || chr(31) || coalesce(text, '')),
                      chr(31) ORDER BY turn_idx)) AS content_hash
             FROM t GROUP BY conv_id ORDER BY conv_id
+        """,
+        "kg_conversation_summary": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL})
+            SELECT conv_id,
+                   'Conversation ' || conv_id || ' with ' || count(*)
+                   || ' turns, ~' || CAST(sum(length(text)) AS bigint)
+                   || ' chars.' AS summary
+            FROM t GROUP BY conv_id ORDER BY conv_id
+        """,
+        "kg_top_entities": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL})
+            SELECT m AS surface_norm, count(*) AS n_mentions FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '{gaz}')) AS m FROM t
+            ) GROUP BY surface_norm
+            ORDER BY n_mentions DESC, surface_norm ASC LIMIT 5
         """,
         # d_simhash_pairs / e_ann_lsh_topk / kg_full_pipeline: no SQL oracle
         # (approximate or non-SQL-expressible) → rows-only checks.

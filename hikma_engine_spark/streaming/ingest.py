@@ -79,6 +79,47 @@ def _sql_gazetteer() -> str:
     return "|".join(s.replace(" ", r"\\s") for s in vocab.all_surfaces())
 
 
+CONV_STATE_SCHEMA = "n_turns long, max_turn_idx int, total_chars long"
+CONV_PROGRESS_SCHEMA = (
+    "conv_id string, n_turns long, max_turn_idx int, total_chars long"
+)
+
+
+def streaming_conversation_state(turns: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation running accumulator
+    via ``applyInPandasWithState`` — the streaming twin of Stage 1's
+    conversations dim. State (turn count, max index, char volume)
+    persists across micro-batches; each batch that touches a
+    conversation emits its updated row (output mode 'update').
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def update(key, pdfs, state):
+        n, mx, chars = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                chars += int(pdf["text"].fillna("").str.len().sum())
+        state.update((n, mx, chars))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "max_turn_idx": [mx],
+                "total_chars": [chars],
+            }
+        )
+
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=CONV_PROGRESS_SCHEMA,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

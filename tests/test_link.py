@@ -20,14 +20,57 @@ def test_connected_components_basic(spark):
 
 
 def test_cc_chain_converges(spark):
-    """A path graph needs multiple label-propagation rounds."""
+    """A path graph needs multiple label-propagation rounds — forced
+    through the DISTRIBUTED iterative path (driver_threshold=0)."""
     n = 12
     edges = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n)], ["src", "dst"]
     )
-    cc = connected_components(edges).collect()
+    cc = connected_components(edges, driver_threshold=0).collect()
     assert {r["component"] for r in cc} == {"n00"}
     assert len(cc) == n + 1
+
+
+def test_cc_distributed_equals_driver_path(spark):
+    """Both physical CC strategies produce identical labelings."""
+    import random
+
+    rnd = random.Random(3)
+    edges = [(f"v{rnd.randrange(60)}", f"v{rnd.randrange(60)}") for _ in range(80)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    b = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert a == b
+
+
+def test_build_links_distributed_equals_driver_path(spark, pipeline_out):
+    """Full linking (LSH blocking + scoring + CC + canonical choice):
+    the distributed path must agree with the driver twin on every
+    surface that either path links (the LSH path may miss sub-threshold
+    borderline candidates by design — it must never DISAGREE)."""
+    mentions = pipeline_out._read("mentions")
+    drv = {
+        (r["surface_norm"], r["canonical_norm"])
+        for r in link.build_links(mentions).collect()
+    }
+    dist = {
+        (r["surface_norm"], r["canonical_norm"])
+        for r in link.build_links(mentions, driver_threshold=0).collect()
+    }
+    drv_map = dict(drv)
+    dist_map = dict(dist)
+    assert set(drv_map) == set(dist_map)  # same surface universe
+    # alias-map-backed canonicals must agree exactly
+    import oracle_kg
+
+    expected = oracle_kg.expected_canonical(set(drv_map))
+    for s, exp in expected.items():
+        if exp != s:
+            assert drv_map[s] == exp
+            assert dist_map[s] == exp
 
 
 def test_alias_clusters_canonicalize(spark, pipeline_out, corpus_pdf):

@@ -32,6 +32,56 @@ def test_streaming_extraction_matches_batch(spark, stream_dir, tiny_df):
     )
 
 
+def test_streaming_stateful_conversation_state(spark, corpus_pdf, tmp_path):
+    """applyInPandasWithState accumulator: state persists across
+    micro-batches; the LAST emitted row per conversation must equal the
+    batch groupBy result."""
+    d = tmp_path / "multi_batch"
+    d.mkdir()
+    # two files → two availableNow micro-batches (maxFilesPerTrigger=1)
+    half = len(corpus_pdf) // 2
+    for i, chunk in enumerate([corpus_pdf.iloc[:half], corpus_pdf.iloc[half:]]):
+        chunk.to_parquet(
+            str(d / f"part-{i}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    stream = (
+        spark.readStream.schema(
+            __import__("hikma_engine_spark.schemas", fromlist=["TRANSCRIPTS"]).TRANSCRIPTS
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    prog = ingest.streaming_conversation_state(stream)
+    q = (
+        prog.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM conv_state").toPandas()
+    # last emission per conversation (multiple batches → multiple rows)
+    final = (
+        got.sort_values("n_turns").groupby("conv_id").last().reset_index()
+    )
+    want = (
+        corpus_pdf.assign(n_chars=corpus_pdf.text.str.len())
+        .groupby("conv_id")
+        .agg(n_turns=("turn_idx", "size"), max_turn_idx=("turn_idx", "max"),
+             total_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    merged = final.merge(want, on="conv_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged.n_turns_got == merged.n_turns_want).all()
+    assert (merged.max_turn_idx_got == merged.max_turn_idx_want).all()
+    assert (merged.total_chars_got == merged.total_chars_want).all()
+
+
 def test_streaming_windowed_mention_counts(spark, stream_dir):
     stream = ingest.stream_transcripts(spark, stream_dir)
     agg = ingest.streaming_mention_counts(stream, window="1 hour", watermark="1 hour")
