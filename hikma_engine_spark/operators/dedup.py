@@ -320,7 +320,7 @@ def embedding_near_dup_pairs(
 
     hb = df.select(
         F.col(id_col).alias("doc"), F.col(emb_col).alias("emb")
-    ).withColumn("bucket", F.explode(buckets_udf(F.col(emb_col))))
+    ).withColumn("bucket", F.explode(buckets_udf(F.col("emb"))))
     a = hb.select(F.col("doc").alias("a"), F.col("emb").alias("emb_a"), "bucket")
     b = hb.select(F.col("doc").alias("b"), F.col("emb").alias("emb_b"), "bucket")
     return (

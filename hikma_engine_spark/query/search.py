@@ -115,6 +115,51 @@ def hybrid_search(
     )
 
 
+def comprehensive_search(
+    nodes: DataFrame,
+    query: str,
+    k: int = 20,
+    quotas: tuple[float, float, float] = (0.5, 0.3, 0.2),
+) -> DataFrame:
+    """Union of heterogeneous strategies under per-source quotas
+    (reference: comprehensiveSearch 40/30/20/10% quotas,
+    src/modules/search-service.ts:692-779, + weighted rank
+    rankComprehensiveResults :948-982: source weight, then score, then
+    exact-name match), first-wins dedup by id (T7)."""
+    n_sem = max(int(k * quotas[0]), 1)
+    n_txt = max(int(k * quotas[1]), 1)
+    n_meta = max(int(k * quotas[2]), 1)
+    sem = semantic_search(nodes, query, k=n_sem).select(
+        "id", "node_type", "source_text", F.col("similarity").alias("score"),
+        F.lit(3).alias("source_weight"),
+    )
+    txt = text_search(nodes, query, k=n_txt).select(
+        "id", "node_type", "source_text", F.lit(0.0).alias("score"),
+        F.lit(2).alias("source_weight"),
+    )
+    meta = metadata_search(nodes, name_like=query, limit=n_meta).select(
+        "id", "node_type", "source_text", F.lit(0.0).alias("score"),
+        F.lit(1).alias("source_weight"),
+    )
+    exact = F.when(F.lower(F.col("source_text")) == query.lower(), 1).otherwise(0)
+    out = sem.unionByName(txt).unionByName(meta)
+    w_dedup = Window.partitionBy("id").orderBy(
+        F.desc("source_weight"), F.desc("score"), F.asc("node_type")
+    )
+    w_rank = Window.orderBy(
+        F.desc("source_weight"), F.desc("exact"), F.desc("score"), F.asc("id")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("exact", exact)
+        .orderBy(F.desc("source_weight"), F.desc("exact"), F.desc("score"), F.asc("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w_rank))
+    )
+
+
 def find_similar(nodes: DataFrame, node_id: str, k: int = 10) -> DataFrame:
     """k nearest nodes to an existing node's embedding (point lookup +
     broadcast-literal scoring — no crossJoin shuffle)."""

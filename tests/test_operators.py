@@ -95,6 +95,15 @@ def test_all_pairs_cosine(spark, vectors):
     assert {(r.a, r.b) for r in pairs.itertuples()} == {(0, 1)}
 
 
+def test_embedding_near_dup_multiprobe(spark, vectors):
+    """The hyperplane-bucketed near-dup path must find the planted pair
+    (multiprobe covers 1-bit boundary flips)."""
+    pairs = dedup.embedding_near_dup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.99, n_planes=8
+    ).toPandas()
+    assert (0, 1) in {(r.a, r.b) for r in pairs.itertuples()}
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [
         ("m1", "image", bytearray(b"\x89PNG fake"), ("image/png", 64, 64, None)),

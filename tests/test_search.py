@@ -67,6 +67,15 @@ def test_hybrid_search_dedups_best_wins(spark, pipeline_out):
     assert list(res["rank"]) == list(range(1, len(res) + 1))
 
 
+def test_comprehensive_search(spark, pipeline_out):
+    res = search.comprehensive_search(pipeline_out.nodes(), "postgresql", k=12).toPandas()
+    assert 0 < len(res) <= 12
+    assert res.id.is_unique
+    assert list(res["rank"]) == list(range(1, len(res) + 1))
+    # semantic hits (weight 3) rank above text (2) and metadata (1)
+    assert res.source_weight.is_monotonic_decreasing
+
+
 def test_find_similar(spark, pipeline_out):
     nodes = pipeline_out.nodes()
     res = search.find_similar(nodes, "entity:postgresql", k=5).toPandas()
