@@ -80,6 +80,9 @@ def main() -> None:
 
     # --- query suite at the target sf ---
     spark = get_spark(app_name="bench_queries", cores=cpus)
+    # one-time JIT/codegen warmup so the first query isn't charged for it
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(1000).selectExpr("sum(id)").collect()
     t0 = time.time()
     qtimes = run_queries(spark, sf_dir)
     total = round(time.time() - t0, 2)

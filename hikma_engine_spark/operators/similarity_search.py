@@ -111,6 +111,20 @@ def add_lsh_buckets(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def _probe_buckets(base: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance ``radius`` of ``base``."""
+    from itertools import combinations
+
+    probes = [base]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(n_planes), r):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            probes.append(base ^ m)
+    return probes
+
+
 def lsh_topk(
     df_with_buckets: DataFrame,
     query_vec,
@@ -119,14 +133,18 @@ def lsh_topk(
     emb_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 7,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """ANN top-k: score only the query's bucket + 1-bit-flip multiprobe
-    neighbors (prunes ~ (n_planes+1)/2^n_planes of the data)."""
+    """ANN top-k: score only buckets within Hamming ``probe_radius`` of
+    the query's sign bucket. Recall/pruning knob: radius 1 scans
+    ~(1+n)/2^n of the data, radius 2 ~(1+n+n(n-1)/2)/2^n. Uncorrelated
+    (worst-case) vectors need a larger radius or fewer planes;
+    clustered real embeddings need far less."""
     planes = _hyperplanes(len(query_vec), n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     bits = (planes @ qv) > 0
     base = int(sum(1 << i for i, b in enumerate(bits) if b))
-    probes = [base] + [base ^ (1 << i) for i in range(n_planes)]
+    probes = _probe_buckets(base, n_planes, probe_radius)
     return (
         df_with_buckets.filter(F.col("lsh_bucket").isin(probes))
         .withColumn(

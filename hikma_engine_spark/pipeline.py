@@ -155,6 +155,10 @@ class Pipeline:
         if name in _PARTITION_BY:
             writer = writer.partitionBy(*_PARTITION_BY[name])
         writer.parquet(tmp)
+        if not _parquet_file_counts(tmp) and name in _PARTITION_BY:
+            # a partitioned write of zero rows emits no files at all —
+            # rewrite unpartitioned so the table keeps a readable schema
+            df.limit(0).write.mode("overwrite").parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)

@@ -90,6 +90,43 @@ def test_lsh_topk_recall(spark, vectors):
     assert res.iloc[0].vec_id == 1  # near dup lands in the probed buckets
 
 
+def test_lsh_ann_recall_on_clustered_vectors(spark):
+    """ANN recall where it matters: clustered embeddings (real-corpus
+    shape). 20 clusters × 25 points; a query's true top-10 live in its
+    cluster → the sign bucket concentrates them. Uncorrelated random
+    vectors are LSH's worst case (recall ≈ scan fraction) — that regime
+    is brute_force_topk / all_pairs_cosine territory by design."""
+    rng = np.random.RandomState(1)
+    centroids = rng.randn(20, 32)
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(25):
+            v = centroids[c] + 0.15 * rng.randn(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bucketed = similarity_search.add_lsh_buckets(df, n_planes=6).cache()
+    recalls = []
+    for qid in [0, 101, 260, 399]:
+        q = df.filter(f"vec_id = {qid}").first()["embedding"]
+        rest = f"vec_id != {qid}"
+        bf = {
+            r["vec_id"]
+            for r in similarity_search.brute_force_topk(
+                df.filter(rest), q, k=10
+            ).collect()
+        }
+        ann = {
+            r["vec_id"]
+            for r in similarity_search.lsh_topk(
+                bucketed.filter(rest), q, k=10, n_planes=6, probe_radius=1
+            ).collect()
+        }
+        recalls.append(len(bf & ann) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_all_pairs_cosine(spark, vectors):
     pairs = similarity_search.all_pairs_cosine(vectors, threshold=0.99).toPandas()
     assert {(r.a, r.b) for r in pairs.itertuples()} == {(0, 1)}
