@@ -225,6 +225,47 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis (functions/text.py) over documents
 # ---------------------------------------------------------------------------
 
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior click (union + carry-forward window — operators/asof.py)."""
+    from hikma_engine_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("purchase_value")
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 2).alias("click_value")
+    )
+    out = asof_join(left, right, on="user_id", ts="ts", value_cols=["click_value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "purchase_value",
+        "click_value",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+    ).orderBy("event_id")
+
+
+def a_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family) over order priority/status."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
 def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -484,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_event_histogram": a_event_histogram,
         "w_top3_events_per_user": w_top3_events_per_user,
         "ev_sessionize": ev_sessionize,
+        "ev_asof_join": ev_asof_join,
+        "a_rollup_orders": a_rollup_orders,
         "d_token_stats": d_token_stats,
         "d_fingerprint_dups": d_fingerprint_dups,
         "d_lang_guess": d_lang_guess,
@@ -644,6 +687,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_sessions,
                    max(n_events) AS max_session_events
             FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "ev_asof_join": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, round(value, 2) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, ts, round(value, 2) AS click_value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT l.user_id, l.event_id, l.purchase_value,
+                   m.click_value,
+                   strftime(m.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
+            FROM l LEFT JOIN LATERAL (
+              SELECT r.ts, r.click_value FROM r
+              WHERE r.user_id = l.user_id AND r.ts <= l.ts
+              ORDER BY r.ts DESC LIMIT 1
+            ) m ON true
+            ORDER BY l.event_id
+        """,
+        "a_rollup_orders": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY priority, status
         """,
         "d_token_stats": """
             SELECT doc_id,
