@@ -266,6 +266,21 @@ def a_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (T-digest-free)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -527,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": ev_sessionize,
         "ev_asof_join": ev_asof_join,
         "a_rollup_orders": a_rollup_orders,
+        "a_value_percentiles": a_value_percentiles,
         "d_token_stats": d_token_stats,
         "d_fingerprint_dups": d_fingerprint_dups,
         "d_lang_guess": d_lang_guess,
@@ -715,6 +731,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
             ORDER BY priority, status
+        """,
+        "a_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(min(value), 2) AS vmin,
+                   round(max(value), 2) AS vmax
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "d_token_stats": """
             SELECT doc_id,
