@@ -52,7 +52,13 @@ def asof_join(
     )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        # value_cols in the ordering make ties on (ts) deterministic:
+        # among equal-timestamp reference rows the max value wins
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_tag").asc(),
+            *[F.col(c).asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
