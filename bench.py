@@ -73,6 +73,57 @@ def run_pipeline(cores: int, corpus: str, n_turns: int, reps: int = 2) -> dict:
     }
 
 
+def run_incremental_bench(corpus: str, cores: int, touch_frac: float = 0.01) -> dict:
+    """Re-index cost after touching ~1% of conversations: append two
+    turns to every 100th conversation, run run_incremental, report the
+    speedup over the full rebuild."""
+    import pandas as pd
+
+    spark = get_spark(app_name="bench_incremental", cores=cores)
+    out = f"/tmp/hikma_bench_incr_{cores}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    Pipeline(spark, corpus, out, run_id="base").run(resume=False)
+    full_sec = time.time() - t0
+
+    pdf = pd.read_parquet(corpus)
+    convs = sorted(pdf.conv_id.unique())
+    touched = convs[:: int(1 / touch_frac)]
+    extra = pd.DataFrame(
+        {
+            "conv_id": pd.Series(
+                [c for c in touched for _ in range(2)], dtype="string"
+            ),
+            "turn_idx": pd.Series(
+                [i for _ in touched for i in (90000, 90001)], dtype="int32"
+            ),
+            "role": pd.Series(["user", "assistant"] * len(touched), dtype="string"),
+            "text": pd.Series(
+                ["A new question about postgresql.", "An answer mentioning k8s."]
+                * len(touched),
+                dtype="string",
+            ),
+            "tool": pd.Series([None] * 2 * len(touched), dtype="string"),
+            "ts": pd.to_datetime(["2025-12-01T00:00:00"] * 2 * len(touched)),
+        }
+    )
+    v2 = pd.concat([pdf, extra], ignore_index=True)
+    v2_path = out + "_v2.parquet"
+    v2.to_parquet(
+        v2_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    t0 = time.time()
+    res = Pipeline(spark, v2_path, out, run_id="incr").run_incremental()
+    incr_sec = time.time() - t0
+    stop_all()
+    return {
+        "changed_convs": res.phase_stats["discover"]["changed_convs"],
+        "full_sec": round(full_sec, 2),
+        "incremental_sec": round(incr_sec, 2),
+        "speedup": round(full_sec / incr_sec, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -97,6 +148,7 @@ def main() -> None:
     lo = run_pipeline(SCALING_CORES[0], corpus, n_turns)
     hi = run_pipeline(SCALING_CORES[1], corpus, n_turns)
     efficiency = round((lo["sec"] / hi["sec"]) / (SCALING_CORES[1] / SCALING_CORES[0]), 3)
+    incr = run_incremental_bench(corpus, cores=SCALING_CORES[1])
 
     print(
         json.dumps(
@@ -113,6 +165,7 @@ def main() -> None:
                     f"local{SCALING_CORES[1]}": hi,
                     "turns_per_sec": hi["turns_per_sec"],
                     "scaling_efficiency": efficiency,
+                    "incremental": incr,
                 },
             }
         )
