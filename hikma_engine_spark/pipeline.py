@@ -40,7 +40,28 @@ _OUTPUTS = {
     "materialize": ["nodes", "edges"],
 }
 
-_PARTITION_BY = {"nodes": ["node_type"], "edges": ["edge_type"]}
+# Big per-conversation tables are bucketed by hash(conv_id) — the
+# copy-on-write granularity for incremental runs: only buckets touched
+# by changed conversations get rewritten (the parquet-level analog of
+# Iceberg's MERGE rewriting only affected data files).
+_PARTITION_BY = {
+    "mentions": ["bucket"],
+    "nodes": ["node_type", "bucket"],
+    "edges": ["edge_type", "bucket"],
+}
+_BUCKETED = ("mentions", "nodes", "edges")
+# node/edge types keyed by conv_id (bucket-surgical); the rest are
+# small global dims rewritten wholesale on incremental runs
+_PER_CONV_NODE_TYPES = ("Turn", "Mention")
+_GLOBAL_NODE_TYPES = ("Conversation", "Entity", "Tool")
+_PER_CONV_EDGE_TYPES = ("IN_CONV", "IN_TURN", "REFERS_TO", "MENTIONS", "INVOKES")
+_GLOBAL_EDGE_TYPES = ("DEPENDS_ON", "SAME_AS")
+
+
+def bucket_col(n_buckets: int) -> F.Column:
+    return F.pmod(
+        F.xxhash64(F.coalesce(F.col("conv_id"), F.lit("∅"))), F.lit(n_buckets)
+    ).cast("int")
 
 
 def _now() -> str:
@@ -126,11 +147,13 @@ class Pipeline:
         transcripts_path: str,
         out_dir: str,
         run_id: str = "run-0",
+        n_buckets: int = 64,
     ) -> None:
         self.spark = spark
         self.transcripts_path = transcripts_path
         self.out_dir = out_dir
         self.run_id = run_id
+        self.n_buckets = n_buckets
         os.makedirs(out_dir, exist_ok=True)
         self.state = StateStore(out_dir)
 
@@ -151,6 +174,7 @@ class Pipeline:
         """
         tmp = self._path(name) + ".tmp"
         final = self._path(name)
+        df = self._prep_for_write(df, name)
         writer = df.write.mode("overwrite")
         if name in _PARTITION_BY:
             writer = writer.partitionBy(*_PARTITION_BY[name])
@@ -168,6 +192,15 @@ class Pipeline:
             "partitions": len(per_part),
             "per_partition": per_part,
         }
+
+    def _prep_for_write(self, df: DataFrame, name: str) -> DataFrame:
+        """Bucketed tables get the conv-hash bucket column and are
+        repartitioned so each task owns whole buckets (bounds file
+        count: one file per (partition values × bucket))."""
+        if name in _BUCKETED and "bucket" not in df.columns:
+            df = df.withColumn("bucket", bucket_col(self.n_buckets))
+            df = df.repartition(self.n_buckets, "bucket")
+        return df
 
     def _read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
@@ -321,20 +354,56 @@ class Pipeline:
     # ---- incremental (reference: IndexingStrategy.determine,
     # src/core/indexing/IndexingStrategy.ts:15-75 — compare watermark,
     # process only the changed set, upsert) ----
+    def _replace_partition_dirs(
+        self, tmp_name: str, final_name: str, rel_dirs: list[str]
+    ) -> None:
+        """Copy-on-write commit: swap only the named partition dirs of a
+        table (the parquet emulation of Iceberg MERGE rewriting only
+        affected data files). A missing dir in tmp means the partition
+        became empty — the old dir is still removed."""
+        tmp, final = self._path(tmp_name), self._path(final_name)
+        for rel in rel_dirs:
+            dst = os.path.join(final, rel)
+            src = os.path.join(tmp, rel)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _write_tmp(self, df: DataFrame, name: str, table: str) -> str:
+        df = self._prep_for_write(df, table)
+        tmp = self._path(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(*_PARTITION_BY[table]).parquet(tmp)
+        return tmp
+
     def run_incremental(self, run_id: str | None = None) -> PipelineResult:
         """Re-index only conversations whose content changed.
 
         Change detection: per-conversation content_hash from the
         discover dim (stronger than the reference's commit watermark —
         it is content-addressed). The expensive per-turn work (regex
-        extraction, turn embedding) runs ONLY on changed conversations;
-        unchanged rows are carried over. The merge itself is a full
-        table rewrite here (parquet); on an Iceberg catalog it becomes
-        MERGE INTO keyed by the deterministic ids, same semantics as
-        the reference's INSERT OR REPLACE (GenericRepository.ts:23,64).
+        extraction, turn embedding) runs ONLY on changed conversations,
+        AND the writes are bucket-surgical copy-on-write: mentions/
+        nodes/edges are partitioned by hash(conv_id) buckets, and only
+        buckets containing changed conversations (plus small global
+        dims: Entity/Tool/Conversation nodes, DEPENDS_ON/SAME_AS edges)
+        are rewritten — the parquet emulation of Iceberg MERGE INTO
+        rewriting only affected data files (same last-writer-wins
+        semantics as the reference's INSERT OR REPLACE,
+        GenericRepository.ts:23,64). If re-linking changes any
+        canonical mapping, mention buckets containing the affected
+        surfaces get their canonical_id refreshed too.
         """
         rid = run_id or (self.run_id + "-incr")
         t0 = time.time()
+        # drop cached plans from earlier runs: Spark's CacheManager
+        # matches by logical plan, so a cache built over THIS out_dir's
+        # previous file contents would silently serve stale data after
+        # the copy-on-write swaps below
+        self.spark.catalog.clearCache()
         result = PipelineResult(run_id=rid, out_dir=self.out_dir)
         old_conv = self._read("conversations").select(
             "conv_id", F.col("content_hash").alias("old_hash")
@@ -371,71 +440,193 @@ class Pipeline:
             "changed_convs": n_changed,
         }
 
-        # --- extract only changed conversations; merge mentions ---
-        t_changed = t_all.join(F.broadcast(changed), "conv_id", "left_semi")
-        mentions_new = extract.extract_mentions(t_changed)
-        mentions_keep = self._read("mentions").join(
-            F.broadcast(changed), "conv_id", "left_anti"
-        )
-        merged = mentions_keep.unionByName(mentions_new)
-        result.phase_stats["extract"] = {
-            "mentions": self._write(merged, "mentions_incr")
-        }
-        self._swap("mentions_incr", "mentions")
+        if n_changed == 0:
+            self.state.append(
+                {
+                    "run_id": rid,
+                    "phase_name": "incremental",
+                    "partition_id": None,
+                    "status": "completed",
+                    "started_at": _now(),
+                    "completed_at": _now(),
+                    "watermark": str(int(os.path.getmtime(self.transcripts_path))),
+                    "stats": {"changed_convs": 0},
+                }
+            )
+            result.elapsed_sec = time.time() - t0
+            return result
 
-        # --- link globally (cheap: distinct surfaces) ---
+        bcol = bucket_col(self.n_buckets)
+        affected = sorted(
+            r["b"] for r in changed.select(bcol.alias("b")).distinct().collect()
+        )
+        result.phase_stats["discover"]["affected_buckets"] = affected
+
+        # --- extract only changed conversations; bucket-surgical merge ---
+        t_changed = t_all.join(F.broadcast(changed), "conv_id", "left_semi")
+        mentions_new = extract.extract_mentions(t_changed).withColumn("bucket", bcol)
+        m_old_aff = self._read("mentions").filter(F.col("bucket").isin(affected))
+        m_keep = m_old_aff.join(F.broadcast(changed), "conv_id", "left_anti")
+        merged_aff = m_keep.unionByName(mentions_new.select(*m_keep.columns))
+        self._write_tmp(merged_aff, "mentions_incr", "mentions")
+        self._replace_partition_dirs(
+            "mentions_incr", "mentions", [f"bucket={b}" for b in affected]
+        )
+        result.phase_stats["extract"] = {
+            "mentions_rewritten_buckets": len(affected),
+            "mentions_rows": sum(
+                _parquet_file_counts(self._path("mentions")).values()
+            ),
+        }
+
+        # --- link globally (cheap: distinct surfaces); detect changes ---
+        old_links = {
+            (r["surface_norm"], r["canonical_norm"])
+            for r in self._read("links").collect()
+        }
         mentions = self._read("mentions")
         links = link.build_links(mentions)
         result.phase_stats["link"] = {"links": self._write(links, "links")}
         self._write(link.same_as_edges(self._read("links")), "same_as")
-
-        # --- materialize: recompute edges (projection, no UDF);
-        #     carry over unchanged per-conv nodes, re-embed only changed ---
-        triples = extract.assemble_triples(t_all, mentions)
-        edges = materialize.build_edges(triples, self._read("same_as"))
-        result.phase_stats.setdefault("materialize", {})["edges"] = self._write(
-            edges, "edges_incr"
-        )
-        self._swap("edges_incr", "edges")
-
         links_df = self._read("links")
-        old_nodes = self._read("nodes")
-        keep_perconv = (
-            old_nodes.filter(F.col("node_type").isin("Turn", "Mention"))
+        new_links = {
+            (r["surface_norm"], r["canonical_norm"]) for r in links_df.collect()
+        }
+        changed_surfaces = {s for s, _ in old_links ^ new_links}
+        extra_buckets: list[int] = []
+        if changed_surfaces:
+            extra_buckets = sorted(
+                set(
+                    r["bucket"]
+                    for r in mentions.filter(
+                        F.col("surface_norm").isin(list(changed_surfaces))
+                    )
+                    .select("bucket")
+                    .distinct()
+                    .collect()
+                )
+                - set(affected)
+            )
+        result.phase_stats["link"]["changed_surfaces"] = len(changed_surfaces)
+
+        # --- edges: carry unchanged rows of affected buckets, rebuild
+        #     changed convs; global edge types rebuilt wholesale ---
+        m_changed = mentions.filter(F.col("bucket").isin(affected)).join(
+            F.broadcast(changed), "conv_id", "left_semi"
+        )
+        triples_changed = extract.assemble_triples(t_changed, m_changed)
+        empty_same_as = link.same_as_edges(links_df).limit(0)
+        per_conv_new = materialize.build_edges(
+            triples_changed.filter(F.col("edge_type") != "DEPENDS_ON"), empty_same_as
+        ).withColumn("bucket", bcol)
+        e_carried = (
+            self._read("edges")
+            .filter(
+                F.col("edge_type").isin(list(_PER_CONV_EDGE_TYPES))
+                & F.col("bucket").isin(affected)
+            )
             .join(F.broadcast(changed), "conv_id", "left_anti")
         )
-        # refresh canonical_id on carried-over mentions (links may have changed)
-        keep_refreshed = (
-            keep_perconv.withColumn("surface_norm", F.col("properties")["surface_norm"])
-            .join(F.broadcast(links_df), "surface_norm", "left")
-            .withColumn(
-                "canonical_id",
-                F.when(
-                    (F.col("node_type") == "Mention")
-                    & F.col("canonical_norm").isNotNull(),
-                    F.concat(F.lit("entity:"), F.col("canonical_norm")),
-                ).otherwise(F.col("canonical_id")),
-            )
-            .drop("surface_norm", "canonical_norm")
+        # global types from the full merged mentions (column-pruned scan;
+        # no extraction UDF — mentions are already materialized)
+        dep_triples = extract.assemble_triples(
+            t_all.limit(0), mentions.drop("bucket")
+        ).filter(F.col("edge_type") == "DEPENDS_ON")
+        global_edges = materialize.build_edges(
+            dep_triples, link.same_as_edges(links_df)
+        ).withColumn("bucket", bcol)
+        all_edges = (
+            e_carried.select(*per_conv_new.columns)
+            .unionByName(per_conv_new)
+            .unionByName(global_edges)
         )
-        recomputed = materialize.build_nodes(
+        self._write_tmp(all_edges, "edges_incr", "edges")
+        edge_dirs = [
+            f"edge_type={e}/bucket={b}"
+            for e in _PER_CONV_EDGE_TYPES
+            for b in affected
+        ] + [f"edge_type={e}" for e in _GLOBAL_EDGE_TYPES]
+        self._replace_partition_dirs("edges_incr", "edges", edge_dirs)
+        result.phase_stats.setdefault("materialize", {})["edges_rewritten"] = {
+            "per_conv_buckets": len(affected),
+            "global_types": list(_GLOBAL_EDGE_TYPES),
+        }
+
+        # --- nodes: carry + refresh Turn/Mention in affected buckets,
+        #     re-embed only changed convs; global dims rebuilt wholesale ---
+        def refresh_canonical(df: DataFrame) -> DataFrame:
+            if not changed_surfaces:
+                return df
+            return (
+                df.withColumn("surface_norm", F.col("properties")["surface_norm"])
+                .join(F.broadcast(links_df), "surface_norm", "left")
+                .withColumn(
+                    "canonical_id",
+                    F.when(
+                        (F.col("node_type") == "Mention")
+                        & F.col("canonical_norm").isNotNull(),
+                        F.concat(F.lit("entity:"), F.col("canonical_norm")),
+                    ).otherwise(F.col("canonical_id")),
+                )
+                .drop("surface_norm", "canonical_norm")
+            )
+
+        n_carried = refresh_canonical(
+            self._read("nodes")
+            .filter(
+                F.col("node_type").isin(list(_PER_CONV_NODE_TYPES))
+                & F.col("bucket").isin(affected)
+            )
+            .join(F.broadcast(changed), "conv_id", "left_anti")
+        )
+        n_extra = refresh_canonical(
+            self._read("nodes").filter(
+                (F.col("node_type") == "Mention")
+                & F.col("bucket").isin(extra_buckets)
+            )
+        ) if extra_buckets else None
+        n_new = materialize.build_nodes(
             t_changed,
-            self._read("conversations").join(F.broadcast(changed), "conv_id", "left_semi"),
-            mentions.join(F.broadcast(changed), "conv_id", "left_semi"),
+            self._read("conversations").join(
+                F.broadcast(changed), "conv_id", "left_semi"
+            ),
+            m_changed.drop("bucket"),
             self._read("edges"),
             links_df,
-        ).filter(F.col("node_type").isin("Turn", "Mention"))
-        global_nodes = materialize.build_nodes(
+        ).filter(F.col("node_type").isin(list(_PER_CONV_NODE_TYPES))).withColumn(
+            "bucket", bcol
+        )
+        n_global = materialize.build_nodes(
             t_changed.limit(0),
             self._read("conversations"),
-            mentions.limit(0),
+            mentions.drop("bucket").limit(0),
             self._read("edges"),
             links_df,
-        ).filter(F.col("node_type").isin("Conversation", "Entity", "Tool"))
-        nodes = keep_refreshed.select(*[f.name for f in old_nodes.schema.fields]) \
-            .unionByName(recomputed).unionByName(global_nodes)
-        result.phase_stats["materialize"]["nodes"] = self._write(nodes, "nodes_incr")
-        self._swap("nodes_incr", "nodes")
+        ).filter(F.col("node_type").isin(list(_GLOBAL_NODE_TYPES))).withColumn(
+            "bucket", bcol
+        )
+        all_nodes = (
+            n_carried.select(*n_new.columns)
+            .unionByName(n_new)
+            .unionByName(n_global)
+        )
+        if n_extra is not None:
+            all_nodes = all_nodes.unionByName(n_extra.select(*n_new.columns))
+        self._write_tmp(all_nodes, "nodes_incr", "nodes")
+        node_dirs = (
+            [f"node_type=Turn/bucket={b}" for b in affected]
+            + [
+                f"node_type=Mention/bucket={b}"
+                for b in sorted(set(affected) | set(extra_buckets))
+            ]
+            + [f"node_type={t}" for t in _GLOBAL_NODE_TYPES]
+        )
+        self._replace_partition_dirs("nodes_incr", "nodes", node_dirs)
+        result.phase_stats["materialize"]["nodes_rewritten"] = {
+            "turn_buckets": len(affected),
+            "mention_buckets": len(set(affected) | set(extra_buckets)),
+            "global_types": list(_GLOBAL_NODE_TYPES),
+        }
 
         self.state.append(
             {

@@ -69,6 +69,57 @@ def test_incremental_matches_full_rebuild(spark, corpus_pdf, corpus_path, tmp_pa
     assert _digest(p_incr.edges()) == _digest(p_full.edges())
 
 
+def test_incremental_canonical_drift_refreshes_untouched_buckets(
+    spark, corpus_pdf, corpus_path, tmp_path
+):
+    """A new alias surface ('alic') merges with an existing cluster
+    ('alice') and WINS the canonical (lexicographic min) — mention
+    nodes for 'alice' across buckets the change never touched must get
+    their canonical_id refreshed. Incremental must still equal a full
+    rebuild byte-for-byte."""
+    extra = pd.DataFrame(
+        {
+            "conv_id": ["convDRIFT01"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["ping @alic about the rollout."],
+            "tool": [None],
+            "ts": pd.to_datetime(["2025-07-01T00:00:00"]),
+        }
+    )
+    extra["turn_idx"] = extra["turn_idx"].astype("int32")
+    v3 = pd.concat([corpus_pdf, extra], ignore_index=True)
+    v3_path = str(tmp_path / "v3.parquet")
+    v3.to_parquet(
+        v3_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    full_out = str(tmp_path / "full_v3")
+    p_full = Pipeline(spark, v3_path, full_out, run_id="full-v3")
+    p_full.run(resume=False)
+
+    incr_out = str(tmp_path / "incr_v3")
+    Pipeline(spark, corpus_path, incr_out, run_id="v1").run(resume=False)
+    p_incr = Pipeline(spark, v3_path, incr_out, run_id="v3")
+    res = p_incr.run_incremental()
+    assert res.phase_stats["discover"]["changed_convs"] == 1
+    assert res.phase_stats["link"]["changed_surfaces"] >= 2  # alice + alic
+
+    # canonical actually drifted
+    alice_mentions = (
+        p_incr.nodes()
+        .filter("node_type = 'Mention'")
+        .filter("properties['surface_norm'] = 'alice'")
+        .select("canonical_id")
+        .distinct()
+        .collect()
+    )
+    assert {r["canonical_id"] for r in alice_mentions} == {"entity:alic"}
+
+    assert _digest(p_incr.nodes()) == _digest(p_full.nodes())
+    assert _digest(p_incr.edges()) == _digest(p_full.edges())
+
+
 def test_incremental_noop_when_unchanged(spark, corpus_path, tmp_path):
     out = str(tmp_path / "noop")
     Pipeline(spark, corpus_path, out, run_id="base").run(resume=False)
