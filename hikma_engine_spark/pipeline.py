@@ -268,13 +268,18 @@ class Pipeline:
         triples = extract.assemble_triples(t, mentions)
         edges = materialize.build_edges(triples, self._read("same_as"))
         stats = {"edges": self._write(edges, "edges")}
+        # build WITHOUT embeddings, bucket-shuffle the compact text rows,
+        # embed post-shuffle (shuffling 64-float vectors costs more than
+        # the texts they were derived from)
         nodes = materialize.build_nodes(
             t,
             self._read("conversations"),
             mentions,
             self._read("edges"),
             self._read("links"),
+            embed=False,
         )
+        nodes = materialize.apply_embeddings(self._prep_for_write(nodes, "nodes"))
         stats["nodes"] = self._write(nodes, "nodes")
         # node/edge-type histograms (A2 metrics) — free from the
         # partitionBy directory layout + footer counts, no Spark job
@@ -527,10 +532,12 @@ class Pipeline:
             )
             .join(F.broadcast(changed), "conv_id", "left_anti")
         )
-        # global types from the full merged mentions (column-pruned scan;
-        # no extraction UDF — mentions are already materialized)
+        # global types from the merged mentions, pre-filtered to the
+        # DEPENDS_ON-bearing rows (kind pushdown to the parquet scan —
+        # no point exploding the other 99% of mentions)
         dep_triples = extract.assemble_triples(
-            t_all.limit(0), mentions.drop("bucket")
+            t_all.limit(0),
+            mentions.drop("bucket").filter(F.col("kind") == "depends_on"),
         ).filter(F.col("edge_type") == "DEPENDS_ON")
         global_edges = materialize.build_edges(
             dep_triples, link.same_as_edges(links_df)

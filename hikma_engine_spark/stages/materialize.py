@@ -77,7 +77,9 @@ def conversation_nodes(conversations: DataFrame) -> DataFrame:
     )
 
 
-def turn_nodes(transcripts: DataFrame) -> DataFrame:
+def turn_nodes(transcripts: DataFrame, embed: bool = True) -> DataFrame:
+    """``embed=False`` defers the embedding UDF (apply_embeddings) so a
+    downstream repartition shuffles compact text rows, not vectors."""
     tid = F.concat(F.lit("turn:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx"))
     return transcripts.select(
         tid.alias("id"),
@@ -92,7 +94,7 @@ def turn_nodes(transcripts: DataFrame) -> DataFrame:
         F.col("turn_idx"),
         _sig("Turn", tid).alias("signature_hash"),
         F.col("text").alias("source_text"),  # VERBATIM — invariant column
-        embed_udf(F.col("text")).alias("embedding"),
+        (embed_udf(F.col("text")) if embed else _NULL_EMB()).alias("embedding"),
         tid.alias("canonical_id"),
     )
 
@@ -129,7 +131,7 @@ def mention_nodes(mentions: DataFrame, links: DataFrame) -> DataFrame:
     )
 
 
-def entity_nodes(links: DataFrame) -> DataFrame:
+def entity_nodes(links: DataFrame, embed: bool = True) -> DataFrame:
     """One node per surface form (canonical_id → its canonical entity),
     plus the canonical entities themselves (which may be unobserved
     gazetteer canonicals)."""
@@ -150,7 +152,7 @@ def entity_nodes(links: DataFrame) -> DataFrame:
         _NULL_INT().alias("turn_idx"),
         _sig("Entity", F.col("name")).alias("signature_hash"),
         F.col("name").alias("source_text"),
-        embed_udf(F.col("name")).alias("embedding"),
+        (embed_udf(F.col("name")) if embed else _NULL_EMB()).alias("embedding"),
         F.concat(F.lit("entity:"), F.col("canonical_norm")).alias("canonical_id"),
     )
 
@@ -184,18 +186,32 @@ def build_nodes(
     mentions: DataFrame,
     edges: DataFrame,
     links: DataFrame,
+    embed: bool = True,
 ) -> DataFrame:
     parts = [
         conversation_nodes(conversations),
-        turn_nodes(transcripts),
+        turn_nodes(transcripts, embed=embed),
         mention_nodes(mentions, links),
-        entity_nodes(links),
+        entity_nodes(links, embed=embed),
         tool_nodes(edges),
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*_NODE_COLS)
+
+
+def apply_embeddings(nodes: DataFrame) -> DataFrame:
+    """Post-shuffle embedding enrichment for nodes built with
+    embed=False — exactly the per-type embedding rule of the builders
+    (Turn/Entity embed their source_text; everything else stays null)."""
+    return nodes.withColumn(
+        "embedding",
+        F.when(
+            F.col("node_type").isin("Turn", "Entity"),
+            embed_udf(F.col("source_text")),
+        ).otherwise(F.lit(None).cast("array<float>")),
+    )
 
 
 def build_edges(triples: DataFrame, same_as: DataFrame) -> DataFrame:
