@@ -86,7 +86,7 @@ def run_incremental_bench(
     out = f"/tmp/hikma_bench_incr_{cores}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    Pipeline(spark, corpus, out, run_id="base").run(resume=False)
+    Pipeline(spark, corpus, out, run_id="base", n_buckets=64).run(resume=False)
     full_sec = time.time() - t0
 
     pdf = pd.read_parquet(corpus)
@@ -116,7 +116,7 @@ def run_incremental_bench(
         v2_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
     )
     t0 = time.time()
-    res = Pipeline(spark, v2_path, out, run_id="incr").run_incremental()
+    res = Pipeline(spark, v2_path, out, run_id="incr", n_buckets=64).run_incremental()
     incr_sec = time.time() - t0
     stop_all()
     return {

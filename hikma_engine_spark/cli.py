@@ -42,11 +42,18 @@ def main(argv: list[str] | None = None) -> int:
     p_idx.add_argument("--out", required=True)
     p_idx.add_argument("--run-id", default="cli-run")
     p_idx.add_argument("--no-resume", action="store_true")
+    p_idx.add_argument(
+        "--buckets",
+        type=int,
+        default=None,
+        help="bucketed COW layout (enables incremental re-indexing)",
+    )
 
     p_inc = sub.add_parser("incremental", help="re-index changed conversations")
     p_inc.add_argument("--transcripts", required=True)
     p_inc.add_argument("--out", required=True)
     p_inc.add_argument("--run-id", default="cli-incr")
+    p_inc.add_argument("--buckets", type=int, default=64)
 
     p_q = sub.add_parser("search", help="semantic search over the built KG")
     p_q.add_argument("--out", required=True)
@@ -64,7 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     from .pipeline import Pipeline
 
     if args.cmd == "index":
-        p = Pipeline(spark, args.transcripts, args.out, run_id=args.run_id)
+        p = Pipeline(
+            spark, args.transcripts, args.out, run_id=args.run_id,
+            n_buckets=args.buckets,
+        )
         res = p.run(resume=not args.no_resume)
         print(
             json.dumps(
@@ -78,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "incremental":
-        p = Pipeline(spark, args.transcripts, args.out, run_id=args.run_id)
+        p = Pipeline(
+            spark, args.transcripts, args.out, run_id=args.run_id,
+            n_buckets=args.buckets,
+        )
         res = p.run_incremental()
         print(
             json.dumps(

@@ -40,11 +40,16 @@ _OUTPUTS = {
     "materialize": ["nodes", "edges"],
 }
 
-# Big per-conversation tables are bucketed by hash(conv_id) — the
-# copy-on-write granularity for incremental runs: only buckets touched
-# by changed conversations get rewritten (the parquet-level analog of
-# Iceberg's MERGE rewriting only affected data files).
-_PARTITION_BY = {
+# Layout is a workload choice (Pipeline(n_buckets=...)):
+# - unbucketed (default): fastest full builds — no bucket shuffle before
+#   the big writes; incremental runs are not available.
+# - bucketed (n_buckets=N): big per-conversation tables are additionally
+#   partitioned by hash(conv_id) buckets — the copy-on-write granularity
+#   for run_incremental: only buckets touched by changed conversations
+#   get rewritten (the parquet-level analog of Iceberg MERGE rewriting
+#   only affected data files). Costs ~10-20% on full builds.
+_PARTITION_BY_PLAIN = {"nodes": ["node_type"], "edges": ["edge_type"]}
+_PARTITION_BY_BUCKETED = {
     "mentions": ["bucket"],
     "nodes": ["node_type", "bucket"],
     "edges": ["edge_type", "bucket"],
@@ -83,16 +88,24 @@ def _histogram_from_lineage(per_partition: dict[str, int], prefix: str) -> dict[
 def _parquet_file_counts(root: str) -> dict[str, int]:
     """Per-file row counts straight from parquet footers (driver-side
     metadata read — zero Spark jobs). Keys are paths relative to root,
-    so partitionBy dirs (node_type=.../) stay visible in the lineage."""
+    so partitionBy dirs (node_type=.../) stay visible in the lineage.
+    Footers are read with a thread pool — bucketed tables have hundreds
+    of files and a serial walk costs seconds per write."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    out: dict[str, int] = {}
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            if f.endswith(".parquet"):
-                p = os.path.join(dirpath, f)
-                out[os.path.relpath(p, root)] = pq.read_metadata(p).num_rows
-    return out
+    paths = [
+        os.path.join(dirpath, f)
+        for dirpath, _dirs, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return {}
+    with ThreadPoolExecutor(min(32, len(paths))) as ex:
+        counts = list(ex.map(lambda p: pq.read_metadata(p).num_rows, paths))
+    return {os.path.relpath(p, root): n for p, n in zip(paths, counts)}
 
 
 @dataclass
@@ -147,13 +160,16 @@ class Pipeline:
         transcripts_path: str,
         out_dir: str,
         run_id: str = "run-0",
-        n_buckets: int = 64,
+        n_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.transcripts_path = transcripts_path
         self.out_dir = out_dir
         self.run_id = run_id
-        self.n_buckets = n_buckets
+        self.n_buckets = n_buckets  # None → unbucketed layout (full-build speed)
+        self.partition_by = (
+            _PARTITION_BY_BUCKETED if n_buckets else _PARTITION_BY_PLAIN
+        )
         os.makedirs(out_dir, exist_ok=True)
         self.state = StateStore(out_dir)
 
@@ -176,10 +192,10 @@ class Pipeline:
         final = self._path(name)
         df = self._prep_for_write(df, name)
         writer = df.write.mode("overwrite")
-        if name in _PARTITION_BY:
-            writer = writer.partitionBy(*_PARTITION_BY[name])
+        if name in self.partition_by:
+            writer = writer.partitionBy(*self.partition_by[name])
         writer.parquet(tmp)
-        if not _parquet_file_counts(tmp) and name in _PARTITION_BY:
+        if not _parquet_file_counts(tmp) and name in self.partition_by:
             # a partitioned write of zero rows emits no files at all —
             # rewrite unpartitioned so the table keeps a readable schema
             df.limit(0).write.mode("overwrite").parquet(tmp)
@@ -194,10 +210,10 @@ class Pipeline:
         }
 
     def _prep_for_write(self, df: DataFrame, name: str) -> DataFrame:
-        """Bucketed tables get the conv-hash bucket column and are
-        repartitioned so each task owns whole buckets (bounds file
-        count: one file per (partition values × bucket))."""
-        if name in _BUCKETED and "bucket" not in df.columns:
+        """In bucketed layout, bucketed tables get the conv-hash bucket
+        column and are repartitioned so each task owns whole buckets
+        (bounds file count: one file per (partition values × bucket))."""
+        if self.n_buckets and name in _BUCKETED and "bucket" not in df.columns:
             df = df.withColumn("bucket", bucket_col(self.n_buckets))
             df = df.repartition(self.n_buckets, "bucket")
         return df
@@ -268,19 +284,56 @@ class Pipeline:
         triples = extract.assemble_triples(t, mentions)
         edges = materialize.build_edges(triples, self._read("same_as"))
         stats = {"edges": self._write(edges, "edges")}
-        # build WITHOUT embeddings, bucket-shuffle the compact text rows,
-        # embed post-shuffle (shuffling 64-float vectors costs more than
-        # the texts they were derived from)
-        nodes = materialize.build_nodes(
-            t,
-            self._read("conversations"),
-            mentions,
-            self._read("edges"),
-            self._read("links"),
-            embed=False,
-        )
-        nodes = materialize.apply_embeddings(self._prep_for_write(nodes, "nodes"))
-        stats["nodes"] = self._write(nodes, "nodes")
+        # Node build, branch by branch so each pays only its own cost:
+        # - Turn nodes: bucket-shuffle the COMPACT text rows first, embed
+        #   post-shuffle (vectors never cross the exchange), one branch-
+        #   level UDF — a when()-guarded UDF over the full union would
+        #   still evaluate on every row (Spark extracts pandas UDFs into
+        #   an unconditional projection)
+        # - Mention nodes: reuse the bucket lineage of the mentions scan
+        # - Global dims (Conversation/Entity/Tool): tiny; one small
+        #   shuffle bounds their output file count
+        if not self.n_buckets:
+            # unbucketed layout: single build, embeddings inline, no
+            # pre-write shuffle at all
+            nodes = materialize.build_nodes(
+                t,
+                self._read("conversations"),
+                mentions,
+                self._read("edges"),
+                self._read("links"),
+            )
+            stats["nodes"] = self._write(nodes, "nodes")
+        else:
+            from .functions.embeddings import embed_udf  # noqa: PLC0415
+            from .stages.materialize import _NODE_COLS  # noqa: PLC0415
+
+            bcol = bucket_col(self.n_buckets)
+            links_df = self._read("links")
+            edges_df = self._read("edges")
+            turn_b = (
+                materialize.turn_nodes(t, embed=False)
+                .withColumn("bucket", bcol)
+                .repartition(self.n_buckets, "bucket")
+                .withColumn("embedding", embed_udf(F.col("source_text")))
+            )
+            mention_b = materialize.mention_nodes(mentions, links_df).withColumn(
+                "bucket", bcol
+            )
+            glob = (
+                materialize.conversation_nodes(self._read("conversations"))
+                .unionByName(materialize.entity_nodes(links_df, embed=True))
+                .unionByName(materialize.tool_nodes(edges_df))
+                .withColumn("bucket", bcol)
+                .repartition(min(self.n_buckets, 8), "bucket")
+            )
+            cols = [*_NODE_COLS, "bucket"]
+            nodes = (
+                turn_b.select(*cols)
+                .unionByName(mention_b.select(*cols))
+                .unionByName(glob.select(*cols))
+            )
+            stats["nodes"] = self._write(nodes, "nodes")
         # node/edge-type histograms (A2 metrics) — free from the
         # partitionBy directory layout + footer counts, no Spark job
         stats["node_types"] = _histogram_from_lineage(
@@ -381,7 +434,7 @@ class Pipeline:
         df = self._prep_for_write(df, table)
         tmp = self._path(name)
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").partitionBy(*_PARTITION_BY[table]).parquet(tmp)
+        df.write.mode("overwrite").partitionBy(*self.partition_by[table]).parquet(tmp)
         return tmp
 
     def run_incremental(self, run_id: str | None = None) -> PipelineResult:
@@ -402,6 +455,12 @@ class Pipeline:
         canonical mapping, mention buckets containing the affected
         surfaces get their canonical_id refreshed too.
         """
+        if not self.n_buckets:
+            raise ValueError(
+                "run_incremental requires the bucketed layout — construct "
+                "Pipeline(..., n_buckets=64) (and build the base tables "
+                "with it) so copy-on-write has bucket dirs to swap"
+            )
         rid = run_id or (self.run_id + "-incr")
         t0 = time.time()
         # drop cached plans from earlier runs: Spark's CacheManager

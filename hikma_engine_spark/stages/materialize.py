@@ -201,17 +201,11 @@ def build_nodes(
     return out.select(*_NODE_COLS)
 
 
-def apply_embeddings(nodes: DataFrame) -> DataFrame:
-    """Post-shuffle embedding enrichment for nodes built with
-    embed=False — exactly the per-type embedding rule of the builders
-    (Turn/Entity embed their source_text; everything else stays null)."""
-    return nodes.withColumn(
-        "embedding",
-        F.when(
-            F.col("node_type").isin("Turn", "Entity"),
-            embed_udf(F.col("source_text")),
-        ).otherwise(F.lit(None).cast("array<float>")),
-    )
+# NOTE: do NOT wrap embed_udf in F.when() over a unioned node table to
+# embed "only some types" — Spark extracts pandas UDFs into an
+# unconditional projection, so the UDF runs on EVERY row regardless of
+# the guard. Embed per branch (turn_nodes/entity_nodes embed flags)
+# before the union instead.
 
 
 def build_edges(triples: DataFrame, same_as: DataFrame) -> DataFrame:

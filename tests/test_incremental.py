@@ -53,13 +53,13 @@ def test_incremental_matches_full_rebuild(spark, corpus_pdf, corpus_path, tmp_pa
 
     # full rebuild on v2
     full_out = str(tmp_path / "full_v2")
-    p_full = Pipeline(spark, v2_path, full_out, run_id="full-v2")
+    p_full = Pipeline(spark, v2_path, full_out, run_id="full-v2", n_buckets=64)
     p_full.run(resume=False)
 
     # v1 run, then incremental to v2
     incr_out = str(tmp_path / "incr")
-    Pipeline(spark, corpus_path, incr_out, run_id="v1").run(resume=False)
-    p_incr = Pipeline(spark, v2_path, incr_out, run_id="v2")
+    Pipeline(spark, corpus_path, incr_out, run_id="v1", n_buckets=64).run(resume=False)
+    p_incr = Pipeline(spark, v2_path, incr_out, run_id="v2", n_buckets=64)
     res = p_incr.run_incremental()
 
     # only the touched conversations were re-extracted
@@ -95,12 +95,12 @@ def test_incremental_canonical_drift_refreshes_untouched_buckets(
     )
 
     full_out = str(tmp_path / "full_v3")
-    p_full = Pipeline(spark, v3_path, full_out, run_id="full-v3")
+    p_full = Pipeline(spark, v3_path, full_out, run_id="full-v3", n_buckets=64)
     p_full.run(resume=False)
 
     incr_out = str(tmp_path / "incr_v3")
-    Pipeline(spark, corpus_path, incr_out, run_id="v1").run(resume=False)
-    p_incr = Pipeline(spark, v3_path, incr_out, run_id="v3")
+    Pipeline(spark, corpus_path, incr_out, run_id="v1", n_buckets=64).run(resume=False)
+    p_incr = Pipeline(spark, v3_path, incr_out, run_id="v3", n_buckets=64)
     res = p_incr.run_incremental()
     assert res.phase_stats["discover"]["changed_convs"] == 1
     assert res.phase_stats["link"]["changed_surfaces"] >= 2  # alice + alic
@@ -122,9 +122,9 @@ def test_incremental_canonical_drift_refreshes_untouched_buckets(
 
 def test_incremental_noop_when_unchanged(spark, corpus_path, tmp_path):
     out = str(tmp_path / "noop")
-    Pipeline(spark, corpus_path, out, run_id="base").run(resume=False)
+    Pipeline(spark, corpus_path, out, run_id="base", n_buckets=64).run(resume=False)
     before_nodes = _digest(Pipeline(spark, corpus_path, out).nodes())
-    p = Pipeline(spark, corpus_path, out, run_id="again")
+    p = Pipeline(spark, corpus_path, out, run_id="again", n_buckets=64)
     res = p.run_incremental()
     assert res.phase_stats["discover"]["changed_convs"] == 0
     assert _digest(p.nodes()) == before_nodes
