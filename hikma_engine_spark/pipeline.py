@@ -354,6 +354,10 @@ class Pipeline:
         }
         result = PipelineResult(run_id=self.run_id, out_dir=self.out_dir)
         t0 = time.time()
+        # same stale-plan-cache guard as run_incremental: a cached plan
+        # from an earlier run over this out_dir would serve pre-rewrite
+        # file contents after phases overwrite their tables
+        self.spark.catalog.clearCache()
         watermark = str(int(os.path.getmtime(self.transcripts_path)))
         for phase in PHASES:
             outputs_ok = all(self._exists(o) for o in _OUTPUTS[phase])
