@@ -270,6 +270,23 @@ def a_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, priorities × status columns."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def a_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (T-digest-free)."""
     e = _t(spark, sf_dir, "events")
@@ -547,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_join": ev_asof_join,
         "a_rollup_orders": a_rollup_orders,
         "a_value_percentiles": a_value_percentiles,
+        "a_pivot_status_by_priority": a_pivot_status_by_priority,
         "d_token_stats": d_token_stats,
         "d_fingerprint_dups": d_fingerprint_dups,
         "d_lang_guess": d_lang_guess,
@@ -735,6 +753,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
             ORDER BY priority, status
+        """,
+        "a_pivot_status_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS bigint) AS n_f,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS bigint) AS n_o,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS bigint) AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "a_value_percentiles": """
             SELECT event_type,

@@ -160,6 +160,20 @@ def comprehensive_search(
     )
 
 
+def facets(results: DataFrame, columns: tuple[str, ...] = ("node_type",)) -> dict:
+    """Facet counts over a search-result DataFrame (reference: facet
+    generation in the REST layer, search-controller.ts:809). One pass
+    per facet column over the (small) result set."""
+    out: dict[str, dict] = {}
+    for col in columns:
+        out[col] = {
+            str(r[col]): r["count"]
+            for r in results.groupBy(col).count().collect()
+            if r[col] is not None
+        }
+    return out
+
+
 def find_similar(nodes: DataFrame, node_id: str, k: int = 10) -> DataFrame:
     """k nearest nodes to an existing node's embedding (point lookup +
     broadcast-literal scoring — no crossJoin shuffle)."""

@@ -76,6 +76,13 @@ def test_comprehensive_search(spark, pipeline_out):
     assert res.source_weight.is_monotonic_decreasing
 
 
+def test_facets(spark, pipeline_out):
+    res = search.semantic_search(pipeline_out.nodes(), "postgresql", k=20)
+    f = search.facets(res, columns=("node_type",))
+    assert sum(f["node_type"].values()) == res.count()
+    assert set(f["node_type"]) <= {"Turn", "Entity", "Mention", "Conversation", "Tool"}
+
+
 def test_find_similar(spark, pipeline_out):
     nodes = pipeline_out.nodes()
     res = search.find_similar(nodes, "entity:postgresql", k=5).toPandas()
