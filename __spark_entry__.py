@@ -741,7 +741,9 @@ def oracle_sql() -> dict[str, str]:
             FROM l LEFT JOIN LATERAL (
               SELECT r.ts, r.click_value FROM r
               WHERE r.user_id = l.user_id AND r.ts <= l.ts
-              ORDER BY r.ts DESC LIMIT 1
+              -- click_value DESC matches the Spark side's deterministic
+              -- equal-timestamp tie-break (max click_value wins)
+              ORDER BY r.ts DESC, r.click_value DESC LIMIT 1
             ) m ON true
             ORDER BY l.event_id
         """,

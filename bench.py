@@ -45,33 +45,49 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, reps: int = 2) -> tuple[dict, dict]:
+    """Per-query steady-state latency (min over ``reps`` fresh plans)
+    plus the first-rep (cold: JIT/codegen-inclusive) latencies. A fresh
+    DataFrame is built per rep — only JVM warmup is amortized, never
+    materialized AQE stages (re-collecting the same DataFrame object
+    would reuse its already-executed shuffle stages and measure ~0)."""
     import __spark_entry__ as entrymod
 
-    times: dict[str, float] = {}
+    best: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.time() - t0, 3)
-    return times
+        for rep in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            dt = round(time.time() - t0, 3)
+            if rep == 0:
+                cold[name] = dt
+            best[name] = min(best.get(name, float("inf")), dt)
+    return best, cold
 
 
-def run_pipeline(cores: int, corpus: str, n_turns: int, reps: int = 2) -> dict:
-    """Best-of-N timing in one JVM (first run pays JIT/codegen warmup —
-    the steady-state number is what a long-running cluster job sees)."""
+def run_pipeline(cores: int, corpus: str, n_turns: int, reps: int = 4) -> dict:
+    """Median-of-(reps-1) timing in one JVM: rep 0 is a discarded
+    JIT/codegen warmup, the median of the remaining reps is reported
+    (steady state; median per round-1 verdict — best-of-2 was too noisy
+    to support the scaling-efficiency claim)."""
+    import statistics
+
     spark = get_spark(app_name=f"bench_pipeline_{cores}", cores=cores)
-    best = float("inf")
+    times: list[float] = []
     for rep in range(reps):
         out = f"/tmp/hikma_bench_out_{cores}_{rep}"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         Pipeline(spark, corpus, out, run_id=f"bench-{cores}-{rep}").run(resume=False)
-        best = min(best, time.time() - t0)
+        times.append(time.time() - t0)
     stop_all()
+    med = statistics.median(times[1:])
     return {
         "cores": cores,
-        "sec": round(best, 2),
-        "turns_per_sec": round(n_turns / best, 1),
+        "sec": round(med, 2),
+        "reps_sec": [round(t, 2) for t in times],
+        "turns_per_sec": round(n_turns / med, 1),
     }
 
 
@@ -154,8 +170,9 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
     t0 = time.time()
-    qtimes = run_queries(spark, sf_dir)
-    total = round(time.time() - t0, 2)
+    qtimes, qtimes_cold = run_queries(spark, sf_dir)
+    total = round(sum(qtimes.values()), 2)
+    wall = round(time.time() - t0, 2)
     stop_all()
 
     # --- pipeline scaling bench (N vs 4N cores on the same input) ---
@@ -176,6 +193,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
+                "queries_cold_rep1": qtimes_cold,
+                "suite_wall_sec_2reps": wall,
                 "sf": sf,
                 "pipeline": {
                     "n_convs": n_convs,

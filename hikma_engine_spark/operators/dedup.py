@@ -30,6 +30,18 @@ from ..functions.text import fingerprint
 from . import lsh
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Spread a low-split input across the cluster before CPU-heavy
+    shingling/hashing. Small local corpora arrive as ONE parquet split
+    (file < maxPartitionBytes) and would run the whole dedup pipeline
+    on a single core; on a real cluster the input already has >=
+    parallelism splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------- exact ----------
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -86,7 +98,6 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    small_threshold: int = 2000,
 ) -> DataFrame:
     """EXACT Jaccard ≥ threshold pairs over word n-gram sets, with
     prefix filtering (AllPairs/PPJoin family — cf. the set-similarity-
@@ -100,18 +111,18 @@ def ngram_jaccard_pairs(
 
     Also applies the size filter: J(A,B) ≥ t ⇒ |B| ≥ t·|A|.
 
-    Below ``small_threshold`` docs the simple one-shuffle co-shingle
-    join wins (the prefix pipeline is ~6 stages of fixed latency);
-    both paths are exact and return identical pairs.
+    Plan shape (one path, all sizes — no input-probe job): shingle
+    sizes ride along from the start (no size-dim join), shingle
+    frequency is a count-over-window fused with the rarity-rank window
+    (two shuffles total before the candidate join), and nothing is
+    cached — the shingle projection is a cheap JVM regex recompute.
     """
     from fractions import Fraction
 
     # exact rational threshold math: float expressions like
     # floor((1-0.8)*10) evaluate to floor(1.9999...)=1 and silently
     # shrink the prefix below the theorem's bound (drops true pairs)
-    if df.limit(small_threshold + 1).count() <= small_threshold:
-        return _ngram_jaccard_pairs_naive(df, id_col, text_col, n, threshold)
-
+    df = _rebalance(df)
     fr = Fraction(threshold).limit_denominator(1_000_000)
     num, den = fr.numerator, fr.denominator
 
@@ -121,25 +132,47 @@ def ngram_jaccard_pairs(
 
     sh = df.select(
         F.col(id_col).alias("doc"), lsh.word_shingles(F.col(text_col), n).alias("sh")
-    ).cache()
-    exploded = sh.select("doc", F.explode("sh").alias("g"))
-    freq = exploded.groupBy("g").agg(F.count("*").alias("freq"))
-    # rank each doc's shingles by rarity; keep the prefix
-    ranked = (
-        exploded.join(freq, "g")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy(F.asc("freq"), F.asc("g"))
-            ),
-        )
     )
-    doc_sz = sh.select("doc", F.size("sh").alias("sz"))
+    exploded = sh.select(
+        "doc", F.size("sh").alias("sz"), F.explode("sh").alias("g")
+    )
+    # PPJoin needs SOME global total order on shingles; frequency order
+    # is only candidate pruning. The scale-correct form: a BOUNDED hot-
+    # shingle dim (top-K by frequency — the stop-shingle list, always
+    # broadcastable, even when distinct shingles number in the
+    # billions), hash tie-break for everything else. Order =
+    # (freq-if-hot else 0, xxhash64(g)) — still a total order, so the
+    # join stays exact; hot shingles are pushed OUT of prefixes, which
+    # is all the pruning that matters.
+    hot = (
+        exploded.groupBy("g")  # map-side partial agg, then TakeOrdered
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("g"))
+        .limit(100_000)
+    )
+    # broadcast hash join (no shuffle of exploded), then ONE doc-shuffle
+    # building each doc's prefix: sort by rarity and slice the
+    # |A| − ⌈t·|A|⌉ + 1 rarest
     prefix = (
-        ranked.join(doc_sz, "doc")
-        # prefix length = |A| − ⌈t·|A|⌉ + 1
-        .filter(F.col("rk") <= F.col("sz") - ceil_t_times("sz") + F.lit(1))
-        .select("doc", "g", "sz")
+        exploded.join(F.broadcast(hot), "g", "left")
+        .groupBy("doc", "sz")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce("freq", F.lit(0)).alias("freq"),
+                            F.xxhash64("g").alias("h"),
+                            F.col("g"),
+                        )
+                    )
+                ),
+                F.lit(1),
+                F.col("sz") - ceil_t_times("sz") + F.lit(1),
+            ).alias("pref")
+        )
+        .select("doc", "sz", F.explode("pref").alias("p"))
+        .select("doc", F.col("p.g").alias("g"), "sz")
     )
     a = prefix.select(F.col("doc").alias("a"), "g", F.col("sz").alias("sz_a"))
     b = prefix.select(F.col("doc").alias("b"), "g", F.col("sz").alias("sz_b"))
@@ -151,15 +184,27 @@ def ngram_jaccard_pairs(
             & (F.col("sz_b") >= ceil_t_times("sz_a"))
             & (F.col("sz_a") >= ceil_t_times("sz_b"))
         )
-        .select("a", "b")
+        .select("a", "b", "sz_a", "sz_b")
         .distinct()
     )
-    fa = sh.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
-    fb = sh.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    # exact verification by inverted-index intersection COUNTING (plain
+    # equi-joins + groupBy — whole-stage-codegen all the way), not by
+    # array_intersect over rejoined shingle arrays: ArrayIntersect is an
+    # interpreted expression (~60us per 50-element pair — measured 2.7s
+    # serial for 43k candidates after AQE coalesced the tiny join to one
+    # task). |A∩B| via join; |A∪B| = |A| + |B| − |A∩B|.
+    ex_a = exploded.select(F.col("doc").alias("a"), "g")
+    ex_b = exploded.select(F.col("doc").alias("b"), "g")
     return (
-        cands.join(fa, "a")
-        .join(fb, "b")
-        .withColumn("jaccard", lsh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        cands.join(ex_a, "a")
+        .join(ex_b, ["b", "g"])
+        .groupBy("a", "b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_inter"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -178,6 +223,7 @@ def minhash_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """LSH-blocked near-dup pairs verified by exact shingle Jaccard."""
+    df = _rebalance(df)
     feats = df.select(
         F.col(id_col).alias("doc"), lsh.word_shingles(F.col(text_col), n).alias("sh")
     ).cache()
@@ -236,6 +282,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), equi-join on
     chunks, verify Hamming distance with JVM bit_count(xor)."""
+    df = _rebalance(df)
     h = df.select(
         F.col(id_col).alias("doc"), simhash64_udf(F.col(text_col)).alias("sim")
     )

@@ -38,11 +38,16 @@ def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {n: find(n) for n in parent}
 
 
+class ConvergenceError(RuntimeError):
+    """Distributed CC exhausted its round budget without reaching the
+    fixpoint — raising beats silently returning split components."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 25,
     driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Undirected CC. Returns (node, component) with component = min node
@@ -52,9 +57,17 @@ def connected_components(
     - ≤ ``driver_threshold`` edges: collect + union-find on the driver
       (an iterative join loop on a dozen-row graph is pure scheduler
       overhead). This covers per-corpus entity-alias graphs comfortably.
-    - larger: distributed iterative min-label propagation with lineage
-      cut per round — the 100 TB path (hot entities are absorbed by
-      map-side partial min aggregation).
+    - larger: alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+      convergence is logarithmic in component size, unlike plain
+      min-label propagation whose round count is the graph DIAMETER
+      (a 10⁶-node chain would silently split under any fixed budget).
+      Hot nodes are absorbed by map-side partial min aggregation;
+      lineage cut per round with localCheckpoint.
+
+    Raises ConvergenceError if the fixpoint is not reached in
+    ``max_iter`` rounds (per round-1 advice: never return split
+    components silently).
     """
     spark = edges.sparkSession
     small = edges.limit(driver_threshold + 1).count() <= driver_threshold
@@ -70,53 +83,78 @@ def connected_components(
         return spark.createDataFrame(
             sorted(mapping.items()), ["node", "component"]
         )
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
+    # undirected edge set, one row per unordered pair
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
     # size the iteration's shuffle width to the data: tiny graphs on a
     # 32-way shuffle are pure task overhead; big graphs keep full width
-    n_edges = sym.count()
+    n_edges = e.count()
     default_par = spark.sparkContext.defaultParallelism
     npart = max(1, min(default_par, n_edges // 20_000 + 1))
-    sym = sym.repartition(npart, "v")
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .repartition(npart, "node")
-        .localCheckpoint(eager=True)
-    )
+
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
+        # LARGE-STAR: for every node u, attach u's strictly-larger
+        # neighbors to m(u) = min(N(u) ∪ {u})
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        new_labels = (
-            labels.join(neigh, labels.node == neigh.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+        m_large = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            adj.join(m_large, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+            .filter(F.col("child") != F.col("parent"))
+            .distinct()
+        )
+        # SMALL-STAR: each child's parents all re-attach to the minimum
+        # parent (large-star output is already child > parent directed)
+        m_small = large.groupBy("child").agg(F.min("parent").alias("m"))
+        joined = large.join(m_small, "child")
+        new_e = (
+            joined.select(F.col("child").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                joined.select(F.col("parent").alias("a"), F.col("m").alias("b"))
             )
+            .filter(F.col("a") != F.col("b"))
+            # restore the unordered-pair invariant a < b
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+            .repartition(npart, "a")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # fixpoint: the edge set is stable (counts first — cheap — then
+        # an exact symmetric-difference probe)
+        stable = (
+            new_e.count() == n_edges
+            and new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+        e = new_e
+        n_edges = e.count()
+        if stable:
+            # converged e is a star set under the a < b invariant:
+            # a = root (component minimum), b = child
+            labels = e.select(
+                F.col("b").alias("node"), F.col("a").alias("component")
+            ).unionByName(
+                e.select(F.col("a").alias("node"), F.col("a").alias("component"))
+            )
+            # a node can transiently be both a root and a child of the
+            # true root; groupBy-min resolves to the component minimum
+            return labels.groupBy("node").agg(F.min("component").alias("component"))
+    raise ConvergenceError(
+        f"connected_components did not converge in {max_iter} "
+        "large-star/small-star rounds"
+    )
 
 
 def neighbors(

@@ -32,17 +32,24 @@ def char_shingles(col: Column, n: int = 3) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (for document-level near-dup)."""
+    """Distinct word n-grams (for document-level near-dup).
+
+    Built by zip_with over n shifted copies of the token array, NOT by
+    transform(sequence(...), i -> slice(toks, i, n)): Catalyst inlines
+    the tokenizer expression into lambda bodies, so an index-lambda
+    that references ``toks`` re-runs regexp+split once PER SHINGLE
+    POSITION (O(words x regex) per doc — measured 8x slower). zip_with
+    only references its lambda variables, so tokenization runs a fixed
+    n times per row."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")), " ")
     k = F.size(toks)
+    zipped = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(k - j, F.lit(0)))
+        zipped = F.zip_with(zipped, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    full = F.slice(zipped, 1, F.greatest(k - (n - 1), F.lit(0)))
     return F.array_distinct(
-        F.when(
-            k >= n,
-            F.transform(
-                F.sequence(F.lit(0), k - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(k >= n, full).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 

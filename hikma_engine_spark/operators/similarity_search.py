@@ -23,20 +23,35 @@ def all_pairs_cosine(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_digits: int = 5,
+    broadcast_limit: int = 100_000,
+    block_size: int = 4096,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold — blocked matrix product.
+    """All pairs (a < b) with cosine ≥ threshold — EXACT, two strategies.
 
-    Pattern: the full (normalized) matrix is broadcast; each Arrow batch
-    computes its rows' similarities against it in one numpy GEMM and
-    emits only qualifying pairs. This is the sharded-GEMM shape that
-    scales linearly in input partitions (at true scale the broadcast
-    side becomes the IVF/LSH-pruned candidate set, not the full
-    matrix — see lsh_topk). For brute-force-exactness baselines and
-    ≤10^5-vector blocks it is the fastest exact method by far
-    (vectorized, no per-pair lambda interpretation).
+    ≤ ``broadcast_limit`` rows: the full normalized matrix is broadcast
+    and each Arrow batch GEMMs its rows against it (fastest exact method
+    for small sides; one collect, explicitly guarded).
+
+    Above it: fully distributed block-partitioned GEMM — rows are hashed
+    into n/block_size blocks, every unordered block pair (i ≤ j) becomes
+    one ``applyInPandas`` group holding both blocks' rows, and the numpy
+    GEMM runs per group. Nothing touches the driver; shuffle volume is
+    the unavoidable O(n²/block_size) row replication of exact all-pairs
+    (for sub-quadratic approximate pruning use embedding_near_dup_pairs
+    / lsh_topk instead).
     """
-    from pyspark.sql import functions as F  # noqa: PLC0415
+    n = df.count()
+    if n <= broadcast_limit:
+        return _all_pairs_cosine_broadcast(df, threshold, id_col, emb_col, round_digits)
+    n_blocks = max(2, -(-n // block_size))
+    return _all_pairs_cosine_blocked(
+        df, threshold, id_col, emb_col, round_digits, n_blocks
+    )
 
+
+def _all_pairs_cosine_broadcast(
+    df: DataFrame, threshold: float, id_col: str, emb_col: str, round_digits: int
+) -> DataFrame:
     rows = df.select(id_col, emb_col).collect()
     ids = np.array([r[0] for r in rows])
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -70,6 +85,72 @@ def all_pairs_cosine(
             yield pd.DataFrame({"a": out_a, "b": out_b, "cos": out_c})
 
     return df.select(id_col, emb_col).mapInPandas(body, "a long, b long, cos double")
+
+
+def _all_pairs_cosine_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    round_digits: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Distributed exact all-pairs: hash-blocked pairwise GEMM.
+
+    Each (block_a ≤ block_b) pair is one shuffle group; the GEMM inside
+    is sliced over 1024-row strips so the similarity matrix never
+    exceeds ~strip x block doubles in one python worker.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int",
+    )
+    left = base.join(F.broadcast(pairs), base.blk == pairs.ba).select(
+        "ba", "bb", "id", "emb", F.lit(0).alias("side")
+    )
+    right = base.join(F.broadcast(pairs), base.blk == pairs.bb).select(
+        "ba", "bb", "id", "emb", F.lit(1).alias("side")
+    )
+    both = left.unionByName(right)
+
+    def gemm(key, pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        ba, bb = key
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = a_rows if ba == bb else pdf[pdf["side"] == 1]
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+
+        def norm_mat(rows):
+            m = np.array([list(v) for v in rows["emb"]], dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return m / nrm[:, None]
+
+        am, bm = norm_mat(a_rows), norm_mat(b_rows)
+        aids = a_rows["id"].to_numpy()
+        bids = b_rows["id"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(aids), 1024):
+            sims = np.round(am[s : s + 1024] @ bm.T, round_digits)
+            ii, jj = np.nonzero(sims >= threshold)
+            xa, xb = aids[s + ii], bids[jj]
+            keep = xa < xb if ba == bb else xa != xb
+            xa, xb, cs = xa[keep], xb[keep], sims[ii, jj][keep]
+            # cross-block pairs arrive once per unordered block pair;
+            # normalize to a < b by id
+            lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
+            out_a.extend(lo)
+            out_b.extend(hi)
+            out_c.extend(cs)
+        return pd.DataFrame({"a": out_a, "b": out_b, "cos": out_c})
+
+    return both.groupBy("ba", "bb").applyInPandas(gemm, "a long, b long, cos double")
 
 
 def brute_force_topk(

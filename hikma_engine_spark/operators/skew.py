@@ -53,6 +53,43 @@ def salted_agg(
     return phase1.groupBy(*key_cols).agg(*aggs_final)
 
 
+def salted_topn_collect(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    n: int = 8,
+    n_salt: int = 16,
+    salt_source: list[str] | None = None,
+) -> DataFrame:
+    """Capped adjacency aggregation (the holistic-agg case salting
+    exists for): per key, the total item count (``degree``) and the n
+    SMALLEST items sorted (``items``) — a deterministic bounded sample,
+    never the full list (a hot entity at corpus scale has billions of
+    mentioning turns; an uncapped collect_list on its node is a
+    one-reducer OOM). Exact: each salt bucket's local sorted top-n is a
+    superset of that bucket's contribution to the global top-n.
+
+    Reference analog: per-function callsMethods[]/calledByMethods[]
+    adjacency properties (src/modules/ast-parser.ts:398-438), which the
+    reference stores uncapped because it is single-process."""
+    return salted_agg(
+        df,
+        key_cols,
+        [
+            F.count("*").alias("_pc"),
+            F.slice(F.array_sort(F.collect_list(item_col)), 1, n).alias("_pl"),
+        ],
+        [
+            F.sum("_pc").alias("degree"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_pl"))), 1, n
+            ).alias("items"),
+        ],
+        n_salt=n_salt,
+        salt_source=salt_source,
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

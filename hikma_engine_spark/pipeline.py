@@ -139,11 +139,18 @@ class StateStore:
         """Latest status for (run, phase); any run counts — outputs are
         keyed by deterministic ids, so a completed phase from a prior
         run is equally valid (INSERT OR REPLACE semantics)."""
-        st = None
+        row = self.latest(phase)
+        return row["status"] if row else None
+
+    def latest(self, phase: str) -> dict | None:
+        """Latest state row for a phase (status + the input watermark it
+        was computed against — resume compares both, mirroring the
+        reference's IndexingStrategy watermark check before skipping)."""
+        row = None
         for r in self.rows():
             if r["phase_name"] == phase:
-                st = r["status"]
-        return st
+                row = r
+        return row
 
     def watermark(self) -> str | None:
         wm = None
@@ -221,6 +228,26 @@ class Pipeline:
     def _read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
 
+    def _input_watermark(self) -> str:
+        """Cheap input-change signal (analog of last_indexed_commit,
+        src/persistence/db/connection.ts:262-287): max mtime across the
+        input's files — directories of parquet parts included. Content
+        hashes (the strong signal) drive run_incremental; this guards
+        run(resume=True) against silently serving stale outputs."""
+        p = self.transcripts_path
+        if os.path.isdir(p):
+            mt = max(
+                (
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _dirs, files in os.walk(p)
+                    for f in files
+                ),
+                default=os.path.getmtime(p),
+            )
+        else:
+            mt = os.path.getmtime(p)
+        return str(int(mt))
+
     # ---- phase bodies ----
     def transcripts(self, keys: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:
         """Input scan, rebalanced for the UDF-heavy stages.
@@ -247,14 +274,18 @@ class Pipeline:
         t = self.transcripts(keys=("conv_id",))
         stats = {"conversations": self._write(discover.conversations_dim(t), "conversations")}
         # duplicate-key validation from the written dim (n_turns vs
-        # distinct turn_idx count — no extra pass over the input)
-        import pandas as pd  # noqa: PLC0415
-
-        dim = pd.read_parquet(self._path("conversations"))
-        bad = dim[dim.n_turns != dim.n_distinct_turns]
-        if len(bad):
+        # distinct turn_idx count). Spark-side: one metadata-cheap job
+        # over the just-written parquet — never the whole dim in driver
+        # memory (at 100x the dim is billions of rows).
+        n_bad = (
+            self._read("conversations")
+            .filter(F.col("n_turns") != F.col("n_distinct_turns"))
+            .limit(1)
+            .count()
+        )
+        if n_bad:
             raise ValueError(
-                f"duplicate (conv_id, turn_idx) keys in {len(bad)} conversations"
+                "duplicate (conv_id, turn_idx) keys detected in conversations dim"
             )
         return stats
 
@@ -358,10 +389,21 @@ class Pipeline:
         # from an earlier run over this out_dir would serve pre-rewrite
         # file contents after phases overwrite their tables
         self.spark.catalog.clearCache()
-        watermark = str(int(os.path.getmtime(self.transcripts_path)))
+        watermark = self._input_watermark()
         for phase in PHASES:
             outputs_ok = all(self._exists(o) for o in _OUTPUTS[phase])
-            if resume and self.state.status(self.run_id, phase) == "completed" and outputs_ok:
+            latest = self.state.latest(phase)
+            # skip only when the phase completed AGAINST THE SAME INPUT:
+            # a completed row with a different watermark means the
+            # transcripts changed since — recompute (reference:
+            # IndexingStrategy compares last_indexed_commit before
+            # deciding to skip, src/core/indexing/IndexingStrategy.ts:15-75)
+            fresh = (
+                latest is not None
+                and latest["status"] == "completed"
+                and latest.get("watermark") == watermark
+            )
+            if resume and fresh and outputs_ok:
                 result.skipped.append(phase)
                 if phase == stop_after:
                     break
@@ -446,24 +488,46 @@ class Pipeline:
 
         Change detection: per-conversation content_hash from the
         discover dim (stronger than the reference's commit watermark —
-        it is content-addressed). The expensive per-turn work (regex
-        extraction, turn embedding) runs ONLY on changed conversations,
-        AND the writes are bucket-surgical copy-on-write: mentions/
-        nodes/edges are partitioned by hash(conv_id) buckets, and only
-        buckets containing changed conversations (plus small global
-        dims: Entity/Tool/Conversation nodes, DEPENDS_ON/SAME_AS edges)
-        are rewritten — the parquet emulation of Iceberg MERGE INTO
+        it is content-addressed), via a FULL OUTER join of old vs new
+        dim so additions, modifications AND deletions all enter the
+        changed set. The expensive per-turn work (regex extraction,
+        turn embedding) runs ONLY on changed conversations, AND the
+        writes are bucket-surgical copy-on-write: mentions/nodes/edges
+        are partitioned by hash(conv_id) buckets, and only buckets
+        containing changed conversations (plus small global dims:
+        Entity/Tool/Conversation nodes, DEPENDS_ON/SAME_AS edges) are
+        rewritten — the parquet emulation of Iceberg MERGE INTO
         rewriting only affected data files (same last-writer-wins
         semantics as the reference's INSERT OR REPLACE,
         GenericRepository.ts:23,64). If re-linking changes any
         canonical mapping, mention buckets containing the affected
         surfaces get their canonical_id refreshed too.
+
+        Crash safety: the OLD conversations dim and links table stay
+        committed until every dependent bucket rewrite has landed —
+        they are swapped LAST, so a retried run after any mid-run crash
+        recomputes the identical changed set from the still-intact old
+        dim and repairs the delta idempotently.
+
+        Scale posture: the changed set, links diff and changed-surface
+        set stay DataFrames end-to-end; the only driver materializations
+        are bucket-id lists (bounded by n_buckets) and scalar counts.
         """
         if not self.n_buckets:
             raise ValueError(
                 "run_incremental requires the bucketed layout — construct "
                 "Pipeline(..., n_buckets=64) (and build the base tables "
                 "with it) so copy-on-write has bucket dirs to swap"
+            )
+        # fail fast (before any write) when the stored tables were built
+        # WITHOUT the bucketed layout — otherwise the mismatch surfaces
+        # as an UNRESOLVED_COLUMN `bucket` crash halfway through
+        if "bucket" not in self._read("mentions").columns:
+            raise ValueError(
+                f"store at {self.out_dir} was built without the bucketed "
+                "layout (no bucket column in mentions) — rebuild with "
+                f"Pipeline(..., n_buckets={self.n_buckets}).run() before "
+                "incremental runs"
             )
         rid = run_id or (self.run_id + "-incr")
         t0 = time.time()
@@ -473,56 +537,73 @@ class Pipeline:
         # the copy-on-write swaps below
         self.spark.catalog.clearCache()
         result = PipelineResult(run_id=rid, out_dir=self.out_dir)
-        old_conv = self._read("conversations").select(
-            "conv_id", F.col("content_hash").alias("old_hash")
-        )
+        watermark = self._input_watermark()
+        started = _now()
+
+        def state_row(status: str, stats: dict) -> None:
+            self.state.append(
+                {
+                    "run_id": rid,
+                    "phase_name": "incremental",
+                    "partition_id": None,
+                    "status": status,
+                    "started_at": started,
+                    "completed_at": None if status == "running" else _now(),
+                    "watermark": watermark,
+                    "stats": stats,
+                }
+            )
+
+        state_row("running", {})
+        try:
+            n_changed = self._run_incremental_body(result)
+        except Exception:
+            state_row("failed", {})
+            raise
+        state_row("completed", {"changed_convs": n_changed})
+        result.elapsed_sec = time.time() - t0
+        return result
+
+    def _run_incremental_body(self, result: PipelineResult) -> int:
         t_all = self.transcripts()
 
         # --- discover (full refresh of the cheap dim) + changed set ---
-        # new dim goes to a tmp table first: the changed-set comparison
-        # must see the OLD files (on Iceberg the old snapshot stays
-        # readable; on raw parquet we sequence the writes instead)
+        # new dim goes to a tmp table: change detection must see the OLD
+        # files, and the old dim must SURVIVE until all dependent tables
+        # commit (on Iceberg the old snapshot stays readable; on raw
+        # parquet we sequence the writes instead)
         new_conv = discover.conversations_dim(self.transcripts(keys=("conv_id",)))
         stats_d = self._write(new_conv, "conversations_incr")
-        changed_ids = [
-            r["conv_id"]
-            for r in (
-                self._read("conversations_incr")
-                .select("conv_id", "content_hash")
-                .join(old_conv, "conv_id", "left")
-                .filter(
-                    F.col("old_hash").isNull()
-                    | (F.col("content_hash") != F.col("old_hash"))
-                )
-                .select("conv_id")
-                .collect()
-            )
-        ]
-        self._swap("conversations_incr", "conversations")
-        changed = self.spark.createDataFrame(
-            [(c,) for c in changed_ids] or [("__none__",)], "conv_id string"
+        old_hashes = self._read("conversations").select(
+            "conv_id", F.col("content_hash").alias("old_hash")
         )
-        n_changed = len(changed_ids)
+        new_hashes = self._read("conversations_incr").select(
+            "conv_id", F.col("content_hash").alias("new_hash")
+        )
+        changed = (
+            new_hashes.join(old_hashes, "conv_id", "full_outer")
+            .filter(
+                F.col("old_hash").isNull()  # added conversation
+                | F.col("new_hash").isNull()  # deleted conversation
+                | (F.col("new_hash") != F.col("old_hash"))  # modified
+            )
+            .select("conv_id")
+            .localCheckpoint(eager=True)  # reused ~8x below; never collected
+        )
+        n_changed = changed.count()
         result.phase_stats["discover"] = {
             "conversations": stats_d,
             "changed_convs": n_changed,
         }
 
         if n_changed == 0:
-            self.state.append(
-                {
-                    "run_id": rid,
-                    "phase_name": "incremental",
-                    "partition_id": None,
-                    "status": "completed",
-                    "started_at": _now(),
-                    "completed_at": _now(),
-                    "watermark": str(int(os.path.getmtime(self.transcripts_path))),
-                    "stats": {"changed_convs": 0},
-                }
-            )
-            result.elapsed_sec = time.time() - t0
-            return result
+            self._swap("conversations_incr", "conversations")
+            return 0
+
+        # broadcast the changed set only when it is actually small — a
+        # backfill can flip the whole corpus and a forced broadcast of
+        # that would OOM the driver on a real cluster
+        changed_side = F.broadcast(changed) if n_changed <= 1_000_000 else changed
 
         bcol = bucket_col(self.n_buckets)
         affected = sorted(
@@ -531,10 +612,10 @@ class Pipeline:
         result.phase_stats["discover"]["affected_buckets"] = affected
 
         # --- extract only changed conversations; bucket-surgical merge ---
-        t_changed = t_all.join(F.broadcast(changed), "conv_id", "left_semi")
+        t_changed = t_all.join(changed_side, "conv_id", "left_semi")
         mentions_new = extract.extract_mentions(t_changed).withColumn("bucket", bcol)
         m_old_aff = self._read("mentions").filter(F.col("bucket").isin(affected))
-        m_keep = m_old_aff.join(F.broadcast(changed), "conv_id", "left_anti")
+        m_keep = m_old_aff.join(changed_side, "conv_id", "left_anti")
         merged_aff = m_keep.unionByName(mentions_new.select(*m_keep.columns))
         self._write_tmp(merged_aff, "mentions_incr", "mentions")
         self._replace_partition_dirs(
@@ -547,43 +628,47 @@ class Pipeline:
             ),
         }
 
-        # --- link globally (cheap: distinct surfaces); detect changes ---
-        old_links = {
-            (r["surface_norm"], r["canonical_norm"])
-            for r in self._read("links").collect()
-        }
+        # --- link globally (cheap: distinct surfaces); diff vs old links
+        #     DataFrame-side (exceptAll both ways — never a full collect;
+        #     links = distinct surfaces, unbounded under open @-mentions) ---
         mentions = self._read("mentions")
-        links = link.build_links(mentions)
-        result.phase_stats["link"] = {"links": self._write(links, "links")}
-        self._write(link.same_as_edges(self._read("links")), "same_as")
-        links_df = self._read("links")
-        new_links = {
-            (r["surface_norm"], r["canonical_norm"]) for r in links_df.collect()
-        }
-        changed_surfaces = {s for s, _ in old_links ^ new_links}
+        stats_l = self._write(link.build_links(mentions), "links_incr")
+        links_new = self._read("links_incr")
+        old_links = self._read("links")
+        diff_surfaces = (
+            old_links.exceptAll(links_new)
+            .unionByName(links_new.exceptAll(old_links))
+            .select("surface_norm")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_diff_surfaces = diff_surfaces.count()
         extra_buckets: list[int] = []
-        if changed_surfaces:
+        if n_diff_surfaces:
             extra_buckets = sorted(
-                set(
+                {
                     r["bucket"]
-                    for r in mentions.filter(
-                        F.col("surface_norm").isin(list(changed_surfaces))
+                    for r in mentions.join(
+                        diff_surfaces, "surface_norm", "left_semi"
                     )
                     .select("bucket")
                     .distinct()
                     .collect()
-                )
+                }
                 - set(affected)
             )
-        result.phase_stats["link"]["changed_surfaces"] = len(changed_surfaces)
+        result.phase_stats["link"] = {
+            "links": stats_l,
+            "changed_surfaces": n_diff_surfaces,
+        }
 
         # --- edges: carry unchanged rows of affected buckets, rebuild
         #     changed convs; global edge types rebuilt wholesale ---
         m_changed = mentions.filter(F.col("bucket").isin(affected)).join(
-            F.broadcast(changed), "conv_id", "left_semi"
+            changed_side, "conv_id", "left_semi"
         )
         triples_changed = extract.assemble_triples(t_changed, m_changed)
-        empty_same_as = link.same_as_edges(links_df).limit(0)
+        empty_same_as = link.same_as_edges(links_new).limit(0)
         per_conv_new = materialize.build_edges(
             triples_changed.filter(F.col("edge_type") != "DEPENDS_ON"), empty_same_as
         ).withColumn("bucket", bcol)
@@ -593,7 +678,7 @@ class Pipeline:
                 F.col("edge_type").isin(list(_PER_CONV_EDGE_TYPES))
                 & F.col("bucket").isin(affected)
             )
-            .join(F.broadcast(changed), "conv_id", "left_anti")
+            .join(changed_side, "conv_id", "left_anti")
         )
         # global types from the merged mentions, pre-filtered to the
         # DEPENDS_ON-bearing rows (kind pushdown to the parquet scan —
@@ -603,7 +688,7 @@ class Pipeline:
             mentions.drop("bucket").filter(F.col("kind") == "depends_on"),
         ).filter(F.col("edge_type") == "DEPENDS_ON")
         global_edges = materialize.build_edges(
-            dep_triples, link.same_as_edges(links_df)
+            dep_triples, link.same_as_edges(links_new)
         ).withColumn("bucket", bcol)
         all_edges = (
             e_carried.select(*per_conv_new.columns)
@@ -625,11 +710,11 @@ class Pipeline:
         # --- nodes: carry + refresh Turn/Mention in affected buckets,
         #     re-embed only changed convs; global dims rebuilt wholesale ---
         def refresh_canonical(df: DataFrame) -> DataFrame:
-            if not changed_surfaces:
+            if not n_diff_surfaces:
                 return df
             return (
                 df.withColumn("surface_norm", F.col("properties")["surface_norm"])
-                .join(F.broadcast(links_df), "surface_norm", "left")
+                .join(F.broadcast(links_new), "surface_norm", "left")
                 .withColumn(
                     "canonical_id",
                     F.when(
@@ -647,7 +732,7 @@ class Pipeline:
                 F.col("node_type").isin(list(_PER_CONV_NODE_TYPES))
                 & F.col("bucket").isin(affected)
             )
-            .join(F.broadcast(changed), "conv_id", "left_anti")
+            .join(changed_side, "conv_id", "left_anti")
         )
         n_extra = refresh_canonical(
             self._read("nodes").filter(
@@ -657,21 +742,21 @@ class Pipeline:
         ) if extra_buckets else None
         n_new = materialize.build_nodes(
             t_changed,
-            self._read("conversations").join(
-                F.broadcast(changed), "conv_id", "left_semi"
+            self._read("conversations_incr").join(
+                changed_side, "conv_id", "left_semi"
             ),
             m_changed.drop("bucket"),
             self._read("edges"),
-            links_df,
+            links_new,
         ).filter(F.col("node_type").isin(list(_PER_CONV_NODE_TYPES))).withColumn(
             "bucket", bcol
         )
         n_global = materialize.build_nodes(
             t_changed.limit(0),
-            self._read("conversations"),
+            self._read("conversations_incr"),
             mentions.drop("bucket").limit(0),
             self._read("edges"),
-            links_df,
+            links_new,
         ).filter(F.col("node_type").isin(list(_GLOBAL_NODE_TYPES))).withColumn(
             "bucket", bcol
         )
@@ -698,20 +783,14 @@ class Pipeline:
             "global_types": list(_GLOBAL_NODE_TYPES),
         }
 
-        self.state.append(
-            {
-                "run_id": rid,
-                "phase_name": "incremental",
-                "partition_id": None,
-                "status": "completed",
-                "started_at": _now(),
-                "completed_at": _now(),
-                "watermark": str(int(os.path.getmtime(self.transcripts_path))),
-                "stats": {"changed_convs": n_changed},
-            }
-        )
-        result.elapsed_sec = time.time() - t0
-        return result
+        # --- commit the change-detection signals LAST: links, then the
+        #     conversations dim (the content-hash source). A crash any
+        #     time before this point leaves both old tables intact, so a
+        #     retry re-detects the same delta and repairs everything. ---
+        self._swap("links_incr", "links")
+        self._write(link.same_as_edges(self._read("links")), "same_as")
+        self._swap("conversations_incr", "conversations")
+        return n_changed
 
     def _swap(self, tmp_name: str, final_name: str) -> None:
         """Replace a table dir with a freshly-written one (the parquet

@@ -59,9 +59,21 @@ def get_spark(
 
 def stop_all() -> None:
     """Tear down the active session (needed between local[8]/local[32]
-    scaling runs — master cannot change on a live context)."""
+    scaling runs — master cannot change on a live context).
+
+    Quiesce before stop: cancel stragglers and give the DAGScheduler
+    event loop a beat to drain — stopping mid-completion races
+    updateAccumulators against accumulator teardown and dumps a
+    harmless-but-alarming stack trace into the log (seen in BENCH_r01)."""
+    import time
+
     active = SparkSession.getActiveSession()
     if active is not None:
+        try:
+            active.sparkContext.cancelAllJobs()
+            time.sleep(0.3)
+        except Exception:
+            pass
         active.stop()
     # SparkContext lingers otherwise
     try:

@@ -147,12 +147,16 @@ def _build_links_driver(surfaces: list[str]) -> list[tuple[str, str]]:
     return sorted(out)
 
 
-def build_links(mentions: DataFrame, driver_threshold: int = 20_000) -> DataFrame:
+def build_links(mentions: DataFrame, driver_threshold: int = 2_000) -> DataFrame:
     """mentions → links (surface_norm, canonical_norm).
 
     ≤ ``driver_threshold`` distinct surfaces: driver-side twin (a Spark
     job graph over a few hundred strings is pure scheduler overhead).
-    Above it: the distributed LSH → score → CC path.
+    Above it: the distributed LSH → score → CC path. The threshold is
+    deliberately low: the driver twin is O(n²) pure Python, so 2,000
+    surfaces ≈ 2x10⁶ pair evaluations (well under a second) is the
+    point where the distributed path's fixed job-graph latency wins —
+    at 20,000 the silent driver cost would be minutes on one core.
     """
     spark = mentions.sparkSession
     surfaces = observed_surfaces(mentions).cache()
@@ -193,6 +197,31 @@ def build_links(mentions: DataFrame, driver_threshold: int = 20_000) -> DataFram
     return (
         labeled.join(comp_canon, "component")
         .select(F.col("node").alias("surface_norm"), "canonical_norm")
+    )
+
+
+def alias_only_links(
+    mentions: DataFrame, alias_map: dict[str, str] | None = None
+) -> DataFrame:
+    """Deterministic (SQL-expressible) linking: canonical = gazetteer
+    alias-map lookup, identity otherwise — the LSH/CC similarity path
+    disabled. This is exactly the reference's resolution model
+    (pathToIdMap broadcast lookup, src/core/PhaseManager.ts:298-301 +
+    exact signature_hash blocking, src/modules/data-loader.ts:193-197);
+    the full build_links is its superset. Used by the oracle-verified
+    end-to-end pipeline twin (kg_pipeline_alias_only)."""
+    spark = mentions.sparkSession
+    amap = alias_map if alias_map is not None else vocab.surface_to_canonical()
+    surfaces = observed_surfaces(mentions)
+    alias_df = spark.createDataFrame(
+        list(amap.items()) or [("", "")], ["surface_norm", "gaz_canonical"]
+    )
+    return (
+        surfaces.join(F.broadcast(alias_df), "surface_norm", "left")
+        .select(
+            "surface_norm",
+            F.coalesce("gaz_canonical", "surface_norm").alias("canonical_norm"),
+        )
     )
 
 

@@ -131,10 +131,43 @@ def mention_nodes(mentions: DataFrame, links: DataFrame) -> DataFrame:
     )
 
 
-def entity_nodes(links: DataFrame, embed: bool = True) -> DataFrame:
+def entity_adjacency(mentions: DataFrame, adj_n: int = 8) -> DataFrame:
+    """Per-surface adjacency aggregate (A7, reference: buildCallGraph
+    adjacency properties, src/modules/ast-parser.ts:398-438): mention
+    degree + the adj_n lexicographically-first mentioning turn ids,
+    via the salted two-phase collect (hot entities never funnel their
+    full turn list through one reducer)."""
+    from ..operators.skew import salted_topn_collect  # noqa: PLC0415
+
+    m = mentions.filter(
+        F.col("kind").isin(KIND_GAZETTEER, KIND_AT) & F.col("first_in_turn")
+    ).select(
+        "surface_norm",
+        F.concat(
+            F.lit("turn:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx")
+        ).alias("tid"),
+        "conv_id",
+        "turn_idx",
+        "start",
+    )
+    return salted_topn_collect(
+        m,
+        ["surface_norm"],
+        "tid",
+        n=adj_n,
+        salt_source=["conv_id", "turn_idx", "start"],
+    )
+
+
+def entity_nodes(
+    links: DataFrame, mentions: DataFrame | None = None, embed: bool = True,
+    adj_n: int = 8,
+) -> DataFrame:
     """One node per surface form (canonical_id → its canonical entity),
     plus the canonical entities themselves (which may be unobserved
-    gazetteer canonicals)."""
+    gazetteer canonicals). When ``mentions`` is given, nodes carry
+    materialized adjacency properties (degree + capped sorted turn
+    sample — A7)."""
     surfaces = links.select(
         F.col("surface_norm").alias("name"), F.col("canonical_norm")
     )
@@ -142,12 +175,24 @@ def entity_nodes(links: DataFrame, embed: bool = True) -> DataFrame:
         F.col("canonical_norm").alias("name"), F.col("canonical_norm")
     ).distinct()
     all_ents = surfaces.unionByName(canonicals).dropDuplicates(["name"])
+    props = F.create_map(F.lit("surface"), F.col("name"))
+    if mentions is not None:
+        adj = entity_adjacency(mentions, adj_n).withColumnRenamed(
+            "surface_norm", "name"
+        )
+        all_ents = all_ents.join(F.broadcast(adj), "name", "left")
+        props = F.create_map(
+            F.lit("surface"), F.col("name"),
+            F.lit("degree"), F.coalesce(F.col("degree"), F.lit(0)).cast("string"),
+            F.lit("adj_turns"),
+            F.array_join(F.coalesce(F.col("items"), F.array()), ","),
+        )
     eid = F.concat(F.lit("entity:"), F.col("name"))
     return all_ents.select(
         eid.alias("id"),
         eid.alias("business_key"),
         F.lit("Entity").alias("node_type"),
-        F.create_map(F.lit("surface"), F.col("name")).alias("properties"),
+        props.alias("properties"),
         _NULL_STR().alias("conv_id"),
         _NULL_INT().alias("turn_idx"),
         _sig("Entity", F.col("name")).alias("signature_hash"),
