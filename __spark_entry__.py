@@ -47,6 +47,13 @@ DOC_SURFACES = [
 _ORDERED = sorted(set(DOC_SURFACES), key=lambda x: (-len(x), x))
 _SQL_GAZ = r"\b(" + "|".join(_ORDERED) + r")\b"
 
+# alias map for the SQL-expressible (LSH-disabled) linking twin —
+# shared verbatim by the Spark path and the DuckDB VALUES list
+DOC_ALIASES = {"hash join": "join", "sort merge": "join", "table scan": "scan"}
+_SQL_ALIAS_VALUES = ", ".join(
+    f"('{a}', '{c}')" for a, c in sorted(DOC_ALIASES.items())
+)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -523,6 +530,132 @@ def kg_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_pipeline_alias_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end KG materialization with DETERMINISTIC linking (alias
+    map only, LSH/CC path disabled — reference's exact-match resolution
+    model) so the final edge table gets a full DuckDB value-hash twin.
+    Restricted to the edge types whose ids are SQL-expressible
+    (IN_TURN/REFERS_TO ids embed regex match offsets, which SQL regex
+    functions cannot produce)."""
+    t = _doc_transcripts(spark, sf_dir)
+    mentions = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    triples = extract.assemble_triples(t, mentions)
+    links = link.alias_only_links(mentions, DOC_ALIASES)
+    edges = materialize.build_edges(triples, link.same_as_edges(links))
+    return (
+        edges.filter(F.col("edge_type").isin("IN_CONV", "MENTIONS", "SAME_AS"))
+        .select("id", "src", "edge_type", "dst")
+        .orderBy("id", "src")
+    )
+
+
+def kg_entity_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 materialized adjacency: per entity, mention degree + the 8
+    lexicographically-first mentioning turn ids, via the salted
+    two-phase collect (operators/skew.py:salted_topn_collect)."""
+    t = _doc_transcripts(spark, sf_dir)
+    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    adj = materialize.entity_adjacency(m, adj_n=8)
+    return adj.select(
+        "surface_norm",
+        F.col("degree").cast("long").alias("degree"),
+        F.array_join("items", ",").alias("adj_turns"),
+    ).orderBy("surface_norm")
+
+
+def g_neighbors_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop graph traversal (reference: getFunctionCallers 1-hop,
+    src/utils/in-memory-graph.ts:210-231): turns mentioning 'spark'."""
+    from hikma_engine_spark.operators.graph import neighbors
+
+    t = _doc_transcripts(spark, sf_dir)
+    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    triples = extract.assemble_triples(t, m)
+    edges = triples.filter(F.col("edge_type") == "MENTIONS").select(
+        "src", "dst", "edge_type"
+    )
+    nb = neighbors(edges, ["entity:spark"], direction="in")
+    return nb.select(
+        F.col("from").alias("entity_id"),
+        F.col("to").alias("turn_id"),
+        "edge_type",
+    ).orderBy("turn_id")
+
+
+def g_k_hop_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (reference: findCallChain BFS maxDepth,
+    src/utils/in-memory-graph.ts:236-266) over the symmetrized
+    turn-MENTIONS-entity bipartite graph, start = entity:spark, k=2
+    (depth 1 = mentioning turns, depth 2 = co-mentioned entities)."""
+    from hikma_engine_spark.operators.graph import k_hop
+
+    t = _doc_transcripts(spark, sf_dir)
+    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    triples = extract.assemble_triples(t, m)
+    e = triples.filter(F.col("edge_type") == "MENTIONS").select("src", "dst")
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    out = k_hop(sym, ["entity:spark"], k=2)
+    return out.select("id", F.col("depth").cast("int").alias("depth")).orderBy(
+        "id"
+    )
+
+
+def g_cc_dupgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact near-dup pairs (J ≥ 0.8) —
+    dup-group canonicalization: component = min doc_id. Runs the
+    DISTRIBUTED large-star/small-star path (driver_threshold=0) so the
+    scale implementation itself is oracle-verified against a DuckDB
+    recursive-CTE closure."""
+    from hikma_engine_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    comp = connected_components(pairs, src="a", dst="b", driver_threshold=0)
+    return comp.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("node")
+
+
+def s_name_case_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 CASE-tier name ranking (reference: searchFilesByName ORDER BY
+    CASE, src/modules/search-service.ts:881-916) over a documents-derived
+    node view (name = source)."""
+    from hikma_engine_spark.query.search import name_search
+
+    d = _t(spark, sf_dir, "documents")
+    nodes = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("Doc").alias("node_type"),
+        F.col("source").alias("source_text"),
+    )
+    return name_search(nodes, "src1", k=12).select("id", "tier")
+
+
+def s_metadata_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata search with a dateRange BETWEEN filter (reference:
+    search-service.ts:343-355) over an events-derived node view."""
+    from hikma_engine_spark.query.search import metadata_search
+
+    e = _t(spark, sf_dir, "events")
+    nodes = e.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.lit("Event").alias("node_type"),
+        F.col("event_type").alias("source_text"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.create_map(
+            F.lit("ts"), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ).alias("properties"),
+    )
+    out = metadata_search(
+        nodes,
+        name_like="click",
+        date_range=("2024-01-10T00:00:00Z", "2024-01-12T00:00:00Z"),
+        limit=100,
+    )
+    return out.select("id", "source_text", F.col("properties")["ts"].alias("ts"))
+
+
 def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end KG construction (no oracle — full pipeline incl.
     LSH linking and CC canonicalization). Returns the edge table."""
@@ -583,6 +716,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conversation_stats": kg_conversation_stats,
         "kg_conversation_summary": kg_conversation_summary,
         "kg_top_entities": kg_top_entities,
+        "kg_pipeline_alias_only": kg_pipeline_alias_only,
+        "kg_entity_adjacency": kg_entity_adjacency,
+        "g_neighbors_spark": g_neighbors_spark,
+        "g_k_hop_spark": g_k_hop_spark,
+        "g_cc_dupgroups": g_cc_dupgroups,
+        "s_name_case_rank": s_name_case_rank,
+        "s_metadata_daterange": s_metadata_daterange,
         "kg_full_pipeline": kg_full_pipeline,
     }
 
@@ -919,6 +1059,123 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(regexp_extract_all(lower(text), '{gaz}')) AS m FROM t
             ) GROUP BY surface_norm
             ORDER BY n_mentions DESC, surface_norm ASC LIMIT 5
+        """,
+        "kg_pipeline_alias_only": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            men AS (
+              SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS m
+              FROM t
+            ),
+            me AS (
+              SELECT DISTINCT 'turn:' || conv_id || '#' || turn_idx AS src,
+                     'MENTIONS' AS edge_type, 'entity:' || m AS dst
+              FROM men
+            ),
+            ce AS (
+              SELECT 'turn:' || conv_id || '#' || turn_idx AS src,
+                     'IN_CONV' AS edge_type, 'conv:' || conv_id AS dst
+              FROM t
+            ),
+            al(s, c) AS (VALUES {_SQL_ALIAS_VALUES}),
+            sa AS (
+              SELECT DISTINCT 'entity:' || m AS src, 'SAME_AS' AS edge_type,
+                     'entity:' || c AS dst
+              FROM men JOIN al ON men.m = al.s WHERE m != c
+            ),
+            alle AS (
+              SELECT * FROM me UNION ALL SELECT * FROM ce
+              UNION ALL SELECT * FROM sa
+            )
+            SELECT md5(src || '|' || edge_type || '|' || dst) AS id,
+                   src, edge_type, dst
+            FROM alle ORDER BY id, src
+        """,
+        "kg_entity_adjacency": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            men AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS m
+              FROM t
+            )
+            SELECT m AS surface_norm,
+                   count(*) AS degree,
+                   array_to_string(
+                     (list_sort(list('turn:' || conv_id || '#' || turn_idx)))[1:8],
+                     ','
+                   ) AS adj_turns
+            FROM men GROUP BY m ORDER BY surface_norm
+        """,
+        "g_neighbors_spark": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL})
+            SELECT DISTINCT 'entity:spark' AS entity_id,
+                   'turn:' || conv_id || '#' || turn_idx AS turn_id,
+                   'MENTIONS' AS edge_type
+            FROM (
+              SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS m
+              FROM t
+            ) WHERE m = 'spark'
+            ORDER BY turn_id
+        """,
+        "g_k_hop_spark": f"""
+            WITH RECURSIVE t AS ({_DOC_TRANSCRIPTS_SQL}),
+            e AS (
+              SELECT DISTINCT 'turn:' || conv_id || '#' || turn_idx AS src,
+                     'entity:' || m AS dst
+              FROM (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(lower(text), '{gaz}')) AS m
+                FROM t
+              )
+            ),
+            sym AS (
+              SELECT src AS u, dst AS v FROM e
+              UNION SELECT dst, src FROM e
+            ),
+            bfs(id, depth) AS (
+              SELECT 'entity:spark', 0
+              UNION
+              SELECT s.v, b.depth + 1
+              FROM bfs b JOIN sym s ON s.u = b.id WHERE b.depth < 2
+            )
+            SELECT id, CAST(min(depth) AS int) AS depth
+            FROM bfs GROUP BY id ORDER BY id
+        """,
+        "g_cc_dupgroups": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+            sym AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            )
+            SELECT u AS node, least(u, min(v)) AS component
+            FROM reach GROUP BY u ORDER BY node
+        """,
+        "s_name_case_rank": """
+            SELECT id, tier FROM (
+              SELECT CAST(doc_id AS varchar) AS id, source AS name,
+                     CASE WHEN source = 'src1' THEN 1
+                          WHEN starts_with(source, 'src1') THEN 2
+                          ELSE 3 END AS tier
+              FROM documents
+              WHERE contains(source, 'src1')
+            ) ORDER BY tier, length(name), id LIMIT 12
+        """,
+        "s_metadata_daterange": """
+            SELECT CAST(event_id AS varchar) AS id,
+                   event_type AS source_text,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts
+            FROM events
+            WHERE contains(event_type, 'click')
+              AND strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+                  BETWEEN '2024-01-10T00:00:00Z' AND '2024-01-12T00:00:00Z'
+            ORDER BY id LIMIT 100
         """,
         # d_simhash_pairs / e_ann_lsh_topk / kg_full_pipeline: no SQL oracle
         # (approximate or non-SQL-expressible) → rows-only checks.

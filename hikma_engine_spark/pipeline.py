@@ -353,7 +353,9 @@ class Pipeline:
             )
             glob = (
                 materialize.conversation_nodes(self._read("conversations"))
-                .unionByName(materialize.entity_nodes(links_df, embed=True))
+                .unionByName(
+                    materialize.entity_nodes(links_df, mentions, embed=True)
+                )
                 .unionByName(materialize.tool_nodes(edges_df))
                 .withColumn("bucket", bcol)
                 .repartition(min(self.n_buckets, 8), "bucket")
@@ -751,10 +753,13 @@ class Pipeline:
         ).filter(F.col("node_type").isin(list(_PER_CONV_NODE_TYPES))).withColumn(
             "bucket", bcol
         )
+        # NOTE: the FULL merged mentions feed the global build — entity
+        # nodes carry adjacency aggregates (A7) over the whole corpus;
+        # the per-conv branches are pruned away by the node_type filter
         n_global = materialize.build_nodes(
             t_changed.limit(0),
             self._read("conversations_incr"),
-            mentions.drop("bucket").limit(0),
+            mentions.drop("bucket"),
             self._read("edges"),
             links_new,
         ).filter(F.col("node_type").isin(list(_GLOBAL_NODE_TYPES))).withColumn(

@@ -69,8 +69,13 @@ def metadata_search(
     conv_id: str | None = None,
     name_like: str | None = None,
     prop_equals: dict[str, str] | None = None,
+    date_range: tuple[str, str] | None = None,
     limit: int = 100,
 ) -> DataFrame:
+    """Metadata filters incl. the reference's dateRange BETWEEN
+    (src/modules/search-service.ts:343-355): ``date_range`` bounds the
+    node's ISO-8601 ``properties['ts']`` inclusively (lexicographic
+    compare is chronological for zulu ISO strings)."""
     df = nodes
     if node_types:
         df = df.filter(F.col("node_type").isin(node_types))
@@ -80,24 +85,74 @@ def metadata_search(
         df = df.filter(F.lower(F.col("source_text")).contains(name_like.lower()))
     for key, val in (prop_equals or {}).items():
         df = df.filter(F.col("properties")[key] == val)
+    if date_range:
+        lo, hi = date_range
+        ts = F.col("properties")["ts"]
+        df = df.filter(ts.isNotNull() & ts.between(lo, hi))
     return _strip(df.orderBy("id").limit(limit))
+
+
+def name_search(nodes: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """CASE-tier name ranking (T4; reference: searchFilesByName
+    ORDER BY CASE WHEN name LIKE ? THEN 1 WHEN path LIKE ? THEN 2
+    ELSE 3 END, src/modules/search-service.ts:881-916): tier 1 exact
+    name, tier 2 prefix, tier 3 substring — then shortest name first."""
+    q = query.lower()
+    name = F.lower(F.col("source_text"))
+    tier = (
+        F.when(name == q, 1)
+        .when(name.startswith(q), 2)
+        .otherwise(3)
+    )
+    return _strip(
+        nodes.filter(name.contains(q))
+        .withColumn("tier", tier)
+        .orderBy(F.asc("tier"), F.length("source_text").asc(), F.asc("id"))
+        .limit(k)
+    )
+
+
+def temporal_score(ts_col: F.Column, now_iso: str) -> F.Column:
+    """Recency boost in [0, 1]: 1 / (1 + age_days). Deterministic —
+    ``now_iso`` is driver-stamped, never current_timestamp() (reference
+    semantics: temporal dimension boosts recent results,
+    src/api/controllers/search-controller.ts:552-576, 798-800)."""
+    age_sec = F.unix_timestamp(F.to_timestamp(F.lit(now_iso))) - F.unix_timestamp(
+        F.try_to_timestamp(ts_col)
+    )
+    age_days = F.greatest(age_sec / F.lit(86400.0), F.lit(0.0))
+    return F.when(ts_col.isNotNull(), 1.0 / (1.0 + age_days)).otherwise(F.lit(0.0))
 
 
 def hybrid_search(
     nodes: DataFrame,
     query: str,
     k: int = 10,
-    weights: tuple[float, float] = (0.7, 0.3),
+    weights: tuple[float, float, float] = (0.4, 0.3, 0.3),
     node_types: list[str] | None = None,
+    now_iso: str | None = None,
 ) -> DataFrame:
-    """Weighted semantic + text union, best-wins dedup per node id."""
+    """Weighted semantic + text + TEMPORAL union, best-wins dedup per
+    node id. Weights mirror the reference's normalized
+    {semantic: 0.4, structural: 0.3, temporal: 0.3}
+    (search-controller.ts:552-576); weights are re-normalized so
+    callers may pass any non-negative mix (0 temporal = round-1
+    behavior)."""
+    total = sum(weights) or 1.0
+    w_sem, w_txt, w_tmp = (w / total for w in weights)
+    if now_iso is None:
+        # deterministic default: a fixed far-future anchor would flatten
+        # the signal; derive from the corpus max ts (one tiny agg job)
+        row = nodes.agg(F.max(F.col("properties")["ts"]).alias("m")).first()
+        now_iso = row["m"] or "1970-01-01T00:00:00Z"
+    tmp = temporal_score(F.col("properties")["ts"], now_iso)
     sem = semantic_search(nodes, query, k=k * 3, node_types=node_types).withColumn(
-        "score", F.col("similarity") * weights[0]
+        "score", F.col("similarity") * w_sem + tmp * w_tmp
     )
     txt = (
         text_search(nodes, query, k=k * 3)
         .withColumn("similarity", F.lit(None).cast("double"))
-        .withColumn("score", F.lit(weights[1]))
+        .withColumn("score", F.lit(w_txt) + tmp * w_tmp)
         .withColumn("rank", F.lit(None).cast("int"))
     )
     both = sem.unionByName(txt.select(*sem.columns))
@@ -119,30 +174,39 @@ def comprehensive_search(
     nodes: DataFrame,
     query: str,
     k: int = 20,
-    quotas: tuple[float, float, float] = (0.5, 0.3, 0.2),
+    quotas: tuple[float, float, float, float] = (0.4, 0.3, 0.2, 0.1),
 ) -> DataFrame:
-    """Union of heterogeneous strategies under per-source quotas
-    (reference: comprehensiveSearch 40/30/20/10% quotas,
-    src/modules/search-service.ts:692-779, + weighted rank
-    rankComprehensiveResults :948-982: source weight, then score, then
+    """Union of FOUR heterogeneous strategies under per-source quotas
+    (reference: comprehensiveSearch semantic/text/metadata/file-name at
+    40/30/20/10%, src/modules/search-service.ts:692-779, 874-916, +
+    weighted rank rankComprehensiveResults :948-982: source weight
+    semantic 4 > text 3 > metadata 2 > name 1, then score, then
     exact-name match), first-wins dedup by id (T7)."""
     n_sem = max(int(k * quotas[0]), 1)
     n_txt = max(int(k * quotas[1]), 1)
     n_meta = max(int(k * quotas[2]), 1)
+    n_name = max(int(k * quotas[3]), 1)
     sem = semantic_search(nodes, query, k=n_sem).select(
         "id", "node_type", "source_text", F.col("similarity").alias("score"),
-        F.lit(3).alias("source_weight"),
+        F.lit(4).alias("source_weight"),
     )
     txt = text_search(nodes, query, k=n_txt).select(
         "id", "node_type", "source_text", F.lit(0.0).alias("score"),
-        F.lit(2).alias("source_weight"),
+        F.lit(3).alias("source_weight"),
     )
     meta = metadata_search(nodes, name_like=query, limit=n_meta).select(
         "id", "node_type", "source_text", F.lit(0.0).alias("score"),
+        F.lit(2).alias("source_weight"),
+    )
+    nm = name_search(nodes, query, k=n_name).select(
+        "id", "node_type", "source_text",
+        # tier 1 → 1.0, tier 2 → 0.5, tier 3 → 0.33 (CASE-rank carried
+        # into the score so exact name matches surface first in-source)
+        (F.lit(1.0) / F.col("tier")).alias("score"),
         F.lit(1).alias("source_weight"),
     )
     exact = F.when(F.lower(F.col("source_text")) == query.lower(), 1).otherwise(0)
-    out = sem.unionByName(txt).unionByName(meta)
+    out = sem.unionByName(txt).unionByName(meta).unionByName(nm)
     w_dedup = Window.partitionBy("id").orderBy(
         F.desc("source_weight"), F.desc("score"), F.asc("node_type")
     )

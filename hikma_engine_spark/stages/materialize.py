@@ -77,6 +77,16 @@ def conversation_nodes(conversations: DataFrame) -> DataFrame:
     )
 
 
+def _doc_excerpt() -> F.Column:
+    """E4 analog (extractJSDoc, src/modules/enhanced-ast-parser.ts:631-637
+    — pull the leading doc comment of a node): a turn's 'docstring' is
+    its leading markdown heading, else its first double-quoted span.
+    Pure regexp_extract; empty string when neither is present."""
+    heading = F.regexp_extract(F.col("text"), r"^#{1,6}[ \t]+([^\n]{1,200})", 1)
+    quoted = F.regexp_extract(F.col("text"), r'"([^"\n]{1,200})"', 1)
+    return F.when(heading != "", heading).otherwise(quoted)
+
+
 def turn_nodes(transcripts: DataFrame, embed: bool = True) -> DataFrame:
     """``embed=False`` defers the embedding UDF (apply_embeddings) so a
     downstream repartition shuffles compact text rows, not vectors."""
@@ -89,6 +99,7 @@ def turn_nodes(transcripts: DataFrame, embed: bool = True) -> DataFrame:
             F.lit("role"), F.coalesce(F.col("role"), F.lit("")),
             F.lit("tool"), F.coalesce(F.col("tool"), F.lit("")),
             F.lit("ts"), F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("doc"), F.coalesce(_doc_excerpt(), F.lit("")),
         ).alias("properties"),
         F.col("conv_id"),
         F.col("turn_idx"),
@@ -237,7 +248,7 @@ def build_nodes(
         conversation_nodes(conversations),
         turn_nodes(transcripts, embed=embed),
         mention_nodes(mentions, links),
-        entity_nodes(links, embed=embed),
+        entity_nodes(links, mentions, embed=embed),
         tool_nodes(edges),
     ]
     out = parts[0]

@@ -128,3 +128,67 @@ def test_incremental_noop_when_unchanged(spark, corpus_path, tmp_path):
     res = p.run_incremental()
     assert res.phase_stats["discover"]["changed_convs"] == 0
     assert _digest(p.nodes()) == before_nodes
+
+
+def test_incremental_handles_deletions(spark, corpus_pdf, corpus_path, tmp_path):
+    """Deleted conversations leave no orphan nodes/edges: the changed
+    set is a FULL OUTER diff, so removal == full rebuild byte-for-byte
+    (round-1 advice: left-join change detection missed deletions)."""
+    convs = sorted(corpus_pdf.conv_id.unique())
+    deleted = convs[2]
+    v2 = corpus_pdf[corpus_pdf.conv_id != deleted].reset_index(drop=True)
+    v2_path = str(tmp_path / "v2_del.parquet")
+    v2.to_parquet(
+        v2_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    full_out = str(tmp_path / "full_del")
+    p_full = Pipeline(spark, v2_path, full_out, run_id="full-del", n_buckets=64)
+    p_full.run(resume=False)
+
+    incr_out = str(tmp_path / "incr_del")
+    Pipeline(spark, corpus_path, incr_out, run_id="v1", n_buckets=64).run(resume=False)
+    p_incr = Pipeline(spark, v2_path, incr_out, run_id="v2", n_buckets=64)
+    res = p_incr.run_incremental()
+    assert res.phase_stats["discover"]["changed_convs"] == 1
+
+    assert p_incr.nodes().filter(F.col("conv_id") == deleted).count() == 0
+    assert p_incr.edges().filter(F.col("conv_id") == deleted).count() == 0
+    assert _digest(p_incr.nodes()) == _digest(p_full.nodes())
+    assert _digest(p_incr.edges()) == _digest(p_full.edges())
+
+
+def test_incremental_never_collects_unbounded_tables(
+    spark, corpus_pdf, corpus_path, tmp_path, monkeypatch
+):
+    """Scale guard: every driver collect() during run_incremental must
+    be bounded — bucket-id lists (≤ n_buckets) or the build_links
+    driver-twin surface list (≤ threshold+1). A regression that
+    re-introduces a full links/mentions/changed-set collect trips the
+    row bound."""
+    # patch the RUNTIME DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; live objects are classic.dataframe)
+    df_cls = type(spark.range(1))
+
+    out = str(tmp_path / "spy")
+    Pipeline(spark, corpus_path, out, run_id="v1", n_buckets=64).run(resume=False)
+    v2_path = str(tmp_path / "spy_v2.parquet")
+    _make_v2(corpus_pdf).to_parquet(
+        v2_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    sizes: list[int] = []
+    orig = df_cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", spy)
+    p = Pipeline(spark, v2_path, out, run_id="v2", n_buckets=64)
+    p.run_incremental()
+    monkeypatch.setattr(df_cls, "collect", orig)
+    assert sizes, "expected some bounded collects (bucket lists)"
+    bound = 2_001  # build_links driver threshold + 1
+    assert max(sizes) <= bound, f"unbounded driver collect: {sizes}"

@@ -172,3 +172,55 @@ def test_multimodal_stub_raises_without_codec(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.extract_features(df, decode_stub=False).collect()
+
+
+def test_jaccard_prefix_equals_naive(spark):
+    """The prefix-filtered PPJoin path must return exactly the naive
+    co-shingle join's pairs on a corpus with hot shingles and varied
+    lengths (exactness of the bounded hot-dim global order)."""
+    import random
+
+    random.seed(9)
+    vocab_words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n_words = random.randint(5, 40)
+        words = [random.choice(vocab_words) for _ in range(n_words)]
+        rows.append((i, " ".join(words)))
+        if i % 7 == 0:  # near dups: append a copy with one edit
+            dup = list(words)
+            dup[len(dup) // 2] = random.choice(vocab_words)
+            rows.append((1000 + i, " ".join(dup)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for threshold in (0.5, 0.8):
+        fast = {
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=threshold
+            ).collect()
+        }
+        naive = {
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in dedup._ngram_jaccard_pairs_naive(
+                df, "doc_id", "text", 3, threshold
+            ).collect()
+        }
+        assert fast == naive
+        assert fast  # non-trivial: some pairs exist
+
+
+def test_all_pairs_cosine_blocked_equals_broadcast(spark, vectors):
+    """Distributed block-pair GEMM == broadcast GEMM, forced above the
+    broadcast comfort zone (broadcast_limit=0, many small blocks)."""
+    bc = sorted(
+        map(tuple, similarity_search.all_pairs_cosine(vectors, 0.5).collect())
+    )
+    bl = sorted(
+        map(
+            tuple,
+            similarity_search.all_pairs_cosine(
+                vectors, 0.5, broadcast_limit=0, block_size=3
+            ).collect(),
+        )
+    )
+    assert bc == bl and bc

@@ -90,3 +90,104 @@ def test_find_similar(spark, pipeline_out):
     assert "entity:postgresql" not in set(res.id)
     # alias surfaces embed over near-identical text → should rank high
     assert res.iloc[0].similarity > 0.0
+
+
+def test_name_search_case_tiers(spark, pipeline_out):
+    """T4 CASE ranking: exact name < prefix < substring tiers."""
+    nodes = pipeline_out.nodes()
+    res = search.name_search(nodes, "postgres", k=20).toPandas()
+    assert len(res) > 0
+    assert res.tier.is_monotonic_increasing
+    exact = res[res.tier == 1]
+    assert (exact.source_text.str.lower() == "postgres").all()
+    pref = res[res.tier == 2]
+    assert pref.source_text.str.lower().str.startswith("postgres").all()
+
+
+def test_metadata_search_date_range(spark, pipeline_out):
+    nodes = pipeline_out.nodes()
+    all_ts = sorted(
+        p["ts"]
+        for p in nodes.filter("node_type = 'Turn'").select("properties").toPandas().properties
+        if p.get("ts")
+    )
+    lo, hi = all_ts[0], all_ts[len(all_ts) // 2]
+    res = search.metadata_search(
+        nodes, node_types=["Turn"], date_range=(lo, hi), limit=10_000
+    ).toPandas()
+    assert len(res) > 0
+    assert all(lo <= p["ts"] <= hi for p in res.properties)
+    # outside-range rows are excluded
+    n_in_range = sum(1 for t in all_ts if lo <= t <= hi)
+    assert len(res) == n_in_range
+
+
+def test_hybrid_search_temporal_boost(spark, pipeline_out):
+    """Identical-text nodes differing only in ts: with a temporal
+    weight the newest must rank first; with temporal weight 0 the tie
+    is broken by id (round-1 behavior)."""
+    rows = [
+        (
+            f"turn:tconv#{i}",
+            "Turn",
+            "tconv",
+            "we should benchmark postgresql here",
+            None,
+            {"ts": f"2025-01-0{i + 1}T00:00:00Z", "role": "user"},
+        )
+        for i in range(5)
+    ]
+    nodes = spark.createDataFrame(
+        rows,
+        "id string, node_type string, conv_id string, source_text string, "
+        "embedding array<float>, properties map<string,string>",
+    )
+    res = search.hybrid_search(
+        nodes, "postgresql", k=5, weights=(0.0, 0.2, 0.8)
+    ).toPandas()
+    ts = [p["ts"] for p in res.properties]
+    assert ts == sorted(ts, reverse=True)  # newest first
+    res0 = search.hybrid_search(
+        nodes, "postgresql", k=5, weights=(0.0, 1.0, 0.0)
+    ).toPandas()
+    assert list(res0.id) == sorted(res0.id)  # ts ignored, id tie-break
+
+
+def test_comprehensive_search_has_name_source(spark, pipeline_out):
+    """4th source (file-name analog) contributes rows with weight 1."""
+    nodes = pipeline_out.nodes()
+    res = search.comprehensive_search(nodes, "postgres", k=40).toPandas()
+    assert set(res.source_weight) >= {4, 1} or set(res.source_weight) >= {4, 2}
+    assert res.source_weight.is_monotonic_decreasing
+
+
+def test_query_cache_ttl():
+    from hikma_engine_spark.query.cache import QueryCache
+
+    clock = {"t": 0.0}
+    calls = {"n": 0}
+
+    class FakeDF:  # duck-typed: cache layer only needs persist/unpersist
+        def persist(self):
+            return self
+
+        def unpersist(self):
+            return self
+
+    def compute():
+        calls["n"] += 1
+        return FakeDF()
+
+    qc = QueryCache(ttl_sec=10.0, max_entries=2, clock=lambda: clock["t"])
+    _df, cached = qc.get_or_compute("semantic", "q1", compute)
+    assert not cached and calls["n"] == 1
+    _df, cached = qc.get_or_compute("semantic", "q1", compute)
+    assert cached and calls["n"] == 1  # hit within TTL
+    clock["t"] = 11.0
+    _df, cached = qc.get_or_compute("semantic", "q1", compute)
+    assert not cached and calls["n"] == 2  # expired
+    # filters distinguish keys; eviction bounds entries
+    qc.get_or_compute("semantic", "q1", compute, filters={"type": "Turn"})
+    qc.get_or_compute("semantic", "q2", compute)
+    assert len(qc._store) <= 2
+    assert qc.hits == 1 and qc.misses == 4

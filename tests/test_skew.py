@@ -51,3 +51,33 @@ def test_salt_is_deterministic(spark):
     s2 = [r[0] for r in df.select(skew.salt_col(16, "k", "v")).collect()]
     assert s1 == s2
     assert all(0 <= s < 16 for s in s1)
+
+
+def test_salted_topn_collect_equals_plain(spark):
+    """Capped adjacency via salted two-phase == plain groupBy top-n,
+    including a pathological hot key (1 key owning 80% of rows)."""
+    import random
+
+    from hikma_engine_spark.operators.skew import salted_topn_collect
+
+    random.seed(3)
+    rows = [("hot", f"item{i:05d}") for i in range(4000)] + [
+        (f"k{random.randint(0, 50)}", f"item{i:05d}") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "item"])
+    got = {
+        r["k"]: (r["degree"], tuple(r["items"]))
+        for r in salted_topn_collect(
+            df, ["k"], "item", n=5, n_salt=8, salt_source=["item"]
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["degree"], tuple(r["items"]))
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("degree"),
+            F.slice(F.sort_array(F.collect_list("item")), 1, 5).alias("items"),
+        )
+        .collect()
+    }
+    assert got == want
