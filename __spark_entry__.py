@@ -362,6 +362,103 @@ def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup operators over documents
 # ---------------------------------------------------------------------------
 
+def d_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified train/val/test assignment (the
+    standard training-data split: content-hashed, reproducible across
+    engines — first md5 hex digit buckets ~81/6/13%)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(bucket.isin(*list("0123456789abc")), "train")
+        .when(bucket == "d", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def d_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition score: most-frequent-token share of all
+    tokens (boilerplate/template detector for training-data cleaning)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("t"),
+    )
+    per_tok = toks.groupBy("doc_id", "t").agg(F.count("*").alias("n"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.max("n").cast("long").alias("max_tok"),
+            F.round(F.max("n") / F.sum("n"), 4).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def d_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII-pattern scan (emails / URLs / long digit runs)
+    — the redaction-pass pre-screen of a training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    def n_matches(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+    per = d.select(
+        n_matches(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("emails"),
+        n_matches(r"https?://[^\s]+").alias("urls"),
+        n_matches(r"[0-9]{3,}").alias("digit_runs"),
+    )
+    return per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("emails") > 0, 1).otherwise(0)).cast("long").alias("docs_with_email"),
+        F.sum(F.when(F.col("urls") > 0, 1).otherwise(0)).cast("long").alias("docs_with_url"),
+        F.sum("digit_runs").cast("long").alias("total_digit_runs"),
+    )
+
+
+def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES: running sum + 3-row moving average per user
+    (ROWS BETWEEN — beyond the reference's rank-only window usage)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_sum"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("mov3_avg"),
+    ).orderBy("user_id", "event_id")
+
+
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers who ordered in 1997 but not 1998
+    (EXCEPT) and in both years (INTERSECT), tagged and unioned."""
+    o = _t(spark, sf_dir, "orders")
+    def year(y: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{int(y) + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+    c97, c98 = year("1997"), year("1998")
+    only97 = c97.exceptAll(c98).select("o_custkey", F.lit("only_1997").alias("tag"))
+    both = c97.intersect(c98).select("o_custkey", F.lit("both").alias("tag"))
+    return only97.unionByName(both).orderBy("tag", "o_custkey")
+
+
 def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -698,6 +795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rollup_orders": a_rollup_orders,
         "a_value_percentiles": a_value_percentiles,
         "a_pivot_status_by_priority": a_pivot_status_by_priority,
+        "d_train_val_test_split": d_train_val_test_split,
+        "d_repetition": d_repetition,
+        "d_pii_scan": d_pii_scan,
+        "w_running_agg": w_running_agg,
+        "set_except_customers": set_except_customers,
         "d_token_stats": d_token_stats,
         "d_fingerprint_dups": d_fingerprint_dups,
         "d_lang_guess": d_lang_guess,
@@ -910,6 +1012,78 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 2) AS vmin,
                    round(max(value), 2) AS vmax
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "d_train_val_test_split": """
+            SELECT split, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS bigint) AS total_chars
+            FROM (
+              SELECT CASE
+                       WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'c' THEN 'train'
+                       WHEN substr(md5(text), 1, 1) = 'd' THEN 'val'
+                       ELSE 'test' END AS split,
+                     n_chars
+              FROM documents
+            ) GROUP BY split ORDER BY split
+        """,
+        "d_repetition": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+              FROM documents
+            ),
+            c AS (SELECT doc_id, t, count(*) AS n FROM tk GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(n) AS bigint) AS n_tokens,
+                   CAST(max(n) AS bigint) AS max_tok,
+                   round(max(n)::double / sum(n), 4) AS rep_ratio
+            FROM c GROUP BY doc_id ORDER BY doc_id
+        """,
+        "d_pii_scan": """
+            WITH per AS (
+              SELECT
+                len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS emails,
+                len(regexp_extract_all(text, 'https?://[^\\s]+')) AS urls,
+                len(regexp_extract_all(text, '[0-9]{3,}')) AS digit_runs
+              FROM documents
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN emails > 0 THEN 1 ELSE 0 END) AS bigint)
+                     AS docs_with_email,
+                   CAST(sum(CASE WHEN urls > 0 THEN 1 ELSE 0 END) AS bigint)
+                     AS docs_with_url,
+                   CAST(sum(digit_runs) AS bigint) AS total_digit_runs
+            FROM per
+        """,
+        "w_running_agg": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                     AS running_sum,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                     AS mov3_avg
+            FROM events ORDER BY user_id, event_id
+        """,
+        "set_except_customers": """
+            WITH c97 AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            ),
+            c98 AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+            )
+            SELECT o_custkey, 'only_1997' AS tag
+            FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+            UNION ALL
+            SELECT o_custkey, 'both' AS tag
+            FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98)
+            ORDER BY tag, o_custkey
         """,
         "d_token_stats": """
             SELECT doc_id,

@@ -100,3 +100,29 @@ def test_state_rows_and_metrics(pipeline_out):
     # per-partition lineage manifest present
     assert mat["stats"]["nodes"]["per_partition"]
     assert all(r["watermark"] for r in completed)
+
+
+def test_turn_doc_excerpt_property(spark):
+    """E4 analog: leading markdown heading, else first quoted span,
+    else empty (reference: extractJSDoc leading-comment extraction)."""
+    import pandas as pd
+
+    from hikma_engine_spark.stages import materialize
+
+    rows = [
+        ("c1", 0, "user", "# Release plan\nrest of turn", None, "2025-01-01T00:00:00"),
+        ("c1", 1, "user", 'He said "ship it" twice', None, "2025-01-01T00:00:01"),
+        ("c1", 2, "user", "## sub heading here", None, "2025-01-01T00:00:02"),
+        ("c1", 3, "user", "no doc here", None, "2025-01-01T00:00:03"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    docs = {
+        r["turn_idx"]: r["properties"]["doc"]
+        for r in materialize.turn_nodes(spark.createDataFrame(pdf), embed=False)
+        .select("turn_idx", "properties")
+        .collect()
+    }
+    assert docs == {0: "Release plan", 1: "ship it", 2: "sub heading here", 3: ""}

@@ -45,3 +45,38 @@ def test_semantic_search_no_shuffle_before_topk(spark, pipeline_out):
     res = search.semantic_search(pipeline_out.nodes(), "postgresql", k=5)
     plan = inspect.physical_plan(res, "simple")
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key co-locates the join: the
+    SortMergeJoin runs with ZERO Exchange operators (the cluster-scale
+    strategy for repeated big-big joins — SURVEY §4: bucketing replaces
+    the reference's B-tree indexes)."""
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS v1")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS v2")
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        assert inspect.shuffle_count(joined) == 0
+        assert joined.count() == 10_000
+        # control: the same join over UNBUCKETED parquet shuffles both sides
+        left.write.mode("overwrite").parquet(str(tmp_path / "plain_l"))
+        right.write.mode("overwrite").parquet(str(tmp_path / "plain_r"))
+        plain = spark.read.parquet(str(tmp_path / "plain_l")).join(
+            spark.read.parquet(str(tmp_path / "plain_r")), "k"
+        )
+        assert inspect.shuffle_count(plain) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_left", "bkt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
