@@ -1,19 +1,27 @@
-"""Multimodal column plumbing: binary payloads + typed metadata.
+"""Multimodal columns: binary payloads + typed metadata, decoded and
+featurized inside Arrow-batched ``mapInPandas``.
 
 Image/audio/video ride as opaque ``binary`` columns with a typed
-metadata struct. The Spark-side plumbing (schemas, batch shapes,
-mapInPandas signatures, partitioning) is real and tested; the actual
-codec work is STUBBED — the decode libs (PIL/ffmpeg/librosa) are not in
-this container. ``decode_stub=True`` substitutes a deterministic fake
-(features derived from the payload hash) so the distributed plumbing
-can be exercised end-to-end; ``decode_stub=False`` raises
-NotImplementedError at the decode boundary, marking exactly where a
-real codec plugs in.
+metadata struct. Decode is REAL for the container formats the Python
+stdlib + numpy can parse — PPM/PGM images (P2/P3/P5/P6) and PCM WAV
+audio — and STUBBED only at the true codec boundary (JPEG/PNG/MP3/MP4
+need PIL/ffmpeg, which are not in this image): ``decode_stub=True``
+substitutes a deterministic payload-hash feature for codec formats so
+the distributed plumbing can run end-to-end; ``decode_stub=False``
+raises NotImplementedError there. Corrupt payloads of a KNOWN format
+yield a NULL feature (quarantine-friendly) instead of failing the task.
+
+Feature spec (deterministic, 16-dim float32):
+  image: 4x4 block-mean luminance grid, [0, 1]
+  audio: [rms, zero-crossing-rate, 14 spectral band energies (|rFFT|
+         band means, L1-normalized)]
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,12 +49,132 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = "media_id string, kind string, feature array<float>, n_bytes int"
+FEATURE_SCHEMA = (
+    "media_id string, kind string, codec string, feature array<float>, n_bytes int"
+)
+
+FEATURE_DIM = 16
 
 
-def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
-    """Deterministic stand-in for a real decoder+featurizer: dim floats
-    derived from the payload digest (NOT a real image feature)."""
+# ---------------------------------------------------------------------------
+# real decoders (stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+def sniff_codec(payload: bytes | None) -> str:
+    """Magic-byte container sniffing (never trust the metadata mime)."""
+    if not payload:
+        return "empty"
+    if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return "pnm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """PPM/PGM → (h, w, channels) uint8 array. Raises ValueError on a
+    malformed payload (caller quarantines)."""
+    tokens: list[bytes] = []
+    pos = 0
+    # header: magic, width, height, maxval (comments allowed)
+    while len(tokens) < 4 and pos < len(payload):
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            break
+        tokens.append(payload[start:pos])
+    if len(tokens) < 4:
+        raise ValueError("truncated PNM header")
+    magic = tokens[0]
+    try:
+        w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    except ValueError as exc:
+        raise ValueError("non-numeric PNM header") from exc
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
+        raise ValueError("bad PNM dimensions")
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    n_vals = w * h * channels
+    if magic in (b"P5", b"P6"):
+        body = payload[pos + 1 : pos + 1 + n_vals]  # one whitespace after maxval
+        if len(body) < n_vals:
+            raise ValueError("truncated PNM body")
+        arr = np.frombuffer(body, dtype=np.uint8, count=n_vals)
+    elif magic in (b"P2", b"P3"):
+        vals = payload[pos:].split()
+        if len(vals) < n_vals:
+            raise ValueError("truncated ASCII PNM body")
+        arr = np.array(vals[:n_vals], dtype=np.int64).astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported PNM magic {magic!r}")
+    return arr.reshape(h, w, channels)
+
+
+def image_features(img: np.ndarray, grid: int = 4) -> list[float]:
+    """4x4 block-mean luminance grid in [0, 1] — a deterministic
+    'thumbnail embedding' (the resize/downsample op of an image
+    pipeline, done as pure numpy block means)."""
+    lum = img.astype(np.float64).mean(axis=2)  # luminance = channel mean
+    h, w = lum.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    out = np.zeros((grid, grid))
+    for i in range(grid):
+        for j in range(grid):
+            block = lum[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.mean() if block.size else 0.0
+    return (out / 255.0).astype(np.float32).ravel().tolist()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (mono float64 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        n, width, rate, ch = (
+            wf.getnframes(), wf.getsampwidth(), wf.getframerate(), wf.getnchannels(),
+        )
+        raw = wf.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        samples = samples[: (len(samples) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return samples, rate
+
+
+def audio_features(samples: np.ndarray, n_bands: int = FEATURE_DIM - 2) -> list[float]:
+    """[rms, zero-crossing rate, n_bands L1-normalized |rFFT| band means]."""
+    if len(samples) == 0:
+        return [0.0] * (n_bands + 2)
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(samples))
+    bands = np.array_split(spec, n_bands)
+    energy = np.array([b.mean() if b.size else 0.0 for b in bands])
+    total = energy.sum()
+    if total > 0:
+        energy = energy / total
+    return [np.float32(rms), np.float32(zcr), *energy.astype(np.float32).tolist()]
+
+
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for codec formats under decode_stub=True:
+    dim floats derived from the payload digest (NOT a real feature)."""
     if payload is None:
         return [0.0] * dim
     d = hashlib.sha256(payload).digest()
@@ -54,24 +182,46 @@ def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
     return (arr.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32).tolist()
 
 
-def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """mapInPandas featurizer: (media rows) → (media_id, feature).
+def _featurize_one(payload: bytes | None, decode_stub: bool) -> tuple[str, list | None]:
+    codec = sniff_codec(payload)
+    try:
+        if codec == "pnm":
+            return codec, image_features(decode_pnm(payload))
+        if codec == "wav":
+            samples, _rate = decode_wav(payload)
+            return codec, audio_features(samples)
+    except (ValueError, wave.Error, EOFError):
+        return codec, None  # corrupt known-format payload → quarantine row
+    if codec == "empty":
+        return codec, [0.0] * FEATURE_DIM
+    # codec formats (jpeg/png/mp3/mp4/unknown): the true stub boundary
+    if not decode_stub:
+        raise NotImplementedError(
+            f"decoding {codec} requires PIL/ffmpeg — not in this image"
+        )
+    return codec, _fake_feature(payload)
 
-    Batch shape: Arrow batches of binary payloads; a real implementation
-    decodes per batch (vectorized) and runs the model once per batch.
+
+def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """mapInPandas featurizer: media rows → (media_id, codec, feature).
+
+    PNM images and WAV audio are REALLY decoded (stdlib+numpy); codec
+    formats hit the stub boundary. Corrupt known-format payloads yield
+    feature=NULL so one bad file never kills a 100 TB scan task.
     """
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this image"
-                )
-            feats = [_fake_feature(p) for p in pdf["payload"]]
+            codecs, feats = [], []
+            for p in pdf["payload"]:
+                codec, feat = _featurize_one(p, decode_stub)
+                codecs.append(codec)
+                feats.append(feat)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
+                    "codec": codecs,
                     "feature": feats,
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                 }
@@ -84,8 +234,8 @@ def sample_frames(
     df: DataFrame, every_ms: int = 1000, decode_stub: bool = True
 ) -> DataFrame:
     """Frame sampling plumbing for video rows: 1 row → N frame rows
-    (flatMap shape). Frame payload decode is stubbed; the row expansion,
-    schema, and timestamps are real."""
+    (flatMap shape). Video containers need ffmpeg, so frame decode is
+    stubbed; the row expansion, schema, and timestamps are real."""
     schema = "media_id string, frame_idx int, frame_ts_ms int, frame_feature array<float>"
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
