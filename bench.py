@@ -31,9 +31,11 @@ from hikma_engine_spark.pipeline import Pipeline
 from hikma_engine_spark.session import get_spark, stop_all
 
 # corpus size for the pipeline bench, scaled to the sf under test
-# (sf0.1 → ~520k turns / ~70MB text — enough parallel work that the
-# two-parallelism scaling measurement is not fixed-overhead-bound)
-N_CONVS_BY_SF = {0.001: 300, 0.01: 3000, 0.1: 30000}
+# (sf0.1 → ~346k turns / ~47MB text — enough parallel work that the
+# two-parallelism scaling measurement is not fixed-overhead-bound,
+# small enough that warmup + median-of-3 reps x two levels fits the
+# per-round bench budget)
+N_CONVS_BY_SF = {0.001: 300, 0.01: 3000, 0.1: 20000}
 SCALING_CORES = (4, 16)  # N and 4N
 
 

@@ -93,12 +93,19 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets,
         )
         res = p.run_incremental()
+        # same JSON shape as `index` (run_id / skipped / elapsed_sec /
+        # stats), plus the incremental headline fields at the top level
         print(
             json.dumps(
                 {
                     "run_id": res.run_id,
+                    "skipped": res.skipped,
                     "changed_convs": res.phase_stats["discover"]["changed_convs"],
+                    "affected_buckets": res.phase_stats["discover"].get(
+                        "affected_buckets", []
+                    ),
                     "elapsed_sec": round(res.elapsed_sec, 2),
+                    "stats": res.phase_stats,
                 },
                 default=str,
             )
