@@ -303,3 +303,31 @@ def test_multimodal_codec_boundary(spark):
     # real-format-only frame passes cleanly even with the stub off
     real_only = spark.createDataFrame([rows[1]], multimodal.MEDIA_SCHEMA)
     assert multimodal.extract_features(real_only, decode_stub=False).count() == 1
+
+
+def test_cc_distributed_natural_threshold(spark):
+    """A graph above the 200k-edge driver threshold takes the
+    large-star/small-star path via the NORMAL dispatch and matches
+    union-find — including a diameter-heavy giant component."""
+    import random
+
+    from hikma_engine_spark.operators.graph import (
+        _union_find_local,
+        connected_components,
+    )
+
+    random.seed(11)
+    pairs = [(f"c{i:06d}", f"c{i + 1:06d}") for i in range(60_000)]  # long chain
+    pairs += [
+        (f"x{random.randint(0, 40_000):06d}", f"x{random.randint(0, 40_000):06d}")
+        for _ in range(150_000)
+    ]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = spark.createDataFrame(pairs, ["src", "dst"]).repartition(8)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()  # default threshold
+    }
+    want = _union_find_local(pairs)
+    assert len(got) == len(want)
+    assert all(got[n] == want[n] for n in want)
