@@ -54,6 +54,19 @@ def main(argv: list[str] | None = None) -> int:
     p_inc.add_argument("--out", required=True)
     p_inc.add_argument("--run-id", default="cli-incr")
     p_inc.add_argument("--buckets", type=int, default=64)
+    p_inc.add_argument(
+        "--delta",
+        default=None,
+        help="parquet of the changed/added conversations' FULL row sets "
+        "(O(delta) change detection — the snapshot-range read analog); "
+        "without it the full input is rescanned and content-hash-diffed",
+    )
+    p_inc.add_argument(
+        "--deleted",
+        nargs="*",
+        default=[],
+        help="conv_ids removed from the corpus (delta mode only)",
+    )
 
     p_q = sub.add_parser("search", help="semantic search over the built KG")
     p_q.add_argument("--out", required=True)
@@ -92,7 +105,9 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.transcripts, args.out, run_id=args.run_id,
             n_buckets=args.buckets,
         )
-        res = p.run_incremental()
+        res = p.run_incremental(
+            delta_path=args.delta, deleted_conv_ids=tuple(args.deleted)
+        )
         # same JSON shape as `index` (run_id / skipped / elapsed_sec /
         # stats), plus the incremental headline fields at the top level
         print(

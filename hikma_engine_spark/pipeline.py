@@ -228,13 +228,13 @@ class Pipeline:
     def _read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
 
-    def _input_watermark(self) -> str:
+    def _input_watermark(self, path: str | None = None) -> str:
         """Cheap input-change signal (analog of last_indexed_commit,
         src/persistence/db/connection.ts:262-287): max mtime across the
         input's files — directories of parquet parts included. Content
         hashes (the strong signal) drive run_incremental; this guards
         run(resume=True) against silently serving stale outputs."""
-        p = self.transcripts_path
+        p = path or self.transcripts_path
         if os.path.isdir(p):
             mt = max(
                 (
@@ -485,8 +485,29 @@ class Pipeline:
         df.write.mode("overwrite").partitionBy(*self.partition_by[table]).parquet(tmp)
         return tmp
 
-    def run_incremental(self, run_id: str | None = None) -> PipelineResult:
+    def run_incremental(
+        self,
+        run_id: str | None = None,
+        delta_path: str | None = None,
+        deleted_conv_ids: tuple[str, ...] = (),
+    ) -> PipelineResult:
         """Re-index only conversations whose content changed.
+
+        Two change-detection modes:
+
+        - **content-hash** (default): rescan the full input, diff
+          per-conversation content hashes FULL OUTER against the stored
+          dim. O(input) but requires nothing from the producer.
+        - **delta-driven** (``delta_path``): the producer hands the FULL
+          new row set of every changed/added conversation (the
+          reference's changed-files re-read,
+          src/core/indexing/IndexingStrategy.ts:15-75; on Iceberg this
+          is the snapshot-range incremental read) plus an explicit
+          ``deleted_conv_ids`` list. Change detection is O(delta) — the
+          unchanged 99.99% of a 100 TB corpus is never rescanned.
+
+        Both modes produce byte-identical results to a full rebuild
+        (tested).
 
         Change detection: per-conversation content_hash from the
         discover dim (stronger than the reference's commit watermark —
@@ -539,7 +560,7 @@ class Pipeline:
         # the copy-on-write swaps below
         self.spark.catalog.clearCache()
         result = PipelineResult(run_id=rid, out_dir=self.out_dir)
-        watermark = self._input_watermark()
+        watermark = self._input_watermark(delta_path)
         started = _now()
 
         def state_row(status: str, stats: dict) -> None:
@@ -558,7 +579,12 @@ class Pipeline:
 
         state_row("running", {})
         try:
-            n_changed = self._run_incremental_body(result)
+            if delta_path is not None:
+                n_changed = self._run_incremental_delta_body(
+                    result, delta_path, deleted_conv_ids
+                )
+            else:
+                n_changed = self._run_incremental_body(result)
         except Exception:
             state_row("failed", {})
             raise
@@ -602,6 +628,65 @@ class Pipeline:
             self._swap("conversations_incr", "conversations")
             return 0
 
+        t_changed = t_all.join(
+            F.broadcast(changed) if n_changed <= 1_000_000 else changed,
+            "conv_id",
+            "left_semi",
+        )
+        return self._incremental_core(result, changed, t_changed, n_changed)
+
+    def _run_incremental_delta_body(
+        self,
+        result: PipelineResult,
+        delta_path: str,
+        deleted_conv_ids: tuple[str, ...],
+    ) -> int:
+        spark = self.spark
+        delta = spark.read.parquet(delta_path)
+        target = spark.sparkContext.defaultParallelism
+        if delta.rdd.getNumPartitions() < target:
+            delta = delta.repartition(target, "conv_id", "turn_idx")
+        deleted = spark.createDataFrame(
+            [(c,) for c in deleted_conv_ids], "conv_id string"
+        )
+        changed = (
+            delta.select("conv_id")
+            .distinct()
+            .unionByName(deleted)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_changed = changed.count()
+        # merged dim: carry untouched rows, recompute changed convs from
+        # the delta (which holds their FULL new row sets); deleted convs
+        # are dropped by the anti-join and contribute no new rows
+        new_rows = discover.conversations_dim(delta)
+        merged_dim = (
+            self._read("conversations")
+            .join(changed, "conv_id", "left_anti")
+            .unionByName(new_rows.select(*self._read("conversations").columns))
+        )
+        stats_d = self._write(merged_dim, "conversations_incr")
+        result.phase_stats["discover"] = {
+            "conversations": stats_d,
+            "changed_convs": n_changed,
+            "mode": "delta",
+        }
+        if n_changed == 0:
+            self._swap("conversations_incr", "conversations")
+            return 0
+        return self._incremental_core(result, changed, delta, n_changed)
+
+    def _incremental_core(
+        self,
+        result: PipelineResult,
+        changed: DataFrame,
+        t_changed: DataFrame,
+        n_changed: int,
+    ) -> int:
+        """Bucket-surgical rewrite shared by both change-detection
+        modes: ``changed`` = conv_id DataFrame (incl. deletions),
+        ``t_changed`` = the full transcript rows of changed convs."""
         # broadcast the changed set only when it is actually small — a
         # backfill can flip the whole corpus and a forced broadcast of
         # that would OOM the driver on a real cluster
@@ -614,7 +699,6 @@ class Pipeline:
         result.phase_stats["discover"]["affected_buckets"] = affected
 
         # --- extract only changed conversations; bucket-surgical merge ---
-        t_changed = t_all.join(changed_side, "conv_id", "left_semi")
         mentions_new = extract.extract_mentions(t_changed).withColumn("bucket", bcol)
         m_old_aff = self._read("mentions").filter(F.col("bucket").isin(affected))
         m_keep = m_old_aff.join(changed_side, "conv_id", "left_anti")
@@ -686,7 +770,7 @@ class Pipeline:
         # DEPENDS_ON-bearing rows (kind pushdown to the parquet scan —
         # no point exploding the other 99% of mentions)
         dep_triples = extract.assemble_triples(
-            t_all.limit(0),
+            t_changed.limit(0),  # schema only — the turn branch is empty
             mentions.drop("bucket").filter(F.col("kind") == "depends_on"),
         ).filter(F.col("edge_type") == "DEPENDS_ON")
         global_edges = materialize.build_edges(

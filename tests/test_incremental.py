@@ -192,3 +192,61 @@ def test_incremental_never_collects_unbounded_tables(
     assert sizes, "expected some bounded collects (bucket lists)"
     bound = 2_001  # build_links driver threshold + 1
     assert max(sizes) <= bound, f"unbounded driver collect: {sizes}"
+
+
+def test_incremental_delta_mode_matches_full_rebuild(
+    spark, corpus_pdf, corpus_path, tmp_path
+):
+    """Delta-driven incremental (the Iceberg snapshot-read emulation):
+    the producer hands only the changed conversations' full row sets +
+    an explicit deletion list; change detection is O(delta), result is
+    byte-identical to a full rebuild of the new corpus state."""
+    convs = sorted(corpus_pdf.conv_id.unique())
+    modified, deleted = convs[4], convs[7]
+
+    # v2 = v1 with `modified` gaining 2 turns, one new conv, `deleted` gone
+    extra = pd.DataFrame(
+        {
+            "conv_id": [modified, modified, "convDELTA01", "convDELTA01"],
+            "turn_idx": pd.array([7000, 7001, 0, 1], dtype="int32"),
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": [
+                "Maybe duckdb beats postgresql here?",
+                "call:profiler says redis wins.",
+                "@frank what about kafka?",
+                "kafka is fine.",
+            ],
+            "tool": pd.array([None] * 4, dtype="object"),
+            "ts": pd.to_datetime(["2025-08-01T00:00:00"] * 4),
+        }
+    )
+    v2 = pd.concat(
+        [corpus_pdf[corpus_pdf.conv_id != deleted], extra], ignore_index=True
+    )
+    v2_path = str(tmp_path / "delta_v2.parquet")
+    v2.to_parquet(
+        v2_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    # the delta: FULL new row sets of the changed/added convs ONLY
+    delta = v2[v2.conv_id.isin([modified, "convDELTA01"])].reset_index(drop=True)
+    delta_path = str(tmp_path / "delta_rows.parquet")
+    delta.to_parquet(
+        delta_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    full_out = str(tmp_path / "delta_full")
+    p_full = Pipeline(spark, v2_path, full_out, run_id="full", n_buckets=64)
+    p_full.run(resume=False)
+
+    incr_out = str(tmp_path / "delta_incr")
+    Pipeline(spark, corpus_path, incr_out, run_id="v1", n_buckets=64).run(resume=False)
+    p_incr = Pipeline(spark, v2_path, incr_out, run_id="v2", n_buckets=64)
+    res = p_incr.run_incremental(
+        delta_path=delta_path, deleted_conv_ids=(deleted,)
+    )
+    assert res.phase_stats["discover"]["mode"] == "delta"
+    assert res.phase_stats["discover"]["changed_convs"] == 3  # mod + new + del
+
+    assert p_incr.nodes().filter(F.col("conv_id") == deleted).count() == 0
+    assert _digest(p_incr.nodes()) == _digest(p_full.nodes())
+    assert _digest(p_incr.edges()) == _digest(p_full.edges())
