@@ -153,12 +153,35 @@ def run_incremental_bench(
             spark, v_path, out, run_id=f"incr-{tag}", n_buckets=64
         ).run_incremental()
         incr_sec = time.time() - t0
+
+    # third delta, DELTA-DRIVEN mode: the producer hands only the
+    # changed conversations' rows — change detection is O(delta), the
+    # full input is never rescanned/rehashed
+    touched3 = convs[step // 4 :: step]
+    base = with_delta(base, touched3, 2)
+    base.to_parquet(
+        f"{out}_v4.parquet", index=False, coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    delta = base[base.conv_id.isin(touched3)].reset_index(drop=True)
+    d_path = f"{out}_delta.parquet"
+    delta.to_parquet(
+        d_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    t0 = time.time()
+    res_d = Pipeline(
+        spark, f"{out}_v4.parquet", out, run_id="incr-delta", n_buckets=64
+    ).run_incremental(delta_path=d_path)
+    delta_sec = time.time() - t0
     stop_all()
     return {
         "changed_convs": res.phase_stats["discover"]["changed_convs"],
         "full_sec": round(full_sec, 2),
         "incremental_sec": round(incr_sec, 2),
         "speedup": round(full_sec / incr_sec, 2),
+        "delta_mode_changed": res_d.phase_stats["discover"]["changed_convs"],
+        "delta_mode_sec": round(delta_sec, 2),
+        "delta_mode_speedup": round(full_sec / delta_sec, 2),
     }
 
 

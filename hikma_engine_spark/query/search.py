@@ -224,6 +224,32 @@ def comprehensive_search(
     )
 
 
+def result_kind(col: F.Column) -> F.Column:
+    """Content-kind classification of a result's text (the transcript
+    analog of the reference's element-type signature sniffing on search
+    results, src/api/controllers/search-controller.ts:294-312: classify
+    hits by what the matched text looks like). Pure when-cascade:
+    code (fenced block) > command (call:/imperative verb) > question
+    (ends with ?) > statement."""
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return (
+        F.when(t.contains("```") | t.rlike(r"(?s)^\s{4,}\S"), "code")
+        .when(
+            t.rlike(r"(?i)^(call:|run |execute |deploy |install |restart )"),
+            "command",
+        )
+        .when(t.rlike(r"\?\s*$"), "question")
+        .when(t == "", "empty")
+        .otherwise("statement")
+    )
+
+
+def with_result_kind(results: DataFrame, text_col: str = "source_text") -> DataFrame:
+    """Attach the content-kind column to a search-result DataFrame (a
+    natural facet dimension: facets(df, columns=('result_kind',)))."""
+    return results.withColumn("result_kind", result_kind(F.col(text_col)))
+
+
 def facets(results: DataFrame, columns: tuple[str, ...] = ("node_type",)) -> dict:
     """Facet counts over a search-result DataFrame (reference: facet
     generation in the REST layer, search-controller.ts:809). One pass

@@ -191,3 +191,35 @@ def test_query_cache_ttl():
     qc.get_or_compute("semantic", "q2", compute)
     assert len(qc._store) <= 2
     assert qc.hits == 1 and qc.misses == 4
+
+
+def test_result_kind_classification(spark):
+    rows = [
+        ("a", "is postgres faster than redis?"),
+        ("b", "call:linter please"),
+        ("c", "```python\nprint(1)\n```"),
+        ("d", "the deploy finished fine."),
+        ("e", "Run the benchmark again"),
+        ("f", ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "source_text"])
+    got = {
+        r["id"]: r["result_kind"]
+        for r in search.with_result_kind(df).collect()
+    }
+    assert got == {
+        "a": "question",
+        "b": "command",
+        "c": "code",
+        "d": "statement",
+        "e": "command",
+        "f": "empty",
+    }
+
+
+def test_result_kind_facets(spark, pipeline_out):
+    res = search.with_result_kind(
+        search.semantic_search(pipeline_out.nodes(), "postgresql", k=20)
+    )
+    f = search.facets(res, columns=("result_kind",))
+    assert sum(f["result_kind"].values()) == res.count()
