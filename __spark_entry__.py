@@ -665,6 +665,31 @@ def kg_pipeline_alias_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_nodes_alias_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end NODE materialization twin (alias-map linking): the
+    Conversation/Turn/Entity rows of the node table with their
+    deterministic ids, signature hashes (md5 blocking keys, F2) and
+    post-linking canonical ids — full DuckDB value-hash oracle.
+    Mention nodes are excluded (their ids embed regex match offsets,
+    not SQL-expressible)."""
+    t = _doc_transcripts(spark, sf_dir)
+    m = _doc_mentions(spark, sf_dir)
+    links = link.alias_only_links(m, DOC_ALIASES)
+    dim = discover.conversations_dim(t)
+    nodes = (
+        materialize.conversation_nodes(dim)
+        .unionByName(materialize.turn_nodes(t))
+        .unionByName(materialize.entity_nodes(links, m))
+    )
+    return nodes.select(
+        "id",
+        "node_type",
+        "signature_hash",
+        "canonical_id",
+        F.col("embedding").isNotNull().alias("has_embedding"),
+    ).orderBy("id")
+
+
 def kg_entity_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 materialized adjacency: per entity, mention degree + the 8
     lexicographically-first mentioning turn ids, via the salted
@@ -838,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conversation_summary": kg_conversation_summary,
         "kg_top_entities": kg_top_entities,
         "kg_pipeline_alias_only": kg_pipeline_alias_only,
+        "kg_nodes_alias_only": kg_nodes_alias_only,
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
         "g_k_hop_spark": g_k_hop_spark,
@@ -1283,6 +1309,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(src || '|' || edge_type || '|' || dst) AS id,
                    src, edge_type, dst
             FROM alle ORDER BY id, src
+        """,
+        "kg_nodes_alias_only": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            men AS (
+              SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS m
+              FROM t
+            ),
+            surf AS (SELECT DISTINCT m AS name FROM men),
+            al(s, c) AS (VALUES {_SQL_ALIAS_VALUES}),
+            linked AS (
+              SELECT name, coalesce(c, name) AS canon
+              FROM surf LEFT JOIN al ON surf.name = al.s
+            ),
+            ents AS (
+              SELECT name, canon FROM linked
+              UNION SELECT canon, canon FROM linked
+            )
+            SELECT * FROM (
+              SELECT 'conv:' || conv_id AS id, 'Conversation' AS node_type,
+                     md5('Conversation:' || conv_id) AS signature_hash,
+                     'conv:' || conv_id AS canonical_id,
+                     false AS has_embedding
+              FROM (SELECT DISTINCT conv_id FROM t)
+              UNION ALL
+              SELECT 'turn:' || conv_id || '#' || turn_idx, 'Turn',
+                     md5('Turn:turn:' || conv_id || '#' || turn_idx),
+                     'turn:' || conv_id || '#' || turn_idx, true
+              FROM t
+              UNION ALL
+              SELECT 'entity:' || name, 'Entity', md5('Entity:' || name),
+                     'entity:' || canon, true
+              FROM ents
+            ) ORDER BY id
         """,
         "kg_entity_adjacency": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
