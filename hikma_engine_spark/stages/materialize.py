@@ -182,10 +182,17 @@ def entity_nodes(
     surfaces = links.select(
         F.col("surface_norm").alias("name"), F.col("canonical_norm")
     )
-    canonicals = links.select(
-        F.col("canonical_norm").alias("name"), F.col("canonical_norm")
-    ).distinct()
-    all_ents = surfaces.unionByName(canonicals).dropDuplicates(["name"])
+    # canonical targets not observed as surfaces get their own identity
+    # rows via anti-join (NOT dropDuplicates over the union: if a name
+    # were both an alias and a canonical target, dropDuplicates would
+    # keep an ARBITRARY row — the anti-join deterministically prefers
+    # the observed surface's linked canonical)
+    canonicals = (
+        links.select(F.col("canonical_norm").alias("name"), F.col("canonical_norm"))
+        .distinct()
+        .join(surfaces.select("name"), "name", "left_anti")
+    )
+    all_ents = surfaces.unionByName(canonicals)
     props = F.create_map(F.lit("surface"), F.col("name"))
     if mentions is not None:
         adj = entity_adjacency(mentions, adj_n).withColumnRenamed(
