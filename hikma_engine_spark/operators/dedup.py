@@ -265,7 +265,8 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     if counts.sum() > 0:
         flat = [t for row in toks_per_row for t in row]
         row_idx = np.repeat(np.arange(n), counts)
-        bit_mat = np.stack([_token_bits(t) for t in flat])
+        codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+        bit_mat = np.stack([_token_bits(t) for t in uniques])[codes]
         np.add.at(acc, row_idx, bit_mat)
     sign = (acc > 0).astype(np.uint64)
     vals = (sign << np.arange(64, dtype=np.uint64)).sum(axis=1)
