@@ -533,6 +533,18 @@ def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KG extraction / linking over document-derived transcripts
 # ---------------------------------------------------------------------------
 
+def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path (coarse k-means quantizer, nprobe cell pruning) —
+    rows-only check (approximate). The ivf_cell column is the
+    partition/z-order key at table scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    cents = similarity_search.train_ivf_centroids(base, n_cells=8, seed=7)
+    with_cells = similarity_search.add_ivf_cells(base, cents)
+    return similarity_search.ivf_topk(with_cells, cents, list(qv), k=10, nprobe=3)
+
+
 def kg_mentions_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _doc_transcripts(spark, sf_dir)
     m = _doc_mentions(spark, sf_dir)
@@ -854,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_cosine_topk": e_cosine_topk,
         "e_cosine_pairs": e_cosine_pairs,
         "e_ann_lsh_topk": e_ann_lsh_topk,
+        "e_ann_ivf_topk": e_ann_ivf_topk,
         "kg_salted_entity_histogram": kg_salted_entity_histogram,
         "f_json_extract": f_json_extract,
         "kg_mentions_per_entity": kg_mentions_per_entity,

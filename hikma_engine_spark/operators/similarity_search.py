@@ -192,6 +192,101 @@ def add_lsh_buckets(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    emb_col: str = "embedding",
+    sample_size: int = 10_000,
+    n_iter: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids over a BOUNDED sample.
+
+    The sample (≤ sample_size rows, deterministic order by the first
+    vector component hash) is the only driver materialization — at
+    100 TB the quantizer still trains on the same bounded sample while
+    assignment/search stay fully distributed. Lloyd iterations are
+    plain numpy; empty cells re-seed deterministically from the sample."""
+    rows = (
+        df.select(emb_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    x = x / norms[:, None]
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(n_iter):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                cents[c] = m / n if n > 0 else cents[c]
+            else:  # deterministic re-seed for an empty cell
+                cents[c] = x[rng.randint(len(x))]
+    return cents
+
+
+def add_ivf_cells(
+    df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector its nearest-centroid cell id (the IVF
+    partition key — an Iceberg table would partition/z-order by it so
+    probe queries prune files). Arrow-batched GEMM per batch."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    b_cents = df.sparkSession.sparkContext.broadcast(np.asarray(centroids))
+
+    # no signature annotations: the locally-imported `pd` name is not
+    # resolvable when pandas_udf inspects string type hints (PEP 563)
+    def _cells(embs):
+        cents = b_cents.value
+        m = np.array([list(v) for v in embs], dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = (m / nrm[:, None]) @ cents.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    cell_udf = F.pandas_udf(_cells, T.IntegerType())
+
+    return df.withColumn("ivf_cell", cell_udf(F.col(emb_col)))
+
+
+def ivf_topk(
+    df_with_cells: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only the ``nprobe`` cells whose centroids
+    are nearest the query (with a partitioned/z-ordered table the cell
+    filter becomes file pruning). nprobe = n_cells degrades gracefully
+    to exact brute force."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    n = np.linalg.norm(qv)
+    qn = qv / n if n > 0 else qv
+    order = np.argsort(-(np.asarray(centroids) @ qn))
+    probes = [int(c) for c in order[:nprobe]]
+    return (
+        df_with_cells.filter(F.col("ivf_cell").isin(probes))
+        .withColumn(
+            "cosine", F.round(cosine_to_literal(F.col(emb_col), query_vec), 6)
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
 def _probe_buckets(base: int, n_planes: int, radius: int) -> list[int]:
     """All bucket ids within Hamming distance ``radius`` of ``base``."""
     from itertools import combinations

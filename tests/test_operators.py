@@ -331,3 +331,42 @@ def test_cc_distributed_natural_threshold(spark):
     want = _union_find_local(pairs)
     assert len(got) == len(want)
     assert all(got[n] == want[n] for n in want)
+
+
+def test_ivf_ann_recall_and_exactness(spark):
+    """IVF coarse quantizer: clustered vectors → the query's cluster
+    concentrates in one cell, so small nprobe finds the true top-k;
+    nprobe = n_cells degrades to exact brute force."""
+    rng = np.random.RandomState(4)
+    centroids = rng.randn(10, 32)
+    vecs, labels = [], []
+    for ci, c in enumerate(centroids):
+        for j in range(30):
+            vecs.append(c + 0.05 * rng.randn(32))
+            labels.append(ci)
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity_search.train_ivf_centroids(df, n_cells=10, seed=3)
+    with_cells = similarity_search.add_ivf_cells(df, cents)
+
+    q = vecs[5]  # a member of cluster 0
+    exact = similarity_search.brute_force_topk(
+        df.filter("vec_id != 5"), [float(x) for x in q], k=10
+    ).toPandas()
+    approx = similarity_search.ivf_topk(
+        with_cells.filter("vec_id != 5"), cents, [float(x) for x in q],
+        k=10, nprobe=2,
+    ).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.9
+    # full probe == exact
+    full = similarity_search.ivf_topk(
+        with_cells.filter("vec_id != 5"), cents, [float(x) for x in q],
+        k=10, nprobe=10,
+    ).toPandas()
+    assert list(full.vec_id) == list(exact.vec_id)
+    # determinism: retraining yields identical centroids
+    cents2 = similarity_search.train_ivf_centroids(df, n_cells=10, seed=3)
+    assert np.allclose(cents, cents2)
