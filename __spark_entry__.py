@@ -460,6 +460,23 @@ def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+def w_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window functions: per-user inter-event gaps and the
+    next event's type (cross-row context — the W3 lag/lead family)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            gap.cast("long").alias("gap_sec"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: customers who ordered in 1997 but not 1998
     (EXCEPT) and in both years (INTERSECT), tagged and unioned."""
@@ -855,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_repetition": d_repetition,
         "d_pii_scan": d_pii_scan,
         "w_running_agg": w_running_agg,
+        "w_lead_lag_gaps": w_lead_lag_gaps,
         "set_except_customers": set_except_customers,
         "d_token_stats": d_token_stats,
         "d_fingerprint_dups": d_fingerprint_dups,
@@ -1124,6 +1142,15 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
                      AS mov3_avg
             FROM events ORDER BY user_id, event_id
+        """,
+        "w_lead_lag_gaps": """
+            SELECT user_id, event_id,
+                   CAST(date_diff('second', lag(ts) OVER w, ts) AS bigint)
+                     AS gap_sec,
+                   lead(event_type) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id
         """,
         "set_except_customers": """
             WITH c97 AS (
