@@ -250,3 +250,51 @@ def test_incremental_delta_mode_matches_full_rebuild(
     assert p_incr.nodes().filter(F.col("conv_id") == deleted).count() == 0
     assert _digest(p_incr.nodes()) == _digest(p_full.nodes())
     assert _digest(p_incr.edges()) == _digest(p_full.edges())
+
+
+def test_incremental_crash_retry_repairs(
+    spark, corpus_pdf, corpus_path, tmp_path, monkeypatch
+):
+    """Crash-safety of the commit ordering (round-1 advice): a crash
+    AFTER the edges rewrite but BEFORE nodes/links/dim commit leaves
+    the old change-detection signal intact, so a plain retry re-detects
+    the same delta and repairs everything — byte-identical to a full
+    rebuild. A 'failed' state row is recorded for the crashed run."""
+    import pytest as _pytest
+
+    v2_path = str(tmp_path / "crash_v2.parquet")
+    _make_v2(corpus_pdf).to_parquet(
+        v2_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    out = str(tmp_path / "crash")
+    Pipeline(spark, corpus_path, out, run_id="v1", n_buckets=64).run(resume=False)
+
+    orig = Pipeline._replace_partition_dirs
+
+    def boom(self, tmp_name, final_name, rel_dirs):
+        orig(self, tmp_name, final_name, rel_dirs)
+        if final_name == "edges":
+            raise RuntimeError("injected crash after edges commit")
+
+    monkeypatch.setattr(Pipeline, "_replace_partition_dirs", boom)
+    p_crash = Pipeline(spark, v2_path, out, run_id="crashed", n_buckets=64)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        p_crash.run_incremental()
+    monkeypatch.setattr(Pipeline, "_replace_partition_dirs", orig)
+
+    failed_rows = [
+        r for r in p_crash.state.rows()
+        if r["phase_name"] == "incremental" and r["status"] == "failed"
+    ]
+    assert failed_rows, "crashed run must record a failed state row"
+
+    # retry: the old dim/links survived, so the delta is re-detected
+    p_retry = Pipeline(spark, v2_path, out, run_id="retry", n_buckets=64)
+    res = p_retry.run_incremental()
+    assert res.phase_stats["discover"]["changed_convs"] == 2
+
+    full_out = str(tmp_path / "crash_full")
+    p_full = Pipeline(spark, v2_path, full_out, run_id="full", n_buckets=64)
+    p_full.run(resume=False)
+    assert _digest(p_retry.nodes()) == _digest(p_full.nodes())
+    assert _digest(p_retry.edges()) == _digest(p_full.edges())
