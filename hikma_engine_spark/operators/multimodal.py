@@ -77,9 +77,10 @@ def sniff_codec(payload: bytes | None) -> str:
     return "unknown"
 
 
-def decode_pnm(payload: bytes) -> np.ndarray:
-    """PPM/PGM → (h, w, channels) uint8 array. Raises ValueError on a
-    malformed payload (caller quarantines)."""
+def decode_pnm(payload: bytes) -> tuple[np.ndarray, int]:
+    """PPM/PGM → ((h, w, channels) uint8 array, maxval). 8-bit formats
+    only (maxval ≤ 255 — 16-bit is rejected, not mis-decoded). Raises
+    ValueError on a malformed payload (caller quarantines)."""
     tokens: list[bytes] = []
     pos = 0
     # header: magic, width, height, maxval (comments allowed)
@@ -104,8 +105,12 @@ def decode_pnm(payload: bytes) -> np.ndarray:
         w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
     except ValueError as exc:
         raise ValueError("non-numeric PNM header") from exc
-    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
+    if w <= 0 or h <= 0 or maxval <= 0:
         raise ValueError("bad PNM dimensions")
+    if maxval > 255:
+        # 16-bit PNM is 2 bytes/sample — decoding it as uint8 would
+        # produce confidently-wrong features; reject → quarantine
+        raise ValueError("16-bit PNM (maxval > 255) not supported")
     channels = 3 if magic in (b"P3", b"P6") else 1
     n_vals = w * h * channels
     if magic in (b"P5", b"P6"):
@@ -117,16 +122,20 @@ def decode_pnm(payload: bytes) -> np.ndarray:
         vals = payload[pos:].split()
         if len(vals) < n_vals:
             raise ValueError("truncated ASCII PNM body")
-        arr = np.array(vals[:n_vals], dtype=np.int64).astype(np.uint8)
+        arr64 = np.array(vals[:n_vals], dtype=np.int64)
+        if arr64.min() < 0 or arr64.max() > maxval:
+            raise ValueError("ASCII PNM sample out of range")
+        arr = arr64.astype(np.uint8)
     else:
         raise ValueError(f"unsupported PNM magic {magic!r}")
-    return arr.reshape(h, w, channels)
+    return arr.reshape(h, w, channels), maxval
 
 
-def image_features(img: np.ndarray, grid: int = 4) -> list[float]:
+def image_features(img: np.ndarray, grid: int = 4, maxval: int = 255) -> list[float]:
     """4x4 block-mean luminance grid in [0, 1] — a deterministic
     'thumbnail embedding' (the resize/downsample op of an image
-    pipeline, done as pure numpy block means)."""
+    pipeline, done as pure numpy block means). Normalized by the
+    image's own maxval so a maxval=15 PGM still lands in [0, 1]."""
     lum = img.astype(np.float64).mean(axis=2)  # luminance = channel mean
     h, w = lum.shape
     ys = np.linspace(0, h, grid + 1).astype(int)
@@ -136,7 +145,7 @@ def image_features(img: np.ndarray, grid: int = 4) -> list[float]:
         for j in range(grid):
             block = lum[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
             out[i, j] = block.mean() if block.size else 0.0
-    return (out / 255.0).astype(np.float32).ravel().tolist()
+    return (out / float(maxval)).astype(np.float32).ravel().tolist()
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -186,7 +195,8 @@ def _featurize_one(payload: bytes | None, decode_stub: bool) -> tuple[str, list 
     codec = sniff_codec(payload)
     try:
         if codec == "pnm":
-            return codec, image_features(decode_pnm(payload))
+            img, maxval = decode_pnm(payload)
+            return codec, image_features(img, maxval=maxval)
         if codec == "wav":
             samples, _rate = decode_wav(payload)
             return codec, audio_features(samples)

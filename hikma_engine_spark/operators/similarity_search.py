@@ -40,9 +40,13 @@ def all_pairs_cosine(
     (for sub-quadratic approximate pruning use embedding_near_dup_pairs
     / lsh_topk instead).
     """
-    n = df.count()
-    if n <= broadcast_limit:
+    # cheap bounded probe to pick the strategy (same idiom as
+    # connected_components / build_links); the full count is paid only
+    # on the big-input path, where it sizes the blocks and is a
+    # negligible share of the blocked GEMM's cost
+    if df.limit(broadcast_limit + 1).count() <= broadcast_limit:
         return _all_pairs_cosine_broadcast(df, threshold, id_col, emb_col, round_digits)
+    n = df.count()
     n_blocks = max(2, -(-n // block_size))
     return _all_pairs_cosine_blocked(
         df, threshold, id_col, emb_col, round_digits, n_blocks
@@ -196,19 +200,24 @@ def train_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,
     emb_col: str = "embedding",
+    id_col: str = "vec_id",
     sample_size: int = 10_000,
     n_iter: int = 5,
     seed: int = 7,
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means centroids over a BOUNDED sample.
 
-    The sample (≤ sample_size rows, deterministic order by the first
-    vector component hash) is the only driver materialization — at
-    100 TB the quantizer still trains on the same bounded sample while
+    The sample is DETERMINISTIC: the sample_size rows with the smallest
+    xxhash64(id) — a bare limit() would take whichever rows arrive
+    first and train different centroids per run/partitioning, breaking
+    the repo-wide reruns-are-stable contract. TakeOrdered keeps it one
+    bounded job (no global sort materialization); at 100 TB the
+    quantizer still trains on the same bounded sample while
     assignment/search stay fully distributed. Lloyd iterations are
     plain numpy; empty cells re-seed deterministically from the sample."""
     rows = (
-        df.select(emb_col)
+        df.select(emb_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
         .limit(sample_size)
         .collect()
     )

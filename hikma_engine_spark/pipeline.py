@@ -236,17 +236,18 @@ class Pipeline:
         run(resume=True) against silently serving stale outputs."""
         p = path or self.transcripts_path
         if os.path.isdir(p):
-            mt = max(
-                (
-                    os.path.getmtime(os.path.join(dp, f))
-                    for dp, _dirs, files in os.walk(p)
-                    for f in files
-                ),
-                default=os.path.getmtime(p),
-            )
+            stats = [
+                os.stat(os.path.join(dp, f))
+                for dp, _dirs, files in os.walk(p)
+                for f in files
+            ] or [os.stat(p)]
         else:
-            mt = os.path.getmtime(p)
-        return str(int(mt))
+            stats = [os.stat(p)]
+        # nanosecond mtime + file count + total bytes: whole-second
+        # truncation let a rewrite within the same second as the
+        # recorded watermark serve stale outputs on resume
+        mt_ns = max(st.st_mtime_ns for st in stats)
+        return f"{mt_ns}:{len(stats)}:{sum(st.st_size for st in stats)}"
 
     # ---- phase bodies ----
     def transcripts(self, keys: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:
@@ -646,6 +647,23 @@ class Pipeline:
         target = spark.sparkContext.defaultParallelism
         if delta.rdd.getNumPartitions() < target:
             delta = delta.repartition(target, "conv_id", "turn_idx")
+        # reject ambiguous input up front: a conversation present in the
+        # delta AND in the deletion list would otherwise be silently
+        # resurrected (rebuilt from its delta rows) — make the producer
+        # pick one intent
+        if deleted_conv_ids:
+            conflict = (
+                delta.select("conv_id")
+                .filter(F.col("conv_id").isin(list(deleted_conv_ids)))
+                .limit(1)
+                .collect()
+            )
+            if conflict:
+                raise ValueError(
+                    f"conv_id {conflict[0]['conv_id']!r} appears in both "
+                    "delta_path and deleted_conv_ids — a deleted "
+                    "conversation must not ship delta rows"
+                )
         deleted = spark.createDataFrame(
             [(c,) for c in deleted_conv_ids], "conv_id string"
         )
@@ -800,7 +818,9 @@ class Pipeline:
                 return df
             return (
                 df.withColumn("surface_norm", F.col("properties")["surface_norm"])
-                .join(F.broadcast(links_new), "surface_norm", "left")
+                # links = distinct surfaces, unbounded under open
+                # @-mentions — AQE picks broadcast only when small
+                .join(links_new, "surface_norm", "left")
                 .withColumn(
                     "canonical_id",
                     F.when(

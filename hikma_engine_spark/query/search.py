@@ -117,11 +117,14 @@ def temporal_score(ts_col: F.Column, now_iso: str) -> F.Column:
     ``now_iso`` is driver-stamped, never current_timestamp() (reference
     semantics: temporal dimension boosts recent results,
     src/api/controllers/search-controller.ts:552-576, 798-800)."""
+    parsed = F.try_to_timestamp(ts_col)
     age_sec = F.unix_timestamp(F.to_timestamp(F.lit(now_iso))) - F.unix_timestamp(
-        F.try_to_timestamp(ts_col)
+        parsed
     )
     age_days = F.greatest(age_sec / F.lit(86400.0), F.lit(0.0))
-    return F.when(ts_col.isNotNull(), 1.0 / (1.0 + age_days)).otherwise(F.lit(0.0))
+    # guard on the PARSED value: an unparseable ts string must score 0,
+    # not ride the null-skipping greatest() to a maximum recency boost
+    return F.when(parsed.isNotNull(), 1.0 / (1.0 + age_days)).otherwise(F.lit(0.0))
 
 
 def hybrid_search(
@@ -231,9 +234,13 @@ def result_kind(col: F.Column) -> F.Column:
     hits by what the matched text looks like). Pure when-cascade:
     code (fenced block) > command (call:/imperative verb) > question
     (ends with ?) > statement."""
-    t = F.trim(F.coalesce(col, F.lit("")))
+    raw = F.coalesce(col, F.lit(""))
+    t = F.trim(raw)
     return (
-        F.when(t.contains("```") | t.rlike(r"(?s)^\s{4,}\S"), "code")
+        # indentation must be checked on the RAW text (trim would strip
+        # exactly the leading spaces the pattern looks for); (?m) lets
+        # any indented line inside the turn count
+        F.when(t.contains("```") | raw.rlike(r"(?m)^(\t| {4,})\S"), "code")
         .when(
             t.rlike(r"(?i)^(call:|run |execute |deploy |install |restart )"),
             "command",

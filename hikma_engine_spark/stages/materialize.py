@@ -117,7 +117,9 @@ def mention_nodes(mentions: DataFrame, links: DataFrame) -> DataFrame:
         F.lit("#"), F.col("start"),
     )
     return (
-        m.join(F.broadcast(links), "surface_norm", "left")
+        # links = one row per distinct surface (unbounded vocabulary) —
+        # leave the join strategy to Catalyst/AQE, never force broadcast
+        m.join(links, "surface_norm", "left")
         .select(
             mid.alias("id"),
             mid.alias("business_key"),
@@ -198,7 +200,10 @@ def entity_nodes(
         adj = entity_adjacency(mentions, adj_n).withColumnRenamed(
             "surface_norm", "name"
         )
-        all_ents = all_ents.join(F.broadcast(adj), "name", "left")
+        # no forced broadcast: the adjacency dim is one row per distinct
+        # surface — unbounded under open @-mentions; AQE broadcasts it
+        # when (and only when) it is actually small
+        all_ents = all_ents.join(adj, "name", "left")
         props = F.create_map(
             F.lit("surface"), F.col("name"),
             F.lit("degree"), F.coalesce(F.col("degree"), F.lit(0)).cast("string"),

@@ -251,6 +251,14 @@ def test_incremental_delta_mode_matches_full_rebuild(
     assert _digest(p_incr.nodes()) == _digest(p_full.nodes())
     assert _digest(p_incr.edges()) == _digest(p_full.edges())
 
+    # ambiguous input: a conv in BOTH delta and deleted list is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="both delta_path and deleted"):
+        p_incr.run_incremental(
+            delta_path=delta_path, deleted_conv_ids=(modified,)
+        )
+
 
 def test_incremental_crash_retry_repairs(
     spark, corpus_pdf, corpus_path, tmp_path, monkeypatch

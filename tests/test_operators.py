@@ -268,6 +268,24 @@ def test_multimodal_real_ppm_decode(spark):
     assert out.loc["corrupt", "feature"] is None  # quarantined, not crashed
 
 
+def test_multimodal_pnm_maxval_handling(spark):
+    """maxval != 255 normalizes by the image's own maxval; 16-bit PNM
+    (2 bytes/sample) is rejected into quarantine, never mis-decoded."""
+    rows = [
+        # maxval=15 ASCII P2, all samples at max → features exactly 1.0
+        ("low_maxval", "image", bytearray(b"P2\n2 2\n15\n15 15 15 15\n"), None),
+        # 16-bit binary P5 → ValueError → NULL feature
+        ("deep", "image", bytearray(b"P5\n2 2\n65535\n" + bytes(8)), None),
+        # ASCII sample exceeding maxval → rejected
+        ("overflow", "image", bytearray(b"P2\n2 2\n15\n16 0 0 0\n"), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df).toPandas().set_index("media_id")
+    assert np.allclose(out.loc["low_maxval", "feature"], 1.0, atol=1e-6)
+    assert out.loc["deep", "feature"] is None
+    assert out.loc["overflow", "feature"] is None
+
+
 def test_multimodal_real_wav_decode(spark):
     """WAV audio is REALLY decoded: a pure sine has its spectral energy
     concentrated in the matching FFT band, and RMS ~ amplitude/sqrt(2)."""

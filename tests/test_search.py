@@ -215,6 +215,32 @@ def test_result_kind_classification(spark):
         "e": "command",
         "f": "empty",
     }
+    # classic 4-space-indented code must classify as code (the indent
+    # check runs on the RAW text, before trim)
+    df2 = spark.createDataFrame(
+        [("g", "    print(x)"), ("h", "intro line\n    indented_code()")],
+        ["id", "source_text"],
+    )
+    got2 = {r["id"]: r["result_kind"] for r in search.with_result_kind(df2).collect()}
+    assert got2 == {"g": "code", "h": "code"}
+
+
+def test_temporal_score_unparseable_ts_scores_zero(spark):
+    """A present-but-corrupt ts string must score 0, not ride the
+    null-skipping greatest() to a maximum recency boost."""
+    df = spark.createDataFrame(
+        [("ok", "2025-01-01T00:00:00Z"), ("bad", "not-a-date"), ("none", None)],
+        ["id", "ts"],
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id",
+            search.temporal_score(F.col("ts"), "2025-01-02T00:00:00Z").alias("s"),
+        ).collect()
+    }
+    assert out["bad"] == 0.0 and out["none"] == 0.0
+    assert 0.4 < out["ok"] <= 0.51  # one day old → 1/(1+1)
 
 
 def test_result_kind_facets(spark, pipeline_out):
