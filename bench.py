@@ -267,28 +267,57 @@ def main() -> None:
     )
     incr = _run_phase_subprocess("incremental")
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_bench_sec",
-                "value": q["total"],
-                "unit": "sec",
-                "queries": q["queries"],
-                "queries_cold_rep1": q["queries_cold_rep1"],
-                "suite_wall_sec_2reps": q["wall"],
-                "sf": sf,
-                "pipeline": {
-                    "n_convs": hi["n_convs"],
-                    "turns": hi["turns"],
-                    f"local{SCALING_CORES[0]}": lo,
-                    f"local{SCALING_CORES[1]}": hi,
-                    "turns_per_sec": hi["turns_per_sec"],
-                    "scaling_efficiency": efficiency,
-                    "incremental": incr,
-                },
-            }
-        )
-    )
+    detail = {
+        "metric": "e2e_bench_sec",
+        "value": q["total"],
+        "unit": "sec",
+        "queries": q["queries"],
+        "queries_cold_rep1": q["queries_cold_rep1"],
+        "suite_wall_sec_2reps": q["wall"],
+        "sf": sf,
+        "pipeline": {
+            "n_convs": hi["n_convs"],
+            "turns": hi["turns"],
+            f"local{SCALING_CORES[0]}": lo,
+            f"local{SCALING_CORES[1]}": hi,
+            "turns_per_sec": hi["turns_per_sec"],
+            "scaling_efficiency": efficiency,
+            "incremental": incr,
+        },
+    }
+    # full record (cold-rep map, per-rep timings, incremental detail) to a
+    # side file; the PRINTED line must stay under the driver's 2000-char
+    # tail-capture window (BENCH_r02 was unparseable because the cold map
+    # pushed the line past it), so it carries only the headline metrics
+    # and the steady-state per-query map, compact separators.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
+    compact = {
+        "metric": "e2e_bench_sec",
+        "value": q["total"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": q["queries"],
+        "pipeline": {
+            "turns": hi["turns"],
+            f"tps{SCALING_CORES[0]}": lo["turns_per_sec"],
+            f"tps{SCALING_CORES[1]}": hi["turns_per_sec"],
+            "scaling_efficiency": efficiency,
+            "incr_speedup": incr["speedup"],
+            "delta_speedup": incr["delta_mode_speedup"],
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # hard window guard: shed the bulkiest field
+        compact["queries"] = {
+            k: v for k, v in sorted(q["queries"].items(), key=lambda kv: -kv[1])[:30]
+        }
+        compact["queries_truncated_see"] = "bench_detail.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

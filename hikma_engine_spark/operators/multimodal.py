@@ -114,7 +114,13 @@ def decode_pnm(payload: bytes) -> tuple[np.ndarray, int]:
     channels = 3 if magic in (b"P3", b"P6") else 1
     n_vals = w * h * channels
     if magic in (b"P5", b"P6"):
-        body = payload[pos + 1 : pos + 1 + n_vals]  # one whitespace after maxval
+        # exactly ONE whitespace byte separates maxval from pixel data,
+        # but Windows-written PNM uses b"\r\n" — treat that pair as one
+        # separator, otherwise pixel data shifts by a byte and (the
+        # payload still being long enough) decodes to confidently-wrong
+        # features instead of quarantining
+        sep = 2 if payload[pos : pos + 2] == b"\r\n" else 1
+        body = payload[pos + sep : pos + sep + n_vals]
         if len(body) < n_vals:
             raise ValueError("truncated PNM body")
         arr = np.frombuffer(body, dtype=np.uint8, count=n_vals)

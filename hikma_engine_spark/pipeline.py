@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .query import cache as query_cache
 from .stages import discover, extract, link, materialize
 
 PHASES = ("discover", "extract", "link", "materialize")
@@ -392,6 +393,7 @@ class Pipeline:
         # from an earlier run over this out_dir would serve pre-rewrite
         # file contents after phases overwrite their tables
         self.spark.catalog.clearCache()
+        query_cache.invalidate_all()
         watermark = self._input_watermark()
         for phase in PHASES:
             outputs_ok = all(self._exists(o) for o in _OUTPUTS[phase])
@@ -543,6 +545,17 @@ class Pipeline:
                 "Pipeline(..., n_buckets=64) (and build the base tables "
                 "with it) so copy-on-write has bucket dirs to swap"
             )
+        # deletions are only honored by the delta-driven mode (the
+        # content-hash mode derives the changed set purely from the
+        # input diff) — silently dropping an explicit deletion list
+        # would report success while not honoring the user's intent
+        if deleted_conv_ids and delta_path is None:
+            raise ValueError(
+                "deleted_conv_ids requires delta_path (delta-driven mode); "
+                "in content-hash mode deletions are detected from the "
+                "input itself — remove the conversations from the input "
+                "instead of passing an explicit deletion list"
+            )
         # fail fast (before any write) when the stored tables were built
         # WITHOUT the bucketed layout — otherwise the mismatch surfaces
         # as an UNRESOLVED_COLUMN `bucket` crash halfway through
@@ -558,8 +571,10 @@ class Pipeline:
         # drop cached plans from earlier runs: Spark's CacheManager
         # matches by logical plan, so a cache built over THIS out_dir's
         # previous file contents would silently serve stale data after
-        # the copy-on-write swaps below
+        # the copy-on-write swaps below (QueryCache entries likewise:
+        # their persisted plans reference the pre-swap dirs)
         self.spark.catalog.clearCache()
+        query_cache.invalidate_all()
         result = PipelineResult(run_id=rid, out_dir=self.out_dir)
         watermark = self._input_watermark(delta_path)
         started = _now()
@@ -685,6 +700,23 @@ class Pipeline:
             .unionByName(new_rows.select(*self._read("conversations").columns))
         )
         stats_d = self._write(merged_dim, "conversations_incr")
+        # delta mode skips content hashing, so a malformed delta (e.g.
+        # duplicate (conv_id, turn_idx) rows from a producer that
+        # appended instead of replacing) would otherwise corrupt the
+        # store undetected until a later full-scan incremental — apply
+        # the same dup-key guard _run_discover applies to the full dim
+        n_bad = (
+            self._read("conversations_incr")
+            .filter(F.col("n_turns") != F.col("n_distinct_turns"))
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                "duplicate (conv_id, turn_idx) keys in the merged dim — "
+                "delta_path must hold the FULL deduplicated row set of "
+                "each changed conversation (not an append-only fragment)"
+            )
         result.phase_stats["discover"] = {
             "conversations": stats_d,
             "changed_convs": n_changed,

@@ -15,10 +15,25 @@ memory/disk, LRU-evicted by the block manager under pressure).
 from __future__ import annotations
 
 import time
+import weakref
 from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
+
+# live caches, so Pipeline write/swap points can invalidate them all:
+# a persisted entry whose next action recomputes against swapped parquet
+# dirs would serve stale rows within TTL (or hit FileNotFoundException
+# if the referenced dir was replaced mid-lifetime)
+_ACTIVE_CACHES: "weakref.WeakSet[QueryCache]" = weakref.WeakSet()
+
+
+def invalidate_all() -> None:
+    """Invalidate every live QueryCache. Called by Pipeline.run /
+    run_incremental at their write/swap points (same moment they call
+    spark.catalog.clearCache())."""
+    for c in list(_ACTIVE_CACHES):
+        c.invalidate()
 
 
 def cache_key(search_type: str, query: str, filters: dict | None = None) -> tuple:
@@ -34,7 +49,7 @@ class _Entry:
     created: float
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash — required for the WeakSet registry
 class QueryCache:
     """TTL + max-entry bounded cache of persisted DataFrames.
 
@@ -48,6 +63,9 @@ class QueryCache:
     _store: dict = field(default_factory=dict)
     hits: int = 0
     misses: int = 0
+
+    def __post_init__(self) -> None:
+        _ACTIVE_CACHES.add(self)
 
     def get_or_compute(
         self,

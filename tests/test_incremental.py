@@ -306,3 +306,35 @@ def test_incremental_crash_retry_repairs(
     p_full.run(resume=False)
     assert _digest(p_retry.nodes()) == _digest(p_full.nodes())
     assert _digest(p_retry.edges()) == _digest(p_full.edges())
+
+
+def test_deleted_without_delta_raises(spark, corpus_path, tmp_path):
+    """ADVICE r2: an explicit deletion list is only honored by delta
+    mode — content-hash mode must reject it loudly, not drop it."""
+    import pytest
+
+    out = str(tmp_path / "del_no_delta")
+    p = Pipeline(spark, corpus_path, out, run_id="t", n_buckets=64)
+    with pytest.raises(ValueError, match="deleted_conv_ids requires delta_path"):
+        p.run_incremental(deleted_conv_ids=("conv0000003",))
+
+
+def test_delta_mode_duplicate_keys_rejected(spark, corpus_pdf, corpus_path, tmp_path):
+    """ADVICE r2: a malformed delta (duplicate (conv_id, turn_idx) rows —
+    e.g. a producer that appended instead of replacing) must fail the
+    run, not silently corrupt the store."""
+    import pytest
+
+    out = str(tmp_path / "dup_delta")
+    Pipeline(spark, corpus_path, out, run_id="base", n_buckets=64).run(resume=False)
+
+    conv = "conv0000003"
+    delta = corpus_pdf[corpus_pdf.conv_id == conv].copy()
+    bad = pd.concat([delta, delta.iloc[[0]]], ignore_index=True)  # dup turn 0
+    d_path = str(tmp_path / "bad_delta.parquet")
+    bad.to_parquet(
+        d_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    p = Pipeline(spark, corpus_path, out, run_id="incr", n_buckets=64)
+    with pytest.raises(ValueError, match="duplicate \\(conv_id, turn_idx\\)"):
+        p.run_incremental(delta_path=d_path)

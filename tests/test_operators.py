@@ -388,3 +388,20 @@ def test_ivf_ann_recall_and_exactness(spark):
     # determinism: retraining yields identical centroids
     cents2 = similarity_search.train_ivf_centroids(df, n_cells=10, seed=3)
     assert np.allclose(cents, cents2)
+
+
+def test_multimodal_pnm_crlf_separator(spark):
+    """ADVICE r2: Windows-written binary PNM separates maxval from pixel
+    data with b"\\r\\n" — must decode identically to the b"\\n" form, not
+    shift pixel data by one byte into confidently-wrong features."""
+    px = bytes([128] * 48)  # 4x4 RGB, uniform mid-gray
+    rows = [
+        ("unix", "image", bytearray(b"P6\n4 4\n255\n" + px), None),
+        ("windows", "image", bytearray(b"P6\n4 4\n255\r\n" + px), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df).toPandas().set_index("media_id")
+    assert np.allclose(out.loc["unix", "feature"], 128 / 255, atol=1e-6)
+    assert np.allclose(
+        out.loc["windows", "feature"], out.loc["unix", "feature"], atol=0
+    )

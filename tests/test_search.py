@@ -249,3 +249,44 @@ def test_result_kind_facets(spark, pipeline_out):
     )
     f = search.facets(res, columns=("result_kind",))
     assert sum(f["result_kind"].values()) == res.count()
+
+
+def test_query_cache_invalidate_all_registry():
+    """invalidate_all() reaches every live cache (the hook Pipeline
+    write/swap points call) and unpersists their entries."""
+    from hikma_engine_spark.query import cache as qc_mod
+
+    class FakeDF:
+        def __init__(self):
+            self.persisted = False
+
+        def persist(self):
+            self.persisted = True
+            return self
+
+        def unpersist(self):
+            self.persisted = False
+            return self
+
+    qc = qc_mod.QueryCache(ttl_sec=100.0)
+    df, cached = qc.get_or_compute("semantic", "q", FakeDF)
+    assert df.persisted and not cached
+    qc_mod.invalidate_all()
+    assert not df.persisted
+    # next lookup is a miss (recomputes against post-swap table state)
+    _df2, cached2 = qc.get_or_compute("semantic", "q", FakeDF)
+    assert not cached2
+
+
+def test_pipeline_run_invalidates_query_caches(monkeypatch, spark, tiny_path, tmp_path):
+    """Pipeline.run calls the cache-invalidation hook at its stale-plan
+    guard, so persisted query results never outlive a table swap."""
+    from hikma_engine_spark.pipeline import Pipeline
+    from hikma_engine_spark.query import cache as qc_mod
+
+    calls = {"n": 0}
+    monkeypatch.setattr(
+        qc_mod, "invalidate_all", lambda: calls.__setitem__("n", calls["n"] + 1)
+    )
+    Pipeline(spark, tiny_path, str(tmp_path / "qc_out"), run_id="qc").run(resume=False)
+    assert calls["n"] == 1
