@@ -1,0 +1,58 @@
+"""Contract queries (round-3): the formerly rows-only driver entries now
+carry oracle-checkable contracts — pin them in pytest too, so a recall or
+CC regression fails the suite without waiting for the driver gate."""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ann_lsh_recall_contract(spark):
+    pdf = entrymod.queries()["e_ann_lsh_topk"](spark, SF_DIR).toPandas()
+    assert len(pdf) == 10
+    assert pdf.ann_recall_ok.all()  # LSH found >= 8/10 of the exact top-k
+    # exact rows are descending-cosine ordered with vec_id tie-break
+    assert (pdf.cosine.values[:-1] >= pdf.cosine.values[1:]).all()
+
+
+def test_ann_ivf_recall_contract(spark):
+    pdf = entrymod.queries()["e_ann_ivf_topk"](spark, SF_DIR).toPandas()
+    assert len(pdf) == 10
+    assert pdf.ann_recall_ok.all()
+
+
+def test_full_pipeline_cc_contracts(spark):
+    pdf = entrymod.queries()["kg_full_pipeline"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    # the full linker merges everything the gazetteer merges
+    assert pdf.alias_merges_covered.all()
+    # SAME_AS is a function and canonical targets are fixpoints
+    assert pdf.sameas_canonical_ok.all()
+    assert set(pdf.edge_type) == {"IN_CONV", "MENTIONS"}
+
+
+def test_simhash_oracle_twin_matches(spark):
+    """The DuckDB simhash twin reproduces the Spark banded result
+    exactly (pigeonhole: hamming<=3 with 4x16-bit bands is exhaustive,
+    so banded == all-pairs)."""
+    import duckdb
+
+    sdf = (
+        entrymod.queries()["d_simhash_pairs"](spark, SF_DIR)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    odf = con.execute(entrymod.oracle_sql()["d_simhash_pairs"]).df()
+    assert sdf.astype(str).equals(odf.astype(str))
