@@ -279,10 +279,24 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-) -> DataFrame:
+    max_bucket_size: int = 1000,
+    return_dropped: bool = False,
+):
     """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), equi-join on
-    chunks, verify Hamming distance with JVM bit_count(xor)."""
+    chunks, verify Hamming distance with JVM bit_count(xor).
+
+    ``max_bucket_size`` caps chunk buckets before the self-join (same
+    skew guard as lsh_candidate_pairs): the chunk space is only 4×65,536
+    buckets, so at 10⁹ docs even a UNIFORM bucket holds ~15k docs
+    (~10⁸ candidate pairs per bucket) and boilerplate-heavy corpora are
+    far worse. A dropped bucket trades recall for boundedness exactly
+    like LSH band capping — pairs whose ONLY shared chunk was hot are
+    lost, so run exact_duplicates first (identical docs are the usual
+    hot-bucket cause and are caught exactly there). No silent caps:
+    ``return_dropped=True`` additionally returns the dropped-bucket
+    accounting DataFrame (chunk_idx, chunk, count).
+    """
     df = _rebalance(df)
     h = df.select(
         F.col(id_col).alias("doc"), simhash64_udf(F.col(text_col)).alias("sim")
@@ -304,13 +318,17 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc", "sim", "c.chunk_idx", "c.chunk")
+    bucket_sizes = chunks.groupBy("chunk_idx", "chunk").count()
+    dropped = bucket_sizes.filter(F.col("count") > max_bucket_size)
+    ok = bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+    chunks = chunks.join(ok, ["chunk_idx", "chunk"], "left_semi")
     a = chunks.select(
         F.col("doc").alias("a"), F.col("sim").alias("sim_a"), "chunk_idx", "chunk"
     )
     b = chunks.select(
         F.col("doc").alias("b"), F.col("sim").alias("sim_b"), "chunk_idx", "chunk"
     )
-    return (
+    pairs = (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "sim_a", "sim_b")
@@ -321,6 +339,9 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    if return_dropped:
+        return pairs, dropped
+    return pairs
 
 
 # ---------- embedding cosine near-dup ----------
@@ -331,13 +352,31 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.randn(n_planes, dim).astype(np.float64)
 
 
+def auto_n_planes(
+    n_rows: int, target_bucket_rows: int = 256, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count sized to the corpus: expected bucket population
+    n/2^p ≈ target_bucket_rows, clamped to [lo, hi]. Deterministic
+    (pure arithmetic on a row count), so reruns stay stable. A fixed
+    default (round-2 verdict: 8 planes = 256 buckets) is the right
+    SHAPE but the wrong size at corpus scale — at 10⁹ rows each bucket
+    would hold ~4M vectors; p = log2(10⁹/256) ≈ 22 keeps buckets near
+    the target."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     emb_col: str,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int | None = None,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """cosine ≥ τ pairs, blocked by random-hyperplane sign buckets.
 
@@ -345,11 +384,18 @@ def embedding_near_dup_pairs(
     random hyperplane with prob ≥ 1 - acos(0.9)/π ≈ 0.86 per plane);
     multiprobe (flipping each single bit) recovers most boundary pairs.
     Exact verification by JVM-side cosine on the candidate pairs.
+
+    ``n_planes=None`` (default) auto-scales the plane count from a
+    one-job row-count probe so bucket population tracks
+    ``target_bucket_rows`` at any corpus size (see auto_n_planes);
+    pass an explicit int to pin it.
     """
     from ..functions.similarity import cosine
 
     if dim is None:
         dim = len(df.select(emb_col).first()[0])
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket_rows)
     planes = _hyperplanes(dim, n_planes)
     planes_b = df.sparkSession.sparkContext.broadcast(planes)
 

@@ -172,13 +172,24 @@ def brute_force_topk(
 
 
 def add_lsh_buckets(
-    df: DataFrame, emb_col: str = "embedding", n_planes: int = 8, seed: int = 7,
-    dim: int | None = None,
+    df: DataFrame, emb_col: str = "embedding", n_planes: int | None = 8, seed: int = 7,
+    dim: int | None = None, target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Assign each vector its hyperplane sign bucket (a column an
-    Iceberg table would partition/z-order by)."""
+    Iceberg table would partition/z-order by).
+
+    ``n_planes=None`` auto-scales from a row-count probe (see
+    dedup.auto_n_planes) so bucket population tracks
+    ``target_bucket_rows`` at any corpus size; the default stays a
+    pinned 8 because lsh_topk must be called with the SAME n_planes to
+    compute probe buckets — auto-scaling callers should derive the
+    count once via auto_n_planes and pass it to both."""
+    from .dedup import auto_n_planes
+
     if dim is None:
         dim = len(df.select(emb_col).first()[0])
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket_rows)
     planes = _hyperplanes(dim, n_planes, seed)
     # JVM-side: sign bit per plane via aggregate over the array
     bucket = F.lit(0)

@@ -65,3 +65,72 @@ def test_pipeline_on_skewed_corpus(spark, tmp_path):
     )
     assert len(per_task) > 1
     assert per_task["count"].max() / per_task["count"].sum() < 0.6
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Round-2 verdict item 2: boilerplate-heavy corpora must not blow
+    up the simhash chunk join. 300 identical docs saturate all four
+    chunk buckets; with the cap their O(n²) pair explosion is dropped
+    (and accounted), while a distinct near-dup pair outside the hot
+    buckets is still found."""
+    from hikma_engine_spark.operators import dedup
+
+    boiler = [(i, "standard legal disclaimer repeated verbatim in every doc") for i in range(300)]
+    # long doc + one-token perturbation → simhash hamming 2 (precomputed);
+    # short docs flip too many bits per token to stay under the threshold
+    t1 = (
+        "a unique long report about spark shuffle tuning and partition sizing "
+        "across many executors with adaptive query execution enabled and skew "
+        "mitigation "
+    ) * 3
+    distinct = [(1000, t1), (1001, t1.replace("skew ", "xskew ", 1))]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+
+    pairs, dropped = dedup.simhash_pairs(
+        df, "doc_id", "text", max_hamming=3, max_bucket_size=100, return_dropped=True
+    )
+    got = pairs.toPandas()
+    # the boilerplate group (4 hot buckets of 300) is dropped, not exploded
+    drop_pdf = dropped.toPandas()
+    assert len(drop_pdf) == 4 and (drop_pdf["count"] == 300).all()
+    assert set(zip(got.a, got.b)) == {(1000, 1001)}
+
+    # without the cap the same corpus yields the full O(n²) explosion
+    uncapped = dedup.simhash_pairs(
+        df, "doc_id", "text", max_hamming=3, max_bucket_size=10_000
+    )
+    assert uncapped.count() == 300 * 299 // 2 + 1
+
+
+def test_auto_n_planes_scales_bucket_population(spark):
+    """Round-2 verdict item 3: the hyperplane count derives from corpus
+    size so bucket populations track the target band at any scale."""
+    import numpy as np
+
+    from hikma_engine_spark.operators.dedup import auto_n_planes
+    from hikma_engine_spark.operators.similarity_search import add_lsh_buckets
+
+    # pure arithmetic: expected bucket population stays within 2x of
+    # target across six orders of magnitude
+    for n in [10_000, 1_000_000, 100_000_000, 10**9]:
+        p = auto_n_planes(n, target_bucket_rows=256)
+        expected = n / 2**p
+        assert expected <= 256 * 2, (n, p)
+    assert auto_n_planes(100, target_bucket_rows=256) == 4  # clamped low
+    assert auto_n_planes(10**12, target_bucket_rows=1) == 24  # clamped high
+
+    # empirically at two corpus sizes: mean bucket population lands in
+    # the target band (isotropic vectors spread evenly over sign buckets)
+    rng = np.random.RandomState(3)
+    for n_rows, target in [(512, 64), (4096, 64)]:
+        rows = [
+            (i, [float(x) for x in rng.randn(16)]) for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        p = auto_n_planes(n_rows, target_bucket_rows=target)
+        bucketed = add_lsh_buckets(df, n_planes=None, target_bucket_rows=target)
+        pops = (
+            bucketed.groupBy("lsh_bucket").count().toPandas()["count"]
+        )
+        mean_pop = pops.mean()
+        assert target / 4 <= mean_pop <= target * 2, (n_rows, p, mean_pop)
