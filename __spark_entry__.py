@@ -835,6 +835,36 @@ def g_cc_dupgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def g_depth_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node transitive dependency depth (reference:
+    computeTransitiveDepth, src/modules/ast-parser.ts:440-449) via the
+    distributed relaxation operator, over a deterministic DAG derived
+    from entity co-mentions: the lexicographically LATER surface of
+    each co-mentioned pair depends on the earlier one (acyclic by
+    construction, and SQL-expressible for the recursive-CTE oracle)."""
+    from hikma_engine_spark.operators.graph import transitive_depth
+
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    dep = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .select(F.col("e2").alias("src"), F.col("e1").alias("dst"))
+        .distinct()
+    )
+    return (
+        transitive_depth(dep)
+        .select("node", F.col("depth").cast("int").alias("depth"))
+        .orderBy("node")
+    )
+
+
 def s_name_case_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 CASE-tier name ranking (reference: searchFilesByName ORDER BY
     CASE, src/modules/search-service.ts:881-916) over a documents-derived
@@ -998,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_neighbors_spark": g_neighbors_spark,
         "g_k_hop_spark": g_k_hop_spark,
         "g_cc_dupgroups": g_cc_dupgroups,
+        "g_depth_entities": g_depth_entities,
         "s_name_case_rank": s_name_case_rank,
         "s_metadata_daterange": s_metadata_daterange,
         "kg_full_pipeline": kg_full_pipeline,
@@ -1570,6 +1601,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS node, least(u, min(v)) AS component
             FROM reach GROUP BY u ORDER BY node
+        """,
+        "g_depth_entities": f"""
+            WITH RECURSIVE t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            dep AS (
+              SELECT DISTINCT b.e AS src, a.e AS dst
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                   AND a.e < b.e
+            ),
+            nodes AS (SELECT src AS n FROM dep UNION SELECT dst FROM dep),
+            paths(n, d) AS (
+              SELECT n, 0 FROM nodes
+              UNION ALL
+              SELECT dep.src, p.d + 1 FROM paths p JOIN dep ON dep.dst = p.n
+            )
+            SELECT n AS node, CAST(max(d) AS int) AS depth
+            FROM paths GROUP BY n ORDER BY node
         """,
         "s_name_case_rank": """
             SELECT id, tier FROM (

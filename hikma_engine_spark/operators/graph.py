@@ -160,6 +160,133 @@ def connected_components(
     )
 
 
+def _transitive_depth_driver(pairs: list[tuple[str, str]]) -> dict:
+    """Driver-side twin: memoized DFS longest path (same spec)."""
+    out_edges: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for s, t in pairs:
+        out_edges.setdefault(s, []).append(t)
+        nodes.add(s)
+        nodes.add(t)
+    memo: dict[str, int] = {}
+    on_stack: set[str] = set()
+
+    def depth(n: str) -> int:
+        if n in memo:
+            return memo[n]
+        if n in on_stack:
+            raise ConvergenceError(
+                "transitive_depth: cycle detected — longest-path depth "
+                "is only defined on a DAG"
+            )
+        on_stack.add(n)
+        d = 0
+        for m in out_edges.get(n, ()):  # noqa: B007
+            d = max(d, depth(m) + 1)
+        on_stack.discard(n)
+        memo[n] = d
+        return d
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, len(nodes) + 1000))
+    try:
+        return {n: depth(n) for n in sorted(nodes)}
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+
+def transitive_depth(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Per-node longest-path depth over a DAG of dependency edges
+    (``src`` DEPENDS_ON ``dst``): depth(n) = 0 for sinks, else
+    1 + max(depth(m) for each edge n → m). Returns (node, depth).
+
+    Reference analog: ``computeTransitiveDepth``
+    (src/modules/ast-parser.ts:440-449) — a driver-side DFS there;
+    here one equi-join + groupBy-max relaxation round per depth level,
+    lineage cut with localCheckpoint. Round count equals the longest
+    path length — dependency graphs are shallow (package/module DAGs
+    rarely exceed depth ~20); a 10⁶-deep chain would want pointer
+    doubling instead, which this deliberately does not implement.
+
+    Raises ConvergenceError after ``max_iter`` rounds: a cycle makes
+    longest-path depth undefined, and raising beats silently reporting
+    a truncated depth (same policy as connected_components).
+
+    Two physical strategies, same result (same split as
+    connected_components): ≤ ``driver_threshold`` edges → driver-side
+    memoized DFS (an iterative job loop over a dozen-row dependency
+    graph is pure scheduler overhead — measured 14 s for 10 nodes);
+    above it → the distributed relaxation. Equality of the two paths
+    is pinned by pytest (test_transitive_depth_distributed_equals_driver).
+    """
+    spark = edges.sparkSession
+    small = (
+        driver_threshold > 0
+        and edges.limit(driver_threshold + 1).count() <= driver_threshold
+    )
+    if small:
+        pairs = [
+            (r[0], r[1])
+            for r in edges.select(src, dst).collect()
+            if r[0] is not None and r[1] is not None and r[0] != r[1]
+        ]
+        mapping = _transitive_depth_driver(pairs)
+        if not mapping:
+            return spark.createDataFrame([], "node string, depth int")
+        return spark.createDataFrame(
+            sorted(mapping.items()), ["node", "depth"]
+        ).select("node", F.col("depth").cast("int").alias("depth"))
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s").isNotNull() & F.col("t").isNotNull())
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    depth = nodes.withColumn("depth", F.lit(0)).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        cand = (
+            e.join(depth, e["t"] == depth["node"])
+            .select(F.col("s"), (F.col("depth") + 1).alias("d1"))
+            .groupBy("s")
+            .agg(F.max("d1").alias("cand"))
+        )
+        new_depth = (
+            depth.join(cand, depth["node"] == cand["s"], "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.col("depth"), F.coalesce(F.col("cand"), F.lit(0))
+                ).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_depth.join(depth, ["node", "depth"], "left_anti").limit(1).count()
+        )
+        depth = new_depth
+        if changed == 0:
+            return depth
+    raise ConvergenceError(
+        f"transitive_depth did not converge in {max_iter} rounds — "
+        "the edge set likely contains a cycle (longest-path depth is "
+        "only defined on a DAG)"
+    )
+
+
 def neighbors(
     edges: DataFrame, node_ids: DataFrame | list[str], direction: str = "out",
     edge_type: str | None = None,

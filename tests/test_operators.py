@@ -405,3 +405,56 @@ def test_multimodal_pnm_crlf_separator(spark):
     assert np.allclose(
         out.loc["windows", "feature"], out.loc["unix", "feature"], atol=0
     )
+
+
+def test_transitive_depth_diamond_and_chain(spark):
+    """Longest-path semantics: diamond a->b->d, a->c->d plus tail d->e
+    gives depth(a)=3 via either branch; sinks are 0."""
+    from hikma_engine_spark.operators.graph import transitive_depth
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["depth"] for r in transitive_depth(edges).collect()}
+    assert got == {"a": 3, "b": 2, "c": 2, "d": 1, "e": 0}
+
+
+def test_transitive_depth_cycle_raises(spark):
+    from hikma_engine_spark.operators.graph import ConvergenceError, transitive_depth
+
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    with pytest.raises(ConvergenceError, match="cycle"):
+        transitive_depth(edges, max_iter=8)
+
+
+def test_transitive_depth_distributed_equals_driver(spark):
+    """The distributed relaxation (driver_threshold=0) and the driver
+    DFS twin produce identical depths on a random-ish DAG."""
+    import numpy as np
+
+    from hikma_engine_spark.operators.graph import transitive_depth
+
+    rng = np.random.RandomState(11)
+    # DAG by construction: edges always point from higher id to lower
+    edges = sorted(
+        {
+            (f"n{j:03d}", f"n{i:03d}")
+            for _ in range(300)
+            for i, j in [sorted(rng.choice(60, 2, replace=False))]
+        }
+    )
+    df = spark.createDataFrame(list(edges), "src string, dst string")
+    drv = {
+        (r["node"], r["depth"])
+        for r in transitive_depth(df).collect()
+    }
+    dist = {
+        (r["node"], r["depth"])
+        for r in transitive_depth(df, driver_threshold=0).collect()
+    }
+    assert drv == dist and len(drv) > 0
