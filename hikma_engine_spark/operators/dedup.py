@@ -32,14 +32,14 @@ from . import lsh
 
 def _rebalance(df: DataFrame) -> DataFrame:
     """Spread a low-split input across the cluster before CPU-heavy
-    shingling/hashing. Small local corpora arrive as ONE parquet split
-    (file < maxPartitionBytes) and would run the whole dedup pipeline
-    on a single core; on a real cluster the input already has >=
-    parallelism splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    shingling/hashing. Small local corpora arrive as ONE parquet ROW
+    GROUP (whatever the byte-range split count says — see
+    splits.effective_scan_splits) and would run the whole dedup
+    pipeline on a single core; on a real cluster the input already has
+    >= parallelism row groups and this is a no-op."""
+    from ..splits import rebalance_scan
+
+    return rebalance_scan(df)
 
 
 # ---------- exact ----------

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .query import cache as query_cache
+from .splits import effective_scan_splits
 from .stages import discover, extract, link, materialize
 
 PHASES = ("discover", "extract", "link", "materialize")
@@ -265,10 +266,16 @@ class Pipeline:
         groupBy(conv_id) REUSES this exchange (Catalyst sees the
         hashpartitioning requirement already satisfied — one shuffle,
         not two).
+
+        The trigger is ROW-GROUP aware (splits.effective_scan_splits):
+        getNumPartitions() counts byte-range splits, which Spark pads
+        to defaultParallelism even when a single row group puts every
+        row in one task — the round-2 guard was fooled exactly this way
+        and serialized the whole extract+embed path on one core.
         """
         df = self.spark.read.parquet(self.transcripts_path)
         target = self.spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if effective_scan_splits(df, target) < target:
             df = df.repartition(target, *keys)
         return df
 
@@ -660,7 +667,7 @@ class Pipeline:
         spark = self.spark
         delta = spark.read.parquet(delta_path)
         target = spark.sparkContext.defaultParallelism
-        if delta.rdd.getNumPartitions() < target:
+        if effective_scan_splits(delta, target) < target:
             delta = delta.repartition(target, "conv_id", "turn_idx")
         # reject ambiguous input up front: a conversation present in the
         # delta AND in the deletion list would otherwise be silently

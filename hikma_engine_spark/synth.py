@@ -142,7 +142,7 @@ def generate_transcripts(
 
 def corpus_path(n_convs: int, seed: int = 42, root: str | None = None) -> str:
     root = root or os.environ.get("HIKMA_SYNTH_DIR", "/tmp/hikma_synth")
-    return os.path.join(root, f"transcripts_n{n_convs}_s{seed}_v1.parquet")
+    return os.path.join(root, f"transcripts_n{n_convs}_s{seed}_v2.parquet")
 
 
 def ensure_corpus(n_convs: int, seed: int = 42, root: str | None = None) -> str:
@@ -153,8 +153,13 @@ def ensure_corpus(n_convs: int, seed: int = 42, root: str | None = None) -> str:
         pdf = generate_transcripts(n_convs=n_convs, seed=seed)
         tmp = path + ".tmp"
         # Spark's parquet reader rejects TIMESTAMP(NANOS); coerce to µs
+        # many row groups = realistic, SPLITTABLE layout (a real table
+        # has >= parallelism row groups; pandas' default single row
+        # group caps scan parallelism at ONE task regardless of cores)
         pdf.to_parquet(
-            tmp, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+            tmp, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+            row_group_size=max(8192, len(pdf) // 64),
         )
         os.replace(tmp, path)
     return path

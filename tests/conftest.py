@@ -71,3 +71,9 @@ def tiny_df(spark, tiny_path):
 
 def rm(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: end-to-end tests that launch subprocesses (spark-submit)"
+    )

@@ -80,3 +80,32 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_left", "bkt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_effective_scan_splits_row_group_aware(spark, tmp_path):
+    """getNumPartitions() counts byte-range splits, which Spark pads to
+    defaultParallelism even when ONE row group holds every row (= one
+    non-empty task). The probe must see through that — and not force a
+    shuffle on a well-laid-out input."""
+    import pandas as pd
+
+    from hikma_engine_spark.splits import effective_scan_splits, rebalance_scan
+
+    pdf = pd.DataFrame({"a": range(100_000), "b": ["x"] * 100_000})
+    single = str(tmp_path / "single.parquet")
+    many = str(tmp_path / "many.parquet")
+    pdf.to_parquet(single, index=False)  # pandas default: ONE row group
+    pdf.to_parquet(many, index=False, row_group_size=2000)  # 50 row groups
+
+    target = spark.sparkContext.defaultParallelism
+    df_s = spark.read.parquet(single)
+    df_m = spark.read.parquet(many)
+    assert effective_scan_splits(df_s, target) == 1
+    assert effective_scan_splits(df_m, target) >= min(
+        target, df_m.rdd.getNumPartitions()
+    )
+    # rebalance repartitions the degenerate layout only
+    assert rebalance_scan(df_s).rdd.getNumPartitions() == target
+    # in-memory DataFrames fall back to getNumPartitions (no crash)
+    mem = spark.range(10)
+    assert effective_scan_splits(mem, target) >= 1
