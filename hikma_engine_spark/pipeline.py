@@ -124,8 +124,14 @@ class StateStore:
     phase_status, src/persistence/models/PhaseStatusModel.ts:9-27)."""
 
     def __init__(self, out_dir: str) -> None:
+        import threading
+
         self.path = os.path.join(out_dir, "_pipeline_state", "state.jsonl")
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        # concurrent phases (discover ∥ extract) append from two
+        # threads; a stats row with a big lineage map can exceed the
+        # atomic-append size, so serialize writers
+        self._lock = threading.Lock()
 
     def rows(self) -> list[dict]:
         if not os.path.exists(self.path):
@@ -134,7 +140,7 @@ class StateStore:
             return [json.loads(line) for line in f if line.strip()]
 
     def append(self, row: dict) -> None:
-        with open(self.path, "a") as f:
+        with self._lock, open(self.path, "a") as f:
             f.write(json.dumps(row, sort_keys=True) + "\n")
 
     def status(self, run_id: str, phase: str) -> str | None:
@@ -181,6 +187,7 @@ class Pipeline:
         )
         os.makedirs(out_dir, exist_ok=True)
         self.state = StateStore(out_dir)
+        self._needs_rebalance: bool | None = None
 
     # ---- IO helpers ----
     def _path(self, name: str) -> str:
@@ -275,7 +282,13 @@ class Pipeline:
         """
         df = self.spark.read.parquet(self.transcripts_path)
         target = self.spark.sparkContext.defaultParallelism
-        if effective_scan_splits(df, target) < target:
+        if self._needs_rebalance is None:
+            # decided once per Pipeline instance: the probe costs one
+            # tiny job (DF→RDD conversion) and every phase calls
+            # transcripts() — the input path cannot change under a run
+            # (the watermark guard recomputes stale phases anyway)
+            self._needs_rebalance = effective_scan_splits(df, target) < target
+        if self._needs_rebalance:
             df = df.repartition(target, *keys)
         return df
 
@@ -318,12 +331,8 @@ class Pipeline:
     def _run_materialize(self) -> dict:
         t = self.transcripts()
         mentions = self._read("mentions")
-        # edges first: the triple assembly executes exactly once; the
-        # node build then reads tool ids from the written edges table
-        # (edge_type partition pruning) instead of recomputing triples
         triples = extract.assemble_triples(t, mentions)
         edges = materialize.build_edges(triples, self._read("same_as"))
-        stats = {"edges": self._write(edges, "edges")}
         # Node build, branch by branch so each pays only its own cost:
         # - Turn nodes: bucket-shuffle the COMPACT text rows first, embed
         #   post-shuffle (vectors never cross the exchange), one branch-
@@ -335,16 +344,33 @@ class Pipeline:
         #   shuffle bounds their output file count
         if not self.n_buckets:
             # unbucketed layout: single build, embeddings inline, no
-            # pre-write shuffle at all
+            # pre-write shuffle — and the edges/nodes writes are two
+            # INDEPENDENT jobs submitted from two threads (supported by
+            # the Spark scheduler; on a cluster, concurrent jobs fill
+            # executor gaps the other job's stage tails leave). Tool
+            # nodes read the in-memory INVOKES triple slice instead of
+            # the written edges table precisely to break the only
+            # edges→nodes dependency; the slice recompute is paid inside
+            # the overlapped wall time, which is cheaper than a serial
+            # edges-commit barrier at every parallelism level measured.
             nodes = materialize.build_nodes(
                 t,
                 self._read("conversations"),
                 mentions,
-                self._read("edges"),
+                None,
                 self._read("links"),
+                tool_ids=materialize.tool_source_ids(t, mentions),
             )
-            stats["nodes"] = self._write(nodes, "nodes")
+            from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+            with ThreadPoolExecutor(2) as pool:
+                f_edges = pool.submit(self._write, edges, "edges")
+                f_nodes = pool.submit(self._write, nodes, "nodes")
+                stats = {"edges": f_edges.result(), "nodes": f_nodes.result()}
         else:
+            # bucketed layout keeps the sequential edges-then-nodes order
+            # (the incremental COW machinery depends on committed edges)
+            stats = {"edges": self._write(edges, "edges")}
             from .functions.embeddings import embed_udf  # noqa: PLC0415
             from .stages.materialize import _NODE_COLS  # noqa: PLC0415
 
@@ -402,14 +428,41 @@ class Pipeline:
         self.spark.catalog.clearCache()
         query_cache.invalidate_all()
         watermark = self._input_watermark()
+
+        def state_row(phase: str, status: str, started: str, stats: dict) -> None:
+            self.state.append(
+                {
+                    "run_id": self.run_id,
+                    "phase_name": phase,
+                    "partition_id": None,
+                    "status": status,
+                    "started_at": started,
+                    "completed_at": None if status == "running" else _now(),
+                    "watermark": watermark,
+                    "stats": stats,
+                }
+            )
+
+        def exec_phase(phase: str) -> None:
+            started = _now()
+            state_row(phase, "running", started, {})
+            try:
+                stats = bodies[phase]()
+            except Exception:
+                state_row(phase, "failed", started, {})
+                raise
+            result.phase_stats[phase] = stats
+            state_row(phase, "completed", started, stats)
+
+        # skip only when a phase completed AGAINST THE SAME INPUT:
+        # a completed row with a different watermark means the
+        # transcripts changed since — recompute (reference:
+        # IndexingStrategy compares last_indexed_commit before
+        # deciding to skip, src/core/indexing/IndexingStrategy.ts:15-75)
+        pending: list[str] = []
         for phase in PHASES:
             outputs_ok = all(self._exists(o) for o in _OUTPUTS[phase])
             latest = self.state.latest(phase)
-            # skip only when the phase completed AGAINST THE SAME INPUT:
-            # a completed row with a different watermark means the
-            # transcripts changed since — recompute (reference:
-            # IndexingStrategy compares last_indexed_commit before
-            # deciding to skip, src/core/indexing/IndexingStrategy.ts:15-75)
             fresh = (
                 latest is not None
                 and latest["status"] == "completed"
@@ -417,53 +470,36 @@ class Pipeline:
             )
             if resume and fresh and outputs_ok:
                 result.skipped.append(phase)
-                if phase == stop_after:
-                    break
-                continue
-            started = _now()
-            self.state.append(
-                {
-                    "run_id": self.run_id,
-                    "phase_name": phase,
-                    "partition_id": None,
-                    "status": "running",
-                    "started_at": started,
-                    "completed_at": None,
-                    "watermark": watermark,
-                    "stats": {},
-                }
-            )
-            try:
-                stats = bodies[phase]()
-            except Exception:
-                self.state.append(
-                    {
-                        "run_id": self.run_id,
-                        "phase_name": phase,
-                        "partition_id": None,
-                        "status": "failed",
-                        "started_at": started,
-                        "completed_at": _now(),
-                        "watermark": watermark,
-                        "stats": {},
-                    }
-                )
-                raise
-            result.phase_stats[phase] = stats
-            self.state.append(
-                {
-                    "run_id": self.run_id,
-                    "phase_name": phase,
-                    "partition_id": None,
-                    "status": "completed",
-                    "started_at": started,
-                    "completed_at": _now(),
-                    "watermark": watermark,
-                    "stats": stats,
-                }
-            )
+            else:
+                pending.append(phase)
             if phase == stop_after:
                 break
+
+        # discover and extract both read ONLY the input transcripts —
+        # when both need recompute, run them as concurrent Spark jobs
+        # (the scheduler interleaves them; discover's small window agg
+        # fills extract's scan/UDF stage tails instead of paying its
+        # wall serially). Each still writes its own state rows, so
+        # crash/resume semantics are per-phase exactly as before.
+        i = 0
+        while i < len(pending):
+            phase = pending[i]
+            if (
+                phase == "discover"
+                and i + 1 < len(pending)
+                and pending[i + 1] == "extract"
+            ):
+                from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+                with ThreadPoolExecutor(2) as pool:
+                    f_d = pool.submit(exec_phase, "discover")
+                    f_e = pool.submit(exec_phase, "extract")
+                    f_d.result()
+                    f_e.result()
+                i += 2
+                continue
+            exec_phase(phase)
+            i += 1
         result.elapsed_sec = time.time() - t0
         return result
 

@@ -225,11 +225,35 @@ def entity_nodes(
     )
 
 
-def tool_nodes(edges_or_triples: DataFrame) -> DataFrame:
-    """Tool dim from INVOKES edges — fed from the already-written edges
-    table (edge_type partition pruning), never a triple recompute."""
+def tool_source_ids(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Tool id dim straight from the SOURCE columns — two pruned column
+    scans, no triple explode and no dependency on a committed edges
+    table (which is what lets the nodes and edges writes run as
+    concurrent jobs). Equals the distinct INVOKES dst set by
+    construction: extraction rule R3 emits ``tool:<surface_norm>`` for
+    kind=toolcall mentions, and turn assembly emits
+    ``tool:lower(tool)`` for role='tool' turns (stages/extract.py
+    turn_triples) — pinned by test_tool_source_ids_match_invokes."""
+    from ..extraction import KIND_TOOLCALL  # noqa: PLC0415
+
+    a = mentions.filter(F.col("kind") == KIND_TOOLCALL).select(
+        F.concat(F.lit("tool:"), F.col("surface_norm")).alias("id")
+    )
+    b = transcripts.filter(
+        (F.col("role") == "tool") & F.col("tool").isNotNull()
+    ).select(F.concat(F.lit("tool:"), F.lower(F.col("tool"))).alias("id"))
+    return a.unionByName(b).distinct()
+
+
+def tool_nodes(edges_or_triples: DataFrame, tool_ids: DataFrame | None = None) -> DataFrame:
+    """Tool dim from INVOKES edges (edge_type partition pruning on the
+    written table), or from a precomputed ``tool_ids`` dim
+    (tool_source_ids) when the edges table is being written
+    concurrently."""
     tools = (
-        edges_or_triples.filter(F.col("edge_type") == "INVOKES")
+        tool_ids
+        if tool_ids is not None
+        else edges_or_triples.filter(F.col("edge_type") == "INVOKES")
         .select(F.col("dst").alias("id"))
         .distinct()
     )
@@ -252,16 +276,17 @@ def build_nodes(
     transcripts: DataFrame,
     conversations: DataFrame,
     mentions: DataFrame,
-    edges: DataFrame,
+    edges: DataFrame | None,
     links: DataFrame,
     embed: bool = True,
+    tool_ids: DataFrame | None = None,
 ) -> DataFrame:
     parts = [
         conversation_nodes(conversations),
         turn_nodes(transcripts, embed=embed),
         mention_nodes(mentions, links),
         entity_nodes(links, mentions, embed=embed),
-        tool_nodes(edges),
+        tool_nodes(edges, tool_ids=tool_ids),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -126,3 +126,27 @@ def test_turn_doc_excerpt_property(spark):
         .collect()
     }
     assert docs == {0: "Release plan", 1: "ship it", 2: "sub heading here", 3: ""}
+
+
+def test_tool_source_ids_match_invokes(spark, corpus_path, pipeline_out):
+    """tool_source_ids (two pruned column scans, no triple explode) must
+    equal the distinct INVOKES dst set — the contract that lets the
+    nodes and edges writes run as concurrent jobs."""
+    from pyspark.sql import functions as F
+
+    from hikma_engine_spark.stages.materialize import tool_source_ids
+
+    t = spark.read.parquet(corpus_path)
+    mentions = pipeline_out._read("mentions")
+    from_sources = {
+        r["id"] for r in tool_source_ids(t, mentions).collect()
+    }
+    from_edges = {
+        r["dst"]
+        for r in pipeline_out.edges()
+        .filter(F.col("edge_type") == "INVOKES")
+        .select("dst")
+        .distinct()
+        .collect()
+    }
+    assert from_sources == from_edges and len(from_sources) > 0
