@@ -578,6 +578,20 @@ def _with_recall_contract(exact: DataFrame, ann: DataFrame, min_hits: int) -> Da
     )
 
 
+def d_embdup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.9) via hyperplane
+    sign-bucket blocking + multiprobe + exact verify
+    (dedup.embedding_near_dup_pairs, n_planes auto-scaled). Over the
+    clustered view the blocking is exhaustive (recall 1.0 measured at
+    both SFs), so the DuckDB twin is the EXACT all-pairs set — the same
+    direct-oracle pattern as d_minhash_pairs."""
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    return (
+        dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+        .orderBy("a", "b")
+    )
+
+
 def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via LSH bucket pruning (probe radius 2 ⇒ ~20% scan), recall
     ≥ 0.8 vs exact contract-checked by the oracle (measured 1.0 at both
@@ -1029,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_jaccard_pairs": d_jaccard_pairs,
         "d_minhash_pairs": d_minhash_pairs,
         "d_simhash_pairs": d_simhash_pairs,
+        "d_embdup_pairs": d_embdup_pairs,
         "e_cosine_topk": e_cosine_topk,
         "e_cosine_pairs": e_cosine_pairs,
         "e_ann_lsh_topk": e_ann_lsh_topk,
@@ -1719,6 +1734,28 @@ def oracle_sql() -> dict[str, str]:
                     + bit_count(xor(x.hi, y.hi)))::INTEGER AS hamming
             FROM allsims x JOIN allsims y ON x.doc_id < y.doc_id
             WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
+            ORDER BY a, b
+        """,
+        # direct oracle for the blocked near-dup operator: over the
+        # clustered view the hyperplane blocking is exhaustive (recall
+        # 1.0 at both SFs, pinned by pytest), so the twin is the exact
+        # all-pairs cosine ≥ 0.9 set
+        "d_embdup_pairs": f"""
+            WITH ce AS (
+              SELECT vec_id,
+                     list_transform(range(64), i ->
+                       embedding[i+1]::DOUBLE
+                       + CASE WHEN i = label THEN {_ANN_BOOST} ELSE 0.0 END) AS emb
+              FROM embeddings
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_dot_product(x.emb, y.emb)
+                         / (sqrt(list_dot_product(x.emb, x.emb))
+                            * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+            FROM ce x JOIN ce y ON x.vec_id < y.vec_id
+            WHERE list_dot_product(x.emb, y.emb)
+                  / (sqrt(list_dot_product(x.emb, x.emb))
+                     * sqrt(list_dot_product(y.emb, y.emb))) >= 0.9
             ORDER BY a, b
         """,
         # ANN contract twins: exact top-k over the deterministic

@@ -56,3 +56,25 @@ def test_simhash_oracle_twin_matches(spark):
     )
     odf = con.execute(entrymod.oracle_sql()["d_simhash_pairs"]).df()
     assert sdf.astype(str).equals(odf.astype(str))
+
+
+def test_embdup_blocking_exhaustive_on_clustered_view(spark):
+    """d_embdup_pairs' direct oracle is only valid while the hyperplane
+    blocking is exhaustive on the clustered view — pin recall == 1.0
+    against the exact blocked-GEMM all-pairs set."""
+    from hikma_engine_spark.operators import dedup, similarity_search
+
+    emb = entrymod._clustered_embeddings(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    )
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity_search.all_pairs_cosine(emb, threshold=0.9).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert approx == exact and len(exact) > 0

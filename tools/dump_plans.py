@@ -67,6 +67,29 @@ interpreted array expressions).""",
         plan(dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8), "simple"),
     ))
 
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from hikma_engine_spark.operators import similarity_search  # noqa: PLC0415
+
+    qv = [0.1] * 64
+    bucketed = similarity_search.add_lsh_buckets(emb.filter("vec_id != 0"))
+    sections.append((
+        "lsh_topk — ANN bucket pruning",
+        """What to look for: the `lsh_bucket IN (...)` probe filter sits
+directly above the scan (with a bucketed/partitioned table it becomes
+file/partition pruning — only ~probe-set/2^n_planes of the data is
+read), then TakeOrderedAndProject for the top-k. The bucket column
+itself is JVM-side aggregate/zip_with — no Python in the plan.""",
+        plan(similarity_search.lsh_topk(bucketed, qv, k=10, probe_radius=2)),
+    ))
+    sections.append((
+        "structural_search — structure-gate + name-tier CASE rank",
+        """What to look for: node-type IN filter and the substring predicate
+pushed into the scan's filter stack, the CASE tier as a codegen
+projection, and TakeOrderedAndProject (tier, length, id) — no global
+sort, no shuffle.""",
+        plan(e.s_structural_tier(spark, SF)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for the headline operators",
         "",
