@@ -412,16 +412,25 @@ def embedding_near_dup_pairs(
 
         return embs.map(bucket)
 
+    # candidate generation carries ONLY (id, bucket): the multiprobe
+    # self-join multiplies rows ~(1+n_planes)×, and the distinct must
+    # hash id pairs, not 64-float arrays (an array-keyed distinct over
+    # the exploded join measured 10× slower). Embeddings re-attach via
+    # two joins AFTER dedup, once per surviving pair.
     hb = df.select(
-        F.col(id_col).alias("doc"), F.col(emb_col).alias("emb")
-    ).withColumn("bucket", F.explode(buckets_udf(F.col("emb"))))
-    a = hb.select(F.col("doc").alias("a"), F.col("emb").alias("emb_a"), "bucket")
-    b = hb.select(F.col("doc").alias("b"), F.col("emb").alias("emb_b"), "bucket")
+        F.col(id_col).alias("doc"),
+        F.explode(buckets_udf(F.col(emb_col))).alias("bucket"),
+    )
+    a = hb.select(F.col("doc").alias("a"), "bucket")
+    b = hb.select(F.col("doc").alias("b"), "bucket")
+    cands = (
+        a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    ea = df.select(F.col(id_col).alias("a"), F.col(emb_col).alias("emb_a"))
+    eb = df.select(F.col(id_col).alias("b"), F.col(emb_col).alias("emb_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "emb_a", "emb_b")
-        .distinct()
+        cands.join(ea, "a")
+        .join(eb, "b")
         .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cosine"))
