@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hikma_engine_spark.functions import text as tx
-from hikma_engine_spark.operators import dedup, similarity_search
+from hikma_engine_spark.operators import dedup, export, similarity_search
 from hikma_engine_spark.stages import discover, extract, link, materialize
 
 # ---------------------------------------------------------------------------
@@ -517,6 +517,46 @@ def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# training-data export: decontaminate → shuffle/shard → pack
+# ---------------------------------------------------------------------------
+
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs covering ≥80% of an
+    eval doc's word 3-grams (eval set = doc_id % 7 == 0 — a stand-in
+    benchmark suite; the split is deterministic so both engines agree)."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    tr = d.filter(F.col("doc_id") % 7 != 0)
+    return (
+        export.decontaminate(tr, ev, "doc_id", "text", n=3, containment=0.8)
+        .select("doc_id", "eval_id", F.round("containment", 4).alias("containment"))
+        .orderBy("doc_id", "eval_id")
+    )
+
+
+def d_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle into 8 export shards: the
+    (shard, shuffle_rank) layout a training job reads. Reproducible
+    across engines (md5-derived keys, no rand())."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        export.shuffle_shard(d, "doc_id", n_shards=8, seed="42")
+        .select("doc_id", "shard", F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
+        .orderBy("shard", "shuffle_rank")
+    )
+
+
+def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (next-fit per deterministic md5
+    bucket, budget 256 tokens) — the Arrow applyInPandas packer vs a
+    DuckDB recursive-CTE replay of the same greedy recurrence."""
+    d = _t(spark, sf_dir, "documents")
+    return export.pack_sequences(
+        d, "doc_id", text_col="text", budget=256, n_buckets=8, seed="pack"
+    ).orderBy("bucket", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1044,6 +1084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_pairs": d_minhash_pairs,
         "d_simhash_pairs": d_simhash_pairs,
         "d_embdup_pairs": d_embdup_pairs,
+        "d_decontaminate": d_decontaminate,
+        "d_shuffle_export": d_shuffle_export,
+        "d_pack_sequences": d_pack_sequences,
         "e_cosine_topk": e_cosine_topk,
         "e_cosine_pairs": e_cosine_pairs,
         "e_ann_lsh_topk": e_ann_lsh_topk,
@@ -1757,6 +1800,79 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(x.emb, x.emb))
                      * sqrt(list_dot_product(y.emb, y.emb))) >= 0.9
             ORDER BY a, b
+        """,
+        "d_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(t) >= 3
+                            THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                            ELSE [array_to_string(t, ' ')] END
+                     )) AS g
+              FROM toks
+            ),
+            ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 7 = 0),
+            tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 7 != 0),
+            evsz AS (SELECT eval_id, count(*) AS sz FROM ev GROUP BY 1),
+            inter AS (
+              SELECT t.doc_id, e.eval_id, count(*) AS n
+              FROM tr t JOIN ev e USING (g) GROUP BY 1, 2
+            )
+            SELECT i.doc_id, i.eval_id,
+                   round(i.n::double / s.sz, 4) AS containment
+            FROM inter i JOIN evsz s USING (eval_id)
+            WHERE i.n::double / s.sz >= 0.8
+            ORDER BY doc_id, eval_id
+        """,
+        "d_shuffle_export": """
+            WITH h AS (
+              SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS hkey FROM documents
+            ),
+            s AS (
+              SELECT doc_id, hkey,
+                     ('0x' || substr(hkey, 1, 8))::BIGINT % 8 AS shard
+              FROM h
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)::BIGINT
+                     AS shuffle_rank
+            FROM s ORDER BY shard, shuffle_rank
+        """,
+        # replays the packer's next-fit recurrence sequentially per
+        # bucket via a recursive CTE — same bucket key (seeded md5),
+        # same order (doc_id), same overflow rule
+        "d_pack_sequences": """
+            WITH RECURSIVE base AS (
+              SELECT ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+                       AS bucket,
+                     doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            ordered AS (
+              SELECT bucket, doc_id, n_tokens,
+                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM base
+            ),
+            pack AS (
+              SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS seq_idx,
+                     n_tokens AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.seq_idx ELSE p.seq_idx + 1 END,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.fill + o.n_tokens ELSE o.n_tokens END
+              FROM ordered o JOIN pack p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            )
+            SELECT bucket, doc_id, n_tokens, seq_idx
+            FROM pack ORDER BY bucket, doc_id
         """,
         # ANN contract twins: exact top-k over the deterministic
         # clustered view (see _clustered_embeddings) + TRUE for the

@@ -1,0 +1,188 @@
+"""Training-data EXPORT operators — the last mile of an LLM data
+pipeline: after cleaning/dedup, the corpus must be (1) scrubbed of
+benchmark contamination, (2) globally shuffled into reproducible
+shards, and (3) packed into fixed-token-budget training sequences.
+
+All three are deterministic (seeded md5 keys, stable sort orders) so a
+resumed or re-run export is byte-identical — the same contract the
+pipeline's id-minting follows (reference analog: deterministic
+signature hashing, src/modules/data-loader.ts:193-197).
+
+Scale posture (100 TB):
+- ``shuffle_shard``     — one shuffle, keyed on a uniform md5-derived
+                          shard id; no global sort, no single-reducer
+                          window (rank is per-shard).
+- ``decontaminate``     — eval/benchmark sets are small by nature
+                          (10^3-10^5 docs), so their shingle dim is
+                          broadcast; the corpus side is one projection
+                          + explode, never shuffled on doc id.
+- ``pack_sequences``    — bin packing is sequential by nature, so it
+                          is parallelized by deterministic bucket:
+                          next-fit within each bucket via one Arrow
+                          ``applyInPandas`` pass. n_buckets is the
+                          parallelism knob (100k buckets at corpus
+                          scale -> ~1M docs per task at 10^11 docs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from .lsh import word_shingles
+
+
+def _md5_key(id_col: Column, seed: str) -> Column:
+    """Seeded, engine-portable order/shard key: md5('{seed}:{id}')."""
+    return F.md5(F.concat_ws(":", F.lit(seed), id_col.cast("string")))
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 64,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic global shuffle for training export.
+
+    Adds (shard, shuffle_rank): documents land in a pseudo-random but
+    SEEDED order — re-running with the same seed reproduces the exact
+    shard layout (required for resumable exports and loss-curve
+    reproducibility), a different seed is a fresh permutation.
+
+    shard = first 8 md5 hex digits (uniform) mod n_shards; rank is a
+    per-shard row_number ordered by the full md5 key. At scale: one
+    hash-partition shuffle on ``shard`` (balanced by md5 uniformity —
+    no skew, no global sort). Writers should follow with
+    ``.repartition(n_shards, "shard").sortWithinPartitions("shuffle_rank")``.
+    """
+    hkey = _md5_key(F.col(id_col), seed)
+    out = df.withColumn("_hkey", hkey).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("_hkey"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_shards),
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_hkey", id_col)
+    return (
+        out.withColumn("shuffle_rank", F.row_number().over(w))
+        .drop("_hkey")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    containment: float = 0.5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination scan: flag corpus docs whose word
+    n-gram set covers >= ``containment`` of some eval doc's n-grams
+    (the GPT-3-style n-gram decontamination test, stated as shingle
+    CONTAINMENT of the eval side so a long training doc that embeds a
+    whole benchmark item is caught even when symmetric Jaccard is low).
+
+    Returns (doc_id, eval_id, containment) for every flagged pair.
+    Join key is the shingle string; the eval shingle dim is broadcast
+    (eval suites are tiny next to the corpus — set
+    ``broadcast_eval=False`` for the shuffle join if not). The corpus
+    side is projection + explode only: no corpus shuffle, no n^2.
+    """
+    ev_sh = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    ev_sizes = ev_sh.groupBy("eval_id").agg(F.count("*").alias("ev_sz"))
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
+        ev_sizes = F.broadcast(ev_sizes)
+    tr_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    inter = (
+        tr_sh.join(ev_sh, "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(ev_sizes, "eval_id")
+        .withColumn(
+            "containment", F.col("n_inter") / F.col("ev_sz").cast("double")
+        )
+        .filter(F.col("containment") >= containment)
+        .select("doc_id", "eval_id", "containment")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    token_col: str | None = None,
+    budget: int = 256,
+    n_buckets: int = 8,
+    seed: str = "pack",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Deterministic NEXT-FIT per bucket: docs are assigned to a bucket by
+    seeded md5 (engine-portable), sorted by id within the bucket, and
+    greedily appended to the current sequence; a doc that would
+    overflow ``budget`` opens a new sequence (an oversized doc gets a
+    sequence of its own — truncation is the tokenizer's job, not the
+    packer's). Emits (bucket, doc_id, n_tokens, seq_idx).
+
+    Sequentiality is confined to a bucket, so parallelism = n_buckets:
+    one shuffle to group buckets, one Arrow ``applyInPandas`` pass.
+    Fragmentation vs a global packer is bounded: next-fit wastes less
+    than one doc per sequence on average, and buckets are
+    corpus-uniform so per-bucket fill rates match the global rate.
+    """
+    if (text_col is None) == (token_col is None):
+        raise ValueError("exactly one of text_col / token_col is required")
+    toks = (
+        token_count(F.col(text_col)) if text_col is not None else F.col(token_col)
+    )
+    base = df.select(
+        F.pmod(
+            F.conv(F.substring(_md5_key(F.col(id_col), seed), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+        F.col(id_col).alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    id_field = base.schema["doc_id"]
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        seqs = []
+        seq, fill = 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            t = int(t)
+            if i == 0:
+                fill = t
+            elif fill + t <= budget:
+                fill += t
+            else:
+                seq += 1
+                fill = t
+            seqs.append(seq)
+        pdf["seq_idx"] = pd.Series(seqs, dtype="int64")
+        return pdf
+
+    schema = (
+        f"bucket bigint, doc_id {id_field.dataType.simpleString()}, "
+        "n_tokens bigint, seq_idx bigint"
+    )
+    return base.groupBy("bucket").applyInPandas(pack, schema=schema)

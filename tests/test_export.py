@@ -1,0 +1,139 @@
+"""Training-data export operators: deterministic shuffle/shard,
+benchmark decontamination, token-budget sequence packing.
+
+Invariants pinned here (the DuckDB oracles in __spark_entry__ pin
+value equality; these pin the CONTRACTS):
+- shuffle_shard: seeded determinism, permutation completeness, shard
+  balance, seed sensitivity
+- decontaminate: exact containment values, eval-side broadcast plan
+- pack_sequences: every doc assigned exactly once; no sequence over
+  budget unless it is a single oversized doc; sequences are contiguous
+  per bucket; deterministic across runs
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hikma_engine_spark.operators import export  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_shuffle_shard_is_deterministic_permutation(spark, docs):
+    a = export.shuffle_shard(docs, "doc_id", n_shards=8, seed="s1").toPandas()
+    b = export.shuffle_shard(docs, "doc_id", n_shards=8, seed="s1").toPandas()
+    key = ["doc_id", "shard", "shuffle_rank"]
+    assert a[key].sort_values("doc_id").reset_index(drop=True).equals(
+        b[key].sort_values("doc_id").reset_index(drop=True)
+    )
+    # complete permutation: every doc exactly once, ranks contiguous per shard
+    assert sorted(a.doc_id) == sorted(docs.toPandas().doc_id)
+    for _, g in a.groupby("shard"):
+        assert sorted(g.shuffle_rank) == list(range(1, len(g) + 1))
+
+
+def test_shuffle_shard_seed_changes_order_and_balances(spark, docs):
+    a = export.shuffle_shard(docs, "doc_id", n_shards=8, seed="s1").toPandas()
+    c = export.shuffle_shard(docs, "doc_id", n_shards=8, seed="s2").toPandas()
+    assert not a.sort_values("doc_id")[["shard", "shuffle_rank"]].reset_index(
+        drop=True
+    ).equals(c.sort_values("doc_id")[["shard", "shuffle_rank"]].reset_index(drop=True))
+    # md5 uniformity: no shard more than 2x the mean on 500 docs
+    counts = a.shard.value_counts()
+    assert counts.max() <= 2 * len(a) / 8
+
+
+def test_decontaminate_containment_exact(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 10],
+            "txt": [
+                # train doc 1 fully contains eval doc 10's text
+                "alpha beta gamma delta epsilon zeta eta theta",
+                # train doc 2 shares half of eval's shingles
+                "gamma delta epsilon unrelated words here now",
+                # train doc 3 disjoint
+                "totally different content with nothing shared",
+                # eval doc: 4 tokens -> 2 distinct 3-shingles
+                "beta gamma delta epsilon",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ev = df.filter(F.col("id") == 10)
+    tr = df.filter(F.col("id") != 10)
+    got = (
+        export.decontaminate(tr, ev, "id", "txt", n=3, containment=0.0)
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_doc = {r.doc_id: r.containment for r in got}
+    # eval shingles: {"beta gamma delta", "gamma delta epsilon"}
+    assert by_doc[1] == 1.0
+    assert by_doc[2] == 0.5
+    assert 3 not in by_doc
+    flagged = export.decontaminate(tr, ev, "id", "txt", containment=0.8).collect()
+    assert [r.doc_id for r in flagged] == [1]
+
+
+def test_decontaminate_eval_side_is_broadcast(spark, docs):
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    plan = export.decontaminate(tr, ev, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must not be exchanged on doc id before the join
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def _packed(spark, docs, budget=256):
+    return export.pack_sequences(
+        docs, "doc_id", text_col="text", budget=budget, n_buckets=8, seed="pack"
+    ).toPandas()
+
+
+def test_pack_sequences_invariants(spark, docs):
+    pdf = _packed(spark, docs)
+    assert sorted(pdf.doc_id) == sorted(docs.toPandas().doc_id)  # exactly once
+    fills = pdf.groupby(["bucket", "seq_idx"]).n_tokens.agg(["sum", "count"])
+    # a sequence over budget must be a single oversized doc
+    over = fills[fills["sum"] > 256]
+    assert (over["count"] == 1).all()
+    # sequence ids are contiguous from 0 per bucket
+    for _, g in pdf.groupby("bucket"):
+        seqs = sorted(g.seq_idx.unique())
+        assert seqs == list(range(len(seqs)))
+    # deterministic
+    assert pdf.equals(_packed(spark, docs))
+
+
+def test_pack_sequences_next_fit_order(spark):
+    # 1 bucket, known sizes: next-fit over doc order must break exactly
+    # at the budget boundary and give an oversized doc its own sequence
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4, 5], "tok": [100, 100, 100, 400, 50]})
+    df = spark.createDataFrame(pdf)
+    got = (
+        export.pack_sequences(df, "id", token_col="tok", budget=256, n_buckets=1)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(got.seq_idx) == [0, 0, 1, 2, 3]
+
+
+def test_pack_sequences_arg_validation(spark, docs):
+    with pytest.raises(ValueError):
+        export.pack_sequences(docs, "doc_id")
+    with pytest.raises(ValueError):
+        export.pack_sequences(docs, "doc_id", text_col="text", token_col="n_chars")
