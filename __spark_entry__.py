@@ -919,6 +919,83 @@ def g_depth_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance: fixed-iteration PageRank (6 rounds, d=0.85)
+    over the symmetric co-mention graph — the vertex-centric iterate
+    operator, oracle-replayed by an unrolled per-iteration SQL twin."""
+    from hikma_engine_spark.operators.graph import pagerank
+
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    pairs = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .select("e1", "e2")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("e1").alias("src"), F.col("e2").alias("dst")
+    ).unionByName(pairs.select(F.col("e2").alias("src"), F.col("e1").alias("dst")))
+    return (
+        pagerank(edges, damping=0.85, n_iter=6)
+        .select(F.col("node").alias("entity"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "entity")
+    )
+
+
+def _pagerank_oracle_sql(gaz: str, n_iter: int = 6, damping: float = 0.85) -> str:
+    """Unrolled power-iteration twin of ``operators.graph.pagerank``:
+    one chained CTE per iteration replaying the exact recurrence
+    (teleport + damped contribs; the co-mention graph is symmetric so
+    the self-loop dangling closure adds no edges here)."""
+    parts = [
+        f"WITH t AS ({_DOC_TRANSCRIPTS_SQL})",
+        f"""m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            )""",
+        """p AS (
+              SELECT DISTINCT a.e AS e1, b.e AS e2
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.e < b.e
+            )""",
+        "ed AS (SELECT e1 AS src, e2 AS dst FROM p UNION ALL SELECT e2, e1 FROM p)",
+        "nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)",
+        "deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src)",
+        "nn AS (SELECT count(*)::double AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (
+              SELECT ed.dst AS node, sum(r.rank / deg.deg) AS contrib
+              FROM ed JOIN r{i - 1} r ON ed.src = r.node
+                      JOIN deg ON ed.src = deg.src
+              GROUP BY ed.dst
+            )"""
+        )
+        parts.append(
+            f"""r{i} AS (
+              SELECT nodes.node,
+                     ({1.0 - damping:.17g} / (SELECT n FROM nn))
+                     + {damping:.17g} * COALESCE(c{i}.contrib, 0.0) AS rank
+              FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS entity, round(rank, 6) AS rank FROM r{n_iter} "
+        "ORDER BY rank DESC, entity"
+    )
+
+
 def s_name_case_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 CASE-tier name ranking (reference: searchFilesByName ORDER BY
     CASE, src/modules/search-service.ts:881-916) over a documents-derived
@@ -1106,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_k_hop_spark": g_k_hop_spark,
         "g_cc_dupgroups": g_cc_dupgroups,
         "g_depth_entities": g_depth_entities,
+        "g_pagerank_entities": g_pagerank_entities,
         "s_name_case_rank": s_name_case_rank,
         "s_structural_tier": s_structural_tier,
         "s_metadata_daterange": s_metadata_daterange,
@@ -1702,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS node, CAST(max(d) AS int) AS depth
             FROM paths GROUP BY n ORDER BY node
         """,
+        "g_pagerank_entities": _pagerank_oracle_sql(gaz),
         "s_name_case_rank": """
             SELECT id, tier FROM (
               SELECT CAST(doc_id AS varchar) AS id, source AS name,

@@ -329,3 +329,130 @@ def k_hop(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def _pagerank_driver(
+    edge_list: list[tuple[str, str]], damping: float, n_iter: int
+) -> list[tuple[str, float]]:
+    """Driver twin: the identical recurrence on a collected edge list
+    (numpy float64, contribs accumulated in sorted-edge order so the
+    result is deterministic). Bounded by ``driver_threshold``."""
+    import numpy as np
+
+    edge_list = sorted(edge_list)  # accumulate in a fixed order
+    ids = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {u: i for i, u in enumerate(ids)}
+    n = len(ids)
+    srcs = np.fromiter((idx[u] for u, _ in edge_list), dtype=np.int64)
+    dsts = np.fromiter((idx[v] for _, v in edge_list), dtype=np.int64)
+    deg = np.bincount(srcs, minlength=n).astype(np.float64)
+    dangling = deg == 0
+    deg[dangling] = 1.0  # self-loop treatment: dangling keeps own mass
+    ranks = np.full(n, 1.0 / n)
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dsts, ranks[srcs] / deg[srcs])
+        contrib[dangling] += ranks[dangling]
+        ranks = teleport + damping * contrib
+    return [(u, float(ranks[idx[u]])) for u in ids]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 6,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank power method over a directed edge list.
+    Returns (node, rank) for every node incident to an edge.
+
+    FIXED iteration count, not an epsilon stop: the result is a pure
+    function of (edges, damping, n_iter), so an independent engine
+    replaying the same recurrence agrees to rounding — that is what
+    makes the operator oracle-checkable, and what makes a resumed run
+    reproducible (north-rule determinism, same reason the id minting
+    bans UUIDs). Dangling nodes get the SELF-LOOP treatment (they keep
+    their own damped mass) — it needs no global mass total, so an
+    iteration is pure join+aggregate with nothing on the driver.
+
+    Two physical strategies, same recurrence (pinned equal to 1e-12 by
+    ``test_operators.test_pagerank_driver_equals_distributed``):
+    - ≤ ``driver_threshold`` edges: collected numpy power iteration —
+      a 10-node co-mention graph costs ~20 scheduler round-trips as a
+      join loop and ~1 ms as vector math (the same economics as
+      ``connected_components``' union-find twin; the collect is
+      BOUNDED by the threshold probe).
+    - larger: per iteration one join (edge × rank, co-partitioned on
+      src) + one groupBy(dst) — 2 shuffles, both map-side-combinable;
+      hot destinations absorbed by partial aggregation (sum is
+      algebraic); lineage cut every 3 rounds (single-reference chain,
+      no double-evaluation in between).
+    """
+    # materialize the deduped edge list ONCE — every branch below needs
+    # it at least twice (threshold probe + collect, or degree + rounds)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = e.sparkSession
+    small = (
+        driver_threshold > 0
+        and e.limit(driver_threshold + 1).count() <= driver_threshold
+    )
+    if small:
+        pairs = [(r[0], r[1]) for r in e.collect()]
+        if not pairs:
+            return spark.createDataFrame([], "node string, rank double")
+        return spark.createDataFrame(
+            _pagerank_driver(pairs, damping, n_iter), ["node", "rank"]
+        )
+    default_par = spark.sparkContext.defaultParallelism
+    n_edges = e.count()
+    npart = max(1, min(default_par, n_edges // 20_000 + 1))
+    e = e.repartition(npart, "src").localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    # self-loop treatment materialized: dangling nodes (no out-edge)
+    # get an explicit self-edge, after which every node has deg >= 1
+    # and the recurrence is closed over the edge list alone
+    dangling = nodes.join(
+        e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    )
+    e_closed = e.unionByName(
+        dangling.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint(eager=True)
+    outdeg = e_closed.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for i in range(n_iter):
+        contribs = (
+            e_closed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 3 == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

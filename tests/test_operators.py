@@ -458,3 +458,39 @@ def test_transitive_depth_distributed_equals_driver(spark):
         for r in transitive_depth(df, driver_threshold=0).collect()
     }
     assert drv == dist and len(drv) > 0
+
+
+def test_pagerank_driver_equals_distributed(spark):
+    """Both physical strategies replay the identical recurrence —
+    including the self-loop treatment of a dangling node."""
+    from hikma_engine_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("d", "a"), ("c", "e"),  # e is dangling (no out-edge)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    drv = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, driver_threshold=0).collect()
+    }
+    assert set(drv) == set(dist) == {"a", "b", "c", "d", "e"}
+    assert all(abs(drv[k] - dist[k]) < 1e-12 for k in drv)
+    # mass is conserved under the self-loop treatment
+    assert abs(sum(drv.values()) - 1.0) < 1e-9
+    # structure sanity: the hub 'a' outranks the source-only 'd'
+    assert drv["a"] > drv["d"]
+
+
+def test_pagerank_deterministic_and_damping_sensitivity(spark):
+    from hikma_engine_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = sorted(pagerank(df).collect())
+    r2 = sorted(pagerank(df).collect())
+    assert r1 == r2
+    r_low = {r["node"]: r["rank"] for r in pagerank(df, damping=0.5).collect()}
+    r_high = {r["node"]: r["rank"] for r in pagerank(df, damping=0.85).collect()}
+    assert r_low != r_high
