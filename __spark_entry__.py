@@ -537,6 +537,25 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-source keep rates via seeded
+    md5-threshold filter (content-keyed — survives repartitioning,
+    unlike positional df.sample)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        export.stratified_sample(
+            d,
+            "doc_id",
+            "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            seed="mix",
+            default_rate=0.1,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def d_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic seeded global shuffle into 8 export shards: the
     (shard, shuffle_rank) layout a training job reads. Reproducible
@@ -1162,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": d_simhash_pairs,
         "d_embdup_pairs": d_embdup_pairs,
         "d_decontaminate": d_decontaminate,
+        "d_domain_mix": d_domain_mix,
         "d_shuffle_export": d_shuffle_export,
         "d_pack_sequences": d_pack_sequences,
         "e_cosine_topk": e_cosine_topk,
@@ -1907,6 +1927,18 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN evsz s USING (eval_id)
             WHERE i.n::double / s.sz >= 0.8
             ORDER BY doc_id, eval_id
+        """,
+        "d_domain_mix": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       / 4294967296.0 AS u,
+                     CASE source WHEN 'src0' THEN 1.0
+                                 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 0.25
+                                 ELSE 0.1 END AS rate
+              FROM documents
+            ) WHERE u < rate ORDER BY doc_id
         """,
         "d_shuffle_export": """
             WITH h AS (

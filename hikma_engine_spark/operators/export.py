@@ -75,6 +75,34 @@ def shuffle_shard(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    seed: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — training-data DOMAIN MIXING
+    (e.g. {'web': 0.3, 'code': 1.0, 'forum': 0.7}).
+
+    A row survives iff md5('{seed}:{id}')'s first 8 hex digits, scaled
+    to [0,1), fall below its stratum's rate. Pure filter: no shuffle,
+    no sort, no rand() (resume-reproducible, and the SAME rows survive
+    if the corpus is repartitioned — sampling by content key, not by
+    position, which `df.sample()` cannot promise). Unknown strata get
+    ``default_rate``. Rates are exact in expectation; per-stratum
+    realized counts concentrate tightly by md5 uniformity.
+    """
+    u = F.conv(
+        F.substring(_md5_key(F.col(id_col), seed), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(16**8))
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(u < rate)
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

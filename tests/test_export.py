@@ -137,3 +137,27 @@ def test_pack_sequences_arg_validation(spark, docs):
         export.pack_sequences(docs, "doc_id")
     with pytest.raises(ValueError):
         export.pack_sequences(docs, "doc_id", text_col="text", token_col="n_chars")
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark, docs):
+    rates = {"src0": 1.0, "src1": 0.5}
+    a = export.stratified_sample(
+        docs, "doc_id", "source", rates, seed="mix", default_rate=0.1
+    ).toPandas()
+    b = export.stratified_sample(
+        docs.repartition(5), "doc_id", "source", rates, seed="mix", default_rate=0.1
+    ).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # content-keyed, not positional
+    by_src = a.groupby("source").size()
+    n_per_src = docs.toPandas().groupby("source").size()
+    assert by_src.get("src0", 0) == n_per_src["src0"]  # rate 1.0 keeps all
+    assert 0 < by_src.get("src1", 0) < n_per_src["src1"]
+    # default-rate strata survive at roughly default_rate
+    other = a[~a.source.isin(rates)].shape[0]
+    n_other = docs.filter(~F.col("source").isin(*rates)).count()
+    assert other < 0.35 * n_other
+    # different seed, different survivors
+    c = export.stratified_sample(
+        docs, "doc_id", "source", rates, seed="mix2", default_rate=0.1
+    ).toPandas()
+    assert sorted(c.doc_id) != sorted(a.doc_id)
