@@ -578,6 +578,36 @@ def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket", "doc_id")
 
 
+def d_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-export composition, end-to-end in ONE lazy
+    plan: quality filter → exact dedup (keep min doc per fingerprint)
+    → benchmark decontamination (drop docs covering ≥80% of an eval
+    doc's 3-grams) → token-budget sequence packing. Every stage's
+    individual oracle is green; this entry proves the COMPOSITION
+    value-matches too (stage boundaries are where column/dtype drift
+    would hide)."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    q = corpus.filter(tx.quality_score(F.col("text")) >= 0.5)
+    w = Window.partitionBy("fp")
+    kept = (
+        q.withColumn("fp", tx.fingerprint(F.col("text")))
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .drop("fp", "min_id")
+    )
+    flagged = (
+        export.decontaminate(kept, ev, "doc_id", "text", n=3, containment=0.8)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = kept.join(flagged, "doc_id", "left_anti")
+    return export.pack_sequences(
+        clean, "doc_id", text_col="text", budget=256, n_buckets=8, seed="pack"
+    ).orderBy("bucket", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1183,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_decontaminate": d_decontaminate,
         "d_domain_mix": d_domain_mix,
         "d_shuffle_export": d_shuffle_export,
+        "d_export_pipeline": d_export_pipeline,
         "d_pack_sequences": d_pack_sequences,
         "e_cosine_topk": e_cosine_topk,
         "e_cosine_pairs": e_cosine_pairs,
@@ -1927,6 +1958,94 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN evsz s USING (eval_id)
             WHERE i.n::double / s.sz >= 0.8
             ORDER BY doc_id, eval_id
+        """,
+        # the export composition: quality >= 0.5 -> min-doc-per-
+        # fingerprint -> drop containment>=0.8 vs the eval split ->
+        # next-fit pack. Each CTE mirrors the matching stage's spec.
+        "d_export_pipeline": """
+            WITH RECURSIVE scored AS (
+              SELECT doc_id, text,
+                     round((
+                       least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))::double / 50.0, 1.0)
+                       + CASE WHEN (CASE WHEN length(text) > 0
+                                    THEN (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::double / length(text)
+                                    ELSE 0.0 END) <= 0.1 THEN 1.0
+                              ELSE greatest(0.0, 1.0 - ((CASE WHEN length(text) > 0
+                                    THEN (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::double / length(text)
+                                    ELSE 0.0 END) - 0.1) * 5.0) END
+                       + least((CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+                                THEN len(regexp_extract_all(lower(text),
+                                     '\\b(the|and|of|to|is|el|la|de|que|los|der|die|und|das|ist)\\b'))::double
+                                     / len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                                ELSE 0.0 END) * 10.0, 1.0)
+                     ) / 3.0, 6) AS quality
+              FROM documents
+              WHERE doc_id % 7 != 0
+            ),
+            q AS (SELECT doc_id, text FROM scored WHERE quality >= 0.5),
+            kept AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY
+                         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       ) AS min_id
+                FROM q
+              ) WHERE doc_id = min_id
+            ),
+            toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(t) >= 3
+                            THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                            ELSE [array_to_string(t, ' ')] END
+                     )) AS g
+              FROM toks
+            ),
+            ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 7 = 0),
+            tr AS (SELECT s.doc_id, s.g FROM sh s JOIN kept k ON s.doc_id = k.doc_id),
+            evsz AS (SELECT eval_id, count(*) AS sz FROM ev GROUP BY 1),
+            flagged AS (
+              SELECT DISTINCT i.doc_id
+              FROM (SELECT t.doc_id, e.eval_id, count(*) AS n
+                    FROM tr t JOIN ev e USING (g) GROUP BY 1, 2) i
+              JOIN evsz s USING (eval_id)
+              WHERE i.n::double / s.sz >= 0.8
+            ),
+            clean AS (
+              SELECT k.doc_id, k.text FROM kept k
+              WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)
+            ),
+            base AS (
+              SELECT ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+                       AS bucket,
+                     doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
+              FROM clean
+            ),
+            ordered AS (
+              SELECT bucket, doc_id, n_tokens,
+                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM base
+            ),
+            pack AS (
+              SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS seq_idx,
+                     n_tokens AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.seq_idx ELSE p.seq_idx + 1 END,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.fill + o.n_tokens ELSE o.n_tokens END
+              FROM ordered o JOIN pack p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            )
+            SELECT bucket, doc_id, n_tokens, seq_idx
+            FROM pack ORDER BY bucket, doc_id
         """,
         "d_domain_mix": """
             SELECT doc_id, source FROM (
