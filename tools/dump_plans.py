@@ -90,6 +90,29 @@ sort, no shuffle.""",
         plan(e.s_structural_tier(spark, SF)),
     ))
 
+    from hikma_engine_spark.operators import export  # noqa: PLC0415
+
+    ev = d.filter("doc_id % 7 = 0")
+    tr = d.filter("doc_id % 7 != 0")
+    sections.append((
+        "decontaminate — benchmark n-gram containment scan",
+        """What to look for: the eval-shingle dim enters through a
+BroadcastExchange (eval suites are tiny beside the corpus), the corpus
+side is scan → project/explode → BroadcastHashJoin with NO exchange of
+the corpus on doc id before the join, and the (doc, eval) intersection
+count is a partial-aggregated hash aggregate. Asserted by
+tests/test_export.py::test_decontaminate_eval_side_is_broadcast.""",
+        plan(export.decontaminate(tr, ev, "doc_id", "text")),
+    ))
+    sections.append((
+        "shuffle_shard — deterministic export shuffle",
+        """What to look for: exactly ONE hashpartitioning Exchange (on the
+md5-derived shard id — uniform, so skew-free) followed by a per-shard
+window sort. No rangepartitioning, no global sort: the seeded global
+permutation is realized shard-locally.""",
+        plan(export.shuffle_shard(d, "doc_id", n_shards=8)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for the headline operators",
         "",
