@@ -78,6 +78,16 @@ def main(argv: list[str] | None = None) -> int:
     p_s = sub.add_parser("stats", help="node/edge histograms of the built KG")
     p_s.add_argument("--out", required=True)
 
+    p_c = sub.add_parser(
+        "compact",
+        help="rewrite fragmented partition dirs back to one file per dir "
+        "(small-files maintenance after repeated incrementals; "
+        "content-identical, row-count-verified before the swap)",
+    )
+    p_c.add_argument("--out", required=True)
+    p_c.add_argument("--buckets", type=int, default=64)
+    p_c.add_argument("--tables", nargs="*", default=None)
+
     args = ap.parse_args(argv)
     spark = _spark(f"hikma_{args.cmd}")
 
@@ -125,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
                 default=str,
             )
         )
+    elif args.cmd == "compact":
+        p = Pipeline(spark, "", args.out, n_buckets=args.buckets)
+        report = p.compact(tables=tuple(args.tables) if args.tables else None)
+        print(json.dumps(report, default=str))
     elif args.cmd == "search":
         from .query.search import semantic_search
 

@@ -984,6 +984,105 @@ class Pipeline:
             shutil.rmtree(final)
         os.replace(tmp, final)
 
+    # ---- maintenance ----
+    _COMPACTABLE = ("conversations", "mentions", "links", "same_as", "nodes", "edges")
+
+    def compact(
+        self,
+        tables: tuple[str, ...] | None = None,
+        target_files_per_dir: int = 1,
+    ) -> dict:
+        """File-compaction maintenance for the COW layout.
+
+        Repeated ``run_incremental`` calls rewrite only the touched
+        bucket dirs, and each surgical rewrite leaves its own task
+        files — over many deltas a partition dir fragments into small
+        files (the classic small-files problem; at cluster scale this
+        is the bin-packing rewrite every table format schedules:
+        Iceberg ``rewrite_data_files`` / OPTIMIZE). ``compact()``
+        rewrites each fragmented table back to one file per
+        partition/bucket dir, content-identical (footer row counts
+        re-verified BEFORE the swap; byte-level digest equality pinned
+        by ``test_incremental.test_compact_preserves_content``),
+        using the same atomic tmp-write + swap as every other write.
+        Only fragmented tables are touched; query caches invalidated.
+        """
+        from .query import cache as query_cache
+
+        report: dict[str, dict] = {}
+        default_par = self.spark.sparkContext.defaultParallelism
+        for name in tables or self._COMPACTABLE:
+            path = self._path(name)
+            if not os.path.exists(path):
+                continue
+            before = _parquet_file_counts(path)
+            dirs: dict[str, int] = {}
+            for rel in before:
+                d = os.path.dirname(rel)
+                dirs[d] = dirs.get(d, 0) + 1
+            if not dirs or max(dirs.values()) <= target_files_per_dir:
+                report[name] = {
+                    "files_before": len(before),
+                    "files_after": len(before),
+                    "rewritten": False,
+                }
+                continue
+            rows_before = sum(before.values())
+            df = self._read(name)
+            cols = self.partition_by.get(name, [])
+            if cols:
+                # hash on the partition columns: every dir's rows land
+                # in exactly one task → one file per dir
+                df = df.repartition(
+                    max(1, min(default_par, len(dirs))), *cols
+                )
+            else:
+                # unpartitioned dim: size by bytes (~128 MB per file)
+                total_bytes = sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(path)
+                    for f in fs
+                )
+                df = df.repartition(
+                    max(1, min(default_par, total_bytes // (128 << 20) + 1))
+                )
+            tmp = path + ".compact_tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            writer = df.write.mode("overwrite")
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(tmp)
+            after = _parquet_file_counts(tmp)
+            rows_after = sum(after.values())
+            if rows_after != rows_before:
+                shutil.rmtree(tmp)
+                raise RuntimeError(
+                    f"compact({name}): row count changed "
+                    f"{rows_before} → {rows_after}; rewrite aborted, "
+                    "original table left untouched"
+                )
+            shutil.rmtree(path)
+            os.replace(tmp, path)
+            report[name] = {
+                "files_before": len(before),
+                "files_after": len(after),
+                "rows": rows_after,
+                "rewritten": True,
+            }
+        query_cache.invalidate_all()
+        self.spark.catalog.clearCache()
+        self.state.append(
+            {
+                "phase_name": "compact",
+                "status": "completed",
+                "run_id": self.run_id,
+                "completed_at": _now(),
+                "stats": report,
+            }
+        )
+        return report
+
     # convenience readers
     def nodes(self) -> DataFrame:
         return self._read("nodes")

@@ -338,3 +338,38 @@ def test_delta_mode_duplicate_keys_rejected(spark, corpus_pdf, corpus_path, tmp_
     p = Pipeline(spark, corpus_path, out, run_id="incr", n_buckets=64)
     with pytest.raises(ValueError, match="duplicate \\(conv_id, turn_idx\\)"):
         p.run_incremental(delta_path=d_path)
+
+
+def test_compact_preserves_content(spark, corpus_pdf, corpus_path, tmp_path):
+    """After an incremental (bucket-surgical COW leaves extra files),
+    compact() merges each dir back to one file — byte-identical
+    content, fewer files, and reruns are a no-op."""
+    import os
+
+    v2_path = str(tmp_path / "v2c.parquet")
+    _make_v2(corpus_pdf).to_parquet(
+        v2_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    out = str(tmp_path / "compact_kg")
+    Pipeline(spark, corpus_path, out, run_id="v1", n_buckets=16).run(resume=False)
+    p = Pipeline(spark, v2_path, out, run_id="v2", n_buckets=16)
+    p.run_incremental()
+
+    def n_files(name):
+        return sum(
+            1
+            for r, _, fs in os.walk(os.path.join(out, name))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    digests = {t: _digest(p._read(t)) for t in ("nodes", "edges", "mentions")}
+    before = {t: n_files(t) for t in ("nodes", "edges", "mentions")}
+    report = p.compact()
+    assert any(v.get("rewritten") for v in report.values())
+    for t in ("nodes", "edges", "mentions"):
+        assert _digest(p._read(t)) == digests[t]
+        assert n_files(t) <= before[t]
+    # every partition dir is now at one file; rerun is a no-op
+    report2 = p.compact()
+    assert not any(v.get("rewritten") for v in report2.values())
