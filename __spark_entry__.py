@@ -314,6 +314,61 @@ def a_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_SPEC = [("user_id", 0, 2048), ("value", 0, 1024)]
+
+
+def l_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, value) — the
+    multi-dimension file-skipping sort key (Delta ZORDER BY / Iceberg
+    sort-order analog), as pure bit-arithmetic Column expressions with
+    an exact SQL twin. First 50 rows of the z-curve shown."""
+    from hikma_engine_spark.operators import layout
+
+    e = _t(spark, sf_dir, "events")
+    key = layout.zorder_key(
+        [(F.col(c), lo, hi) for c, lo, hi in _ZORDER_SPEC], bits=10
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            key.alias("zkey"),
+        )
+        .orderBy("zkey", "event_id")
+        .limit(50)
+    )
+
+
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct-count per event type with its accuracy
+    CONTRACT as a checked column: |approx − exact| / exact ≤ 5% (rsd
+    2%). At table scale the sketch is the only option — it is
+    mergeable across partitions with O(1) state per group, where exact
+    distinct is a full shuffle of the key universe; here both run so
+    the oracle can verify the bound the approximate path promises."""
+    e = _t(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def a_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (T-digest-free)."""
     e = _t(spark, sf_dir, "events")
@@ -998,6 +1053,17 @@ def g_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql() -> str:
+    from hikma_engine_spark.operators import layout
+
+    zexpr = layout.zorder_sql(_ZORDER_SPEC, bits=10)
+    return f"""
+        SELECT event_id, user_id, round(value, 2) AS value,
+               {zexpr} AS zkey
+        FROM events ORDER BY zkey, event_id LIMIT 50
+    """
+
+
 def _pagerank_oracle_sql(gaz: str, n_iter: int = 6, damping: float = 0.85) -> str:
     """Unrolled power-iteration twin of ``operators.graph.pagerank``:
     one chained CTE per iteration replaying the exact recurrence
@@ -1194,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": ev_sessionize,
         "ev_asof_join": ev_asof_join,
         "a_rollup_orders": a_rollup_orders,
+        "l_zorder_events": l_zorder_events,
+        "a_approx_distinct": a_approx_distinct,
         "a_value_percentiles": a_value_percentiles,
         "a_pivot_status_by_priority": a_pivot_status_by_priority,
         "d_train_val_test_split": d_train_val_test_split,
@@ -1439,6 +1507,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS bigint) AS n_o,
                    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS bigint) AS n_p
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "l_zorder_events": _zorder_oracle_sql(),
+        # HLL contract twin: the oracle computes the exact side and
+        # asserts TRUE for the bound column — a hash match proves the
+        # sketch stayed within its promised 5% envelope
+        "a_approx_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS approx_ok
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "a_value_percentiles": """
             SELECT event_type,

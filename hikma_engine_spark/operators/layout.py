@@ -1,0 +1,85 @@
+"""Multi-dimensional table layout: Z-order (Morton) interleaving.
+
+At 100 TB, single-column sort keys prune files for ONE predicate
+dimension only; a Z-order key interleaves the bits of several
+normalized dimensions so that a file's min/max range on the key bounds
+EVERY dimension at once — range predicates on any participating column
+skip files (the same layout idea as Delta OPTIMIZE ZORDER BY / Iceberg
+sort orders, built here from plain Column expressions).
+
+Everything is JVM-side integer bit arithmetic (shift/and/or inside
+whole-stage codegen — no UDF), deterministic given the declared bounds,
+and exactly replayable in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColSpec = tuple  # (Column, lo, hi) — declared bounds, values clamped
+
+
+def _scale(c: Column, lo: float, hi: float, bits: int) -> Column:
+    """Normalize to an integer in [0, 2^bits): floor((c-lo)*M/(hi-lo))
+    clamped — floor (not cast) so the truncation direction is engine-
+    portable (double→int casts round half-even in some engines)."""
+    m = (1 << bits) - 1
+    scaled = F.floor(((c.cast("double") - lo) * m) / (hi - lo))
+    return (
+        F.least(F.lit(m).cast("long"), F.greatest(F.lit(0).cast("long"), scaled.cast("long")))
+    )
+
+
+def zorder_key(cols: list[ColSpec], bits: int = 10) -> Column:
+    """Morton key of len(cols) dimensions × ``bits`` bits each
+    (bit i of dim j lands at position i*n + j). n*bits must fit a
+    signed 64-bit key."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"zorder_key: {n} dims × {bits} bits exceeds 62")
+    scaled = [_scale(c, lo, hi, bits) for c, lo, hi in cols]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def zorder_sql(exprs: list[tuple[str, float, float]], bits: int = 10) -> str:
+    """The exact SQL twin of ``zorder_key`` (same scale, same floor,
+    same clamp, same interleave) for oracle replay."""
+    n = len(exprs)
+    m = (1 << bits) - 1
+    scaled = [
+        f"least({m}, greatest(0, CAST(floor(((CAST({e} AS DOUBLE) - {lo}) * {m}) / ({hi} - {lo})) AS BIGINT)))"
+        for e, lo, hi in exprs
+    ]
+    terms = []
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            terms.append(f"((({s} >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)
+
+
+def zorder_sort(
+    df: DataFrame,
+    cols: list[ColSpec],
+    bits: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Layout pass for writers: range-partition then locally sort by
+    the Morton key, so each output file owns a contiguous z-range —
+    i.e. a tight bounding box in EVERY participating dimension, which
+    is what makes parquet min/max file skipping fire for predicates on
+    any of them. One range shuffle (sampled boundaries), no global
+    sort materialization."""
+    key = zorder_key(cols, bits)
+    out = df.withColumn("_zkey", key)
+    out = (
+        out.repartitionByRange(num_partitions, "_zkey")
+        if num_partitions
+        else out.repartitionByRange("_zkey")
+    )
+    return out.sortWithinPartitions("_zkey")

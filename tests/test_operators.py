@@ -494,3 +494,85 @@ def test_pagerank_deterministic_and_damping_sensitivity(spark):
     r_low = {r["node"]: r["rank"] for r in pagerank(df, damping=0.5).collect()}
     r_high = {r["node"]: r["rank"] for r in pagerank(df, damping=0.85).collect()}
     assert r_low != r_high
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """The Column-expression Morton key equals an independent Python
+    reimplementation on a grid of coordinates (incl. clamping)."""
+    from hikma_engine_spark.operators.layout import zorder_key
+
+    rows = [(u, v) for u in [0, 1, 7, 100, 1500, 5000] for v in [0.0, 0.5, 3.7, 900.0, 2000.0]]
+    df = spark.createDataFrame(rows, "u bigint, v double")
+    got = {
+        (r["u"], r["v"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key([(F.col("u"), 0, 2048), (F.col("v"), 0, 1024)], bits=10)
+        ).collect()
+    }
+
+    def scale(x, lo, hi, bits):
+        import math
+        m = (1 << bits) - 1
+        return min(m, max(0, math.floor(((x - lo) * m) / (hi - lo))))
+
+    for (u, v), z in got.items():
+        su, sv = scale(u, 0, 2048, 10), scale(v, 0, 1024, 10)
+        expect = 0
+        for i in range(10):
+            expect |= ((su >> i) & 1) << (2 * i)
+            expect |= ((sv >> i) & 1) << (2 * i + 1)
+        assert z == expect, (u, v)
+
+
+def test_zorder_chunks_bound_both_dimensions(spark):
+    """File-skipping rationale: split the z-sorted table into chunks
+    (files) — each chunk's bounding box must be tight in BOTH
+    dimensions, unlike a single-column sort where the second dimension
+    spans its full range in every chunk."""
+    import numpy as np
+    import pandas as pd
+    from hikma_engine_spark.operators.layout import zorder_key
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame({
+        "u": rng.randint(0, 2048, 4096).astype("int64"),
+        "v": rng.uniform(0, 1024, 4096),
+    })
+    df = spark.createDataFrame(pdf)
+    z = (
+        df.withColumn("z", zorder_key([(F.col("u"), 0, 2048), (F.col("v"), 0, 1024)], bits=10))
+        .orderBy("z")
+        .toPandas()
+    )
+    n_chunks = 16
+    chunks = np.array_split(z, n_chunks)
+    z_spread_v = np.mean([c.v.max() - c.v.min() for c in chunks])
+    u_sorted = pdf.sort_values("u")
+    u_spread_v = np.mean([c.v.max() - c.v.min() for c in np.array_split(u_sorted, n_chunks)])
+    # single-column sort leaves v at ~full range per chunk; z-order
+    # must cut it at least in half
+    assert z_spread_v < 0.5 * u_spread_v
+    # and the u dimension stays bounded too (vs full range 2048)
+    z_spread_u = np.mean([c.u.max() - c.u.min() for c in chunks])
+    assert z_spread_u < 1024
+
+
+def test_zorder_sort_partitions_own_disjoint_ranges(spark):
+    from hikma_engine_spark.operators.layout import zorder_sort
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 997).alias("u"), (F.col("id") % 701).cast("double").alias("v")
+    )
+    out = zorder_sort(
+        df, [(F.col("u"), 0, 1024), (F.col("v"), 0, 1024)], bits=10, num_partitions=4
+    )
+    parts = out.select("_zkey").rdd.glom().map(
+        lambda rows: (rows[0][0], rows[-1][0], len(rows)) if rows else None
+    ).collect()
+    ranges = [p for p in parts if p]
+    assert len(ranges) > 1
+    # within-partition sorted, across-partition disjoint ascending
+    for lo, hi, _ in ranges:
+        assert lo <= hi
+    for (a_lo, a_hi, _), (b_lo, b_hi, _) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo
