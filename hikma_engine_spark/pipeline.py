@@ -1029,7 +1029,12 @@ class Pipeline:
                 continue
             rows_before = sum(before.values())
             df = self._read(name)
-            cols = self.partition_by.get(name, [])
+            # partition layout comes from the DIRS actually on disk, not
+            # the configured flag — compacting a plain-layout store with
+            # --buckets set must not reference a missing bucket column
+            cols = [
+                c for c in self.partition_by.get(name, []) if c in df.columns
+            ]
             if cols:
                 # hash on the partition columns: every dir's rows land
                 # in exactly one task → one file per dir

@@ -373,3 +373,15 @@ def test_compact_preserves_content(spark, corpus_pdf, corpus_path, tmp_path):
     # every partition dir is now at one file; rerun is a no-op
     report2 = p.compact()
     assert not any(v.get("rewritten") for v in report2.values())
+
+
+def test_compact_plain_layout_with_bucket_flag(spark, corpus_path, tmp_path):
+    """compact() follows the on-disk layout, not the configured flag:
+    a plain (unbucketed) store compacted through a Pipeline constructed
+    with n_buckets set must not reference the absent bucket column."""
+    out = str(tmp_path / "plain_kg")
+    Pipeline(spark, corpus_path, out, run_id="plain").run(resume=False)
+    p = Pipeline(spark, corpus_path, out, run_id="maint", n_buckets=64)
+    before = _digest(p._read("nodes"))
+    p.compact()
+    assert _digest(p._read("nodes")) == before

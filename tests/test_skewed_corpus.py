@@ -134,3 +134,34 @@ def test_auto_n_planes_scales_bucket_population(spark):
         )
         mean_pop = pops.mean()
         assert target / 4 <= mean_pop <= target * 2, (n_rows, p, mean_pop)
+
+
+def test_pagerank_distributed_hot_hub_equals_driver(spark):
+    """Distributed PageRank on a skewed graph: one hub receives 25% of
+    all edges (hot destination absorbed by map-side partial sums), plus
+    a dangling sink. Distributed == driver-numpy to 1e-9."""
+    import numpy as np
+
+    from hikma_engine_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(3)
+    n_nodes = 5000
+    srcs = rng.randint(1, n_nodes, 30_000)
+    dsts = rng.randint(1, n_nodes, 30_000)
+    hub_srcs = rng.randint(1, n_nodes, 10_000)
+    edges = {(f"n{s}", f"n{d}") for s, d in zip(srcs, dsts) if s != d}
+    edges |= {(f"n{s}", "hub") for s in hub_srcs}
+    edges |= {("hub", "sink")}  # sink is dangling
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    drv = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, driver_threshold=0).collect()
+    }
+    assert set(drv) == set(dist)
+    worst = max(abs(drv[k] - dist[k]) for k in drv)
+    assert worst < 1e-9, worst
+    # the dangling sink is fed the hub's whole mass and keeps it (self-
+    # loop treatment) → top rank; the hub itself tops every normal node
+    ranked = sorted(drv, key=drv.get, reverse=True)
+    assert ranked[0] == "sink" and ranked[1] == "hub"
