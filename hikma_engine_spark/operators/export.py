@@ -55,7 +55,11 @@ def shuffle_shard(
     shard = first 8 md5 hex digits (uniform) mod n_shards; rank is a
     per-shard row_number ordered by the full md5 key. At scale: one
     hash-partition shuffle on ``shard`` (balanced by md5 uniformity —
-    no skew, no global sort). Writers should follow with
+    no skew, no global sort). A shard's rank sort runs inside that
+    shard's task, so ``n_shards`` is the sizing knob: choose it so one
+    shard ≈ one output file (10⁶-10⁷ docs) — the shape a sharded
+    training export wants anyway; md5 uniformity keeps shards
+    equal-sized. Writers should follow with
     ``.repartition(n_shards, "shard").sortWithinPartitions("shuffle_rank")``.
     """
     hkey = _md5_key(F.col(id_col), seed)
