@@ -161,3 +161,30 @@ def test_stratified_sample_deterministic_and_partition_invariant(spark, docs):
         docs, "doc_id", "source", rates, seed="mix2", default_rate=0.1
     ).toPandas()
     assert sorted(c.doc_id) != sorted(a.doc_id)
+
+
+def test_export_ops_empty_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    one = spark.createDataFrame([(1, "alpha beta gamma delta", "s")],
+                                "doc_id bigint, text string, source string")
+    # decontaminate: empty corpus / empty eval both yield empty, no error
+    assert export.decontaminate(empty, one, "doc_id", "text").count() == 0
+    assert export.decontaminate(one, empty, "doc_id", "text").count() == 0
+    # shuffle_shard and pack on empty are empty with the right schema
+    ss = export.shuffle_shard(empty, "doc_id", n_shards=4)
+    assert ss.count() == 0 and {"shard", "shuffle_rank"} <= set(ss.columns)
+    pk = export.pack_sequences(empty, "doc_id", text_col="text", budget=10)
+    assert pk.count() == 0
+    # stratified sample of empty is empty; of one row with rate 1.0 keeps it
+    assert export.stratified_sample(empty, "doc_id", "source", {"s": 1.0}).count() == 0
+    assert export.stratified_sample(one, "doc_id", "source", {"s": 1.0}).count() == 1
+
+
+def test_pagerank_empty_and_self_loop_only(spark):
+    from hikma_engine_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+    # pure self-loops filter to an empty graph
+    selfy = spark.createDataFrame([("a", "a"), ("b", "b")], "src string, dst string")
+    assert pagerank(selfy).count() == 0
