@@ -218,3 +218,52 @@ def pack_sequences(
         "n_tokens bigint, seq_idx bigint"
     )
     return base.groupBy("bucket").applyInPandas(pack, schema=schema)
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    out_dir: str,
+    n_shards: int = 64,
+    seed: str = "42",
+) -> dict:
+    """Materialize the seeded global shuffle as a sharded parquet
+    training export: ``out_dir/shard=K/`` holds shard K's rows sorted
+    by ``shuffle_rank`` (a training job streams files in rank order —
+    no further shuffling needed). One hash-partition shuffle; each
+    shard is one task (``n_shards`` sizes the task, see
+    ``shuffle_shard``). Returns a manifest {shard: rows, total,
+    n_shards, seed} also written to ``out_dir/_manifest.json`` — the
+    lineage record a resumable exporter checks before trusting the
+    directory.
+    """
+    import json
+    import os
+
+    sharded = shuffle_shard(df, id_col, n_shards=n_shards, seed=seed)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_rank")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    import pyarrow.parquet as pq
+
+    per_shard: dict[str, int] = {}
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                shard = os.path.basename(root).split("=", 1)[-1]
+                per_shard[shard] = per_shard.get(shard, 0) + pq.read_metadata(
+                    os.path.join(root, f)
+                ).num_rows
+    manifest = {
+        "shards": {k: per_shard[k] for k in sorted(per_shard, key=int)},
+        "total": sum(per_shard.values()),
+        "n_shards": n_shards,
+        "seed": seed,
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    return manifest

@@ -188,3 +188,27 @@ def test_pagerank_empty_and_self_loop_only(spark):
     # pure self-loops filter to an empty graph
     selfy = spark.createDataFrame([("a", "a"), ("b", "b")], "src string, dst string")
     assert pagerank(selfy).count() == 0
+
+
+def test_write_training_shards_layout_and_manifest(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    m = export.write_training_shards(docs, "doc_id", out, n_shards=8, seed="s")
+    assert m["total"] == docs.count()
+    assert sum(m["shards"].values()) == m["total"]
+    back = spark.read.parquet(out)
+    assert back.count() == m["total"]
+    # within every shard, file read-back order == shuffle_rank order
+    pdf = back.toPandas()
+    for shard, g in pdf.groupby("shard"):
+        assert sorted(g.shuffle_rank) == list(range(1, len(g) + 1))
+    # the written assignment equals the pure query (determinism across
+    # the write path)
+    q = export.shuffle_shard(docs, "doc_id", n_shards=8, seed="s").toPandas()
+    key = ["doc_id", "shard", "shuffle_rank"]
+    left = pdf[key].sort_values("doc_id").reset_index(drop=True).astype("int64")
+    right = q[key].sort_values("doc_id").reset_index(drop=True).astype("int64")
+    assert left.equals(right)
+    import json
+    import os
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        assert json.load(fh)["total"] == m["total"]
