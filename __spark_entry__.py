@@ -190,6 +190,34 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a HAVING
+    threshold, joined back to customers — aggregate-filtered semi-join
+    pattern (the agg output is the small side and broadcasts back onto
+    the fact tables)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "orderkey")
+        .limit(25)
+    )
+
+
 def w1_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -1278,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
         "w1_best_order_per_customer": w1_best_order_per_customer,
         "j_customers_without_orders": j_customers_without_orders,
         "j_active_customers_semi": j_active_customers_semi,
@@ -1446,6 +1475,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q18_large_orders": """
+            SELECT c_custkey, c_name, l_orderkey AS orderkey,
+                   round(o_totalprice, 2) AS totalprice, total_qty
+            FROM (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250
+            ) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, orderkey
+            LIMIT 25
         """,
         "w1_best_order_per_customer": """
             SELECT o_custkey, best_orderkey, best_totalprice FROM (
