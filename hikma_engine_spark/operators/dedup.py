@@ -377,18 +377,44 @@ def embedding_near_dup_pairs(
     n_planes: int | None = None,
     dim: int | None = None,
     target_bucket_rows: int = 256,
-) -> DataFrame:
-    """cosine ≥ τ pairs, blocked by random-hyperplane sign buckets.
+    n_tables: int = 6,
+    max_bucket_size: int = 2000,
+    return_dropped: bool = False,
+):
+    """cosine ≥ τ pairs via BANDED random-hyperplane LSH: ``n_tables``
+    independent hash tables of ``n_planes`` sign bits each (the same
+    banding shape as minhash_pairs, applied to hyperplane signatures).
+    A pair is a candidate when it shares a full signature in ≥1 table;
+    candidates are verified by exact JVM-side cosine.
 
-    Blocking is approximate (near-dups with cosine ≥ 0.9 agree on a
-    random hyperplane with prob ≥ 1 - acos(0.9)/π ≈ 0.86 per plane);
-    multiprobe (flipping each single bit) recovers most boundary pairs.
-    Exact verification by JVM-side cosine on the candidate pairs.
+    Why banding, not multiprobe (the round-3 shape): a single table
+    needs ~log2(n/target) planes to keep buckets small, and per-plane
+    agreement for a cosine-θ pair is 1 - acos(θ)/π — so single-table
+    recall DECAYS with corpus size (22 planes at 10⁹ rows → ~3% base
+    collision for cosine 0.9). L independent tables make recall
+    1-(1-(1-q)^b)^L, a knob (L) orthogonal to bucket sizing (b), and
+    each row writes exactly L bucket entries (constant, vs 1+b for
+    1-bit multiprobe). Measured on the clustered test view: recall 1.0
+    at both sf0.01 and sf0.1 with L=6. For borderline-similarity mining
+    at huge n raise n_tables; true near-dups (cosine ≥ 0.99) stay ≥0.93
+    even at b=22, L=6.
 
-    ``n_planes=None`` (default) auto-scales the plane count from a
-    one-job row-count probe so bucket population tracks
-    ``target_bucket_rows`` at any corpus size (see auto_n_planes);
-    pass an explicit int to pin it.
+    ``n_planes=None`` auto-sizes bits-per-table from a one-job row
+    count so per-table bucket population tracks ``target_bucket_rows``
+    at any corpus size (auto_n_planes — valid here because each row
+    lands in exactly one bucket per table).
+
+    ``max_bucket_size`` caps (table, signature) buckets before the
+    self-join (same skew guard as simhash_pairs/lsh_candidate_pairs):
+    auto-sizing assumes rough uniformity but the near-dup use case is
+    exactly the degenerate one — thousands of identical embeddings
+    collapse into one bucket in EVERY table, giving O(n²) candidates
+    in a single join partition. A dropped bucket loses only pairs hot
+    in all their shared tables, so run exact_duplicates first
+    (identical docs are the usual hot-bucket cause and are caught
+    exactly there). No silent caps: ``return_dropped=True``
+    additionally returns the dropped-bucket accounting DataFrame
+    (table, bucket, count).
     """
     from ..functions.similarity import cosine
 
@@ -396,42 +422,54 @@ def embedding_near_dup_pairs(
         dim = len(df.select(emb_col).first()[0])
     if n_planes is None:
         n_planes = auto_n_planes(df.count(), target_bucket_rows)
-    planes = _hyperplanes(dim, n_planes)
-    planes_b = df.sparkSession.sparkContext.broadcast(planes)
+    # one (L*b, dim) matrix: all tables' signatures in a single GEMM
+    all_planes = np.concatenate(
+        [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+    )
+    planes_b = df.sparkSession.sparkContext.broadcast(
+        (all_planes, n_tables, n_planes)
+    )
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def buckets_udf(embs: pd.Series) -> pd.Series:
-        pl = planes_b.value
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signatures_udf(embs: pd.Series) -> pd.Series:
+        pl, L, b = planes_b.value
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        bits = (M @ pl.T) > 0  # (rows, L*b)
+        bits = bits.reshape(len(M), L, b).astype(np.int64)
+        sigs = (bits << np.arange(b, dtype=np.int64)).sum(axis=2)  # (rows, L)
+        return pd.Series(list(sigs), index=embs.index)
 
-        def bucket(e) -> list[int]:
-            v = np.asarray(e, dtype=np.float64)
-            bits = (pl @ v) > 0
-            base = int(sum(1 << i for i, b in enumerate(bits) if b))
-            # multiprobe: the bucket itself + every 1-bit flip
-            return [base] + [base ^ (1 << i) for i in range(len(pl))]
-
-        return embs.map(bucket)
-
-    # candidate generation carries ONLY (id, bucket): the multiprobe
-    # self-join multiplies rows ~(1+n_planes)×, and the distinct must
-    # hash id pairs, not 64-float arrays (an array-keyed distinct over
-    # the exploded join measured 10× slower). Embeddings re-attach via
-    # two joins AFTER dedup, once per surviving pair.
+    # candidate generation carries ONLY (id, table, bucket): the
+    # distinct must hash id pairs, not 64-float arrays (an array-keyed
+    # distinct over the exploded join measured 10× slower). Embeddings
+    # re-attach via two joins AFTER dedup, once per surviving pair.
     hb = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(buckets_udf(F.col(emb_col))).alias("bucket"),
+        F.posexplode(signatures_udf(F.col(emb_col))).alias("table", "bucket"),
     )
-    a = hb.select(F.col("doc").alias("a"), "bucket")
-    b = hb.select(F.col("doc").alias("b"), "bucket")
+    bucket_sizes = hb.groupBy("table", "bucket").count()
+    dropped = bucket_sizes.filter(F.col("count") > max_bucket_size)
+    ok = bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+    hb = hb.join(ok, ["table", "bucket"], "left_semi")
+    a = hb.select(F.col("doc").alias("a"), "table", "bucket")
+    b = hb.select(F.col("doc").alias("b"), "table", "bucket")
     cands = (
-        a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
     ea = df.select(F.col(id_col).alias("a"), F.col(emb_col).alias("emb_a"))
     eb = df.select(F.col(id_col).alias("b"), F.col(emb_col).alias("emb_b"))
-    return (
+    pairs = (
         cands.join(ea, "a")
         .join(eb, "b")
         .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cosine"))
     )
+    if return_dropped:
+        return pairs, dropped
+    return pairs

@@ -133,8 +133,9 @@ def test_all_pairs_cosine(spark, vectors):
 
 
 def test_embedding_near_dup_multiprobe(spark, vectors):
-    """The hyperplane-bucketed near-dup path must find the planted pair
-    (multiprobe covers 1-bit boundary flips)."""
+    """The banded-LSH near-dup path must find the planted pair (≥1 of
+    the independent tables gives the cosine-0.99 pair an identical
+    signature)."""
     pairs = dedup.embedding_near_dup_pairs(
         vectors, "vec_id", "embedding", threshold=0.99, n_planes=8
     ).toPandas()
