@@ -1222,6 +1222,55 @@ def s_structural_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structural_search(nodes, "src1", k=12).select("id", "node_type", "tier")
 
 
+def s_hybrid_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 0.4/0.3/0.3 hybrid search blend (semantic +
+    structural + temporal, search-controller.ts:552-576) as a full
+    value-hash oracle entry (round-3 verdict item 4 — the last
+    pytest-only search behavior). Node view: documents × embeddings
+    (real 64-d vectors), deterministic Entity/Tool/Turn type mix, a
+    synthetic ISO ts (2024-01-01 + doc_id%60 days) so the temporal
+    dimension has real spread; now_iso pinned so recency is replayable.
+    The DuckDB twin recomputes every dimension from scratch — cosine
+    vs the same embed_text("src1") literal, the CASE tier, the
+    1/(1+age_days) recency — plus the k*3 per-source cutoffs, the
+    best-wins dedup, and the dimensions array."""
+    from hikma_engine_spark.query.search import hybrid_search
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    nodes = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.when(F.col("doc_id") % 3 == 0, "Entity")
+            .when(F.col("doc_id") % 3 == 1, "Tool")
+            .otherwise("Turn")
+            .alias("node_type"),
+            F.col("source").alias("source_text"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.create_map(
+                F.lit("ts"),
+                F.date_format(
+                    F.date_add(
+                        F.lit("2024-01-01").cast("date"),
+                        (F.col("doc_id") % 60).cast("int"),
+                    ),
+                    "yyyy-MM-dd'T'00:00:00'Z'",
+                ),
+            ).alias("properties"),
+        )
+    )
+    out = hybrid_search(nodes, "src1", k=12, now_iso="2024-03-01T00:00:00Z")
+    return out.select(
+        "id",
+        "node_type",
+        F.round("score", 6).alias("score_r"),
+        "rank",
+        F.array_join("dimensions", ",").alias("dims"),
+    ).orderBy("rank")
+
+
 def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end KG construction — full LSH linking + CC
     canonicalization — value-hash verified (round-2 verdict item 1c):
@@ -1301,49 +1350,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is deliberate (round-3 verdict item 1): the driver's
+    correctness artifact captures the FIRST 50 entries, so the entries
+    with the thinnest driver-artifact history come first — the four
+    never-driver-captured ones (kg_full_pipeline's contract columns,
+    g_depth, g_pagerank, s_structural_tier), then the six captured only
+    in round 2, then everything else. The tail holds the entries with
+    the deepest green history (TPC-H shapes + simple windows, green in
+    r01+r02+r03); all entries remain verifiable at any sf via
+    tools/verify_entry.py."""
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q18_large_orders": q18_large_orders,
-        "w1_best_order_per_customer": w1_best_order_per_customer,
-        "j_customers_without_orders": j_customers_without_orders,
-        "j_active_customers_semi": j_active_customers_semi,
-        "a_event_histogram": a_event_histogram,
-        "w_top3_events_per_user": w_top3_events_per_user,
-        "ev_sessionize": ev_sessionize,
-        "ev_asof_join": ev_asof_join,
-        "a_rollup_orders": a_rollup_orders,
-        "l_zorder_events": l_zorder_events,
-        "a_approx_distinct": a_approx_distinct,
-        "a_value_percentiles": a_value_percentiles,
-        "a_pivot_status_by_priority": a_pivot_status_by_priority,
-        "d_train_val_test_split": d_train_val_test_split,
-        "d_repetition": d_repetition,
-        "d_pii_scan": d_pii_scan,
-        "w_running_agg": w_running_agg,
-        "w_lead_lag_gaps": w_lead_lag_gaps,
-        "set_except_customers": set_except_customers,
-        "d_token_stats": d_token_stats,
-        "d_fingerprint_dups": d_fingerprint_dups,
-        "d_lang_guess": d_lang_guess,
-        "d_quality": d_quality,
-        "d_jaccard_pairs": d_jaccard_pairs,
-        "d_minhash_pairs": d_minhash_pairs,
-        "d_simhash_pairs": d_simhash_pairs,
-        "d_embdup_pairs": d_embdup_pairs,
-        "d_decontaminate": d_decontaminate,
-        "d_domain_mix": d_domain_mix,
-        "d_shuffle_export": d_shuffle_export,
-        "d_export_pipeline": d_export_pipeline,
-        "d_pack_sequences": d_pack_sequences,
-        "e_cosine_topk": e_cosine_topk,
-        "e_cosine_pairs": e_cosine_pairs,
-        "e_ann_lsh_topk": e_ann_lsh_topk,
-        "e_ann_ivf_topk": e_ann_ivf_topk,
-        "kg_salted_entity_histogram": kg_salted_entity_histogram,
-        "f_json_extract": f_json_extract,
+        # -- never driver-captured before round 4 --
+        "kg_full_pipeline": kg_full_pipeline,
+        "g_depth_entities": g_depth_entities,
+        "g_pagerank_entities": g_pagerank_entities,
+        "s_structural_tier": s_structural_tier,
+        "s_hybrid_blend": s_hybrid_blend,
+        # -- captured in round 2 only --
+        "kg_entity_adjacency": kg_entity_adjacency,
+        "g_neighbors_spark": g_neighbors_spark,
+        "g_k_hop_spark": g_k_hop_spark,
+        "g_cc_dupgroups": g_cc_dupgroups,
+        "s_name_case_rank": s_name_case_rank,
+        "s_metadata_daterange": s_metadata_daterange,
+        # -- KG / pipeline family --
         "kg_mentions_per_entity": kg_mentions_per_entity,
         "kg_mentions_triples": kg_mentions_triples,
         "kg_cooccurrence": kg_cooccurrence,
@@ -1352,16 +1382,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_entities": kg_top_entities,
         "kg_pipeline_alias_only": kg_pipeline_alias_only,
         "kg_nodes_alias_only": kg_nodes_alias_only,
-        "kg_entity_adjacency": kg_entity_adjacency,
-        "g_neighbors_spark": g_neighbors_spark,
-        "g_k_hop_spark": g_k_hop_spark,
-        "g_cc_dupgroups": g_cc_dupgroups,
-        "g_depth_entities": g_depth_entities,
-        "g_pagerank_entities": g_pagerank_entities,
-        "s_name_case_rank": s_name_case_rank,
-        "s_structural_tier": s_structural_tier,
-        "s_metadata_daterange": s_metadata_daterange,
-        "kg_full_pipeline": kg_full_pipeline,
+        "kg_salted_entity_histogram": kg_salted_entity_histogram,
+        # -- dedup / export / embedding families --
+        "d_embdup_pairs": d_embdup_pairs,
+        "d_jaccard_pairs": d_jaccard_pairs,
+        "d_minhash_pairs": d_minhash_pairs,
+        "d_simhash_pairs": d_simhash_pairs,
+        "d_decontaminate": d_decontaminate,
+        "d_domain_mix": d_domain_mix,
+        "d_shuffle_export": d_shuffle_export,
+        "d_export_pipeline": d_export_pipeline,
+        "d_pack_sequences": d_pack_sequences,
+        "d_train_val_test_split": d_train_val_test_split,
+        "d_repetition": d_repetition,
+        "d_pii_scan": d_pii_scan,
+        "d_token_stats": d_token_stats,
+        "d_fingerprint_dups": d_fingerprint_dups,
+        "d_lang_guess": d_lang_guess,
+        "d_quality": d_quality,
+        "e_cosine_topk": e_cosine_topk,
+        "e_cosine_pairs": e_cosine_pairs,
+        "e_ann_lsh_topk": e_ann_lsh_topk,
+        "e_ann_ivf_topk": e_ann_ivf_topk,
+        # -- analytics / layout --
+        "l_zorder_events": l_zorder_events,
+        "a_approx_distinct": a_approx_distinct,
+        "a_value_percentiles": a_value_percentiles,
+        "a_pivot_status_by_priority": a_pivot_status_by_priority,
+        "a_rollup_orders": a_rollup_orders,
+        "a_event_histogram": a_event_histogram,
+        "f_json_extract": f_json_extract,
+        "ev_sessionize": ev_sessionize,
+        "ev_asof_join": ev_asof_join,
+        "set_except_customers": set_except_customers,
+        # -- deepest green history (r01+r02+r03) --
+        "w_top3_events_per_user": w_top3_events_per_user,
+        "w_running_agg": w_running_agg,
+        "w_lead_lag_gaps": w_lead_lag_gaps,
+        "w1_best_order_per_customer": w1_best_order_per_customer,
+        "j_customers_without_orders": j_customers_without_orders,
+        "j_active_customers_semi": j_active_customers_semi,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
     }
 
 
@@ -1418,6 +1483,78 @@ _ANN_EXACT_CONTRACT_SQL = f"""
     FROM ce, q WHERE vec_id != 0
     ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+
+
+def _hybrid_blend_sql() -> str:
+    """DuckDB twin of s_hybrid_blend: every dimension recomputed from
+    scratch — cosine vs the inlined embed_text('src1') literal, the
+    structural CASE tier, 1/(1+age_days) recency — then the weighted
+    union with per-source k*3 cutoffs, best-wins dedup per id, and the
+    final rank/dimensions projection (search-controller.ts:552-576)."""
+    from hikma_engine_spark.functions.embeddings import embed_text
+
+    qv = embed_text("src1")
+    qlit = "[" + ", ".join(f"{float(x):.17g}" for x in qv) + "]"
+    return f"""
+        WITH qv AS (SELECT {qlit}::DOUBLE[] AS q),
+        nodes AS (
+          SELECT CAST(d.doc_id AS varchar) AS id,
+                 CASE WHEN d.doc_id % 3 = 0 THEN 'Entity'
+                      WHEN d.doc_id % 3 = 1 THEN 'Tool'
+                      ELSE 'Turn' END AS node_type,
+                 d.source AS source_text,
+                 list_transform(e.embedding, x -> x::DOUBLE) AS emb,
+                 (DATE '2024-01-01' + CAST(d.doc_id % 60 AS int))::TIMESTAMP AS ts
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        scored AS (
+          SELECT n.*,
+                 list_dot_product(n.emb, qv.q)
+                   / (sqrt(list_dot_product(n.emb, n.emb))
+                      * sqrt(list_dot_product(qv.q, qv.q))) AS sim,
+                 1.0 / (1.0 + greatest(
+                   (epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(n.ts))
+                     / 86400.0, 0.0)) AS tmp
+          FROM nodes n, qv
+        ),
+        sem AS (
+          SELECT id, node_type, source_text, sim * 0.4 + tmp * 0.3 AS score
+          FROM scored ORDER BY sim DESC, id LIMIT 36
+        ),
+        str AS (
+          SELECT id, node_type, source_text,
+                 (1.0 / tier) * 0.3 + tmp * 0.3 AS score
+          FROM (
+            SELECT *, CASE WHEN lower(source_text) = 'src1' THEN 1
+                           WHEN starts_with(lower(source_text), 'src1') THEN 2
+                           ELSE 3 END AS tier
+            FROM scored
+            WHERE node_type IN ('Entity', 'Tool')
+              AND contains(lower(source_text), 'src1')
+          ) ORDER BY tier, length(source_text), id LIMIT 36
+        ),
+        u AS (SELECT * FROM sem UNION ALL SELECT * FROM str),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC) AS rn
+          FROM u
+        ),
+        topk AS (
+          SELECT id, node_type, source_text, score FROM best
+          WHERE rn = 1 ORDER BY score DESC, id LIMIT 12
+        )
+        SELECT id, node_type, round(score, 6) AS score_r,
+               CAST(row_number() OVER (ORDER BY score DESC, id) AS int) AS rank,
+               array_to_string(list_filter([
+                 CASE WHEN contains(lower(source_text), 'src1')
+                      THEN 'semantic' END,
+                 CASE WHEN node_type IN ('Entity', 'Tool')
+                      THEN 'structural' END,
+                 'temporal'], x -> x IS NOT NULL), ',') AS dims
+        FROM topk ORDER BY rank
+    """
+
+
+_HYBRID_BLEND_SQL = _hybrid_blend_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2025,6 +2162,12 @@ def oracle_sql() -> dict[str, str]:
                   BETWEEN '2024-01-10T00:00:00Z' AND '2024-01-12T00:00:00Z'
             ORDER BY id LIMIT 100
         """,
+        # full hybrid-blend twin: the 0.4/0.3/0.3 weighted union,
+        # per-source k*3 cutoffs, best-wins dedup, final top-k rank and
+        # dimensions string — recomputed from scratch in SQL. The query
+        # vector is the same embed_text("src1") the Spark side uses,
+        # inlined as a literal (deterministic hash embedding).
+        "s_hybrid_blend": _HYBRID_BLEND_SQL,
         # SimHash spec mirrored exactly (operators/dedup.py:_token_bits /
         # simhash64_udf): V = big-endian uint64 of the first 8 md5 bytes
         # of each lowercase whitespace token; per-bit ±1 scatter-add with

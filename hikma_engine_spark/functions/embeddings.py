@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import re
 from functools import lru_cache
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -75,10 +76,44 @@ def _embed_series(texts: pd.Series, dim: int = EMBEDDING_DIM) -> pd.Series:
     return pd.Series(list(mat), index=texts.index)
 
 
+# worker-global model slot: populated at most once per python worker
+# PROCESS (not per task, not per batch). With spark.python.worker.reuse
+# (default on) a long-lived worker serves many tasks off one init —
+# the Spark analog of the reference's persistent Python sidecar
+# (src/modules/embedding-py.ts:59-97: one process, many embed calls).
+_MODEL_SLOT: dict = {}
+
+
+def _load_model():
+    """Return the embedding callable, initializing it once per worker
+    process. The deterministic hash embedder stands in for a real
+    encoder; a sentence-transformer drops in by replacing the returned
+    callable here — the iterator-UDF shape around it is already the
+    one a heavyweight model needs. ``init_count`` exists so tests can
+    pin the once-per-process contract."""
+    if "model" not in _MODEL_SLOT:
+        _MODEL_SLOT["init_count"] = _MODEL_SLOT.get("init_count", 0) + 1
+        _MODEL_SLOT["model"] = _embed_series
+    return _MODEL_SLOT["model"]
+
+
+def _embed_batches(batches):
+    """Iterator-of-series body of embed_udf (plain generator, unit-
+    testable without a SparkSession): resolve the model ONCE, then
+    stream Arrow batches through it."""
+    model = _load_model()
+    for texts in batches:
+        yield model(texts)
+
+
 @F.pandas_udf(T.ArrayType(T.FloatType()))
-def embed_udf(texts: pd.Series) -> pd.Series:
-    """Vectorized (Arrow-batched) embedding column: string → array<float>."""
-    return _embed_series(texts)
+def embed_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Vectorized (Arrow-batched) embedding column: string →
+    array<float>, in the iterator-of-series form (the type hints select
+    SQL_SCALAR_PANDAS_ITER_UDF) so per-task setup (model resolution)
+    happens once per task and per-process setup (model LOAD) once per
+    worker — not once per batch."""
+    yield from _embed_batches(texts)
 
 
 def with_embedding(df, text_col: str = "source_text", out_col: str = "embedding"):

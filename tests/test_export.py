@@ -212,3 +212,31 @@ def test_write_training_shards_layout_and_manifest(spark, docs, tmp_path):
     import os
     with open(os.path.join(out, "_manifest.json")) as fh:
         assert json.load(fh)["total"] == m["total"]
+
+
+def test_write_training_shards_spark_manifest_equals_footer_walk(
+    spark, docs, tmp_path
+):
+    """Round-3 verdict item 3: the manifest is now derived Spark-side
+    (object-store-portable). verify_footers=True cross-checks the local
+    footer walk against the Spark counts and raises on divergence — so
+    a green run IS the equality proof; independently re-walk the
+    footers here and compare against the returned manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "shards_v")
+    m = export.write_training_shards(
+        docs, "doc_id", out, n_shards=8, seed="s", verify_footers=True
+    )
+    footer_counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                shard = os.path.basename(root).split("=", 1)[-1]
+                footer_counts[shard] = footer_counts.get(shard, 0) + pq.read_metadata(
+                    os.path.join(root, f)
+                ).num_rows
+    assert footer_counts == m["shards"]
+    assert sum(footer_counts.values()) == m["total"] == docs.count()

@@ -24,6 +24,33 @@ def test_embed_udf_matches_driver(spark):
     assert np.allclose(np.array(rows[0]["e"]), embed_text("spark is fast"), atol=1e-6)
 
 
+def test_embed_udf_iterator_one_time_init(spark):
+    """Round-3 verdict item 6: embed_udf is the Iterator[pd.Series]
+    form with a worker-global model slot — the model resolves ONCE per
+    worker process no matter how many tasks/batches stream through.
+    Unit-level: drive the generator body directly with multiple batches
+    and multiple 'tasks'; the init counter must stay at 1. Spark-level:
+    outputs are unchanged by the conversion."""
+    import pandas as pd
+
+    from hikma_engine_spark.functions import embeddings as E
+
+    E._MODEL_SLOT.clear()
+    b1 = pd.Series(["spark is fast", "hello"])
+    b2 = pd.Series(["another batch"])
+    out1 = list(E._embed_batches(iter([b1, b2])))  # one task, two batches
+    assert len(out1) == 2 and E._MODEL_SLOT["init_count"] == 1
+    list(E._embed_batches(iter([b1])))  # second task, same worker
+    assert E._MODEL_SLOT["init_count"] == 1
+
+    df = spark.createDataFrame([("spark is fast",), (None,)], ["t"])
+    rows = df.select(embed_udf("t").alias("e")).collect()
+    assert np.allclose(
+        np.array(rows[0]["e"]), embed_text("spark is fast"), atol=1e-6
+    )
+    assert np.linalg.norm(np.array(rows[1]["e"])) == 0.0
+
+
 def test_cosine_expression(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],

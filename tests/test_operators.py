@@ -525,6 +525,26 @@ def test_zorder_key_matches_python_morton(spark):
         assert z == expect, (u, v)
 
 
+def test_zorder_key_guards(spark):
+    """Both width guards raise: > 62 key bits, and (with the cap
+    lowered) > MAX_INTERLEAVE_TERMS chained codegen terms (round-3
+    verdict nit 4)."""
+    import pytest as _pytest
+
+    from hikma_engine_spark.operators import layout
+
+    specs6 = [(F.col("u"), 0, 100)] * 6
+    with _pytest.raises(ValueError, match="exceeds 62"):
+        layout.zorder_key(specs6, bits=11)  # 66 key bits
+    orig = layout.MAX_INTERLEAVE_TERMS
+    try:
+        layout.MAX_INTERLEAVE_TERMS = 16
+        with _pytest.raises(ValueError, match="codegen-safe cap"):
+            layout.zorder_key(specs6, bits=10)  # 60 terms > 16
+    finally:
+        layout.MAX_INTERLEAVE_TERMS = orig
+
+
 def test_zorder_chunks_bound_both_dimensions(spark):
     """File-skipping rationale: split the z-sorted table into chunks
     (files) — each chunk's bounding box must be tight in BOTH
