@@ -124,7 +124,12 @@ def run_pipeline(cores: int, corpus: str, n_turns: int, reps: int = 4) -> dict:
     med = statistics.median(times[1:])
     return {
         "cores": cores,
+        # headline estimator is min-of-reps (ADVICE r3: named explicitly
+        # so artifact consumers don't mistake it for a median); "sec" is
+        # kept as an alias for cross-round comparability of the field
+        "estimator": "min_of_reps",
         "sec": round(best, 2),
+        "sec_min": round(best, 2),
         "sec_median": round(med, 2),
         "reps_sec": [round(t, 2) for t in times],
         "loadavg_at_rep_start": [round(x, 2) for x in loads],

@@ -1029,12 +1029,21 @@ class Pipeline:
                 continue
             rows_before = sum(before.values())
             df = self._read(name)
-            # partition layout comes from the DIRS actually on disk, not
-            # the configured flag — compacting a plain-layout store with
-            # --buckets set must not reference a missing bucket column
-            cols = [
-                c for c in self.partition_by.get(name, []) if c in df.columns
-            ]
+            # partition layout comes from the DIRS actually on disk
+            # (key= segments of the relative file paths), NOT the
+            # configured partition_by map: compacting a plain-layout
+            # store with --buckets set must not reference a missing
+            # bucket column, and compacting a BUCKETED store through a
+            # Pipeline built with n_buckets=None must not demote the
+            # bucket= dirs to a data column (ADVICE r3)
+            disk_cols: list[str] = []
+            for rel in before:
+                for seg in rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        c = seg.split("=", 1)[0]
+                        if c not in disk_cols:
+                            disk_cols.append(c)
+            cols = [c for c in disk_cols if c in df.columns]
             if cols:
                 # hash on the partition columns: every dir's rows land
                 # in exactly one task → one file per dir
@@ -1067,8 +1076,18 @@ class Pipeline:
                     f"{rows_before} → {rows_after}; rewrite aborted, "
                     "original table left untouched"
                 )
-            shutil.rmtree(path)
+            # crash-safe swap (ADVICE r3): keep a readable table at
+            # every crash point — park the old dir, move the new one
+            # in, THEN delete the old. A crash between the first two
+            # steps leaves path absent only for the duration of one
+            # rename (vs the full rmtree before), and the .old dir
+            # still holds the data for manual recovery.
+            old = path + ".compact_old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.replace(path, old)
             os.replace(tmp, path)
+            shutil.rmtree(old)
             report[name] = {
                 "files_before": len(before),
                 "files_after": len(after),

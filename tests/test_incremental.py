@@ -385,3 +385,34 @@ def test_compact_plain_layout_with_bucket_flag(spark, corpus_path, tmp_path):
     before = _digest(p._read("nodes"))
     p.compact()
     assert _digest(p._read("nodes")) == before
+
+
+def test_compact_bucketed_layout_with_plain_flag(spark, corpus_path, tmp_path):
+    """ADVICE r3: the inverse direction — a BUCKETED store compacted
+    through a Pipeline constructed with n_buckets=None must preserve
+    the bucket= dirs (layout derived from disk, not the configured
+    map), keeping the bucket-surgical incremental rewrite path alive."""
+    import os
+
+    out = str(tmp_path / "bucketed_kg")
+    Pipeline(spark, corpus_path, out, run_id="v1", n_buckets=16).run(resume=False)
+
+    def bucket_dirs(name):
+        return {
+            seg
+            for r, _dirs, fs in os.walk(os.path.join(out, name))
+            for f in fs
+            if f.endswith(".parquet")
+            for seg in r.split(os.sep)
+            if seg.startswith("bucket=")
+        }
+
+    p = Pipeline(spark, corpus_path, out, run_id="maint")  # n_buckets=None
+    assert bucket_dirs("nodes"), "precondition: store is bucketed"
+    layouts = {t: bucket_dirs(t) for t in ("nodes", "edges", "mentions")}
+    digests = {t: _digest(p._read(t)) for t in ("nodes", "edges", "mentions")}
+    # force a rewrite regardless of current fragmentation
+    p.compact(target_files_per_dir=0)
+    for t in ("nodes", "edges", "mentions"):
+        assert _digest(p._read(t)) == digests[t]
+        assert bucket_dirs(t) == layouts[t], f"{t} lost its bucket layout"
