@@ -821,6 +821,46 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_recall_contract(exact, ann, min_hits=8)
 
 
+def e_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine kNN SELF-join (every row's top-5 neighbors) —
+    round-4 operator: one query per corpus row vs the single-query ANN
+    entries. Blocked-GEMM partial-top-k + per-row window; ranking on
+    the ROUNDED cosine with id tie-break so the DuckDB window twin
+    replays it exactly."""
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    return similarity_search.knn_join_exact(emb, k=5).orderBy("a", "rank")
+
+
+def e_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-accelerated kNN self-join with a recall contract: rows are
+    the EXACT top-5 join (oracle-replayable); `knn_recall_ok` asserts
+    the IVF path (8 cells, nprobe=3) recovered ≥ 0.8 of the exact
+    pairs — in-plan (crossJoin of two broadcast scalars), no driver
+    collect."""
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    exact = similarity_search.knn_join_exact(emb, k=5)
+    cents = similarity_search.train_ivf_centroids(emb, n_cells=8, seed=7)
+    with_cells = similarity_search.add_ivf_cells(emb, cents)
+    approx = similarity_search.knn_join_ivf(with_cells, cents, k=5, nprobe=3)
+    n_hit = (
+        exact.select("a", "b")
+        .join(approx.select("a", "b"), ["a", "b"], "left_semi")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_total = exact.agg(F.count("*").alias("n_total"))
+    contract = (
+        n_hit.crossJoin(n_total)
+        .select(
+            (F.col("n_hit") >= 0.8 * F.col("n_total")).alias("knn_recall_ok")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(contract))
+        .select("a", "b", "cosine", "rank", "knn_recall_ok")
+        .orderBy("a", "rank")
+    )
+
+
 def kg_mentions_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _doc_transcripts(spark, sf_dir)
     m = _doc_mentions(spark, sf_dir)
@@ -1366,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank_entities": g_pagerank_entities,
         "s_structural_tier": s_structural_tier,
         "s_hybrid_blend": s_hybrid_blend,
+        "e_knn_join": e_knn_join,
+        "e_knn_join_ivf": e_knn_join_ivf,
         # -- captured in round 2 only --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -1555,6 +1597,37 @@ def _hybrid_blend_sql() -> str:
 
 
 _HYBRID_BLEND_SQL = _hybrid_blend_sql()
+
+
+# exact kNN self-join over the clustered view: per-row window on the
+# ROUNDED cosine with neighbor-id tie-break — the same ranking rule the
+# Spark operator applies, so the twin is exact (shared by both kNN
+# entries; e_knn_join_ivf additionally asserts its recall contract)
+def _knn_exact_sql(extra_cols: str = "") -> str:
+    return f"""
+        WITH ce AS (
+          SELECT vec_id,
+                 list_transform(range(64), i ->
+                   embedding[i+1]::DOUBLE
+                   + CASE WHEN i = label THEN {_ANN_BOOST} ELSE 0.0 END) AS emb
+          FROM embeddings
+        ),
+        sims AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 round(list_dot_product(x.emb, y.emb)
+                       / (sqrt(list_dot_product(x.emb, x.emb))
+                          * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+          FROM ce x JOIN ce y ON x.vec_id != y.vec_id
+        ),
+        ranked AS (
+          SELECT a, b, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY a ORDER BY cosine DESC, b) AS int) AS rank
+          FROM sims
+        )
+        SELECT a, b, cosine, rank{extra_cols}
+        FROM ranked WHERE rank <= 5 ORDER BY a, rank
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2168,6 +2241,8 @@ def oracle_sql() -> dict[str, str]:
         # vector is the same embed_text("src1") the Spark side uses,
         # inlined as a literal (deterministic hash embedding).
         "s_hybrid_blend": _HYBRID_BLEND_SQL,
+        "e_knn_join": _knn_exact_sql(),
+        "e_knn_join_ivf": _knn_exact_sql(", TRUE AS knn_recall_ok"),
         # SimHash spec mirrored exactly (operators/dedup.py:_token_bits /
         # simhash64_udf): V = big-endian uint64 of the first 8 md5 bytes
         # of each lowercase whitespace token; per-bit ±1 scatter-add with

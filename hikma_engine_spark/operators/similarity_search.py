@@ -307,6 +307,249 @@ def ivf_topk(
     )
 
 
+def knn_join_exact(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 6,
+    broadcast_limit: int = 100_000,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Exact cosine kNN SELF-join: every row's k nearest neighbors
+    (a, b, cosine, rank) — the workhorse behind embedding clustering,
+    near-dup grouping, and retrieval-index evaluation (one query per
+    CORPUS row, vs the one-query ANN operators above).
+
+    Same two-strategy shape as all_pairs_cosine: under
+    ``broadcast_limit`` rows the normalized matrix broadcasts and each
+    Arrow batch GEMMs + partial-top-ks against it; above it, the
+    hash-blocked pairwise GEMM emits a per-(row, block) partial top-k
+    (≤ k rows per row per block — the blocked shuffle's output is
+    O(n·k·n_blocks), never O(n²)) and a final per-row window keeps the
+    global top k. Ranking uses the ROUNDED cosine with id tie-break so
+    the result is deterministic and exactly replayable in SQL."""
+    small = df.limit(broadcast_limit + 1).count() <= broadcast_limit
+    if small:
+        partials = _knn_partials_broadcast(df, k, id_col, emb_col, round_digits)
+    else:
+        n = df.count()
+        n_blocks = max(2, -(-n // block_size))
+        partials = _knn_partials_blocked(
+            df, k, id_col, emb_col, round_digits, n_blocks
+        )
+    return _knn_rank(partials, k)
+
+
+def _knn_rank(partials: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a", "b", "cosine", "rank")
+    )
+
+
+def _knn_partials_broadcast(
+    df: DataFrame, k: int, id_col: str, emb_col: str, round_digits: int
+) -> DataFrame:
+    rows = df.select(id_col, emb_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(matn)
+
+    def body(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        all_ids = b_ids.value
+        allm = b_mat.value
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            if len(pdf):
+                q = np.array([list(v) for v in pdf[emb_col]], dtype=np.float64)
+                qn = np.linalg.norm(q, axis=1)
+                qn[qn == 0] = 1.0
+                sims = np.round((q / qn[:, None]) @ allm.T, round_digits)
+                qids = pdf[id_col].to_numpy()
+                for i in range(len(qids)):
+                    s = sims[i]
+                    mask = all_ids != qids[i]
+                    cand_ids, cand_s = all_ids[mask], s[mask]
+                    if len(cand_ids) > k:
+                        # top-k by (-cos, id): argsort on the composite
+                        order = np.lexsort((cand_ids, -cand_s))[:k]
+                    else:
+                        order = np.lexsort((cand_ids, -cand_s))
+                    out_a.extend([qids[i]] * len(order))
+                    out_b.extend(cand_ids[order])
+                    out_c.extend(cand_s[order])
+            yield pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+
+    return df.select(id_col, emb_col).mapInPandas(
+        body, "a long, b long, cosine double"
+    )
+
+
+def _knn_partials_blocked(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+    round_digits: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Per-(row, block-pair) partial top-k via the same unordered
+    block-pair shuffle as _all_pairs_cosine_blocked; each group emits
+    ≤ k neighbors for every row of BOTH its blocks."""
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int",
+    )
+    left = base.join(F.broadcast(pairs), base.blk == pairs.ba).select(
+        "ba", "bb", "id", "emb", F.lit(0).alias("side")
+    )
+    right = base.join(F.broadcast(pairs), base.blk == pairs.bb).select(
+        "ba", "bb", "id", "emb", F.lit(1).alias("side")
+    )
+    both = left.unionByName(right)
+
+    def gemm_topk(key, pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        ba, bb = key
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = a_rows if ba == bb else pdf[pdf["side"] == 1]
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+
+        def norm_mat(rows):
+            m = np.array([list(v) for v in rows["emb"]], dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return m / nrm[:, None]
+
+        am, bm = norm_mat(a_rows), norm_mat(b_rows)
+        aids = a_rows["id"].to_numpy()
+        bids = b_rows["id"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+
+        def emit(qids, qm, cids, cm):
+            for s in range(0, len(qids), 1024):
+                sims = np.round(qm[s : s + 1024] @ cm.T, round_digits)
+                for i in range(sims.shape[0]):
+                    qi = qids[s + i]
+                    mask = cids != qi
+                    cand_ids, cand_s = cids[mask], sims[i][mask]
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                    out_a.extend([qi] * len(order))
+                    out_b.extend(cand_ids[order])
+                    out_c.extend(cand_s[order])
+
+        emit(aids, am, bids, bm)
+        if ba != bb:
+            emit(bids, bm, aids, am)
+        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+
+    return both.groupBy("ba", "bb").applyInPandas(
+        gemm_topk, "a long, b long, cosine double"
+    )
+
+
+def knn_join_ivf(
+    df_with_cells: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate kNN self-join, IVF-accelerated: each row probes its
+    ``nprobe`` nearest cells; candidates are scored per cell by a
+    cogrouped Arrow GEMM that emits only a per-(row, cell) partial
+    top-k, then a per-row window keeps the global k. Shuffle volume is
+    O(n·nprobe) probe rows + O(n) base rows — candidate PAIRS never
+    ride the shuffle (a hot cell costs m² numpy FLOPs inside one
+    group, not m² shuffled rows). nprobe = n_cells degrades gracefully
+    to the exact join. Degenerate corpora (massive identical-vector
+    floods) should run exact_duplicates first, same as the LSH dedup
+    family."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    b_cents = df_with_cells.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    def _probe_cells(embs):
+        cents = b_cents.value
+        m = np.array([list(v) for v in embs], dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = (m / nrm[:, None]) @ cents.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    probe_udf = F.pandas_udf(_probe_cells, T.ArrayType(T.IntegerType()))
+
+    probes = df_with_cells.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        F.explode(probe_udf(F.col(emb_col))).alias("cell"),
+    )
+    basec = df_with_cells.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        F.col("ivf_cell").alias("cell"),
+    )
+
+    def cell_topk(key, qpdf, bpdf):
+        if not len(qpdf) or not len(bpdf):
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+
+        def norm_mat(rows):
+            m = np.array([list(v) for v in rows["emb"]], dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return m / nrm[:, None]
+
+        qm, bm = norm_mat(qpdf), norm_mat(bpdf)
+        qids = qpdf["id"].to_numpy()
+        bids = bpdf["id"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(qids), 1024):
+            sims = np.round(qm[s : s + 1024] @ bm.T, round_digits)
+            for i in range(sims.shape[0]):
+                qi = qids[s + i]
+                mask = bids != qi
+                cand_ids, cand_s = bids[mask], sims[i][mask]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_a.extend([qi] * len(order))
+                out_b.extend(cand_ids[order])
+                out_c.extend(cand_s[order])
+        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+
+    # no distinct needed: a base row lives in exactly ONE cell, so a
+    # candidate pair (a, b) can only arise in b's cell — once
+    partials = (
+        probes.groupBy("cell")
+        .cogroup(basec.groupBy("cell"))
+        .applyInPandas(cell_topk, "a long, b long, cosine double")
+    )
+    return _knn_rank(partials, k)
+
+
 def _probe_buckets(base: int, n_planes: int, radius: int) -> list[int]:
     """All bucket ids within Hamming distance ``radius`` of ``base``."""
     from itertools import combinations

@@ -132,6 +132,87 @@ def test_all_pairs_cosine(spark, vectors):
     assert {(r.a, r.b) for r in pairs.itertuples()} == {(0, 1)}
 
 
+def _clustered_vec_df(spark, n_clusters=10, per_cluster=20, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_clusters, dim)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = cents[c] + 0.1 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _numpy_knn(pdf, k, round_digits=6):
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    sims = np.round((m / nrm[:, None]) @ (m / nrm[:, None]).T, round_digits)
+    expect = {}
+    for i, a in enumerate(ids):
+        mask = ids != a
+        cand_ids, cand_s = ids[mask], sims[i][mask]
+        order = np.lexsort((cand_ids, -cand_s))[:k]
+        expect[int(a)] = [
+            (int(cand_ids[j]), float(cand_s[j])) for j in order
+        ]
+    return expect
+
+
+def test_knn_join_exact_matches_numpy(spark):
+    """knn_join_exact == an independent numpy reference (ids, cosines,
+    and rank order) on a clustered corpus."""
+    df = _clustered_vec_df(spark)
+    pdf = df.toPandas()
+    expect = _numpy_knn(pdf, k=4)
+    got = similarity_search.knn_join_exact(df, k=4).toPandas()
+    assert len(got) == len(pdf) * 4
+    for a, grp in got.sort_values(["a", "rank"]).groupby("a"):
+        assert [
+            (int(r.b), float(r.cosine)) for r in grp.itertuples()
+        ] == expect[int(a)], a
+
+
+def test_knn_join_blocked_equals_broadcast(spark):
+    """The distributed block-pair path (forced via broadcast_limit=0-
+    ish) returns exactly the broadcast path's result."""
+    df = _clustered_vec_df(spark, n_clusters=6, per_cluster=15)
+    small = similarity_search.knn_join_exact(df, k=3).toPandas()
+    big = similarity_search.knn_join_exact(
+        df, k=3, broadcast_limit=10, block_size=16
+    ).toPandas()
+    key = ["a", "rank"]
+    s = small.sort_values(key).reset_index(drop=True)
+    b = big.sort_values(key).reset_index(drop=True)
+    assert s[["a", "b", "rank"]].equals(b[["a", "b", "rank"]])
+    assert np.allclose(s["cosine"], b["cosine"])
+
+
+def test_knn_join_ivf_recall(spark):
+    """IVF kNN join recall ≥ 0.8 vs exact on the clustered corpus, and
+    every returned neighbor's cosine is the true cosine."""
+    df = _clustered_vec_df(spark, n_clusters=8, per_cluster=25)
+    exact = similarity_search.knn_join_exact(df, k=5).toPandas()
+    cents = similarity_search.train_ivf_centroids(
+        df, n_cells=8, id_col="vec_id", seed=7
+    )
+    with_cells = similarity_search.add_ivf_cells(df, cents)
+    approx = similarity_search.knn_join_ivf(
+        with_cells, cents, k=5, nprobe=3
+    ).toPandas()
+    ex = {(int(r.a), int(r.b)) for r in exact.itertuples()}
+    ap = {(int(r.a), int(r.b)) for r in approx.itertuples()}
+    assert len(ex & ap) / len(ex) >= 0.8
+    # spot-check correctness of returned cosines against exact pairs
+    exact_cos = {(int(r.a), int(r.b)): float(r.cosine) for r in exact.itertuples()}
+    for r in approx.itertuples():
+        kk = (int(r.a), int(r.b))
+        if kk in exact_cos:
+            assert abs(exact_cos[kk] - float(r.cosine)) < 1e-9
+
+
 def test_embedding_near_dup_multiprobe(spark, vectors):
     """The banded-LSH near-dup path must find the planted pair (≥1 of
     the independent tables gives the cosine-0.99 pair an identical
