@@ -622,6 +622,29 @@ def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 operator: incremental near-dup detection against a
+    persisted MinHash index (dedup.dedup_index +
+    incremental_minhash_pairs). docs < 400 are the indexed corpus
+    (their TEXT is never re-read — the operator only receives the
+    index rows), docs ≥ 400 the new batch; the result is every
+    Jaccard-0.8 pair touching the batch. The twin is the exact-Jaccard
+    set restricted the same way (valid for the same reason as
+    d_minhash_pairs: banding recall is 1.0 on this corpus — the
+    incremental candidates use the identical band structure)."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    idx = dedup.dedup_index(old, "doc_id", "text")
+    pairs, _new_rows = dedup.incremental_minhash_pairs(
+        new, idx, "doc_id", "text", threshold=0.8
+    )
+    return (
+        pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3).orderBy("a", "b")
@@ -1408,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_hybrid_blend": s_hybrid_blend,
         "e_knn_join": e_knn_join,
         "e_knn_join_ivf": e_knn_join_ivf,
+        "d_incremental_dedup": d_incremental_dedup,
         # -- captured in round 2 only --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -1950,6 +1974,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLE_CTE}
             SELECT a, b, round(jaccard, 4) AS jaccard
             FROM jac WHERE jaccard >= 0.8 ORDER BY a, b
+        """,
+        # incremental dedup: the exact set restricted to pairs touching
+        # the new batch (doc_id >= 400)
+        "d_incremental_dedup": f"""
+            WITH {_SHINGLE_CTE}
+            SELECT a, b, round(jaccard, 4) AS jaccard
+            FROM jac WHERE jaccard >= 0.8 AND (a >= 400 OR b >= 400)
+            ORDER BY a, b
         """,
         "e_cosine_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

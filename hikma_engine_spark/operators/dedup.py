@@ -241,6 +241,93 @@ def minhash_pairs(
     )
 
 
+# ---------- incremental dedup against a persisted index ----------
+
+
+def dedup_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32
+) -> DataFrame:
+    """Persistable per-doc dedup index row: (id, sh, minhash).
+
+    At 100 TB the corpus is deduped ONCE and then new batches arrive
+    daily; re-shingling the whole corpus per batch is the cost bomb.
+    This is the row a dedup service persists (parquet/Iceberg,
+    bucketable by id): the shingle set (for exact-Jaccard verification
+    of candidate pairs) and the k-element MinHash signature (band
+    hashes are derived from it at query time — 32 xxhash64 calls per
+    row, vs re-reading and re-tokenizing the text)."""
+    return df.select(
+        F.col(id_col),
+        lsh.word_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("minhash", lsh.minhash_signature(F.col("sh"), k))
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.8,
+    max_bucket_size: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs TOUCHING THE NEW BATCH ONLY (new-vs-indexed and
+    new-vs-new), given a persisted ``dedup_index`` — the indexed
+    corpus's text is never re-read or re-shingled (the API doesn't even
+    accept it). Candidate generation is the same banded equi-join as
+    minhash_pairs, but the self-join is replaced by a DIRECTIONAL join
+    (new-batch bands × all bands), so its cost is O(new × collisions),
+    not O(corpus²); the bucket cap guards hot bands exactly as in
+    lsh_candidate_pairs. Candidates are verified by exact shingle
+    Jaccard using the index's stored shingle sets.
+
+    Returns ``(pairs, new_index_rows)``: append ``new_index_rows`` to
+    the persisted index after the batch commits — the incremental
+    contract that makes tomorrow's batch as cheap as today's."""
+    new_index = dedup_index(new_df, id_col, text_col, n, k)
+    new_bands = lsh.band_explode(
+        new_index.select(id_col, "minhash"), id_col, "minhash", bands, rows
+    )
+    old_bands = lsh.band_explode(
+        index.select(id_col, "minhash"), id_col, "minhash", bands, rows
+    )
+    all_bands = old_bands.unionByName(new_bands)
+    bucket_sizes = all_bands.groupBy("band_idx", "band_hash").count()
+    ok = bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+    a = (
+        new_bands.join(ok, ["band_idx", "band_hash"], "left_semi")
+        .withColumnRenamed(id_col, "qa")
+    )
+    b = (
+        all_bands.join(ok, ["band_idx", "band_hash"], "left_semi")
+        .withColumnRenamed(id_col, "qb")
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("qa") != F.col("qb"))
+        # normalize to a < b; new-new pairs arrive in both orders and
+        # collapse in the distinct, new-old pairs arrive once
+        .select(
+            F.least("qa", "qb").alias("a"), F.greatest("qa", "qb").alias("b")
+        )
+        .distinct()
+    )
+    feats = index.select(id_col, "sh").unionByName(new_index.select(id_col, "sh"))
+    fa = feats.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    fb = feats.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("jaccard", lsh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return pairs, new_index
+
+
 # ---------- SimHash ----------
 
 from functools import lru_cache

@@ -55,6 +55,43 @@ def test_minhash_pairs_match_exact(spark, docs):
     assert mh == exact  # LSH blocking at this size must not lose pairs
 
 
+def test_incremental_minhash_equals_full(spark, docs, tmp_path):
+    """Incremental dedup against a persisted index == the full-corpus
+    run restricted to pairs touching the new batch — WITHOUT the old
+    text (the index round-trips through parquet; the operator's API
+    never sees the indexed corpus's text column)."""
+    old = docs.filter("doc_id <= 3")
+    new = docs.filter("doc_id > 3")
+    idx_path = str(tmp_path / "dedup_index")
+    dedup.dedup_index(old, "doc_id", "text").write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    pairs, new_rows = dedup.incremental_minhash_pairs(
+        new, idx, "doc_id", "text", threshold=0.5
+    )
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        if r["a"] > 3 or r["b"] > 3
+    }
+    assert got == full and (0, 4) in got  # ws/case dup crosses the batch line
+    # the returned index rows extend the persisted index: appending
+    # them and running the NEXT batch must also work
+    new_rows.write.mode("append").parquet(idx_path)
+    idx2 = spark.read.parquet(idx_path)
+    assert idx2.count() == docs.count()
+    batch2 = spark.createDataFrame(
+        [(6, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    pairs2, _ = dedup.incremental_minhash_pairs(
+        batch2, idx2, "doc_id", "text", threshold=0.5
+    )
+    got2 = {(r["a"], r["b"]) for r in pairs2.collect()}
+    assert {(0, 6), (1, 6), (4, 6)} <= got2
+    assert all(6 in p for p in got2)  # only pairs touching the new batch
+
+
 def test_simhash_pairs(spark, docs):
     pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).toPandas()
     got = {(r.a, r.b) for r in pairs.itertuples()}
