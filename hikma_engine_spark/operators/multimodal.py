@@ -246,6 +246,76 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return df.mapInPandas(body, FEATURE_SCHEMA)
 
 
+def encode_pnm(img: np.ndarray, maxval: int = 255) -> bytes:
+    """(h, w, channels) uint8 → binary PNM payload (P5 for 1 channel,
+    P6 for 3) — the stdlib-only inverse of decode_pnm."""
+    h, w, channels = img.shape
+    magic = b"P6" if channels == 3 else b"P5"
+    header = b"%s\n%d %d\n%d\n" % (magic, w, h, maxval)
+    return header + img.astype(np.uint8).tobytes()
+
+
+def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy fancy-indexing, no loops):
+    the deterministic resize every image pipeline needs before a model
+    sees the pixels. Index choice matches the standard (i + 0.5) *
+    scale - 0.5 pixel-center convention, clamped to bounds."""
+    h, w, _ = img.shape
+    ys = np.clip(np.round((np.arange(out_h) + 0.5) * (h / out_h) - 0.5), 0, h - 1)
+    xs = np.clip(np.round((np.arange(out_w) + 0.5) * (w / out_w) - 0.5), 0, w - 1)
+    return img[ys.astype(int)][:, xs.astype(int)]
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas resize pass: image rows → (media_id, codec, payload)
+    where payload is the re-encoded PNM at (out_w, out_h).
+
+    PNM payloads are REALLY decoded, resampled (nearest-neighbor), and
+    re-encoded with the stdlib-only codec above; JPEG/PNG hit the same
+    stub boundary as extract_features (decode_stub=True emits a NULL
+    payload with the codec labeled so a downstream writer can route
+    them to the codec-capable cluster; decode_stub=False raises).
+    Corrupt known-format payloads yield NULL (quarantine row), never a
+    task failure."""
+    schema = (
+        "media_id string, codec string, payload binary, "
+        "out_w int, out_h int"
+    )
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codecs, payloads = [], []
+            for p in pdf["payload"]:
+                codec = sniff_codec(p)
+                out: bytes | None = None
+                if codec == "pnm":
+                    try:
+                        img, maxval = decode_pnm(p)
+                        out = encode_pnm(resize_image(img, out_w, out_h), maxval)
+                    except ValueError:
+                        out = None  # corrupt → quarantine
+                elif codec not in ("empty",):
+                    if not decode_stub:
+                        raise NotImplementedError(
+                            f"decoding {codec} requires PIL/ffmpeg — not in this image"
+                        )
+                codecs.append(codec)
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "codec": codecs,
+                    "payload": payloads,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return df.filter(df.kind == "image").mapInPandas(body, schema)
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, decode_stub: bool = True
 ) -> DataFrame:

@@ -260,6 +260,32 @@ def test_embedding_near_dup_multiprobe(spark, vectors):
     assert (0, 1) in {(r.a, r.b) for r in pairs.itertuples()}
 
 
+def test_resize_images_roundtrip(spark):
+    """resize_images really resizes PNM payloads: the output payload
+    decodes to the target dims with nearest-neighbor-exact pixels;
+    codec formats get a NULL payload (stub boundary), corrupt PNM is
+    quarantined to NULL."""
+    from hikma_engine_spark.operators import multimodal as mm
+
+    img = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    good = mm.encode_pnm(img)
+    rows = [
+        ("ok", "image", bytearray(good), ("image/x-ppm", 6, 8, None)),
+        ("png", "image", bytearray(b"\x89PNG\r\n\x1a\n fake"), ("image/png", 4, 4, None)),
+        ("bad", "image", bytearray(b"P6\n6 8\n255\nshort"), ("image/x-ppm", 6, 8, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.resize_images(df, out_w=3, out_h=4).toPandas().set_index("media_id")
+    dec, maxval = mm.decode_pnm(bytes(out.loc["ok", "payload"]))
+    assert dec.shape == (4, 3, 3) and maxval == 255
+    assert np.array_equal(dec, mm.resize_image(img, 3, 4))
+    # nearest-neighbor is exact: every output pixel exists in the input
+    flat_in = {tuple(px) for row in img for px in row}
+    assert all(tuple(px) in flat_in for row in dec for px in row)
+    assert out.loc["png", "payload"] is None and out.loc["png", "codec"] == "png"
+    assert out.loc["bad", "payload"] is None and out.loc["bad", "codec"] == "pnm"
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [
         ("m1", "image", bytearray(b"\x89PNG fake"), ("image/png", 64, 64, None)),
