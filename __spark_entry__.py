@@ -1334,6 +1334,44 @@ def s_hybrid_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def s_comprehensive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's comprehensiveSearch: four heterogeneous sources
+    under 40/30/20/10 quotas (semantic/text/metadata/name,
+    search-service.ts:692-779) with source-weight ranking and
+    first-wins dedup (rankComprehensiveResults :948-982) — round 4
+    completes the search family's oracle coverage. Same
+    documents×embeddings node view as s_hybrid_blend; the DuckDB twin
+    replays each source's own cutoff (top-8 cosine / top-6 shortest
+    text / top-4 metadata by id / top-2 name tier), the weighted
+    union, the per-id dedup window, and the final exact-name-boosted
+    rank."""
+    from hikma_engine_spark.query.search import comprehensive_search
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    nodes = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.when(F.col("doc_id") % 3 == 0, "Entity")
+            .when(F.col("doc_id") % 3 == 1, "Tool")
+            .otherwise("Turn")
+            .alias("node_type"),
+            F.col("source").alias("source_text"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    out = comprehensive_search(nodes, "src1", k=20)
+    return out.select(
+        "id",
+        "node_type",
+        F.round("score", 6).alias("score_r"),
+        "source_weight",
+        "exact",
+        "rank",
+    ).orderBy("rank")
+
+
 def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end KG construction — full LSH linking + CC
     canonicalization — value-hash verified (round-2 verdict item 1c):
@@ -1432,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_knn_join": e_knn_join,
         "e_knn_join_ivf": e_knn_join_ivf,
         "d_incremental_dedup": d_incremental_dedup,
+        "s_comprehensive": s_comprehensive,
         # -- captured in round 2 only --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -1621,6 +1660,83 @@ def _hybrid_blend_sql() -> str:
 
 
 _HYBRID_BLEND_SQL = _hybrid_blend_sql()
+
+
+def _comprehensive_sql() -> str:
+    """DuckDB twin of s_comprehensive: per-source quota cutoffs (8/6/
+    4/2 of k=20), weighted union, first-wins dedup per id, exact-name
+    boost, final rank (search-service.ts:692-779, 948-982)."""
+    from hikma_engine_spark.functions.embeddings import embed_text
+
+    qv = embed_text("src1")
+    qlit = "[" + ", ".join(f"{float(x):.17g}" for x in qv) + "]"
+    return f"""
+        WITH qv AS (SELECT {qlit}::DOUBLE[] AS q),
+        nodes AS (
+          SELECT CAST(d.doc_id AS varchar) AS id,
+                 CASE WHEN d.doc_id % 3 = 0 THEN 'Entity'
+                      WHEN d.doc_id % 3 = 1 THEN 'Tool'
+                      ELSE 'Turn' END AS node_type,
+                 d.source AS source_text,
+                 list_transform(e.embedding, x -> x::DOUBLE) AS emb
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        scored AS (
+          SELECT n.*,
+                 list_dot_product(n.emb, qv.q)
+                   / (sqrt(list_dot_product(n.emb, n.emb))
+                      * sqrt(list_dot_product(qv.q, qv.q))) AS sim
+          FROM nodes n, qv
+        ),
+        sem AS (
+          SELECT id, node_type, source_text, sim AS score, 4 AS source_weight
+          FROM scored ORDER BY sim DESC, id LIMIT 8
+        ),
+        txt AS (
+          SELECT id, node_type, source_text, 0.0 AS score, 3 AS source_weight
+          FROM nodes WHERE contains(source_text, 'src1')
+          ORDER BY length(source_text), id LIMIT 6
+        ),
+        meta AS (
+          SELECT id, node_type, source_text, 0.0 AS score, 2 AS source_weight
+          FROM nodes WHERE contains(lower(source_text), 'src1')
+          ORDER BY id LIMIT 4
+        ),
+        nm AS (
+          SELECT id, node_type, source_text, 1.0 / tier AS score,
+                 1 AS source_weight
+          FROM (
+            SELECT *, CASE WHEN lower(source_text) = 'src1' THEN 1
+                           WHEN starts_with(lower(source_text), 'src1') THEN 2
+                           ELSE 3 END AS tier
+            FROM nodes WHERE contains(lower(source_text), 'src1')
+          ) ORDER BY tier, length(source_text), id LIMIT 2
+        ),
+        u AS (
+          SELECT * FROM sem UNION ALL SELECT * FROM txt
+          UNION ALL SELECT * FROM meta UNION ALL SELECT * FROM nm
+        ),
+        dd AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY id
+            ORDER BY source_weight DESC, score DESC, node_type) AS rn
+          FROM u
+        ),
+        fin AS (
+          SELECT id, node_type, score, source_weight,
+                 CASE WHEN lower(source_text) = 'src1' THEN 1 ELSE 0 END AS exact
+          FROM dd WHERE rn = 1
+          ORDER BY source_weight DESC, exact DESC, score DESC, id LIMIT 20
+        )
+        SELECT id, node_type, round(score, 6) AS score_r, source_weight, exact,
+               CAST(row_number() OVER (
+                 ORDER BY source_weight DESC, exact DESC, score DESC, id)
+                 AS int) AS rank
+        FROM fin ORDER BY rank
+    """
+
+
+_COMPREHENSIVE_SQL = _comprehensive_sql()
 
 
 # exact kNN self-join over the clustered view: per-row window on the
@@ -2275,6 +2391,7 @@ def oracle_sql() -> dict[str, str]:
         "s_hybrid_blend": _HYBRID_BLEND_SQL,
         "e_knn_join": _knn_exact_sql(),
         "e_knn_join_ivf": _knn_exact_sql(", TRUE AS knn_recall_ok"),
+        "s_comprehensive": _COMPREHENSIVE_SQL,
         # SimHash spec mirrored exactly (operators/dedup.py:_token_bits /
         # simhash64_udf): V = big-endian uint64 of the first 8 md5 bytes
         # of each lowercase whitespace token; per-bit ±1 scatter-add with

@@ -47,6 +47,33 @@ def test_semantic_search_no_shuffle_before_topk(spark, pipeline_out):
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
 
 
+def test_knn_join_plans_use_group_limit_and_bounded_shuffles(spark):
+    """kNN-join scale contract: (a) the per-row rank filter compiles to
+    WindowGroupLimit with a PARTIAL pass before the exchange — only
+    each partition's top-k rides the final shuffle, not all candidate
+    partials; (b) the IVF variant's plan has exactly 3 exchanges
+    (probe side, base side, rank) — candidate PAIRS never ride a
+    shuffle."""
+    import numpy as np
+
+    from hikma_engine_spark.operators import similarity_search
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = similarity_search.knn_join_exact(df, k=3, broadcast_limit=50)
+    plan = inspect.physical_plan(exact, "simple")
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+    cents = similarity_search.train_ivf_centroids(df, n_cells=4, seed=7)
+    wc = similarity_search.add_ivf_cells(df, cents)
+    ivf = similarity_search.knn_join_ivf(wc, cents, k=3, nprobe=2)
+    ivf_plan = inspect.physical_plan(ivf, "simple")
+    assert ivf_plan.count("WindowGroupLimit") >= 2
+    assert inspect.shuffle_count(ivf) == 3
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Bucketing both join sides on the key co-locates the join: the
     SortMergeJoin runs with ZERO Exchange operators (the cluster-scale
