@@ -440,7 +440,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 
 def auto_n_planes(
-    n_rows: int, target_bucket_rows: int = 256, lo: int = 4, hi: int = 24
+    n_rows: int, target_bucket_rows: int = 256, lo: int = 4, hi: int = 40
 ) -> int:
     """Plane count sized to the corpus: expected bucket population
     n/2^p ≈ target_bucket_rows, clamped to [lo, hi]. Deterministic
@@ -448,7 +448,13 @@ def auto_n_planes(
     default (round-2 verdict: 8 planes = 256 buckets) is the right
     SHAPE but the wrong size at corpus scale — at 10⁹ rows each bucket
     would hold ~4M vectors; p = log2(10⁹/256) ≈ 22 keeps buckets near
-    the target."""
+    the target. hi=40 (round 4; was 24, which silently broke the
+    population contract past 2^24·target ≈ 4.3B rows) — bucket ids are
+    64-bit longs throughout, and 2^40 buckets covers 10^12 rows at the
+    default target. Single-table ANN callers (lsh_topk) trade recall
+    per probe as p grows — that tradeoff is theirs to tune via
+    probe_radius; the banded near-dup path is insensitive (recall
+    rides n_tables)."""
     import math
 
     if n_rows <= target_bucket_rows:

@@ -171,7 +171,11 @@ def test_auto_n_planes_scales_bucket_population(spark):
         expected = n / 2**p
         assert expected <= 256 * 2, (n, p)
     assert auto_n_planes(100, target_bucket_rows=256) == 4  # clamped low
-    assert auto_n_planes(10**12, target_bucket_rows=1) == 24  # clamped high
+    assert auto_n_planes(10**15, target_bucket_rows=1) == 40  # clamped high
+    # the population contract must HOLD at trillion-row scale (round 4:
+    # the old hi=24 clamp silently broke it past ~4.3B rows)
+    p12 = auto_n_planes(10**12, target_bucket_rows=256)
+    assert 10**12 / 2**p12 <= 256 * 2
 
     # empirically at two corpus sizes: mean bucket population lands in
     # the target band (isotropic vectors spread evenly over sign buckets)
