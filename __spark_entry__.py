@@ -799,16 +799,48 @@ def _with_recall_contract(exact: DataFrame, ann: DataFrame, min_hits: int) -> Da
 
 
 def d_embdup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.9) via hyperplane
-    sign-bucket blocking + multiprobe + exact verify
-    (dedup.embedding_near_dup_pairs, n_planes auto-scaled). Over the
-    clustered view the blocking is exhaustive (recall 1.0 measured at
-    both SFs), so the DuckDB twin is the EXACT all-pairs set — the same
-    direct-oracle pattern as d_minhash_pairs."""
+    """Embedding-cosine near-dup detection (cosine ≥ 0.9) via BANDED
+    hyperplane LSH + exact verify (dedup.embedding_near_dup_pairs,
+    round 4: L independent tables, hot-bucket cap). Over the clustered
+    view the blocking is exhaustive (recall 1.0 measured at both SFs),
+    so the DuckDB twin recomputes the EXACT all-pairs set.
+
+    The entry emits the PER-VECTOR near-dup degree (pair count + the
+    4-dp-rounded cosine sum over both pair directions), not the raw
+    pair list: the clustered view makes ~10% of ALL pairs genuine
+    near-dups (200k rows at sf0.1), and round-3 bench showed the
+    entry's latency dominated by driver row serialization of that
+    output, not by the operator (ask #8). The degree summary hashes
+    the same information — any missing/extra/mis-scored pair shifts
+    some vector's count or cosine sum — and the raw pair set stays
+    set-equality-pinned against exact all-pairs GEMM by
+    test_embdup_blocking_exhaustive_on_clustered_view."""
     emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9
+    )
+    # explode, not union: a self-union re-executes the whole LSH+verify
+    # lineage twice (measured +50%); explode doubles the rows in ONE pass
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("doc"), F.col("cosine")),
+                F.struct(F.col("b").alias("doc"), F.col("cosine")),
+            )
+        ).alias("e")
+    ).select("e.doc", "e.cosine")
     return (
-        dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.9)
-        .orderBy("a", "b")
+        both.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_dups"),
+            # sum EXACT integers (cosine millionths), not doubles: a
+            # float sum's last-ulp wobble is order-dependent and lands
+            # on rounding boundaries (3 of 500 docs flipped at 4 dp)
+            F.sum(F.round(F.col("cosine") * 1e6).cast("long")).alias(
+                "sum_cos_millionths"
+            ),
+        )
+        .orderBy("doc")
     )
 
 
@@ -2436,9 +2468,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         # direct oracle for the blocked near-dup operator: over the
-        # clustered view the hyperplane blocking is exhaustive (recall
-        # 1.0 at both SFs, pinned by pytest), so the twin is the exact
-        # all-pairs cosine ≥ 0.9 set
+        # clustered view the banded blocking is exhaustive (recall 1.0
+        # at both SFs, pinned by pytest), so the twin recomputes the
+        # exact all-pairs cosine ≥ 0.9 set and aggregates it to the
+        # same per-vector degree summary the entry emits
         "d_embdup_pairs": f"""
             WITH ce AS (
               SELECT vec_id,
@@ -2446,16 +2479,25 @@ def oracle_sql() -> dict[str, str]:
                        embedding[i+1]::DOUBLE
                        + CASE WHEN i = label THEN {_ANN_BOOST} ELSE 0.0 END) AS emb
               FROM embeddings
+            ),
+            pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     round(list_dot_product(x.emb, y.emb)
+                           / (sqrt(list_dot_product(x.emb, x.emb))
+                              * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+              FROM ce x JOIN ce y ON x.vec_id < y.vec_id
+              WHERE list_dot_product(x.emb, y.emb)
+                    / (sqrt(list_dot_product(x.emb, x.emb))
+                       * sqrt(list_dot_product(y.emb, y.emb))) >= 0.9
+            ),
+            pb AS (
+              SELECT a AS doc, cosine FROM pairs
+              UNION ALL SELECT b AS doc, cosine FROM pairs
             )
-            SELECT x.vec_id AS a, y.vec_id AS b,
-                   round(list_dot_product(x.emb, y.emb)
-                         / (sqrt(list_dot_product(x.emb, x.emb))
-                            * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
-            FROM ce x JOIN ce y ON x.vec_id < y.vec_id
-            WHERE list_dot_product(x.emb, y.emb)
-                  / (sqrt(list_dot_product(x.emb, x.emb))
-                     * sqrt(list_dot_product(y.emb, y.emb))) >= 0.9
-            ORDER BY a, b
+            SELECT doc, count(*) AS n_dups,
+                   CAST(sum(CAST(round(cosine * 1000000) AS BIGINT)) AS BIGINT)
+                     AS sum_cos_millionths
+            FROM pb GROUP BY doc ORDER BY doc
         """,
         "d_decontaminate": """
             WITH toks AS (
