@@ -635,7 +635,9 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     old = d.filter(F.col("doc_id") < 400)
     new = d.filter(F.col("doc_id") >= 400)
-    idx = dedup.dedup_index(old, "doc_id", "text")
+    # cache stands in for the persisted parquet index (in production
+    # this is a read, not a rebuild — the operator consumes it twice)
+    idx = dedup.dedup_index(old, "doc_id", "text").cache()
     pairs, _new_rows = dedup.incremental_minhash_pairs(
         new, idx, "doc_id", "text", threshold=0.8
     )

@@ -287,7 +287,12 @@ def incremental_minhash_pairs(
     Returns ``(pairs, new_index_rows)``: append ``new_index_rows`` to
     the persisted index after the batch commits — the incremental
     contract that makes tomorrow's batch as cheap as today's."""
-    new_index = dedup_index(new_df, id_col, text_col, n, k)
+    # the new batch's rows are consumed three times (band explode,
+    # verify join, returned for append): cache so shingling+minhashing
+    # runs once (executor-distributed, batch-sized — same idiom as
+    # minhash_pairs). The INDEX side is not cached: in production it's
+    # a parquet/Iceberg read, re-scanning is the cheap path.
+    new_index = dedup_index(new_df, id_col, text_col, n, k).cache()
     new_bands = lsh.band_explode(
         new_index.select(id_col, "minhash"), id_col, "minhash", bands, rows
     )
