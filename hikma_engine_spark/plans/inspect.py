@@ -57,3 +57,18 @@ def shuffle_count(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return physical_plan(df, "simple").count("WholeStageCodegen")
+
+
+def partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters section of every scan — non-empty entries
+    mean directory-level pruning happened BEFORE any file was opened
+    (the mechanism that turns a bucket/cell column into a 100 TB scan
+    reducer)."""
+    plan = physical_plan(df)
+    return "\n".join(
+        line.strip() for line in plan.splitlines() if "PartitionFilters" in line
+    )
+
+
+def has_partition_filter(df: DataFrame, fragment: str) -> bool:
+    return fragment in partition_filters(df)

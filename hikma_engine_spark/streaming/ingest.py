@@ -73,6 +73,30 @@ def streaming_mention_counts(
     return mentions
 
 
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen document per content
+    fingerprint (the SAME ``functions.text.fingerprint`` spec the batch
+    ``exact_duplicates`` groups on — one dedup definition, two
+    execution modes). ``dropDuplicates`` on the fingerprint is Spark's
+    built-in stateful dedup operator; the watermark bounds its state —
+    at 10^12 rows an unwatermarked dedup state is the OOM, so the
+    contract is "exact within the watermark horizon, re-admitted
+    after" (cross-horizon dedup belongs to the batch index path,
+    dedup.dedup_index)."""
+    from ..functions.text import fingerprint
+
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .withColumn("fingerprint", fingerprint(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def _sql_gazetteer() -> str:
     from .. import vocab
 

@@ -47,6 +47,37 @@ def test_semantic_search_no_shuffle_before_topk(spark, pipeline_out):
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
 
 
+def test_ivf_cell_is_a_partition_pruning_key(spark, tmp_path):
+    """The ANN scale claim made concrete: persist embeddings
+    partitioned by ivf_cell, and an ivf_topk-shaped cell filter becomes
+    a PartitionFilter — directories for unprobed cells are never
+    opened, and the pruned scan reads fewer files than the table
+    holds."""
+    import numpy as np
+
+    from hikma_engine_spark.operators import similarity_search
+
+    rng = np.random.RandomState(2)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity_search.train_ivf_centroids(df, n_cells=8, seed=7)
+    out = str(tmp_path / "emb_by_cell")
+    similarity_search.add_ivf_cells(df, cents).write.partitionBy(
+        "ivf_cell"
+    ).parquet(out)
+
+    table = spark.read.parquet(out)
+    probed = table.filter(F.col("ivf_cell").isin([0, 1]))
+    assert inspect.has_partition_filter(probed, "ivf_cell")
+    n_files_all = table.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    n_files_probed = probed.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert 0 < n_files_probed < n_files_all
+
+
 def test_knn_join_plans_use_group_limit_and_bounded_shuffles(spark):
     """kNN-join scale contract: (a) the per-row rank filter compiles to
     WindowGroupLimit with a PARTIAL pass before the exchange — only

@@ -82,6 +82,54 @@ def test_streaming_stateful_conversation_state(spark, corpus_pdf, tmp_path):
     assert (merged.total_chars_got == merged.total_chars_want).all()
 
 
+def test_streaming_dedup_matches_batch_fingerprints(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    shared fingerprint spec) keeps exactly one doc per distinct
+    fingerprint across micro-batches — same surviving-fingerprint SET
+    as batch exact dedup (which duplicate wins is arrival-order
+    dependent by design; the batch path pins first-wins)."""
+    import pandas as pd
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    rows = [
+        (0, "the quick brown fox", "2024-01-01 10:00:00"),
+        (1, "THE  quick   brown FOX", "2024-01-01 10:01:00"),  # dup of 0
+        (2, "unrelated database text", "2024-01-01 10:02:00"),
+        (3, "the quick brown fox", "2024-01-01 10:03:00"),  # dup of 0
+        (4, "unrelated database text", "2024-01-01 10:04:00"),  # dup of 2
+        (5, "a third distinct doc", "2024-01-01 10:05:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    # two files → two micro-batches; dups straddle the batch boundary
+    for i, chunk in enumerate([pdf.iloc[:3], pdf.iloc[3:]]):
+        chunk.to_parquet(
+            str(d / f"part-{i}.parquet"), index=False, coerce_timestamps="us"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    deduped = ingest.streaming_dedup(stream)
+    ingest.run_available_now(deduped, "dedup_stream")
+    got = spark.sql("SELECT * FROM dedup_stream").toPandas()
+    assert len(got) == 3  # one survivor per distinct fingerprint
+    assert got["fingerprint"].is_unique
+    from hikma_engine_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    batch_fps = {
+        r["fp"]
+        for r in spark.createDataFrame(pdf)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert set(got["fingerprint"]) == batch_fps
+
+
 def test_streaming_windowed_mention_counts(spark, stream_dir):
     stream = ingest.stream_transcripts(spark, stream_dir)
     agg = ingest.streaming_mention_counts(stream, window="1 hour", watermark="1 hour")
