@@ -273,6 +273,7 @@ def incremental_minhash_pairs(
     rows: int = 2,
     threshold: float = 0.8,
     max_bucket_size: int = 200,
+    verify: str = "exact",
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup pairs TOUCHING THE NEW BATCH ONLY (new-vs-indexed and
     new-vs-new), given a persisted ``dedup_index`` — the indexed
@@ -284,9 +285,23 @@ def incremental_minhash_pairs(
     lsh_candidate_pairs. Candidates are verified by exact shingle
     Jaccard using the index's stored shingle sets.
 
+    ``verify`` picks the scoring path and with it the index storage
+    cost. ``"exact"`` (default) joins the stored shingle sets and
+    filters on true Jaccard — the index then carries roughly the
+    corpus's token volume. ``"estimate"`` scores candidates by MinHash
+    signature agreement (matching components / k, an unbiased Jaccard
+    estimator with sd ≈ sqrt(J(1-J)/k) ≈ 0.07 at k=32): the index can
+    drop the ``sh`` column entirely (signatures are k longs per doc —
+    ~256 bytes vs kilobytes of shingles), the right trade at 10^12
+    docs where the exact index approaches corpus size. The output
+    column is ``jaccard`` either way; estimate-mode values are the
+    estimator, not ground truth.
+
     Returns ``(pairs, new_index_rows)``: append ``new_index_rows`` to
     the persisted index after the batch commits — the incremental
     contract that makes tomorrow's batch as cheap as today's."""
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     # the new batch's rows are consumed three times (band explode,
     # verify join, returned for append): cache so shingling+minhashing
     # runs once (executor-distributed, batch-sized — same idiom as
@@ -320,13 +335,34 @@ def incremental_minhash_pairs(
         )
         .distinct()
     )
-    feats = index.select(id_col, "sh").unionByName(new_index.select(id_col, "sh"))
-    fa = feats.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    fb = feats.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    if verify == "exact":
+        feats = index.select(id_col, "sh").unionByName(
+            new_index.select(id_col, "sh")
+        )
+        score_col, score = "sh", lsh.jaccard(F.col("sh_a"), F.col("sh_b"))
+    else:
+        feats = index.select(id_col, "minhash").unionByName(
+            new_index.select(id_col, "minhash")
+        )
+        # MinHash Jaccard estimator: fraction of agreeing components
+        score_col = "minhash"
+        score = (
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("sh_a"), F.col("sh_b"), lambda x, y: x == y
+                    ),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.size(F.col("sh_a"))
+        )
+    fa = feats.select(F.col(id_col).alias("a"), F.col(score_col).alias("sh_a"))
+    fb = feats.select(F.col(id_col).alias("b"), F.col(score_col).alias("sh_b"))
     pairs = (
         cands.join(fa, "a")
         .join(fb, "b")
-        .withColumn("jaccard", lsh.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("jaccard", score)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

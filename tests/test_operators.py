@@ -92,6 +92,33 @@ def test_incremental_minhash_equals_full(spark, docs, tmp_path):
     assert all(6 in p for p in got2)  # only pairs touching the new batch
 
 
+def test_incremental_minhash_estimate_mode(spark, docs):
+    """verify='estimate' scores by MinHash component agreement — the
+    shingle-free index path. Exact dups estimate at 1.0; the estimator
+    finds the same high-threshold pairs as exact mode here, and the
+    index passed in may omit the sh column entirely."""
+    old = docs.filter("doc_id <= 3")
+    new = docs.filter("doc_id > 3")
+    idx_no_sh = dedup.dedup_index(old, "doc_id", "text").drop("sh")
+    pairs, _ = dedup.incremental_minhash_pairs(
+        new, idx_no_sh, "doc_id", "text", threshold=0.5, verify="estimate"
+    )
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 4)] == 1.0  # ws/case dup: identical shingles → all components agree
+    exact_pairs, _ = dedup.incremental_minhash_pairs(
+        new, dedup.dedup_index(old, "doc_id", "text"), "doc_id", "text",
+        threshold=0.5,
+    )
+    assert set(got) == {(r["a"], r["b"]) for r in exact_pairs.collect()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="verify must be"):
+        dedup.incremental_minhash_pairs(
+            new, idx_no_sh, "doc_id", "text", verify="bogus"
+        )
+
+
 def test_simhash_pairs(spark, docs):
     pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).toPandas()
     got = {(r.a, r.b) for r in pairs.itertuples()}
