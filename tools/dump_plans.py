@@ -113,6 +113,19 @@ permutation is realized shard-locally.""",
         plan(export.shuffle_shard(d, "doc_id", n_shards=8)),
     ))
 
+    cents = similarity_search.train_ivf_centroids(emb, n_cells=8, seed=7)
+    wc = similarity_search.add_ivf_cells(emb, cents)
+    sections.append((
+        "knn_join_ivf — IVF-accelerated kNN self-join (round 4)",
+        """What to look for: THREE exchanges total (probe explode by cell,
+base by cell, rank by row) — candidate PAIRS never ride a shuffle; the
+per-cell GEMM is one FlatMapCoGroupsInPandas; and the rank filter
+compiles to WindowGroupLimit with a PARTIAL pass before the final
+exchange, so only each partition's top-k rows shuffle. Asserted by
+tests/test_plans.py::test_knn_join_plans_use_group_limit_and_bounded_shuffles.""",
+        plan(similarity_search.knn_join_ivf(wc, cents, k=5, nprobe=3)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for the headline operators",
         "",
