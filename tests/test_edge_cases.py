@@ -72,3 +72,65 @@ def test_pipeline_on_empty_corpus(spark, tmp_path):
     p.run()
     assert p.nodes().count() == 0
     assert p.edges().count() == 0
+
+
+def test_knn_join_degenerate_inputs(spark):
+    """kNN join edge cases: k larger than the corpus returns n-1
+    neighbors per row; zero vectors don't crash (cosine vs zero is 0);
+    a 2-row corpus works on both paths."""
+    import numpy as np
+
+    from hikma_engine_spark.operators import similarity_search
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity_search.knn_join_exact(df, k=10).toPandas()
+    assert len(got) == 3 * 2  # n * (n-1), k clamped by availability
+    assert set(got["a"]) == {0, 1, 2}
+    z = got[got.a == 2]
+    assert (z["cosine"] == 0.0).all()  # zero vector scores 0 everywhere
+
+    two = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+    g2 = similarity_search.knn_join_exact(
+        two, k=5, broadcast_limit=1, block_size=1
+    ).toPandas()
+    assert len(g2) == 2 and set(zip(g2.a, g2.b)) == {(0, 1), (1, 0)}
+
+
+def test_incremental_dedup_empty_batch(spark):
+    """An empty new batch yields zero pairs and zero new index rows —
+    the nightly no-op must not fail."""
+    from hikma_engine_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    idx = dedup.dedup_index(docs, "doc_id", "text")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    pairs, new_rows = dedup.incremental_minhash_pairs(
+        empty, idx, "doc_id", "text", threshold=0.5
+    )
+    assert pairs.count() == 0 and new_rows.count() == 0
+
+
+def test_resize_images_extreme_targets(spark):
+    """Upscale and 1x1 downscale both round-trip through the PNM codec."""
+    import numpy as np
+
+    from hikma_engine_spark.operators import multimodal as mm
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    rows = [("m", "image", bytearray(mm.encode_pnm(img)), ("image/x-ppm", 2, 2, None))]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    up = mm.resize_images(df, out_w=8, out_h=8).toPandas()
+    dec, _ = mm.decode_pnm(bytes(up.iloc[0].payload))
+    assert dec.shape == (8, 8, 3)
+    down = mm.resize_images(df, out_w=1, out_h=1).toPandas()
+    dec1, _ = mm.decode_pnm(bytes(down.iloc[0].payload))
+    assert dec1.shape == (1, 1, 3)
+    # the 1x1 pixel is one of the originals (nearest-neighbor exactness)
+    assert tuple(dec1[0, 0]) in {tuple(px) for row in img for px in row}
