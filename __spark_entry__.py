@@ -446,6 +446,39 @@ def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-30 tokens by frequency (+ doc
+    frequency), ties broken by token. The aggregation is ALGEBRAIC
+    (count / count_distinct partial-aggregate map-side), so a hot token
+    ('the' at 10^12 turns) is absorbed by partial aggregation before
+    the shuffle — the classic corpus-stats query every training
+    pipeline runs, shaped the scale-safe way."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(30)
+    )
+
+
 def d_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint groups, largest first (dup groups when they exist;
     the fingerprint values themselves are the cross-engine check)."""
@@ -1536,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_repetition": d_repetition,
         "d_pii_scan": d_pii_scan,
         "d_token_stats": d_token_stats,
+        "d_token_freq": d_token_freq,
         "d_fingerprint_dups": d_fingerprint_dups,
         "d_lang_guess": d_lang_guess,
         "d_quality": d_quality,
@@ -2077,6 +2111,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS bigint) AS n_tokens,
                    CAST(length(text) AS bigint) AS n_chars_actual
             FROM documents
+        """,
+        "d_token_freq": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t != '')) AS token
+              FROM documents
+            )
+            SELECT token,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM toks GROUP BY token
+            ORDER BY n_occurrences DESC, token LIMIT 30
         """,
         "d_fingerprint_dups": """
             SELECT fp, count(*) AS n_dups,
