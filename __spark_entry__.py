@@ -2635,7 +2635,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN evsz s USING (eval_id)
               WHERE i.n::double / s.sz >= 0.8
             ),
-            clean AS (
+            clean AS MATERIALIZED (
               SELECT k.doc_id, k.text FROM kept k
               WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)
             ),
@@ -2646,7 +2646,11 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
               FROM clean
             ),
-            ordered AS (
+            -- MATERIALIZED: the recursive pack CTE below joins this once
+            -- per iteration; without the hint DuckDB re-evaluates the whole
+            -- quality->dedup->decontaminate lineage every round (~200
+            -- iterations at sf0.1 turned a 3 s oracle into >10 min)
+            ordered AS MATERIALIZED (
               SELECT bucket, doc_id, n_tokens,
                      row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
               FROM base
