@@ -552,6 +552,9 @@ def embedding_near_dup_pairs(
     """
     from ..functions.similarity import cosine
 
+    # null embeddings (failed encodes) are quarantine rows, not task
+    # killers: drop them before the Arrow batch sees them
+    df = df.filter(F.col(emb_col).isNotNull())
     if dim is None:
         dim = len(df.select(emb_col).first()[0])
     if n_planes is None:

@@ -329,6 +329,9 @@ def knn_join_exact(
     O(n·k·n_blocks), never O(n²)) and a final per-row window keeps the
     global top k. Ranking uses the ROUNDED cosine with id tie-break so
     the result is deterministic and exactly replayable in SQL."""
+    # null embeddings (failed encodes) are quarantine rows, not task
+    # killers — and they can't be anyone's neighbor
+    df = df.filter(F.col(emb_col).isNotNull())
     small = df.limit(broadcast_limit + 1).count() <= broadcast_limit
     if small:
         partials = _knn_partials_broadcast(df, k, id_col, emb_col, round_digits)
@@ -488,6 +491,7 @@ def knn_join_ivf(
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql import types as T  # noqa: PLC0415
 
+    df_with_cells = df_with_cells.filter(F.col(emb_col).isNotNull())
     b_cents = df_with_cells.sparkSession.sparkContext.broadcast(
         np.asarray(centroids, dtype=np.float64)
     )

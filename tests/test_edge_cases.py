@@ -134,3 +134,36 @@ def test_resize_images_extreme_targets(spark):
     assert dec1.shape == (1, 1, 3)
     # the 1x1 pixel is one of the originals (nearest-neighbor exactness)
     assert tuple(dec1[0, 0]) in {tuple(px) for row in img for px in row}
+
+
+def test_embedding_ops_quarantine_null_embeddings(spark):
+    """A null embedding (failed encode) must not kill an Arrow task in
+    any embedding operator — it's dropped as a quarantine row."""
+    from hikma_engine_spark.operators import dedup, similarity_search
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, n_planes=4, n_tables=2
+    ).toPandas()
+    assert set(zip(pairs.a, pairs.b)) == {(0, 1)}
+
+    knn = similarity_search.knn_join_exact(df, k=5).toPandas()
+    assert set(knn["a"]) == {0, 1} and 2 not in set(knn["b"])
+
+    cents = similarity_search.train_ivf_centroids(
+        df.filter("embedding is not null"), n_cells=2, seed=7
+    )
+    wc = similarity_search.add_ivf_cells(
+        df.filter("embedding is not null"), cents
+    ).unionByName(
+        df.filter("embedding is null").withColumn(
+            "ivf_cell", F.lit(None).cast("int")
+        )
+    )
+    ivf = similarity_search.knn_join_ivf(wc, cents, k=5, nprobe=2).toPandas()
+    assert set(ivf["a"]) == {0, 1} and 2 not in set(ivf["b"])
