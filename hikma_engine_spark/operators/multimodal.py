@@ -279,6 +279,8 @@ def resize_images(
     them to the codec-capable cluster; decode_stub=False raises).
     Corrupt known-format payloads yield NULL (quarantine row), never a
     task failure."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"resize target must be positive, got {out_w}x{out_h}")
     schema = (
         "media_id string, codec string, payload binary, "
         "out_w int, out_h int"
