@@ -284,6 +284,74 @@ def w_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, shaped for scale: events against per-day maintenance
+    windows [02:00, 02:30). The join key is the COARSE bucket (the
+    day) with the range predicate as a residual filter — a hash join
+    plus filter, never a BroadcastNestedLoopJoin/cartesian (the classic
+    range-join trap: a pure interval predicate has no equi-key, so at
+    100 TB you bucket the range first; same trick as interval
+    bucketing in range-join-optimized engines)."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    wins = days.select(
+        "day",
+        F.to_timestamp(F.concat_ws(" ", F.col("day"), F.lit("02:00:00"))).alias(
+            "w_start"
+        ),
+        F.to_timestamp(F.concat_ws(" ", F.col("day"), F.lit("02:30:00"))).alias(
+            "w_end"
+        ),
+    )
+    return (
+        e.withColumn("day", F.to_date("ts"))
+        .join(F.broadcast(wins), "day")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_in_window"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("day")
+        .select(F.col("day").cast("string").alias("day"), "n_in_window", "value_cents")
+    )
+
+
+def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY rollup is
+    derived from HOURLY partials, never from raw events — the
+    re-aggregation property (all aggregates algebraic: counts and
+    exact integer cent sums) that lets a 100 TB store keep only
+    coarse-grained rollups hot. The oracle computes daily straight
+    from raw, so a green hash PROVES hourly→daily re-aggregation
+    loses nothing."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_bucket")).alias("day_bucket"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n_events"), F.sum("cents").alias("value_cents"))
+        .orderBy("day_bucket", "event_type")
+        .select(
+            F.col("day_bucket").cast("string").alias("day_bucket"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: new session when gap > 30 min (lag + cumsum)."""
     e = _t(spark, sf_dir, "events")
@@ -1538,6 +1606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_knn_join_ivf": e_knn_join_ivf,
         "d_incremental_dedup": d_incremental_dedup,
         "s_comprehensive": s_comprehensive,
+        "ev_range_join": ev_range_join,
+        "a_time_rollup": a_time_rollup,
         # -- captured in round 2 only --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -2111,6 +2181,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS bigint) AS n_tokens,
                    CAST(length(text) AS bigint) AS n_chars_actual
             FROM documents
+        """,
+        "ev_range_join": """
+            SELECT CAST(ts::DATE AS varchar) AS day,
+                   count(*) AS n_in_window,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events
+            WHERE strftime(ts, '%H:%M:%S') >= '02:00:00'
+              AND strftime(ts, '%H:%M:%S') < '02:30:00'
+            GROUP BY 1 ORDER BY day
+        """,
+        # daily straight from raw — a green hash proves the Spark side's
+        # hourly->daily re-aggregation loses nothing
+        "a_time_rollup": """
+            SELECT CAST(date_trunc('day', ts)::TIMESTAMP AS varchar) AS day_bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events
+            GROUP BY 1, 2 ORDER BY day_bucket, event_type
         """,
         "d_token_freq": """
             WITH toks AS (
