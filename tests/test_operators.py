@@ -768,3 +768,32 @@ def test_zorder_sort_partitions_own_disjoint_ranges(spark):
         assert lo <= hi
     for (a_lo, a_hi, _), (b_lo, b_hi, _) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """triangle_counts == an O(n^3) numpy reference on a random graph
+    (incl. a hub node — the degree-orientation's whole point)."""
+    import itertools
+
+    rng = np.random.RandomState(9)
+    n = 40
+    edges = set()
+    for _ in range(160):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    # hub: node 0 connected to everyone
+    for b in range(1, n):
+        edges.add((0, b))
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    expect = {i: 0 for i in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            expect[a] += 1; expect[b] += 1; expect[c] += 1
+    from hikma_engine_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {k: v for k, v in expect.items() if v > 0}
