@@ -416,3 +416,24 @@ def test_compact_bucketed_layout_with_plain_flag(spark, corpus_path, tmp_path):
     for t in ("nodes", "edges", "mentions"):
         assert _digest(p._read(t)) == digests[t]
         assert bucket_dirs(t) == layouts[t], f"{t} lost its bucket layout"
+
+
+def test_compact_cleans_stale_old_dir(spark, corpus_path, tmp_path):
+    """Crash-recovery of the round-4 three-step swap: a leftover
+    .compact_old dir from a crashed prior compact is cleaned on the
+    next run, and the table's content is untouched."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "swap_kg")
+    Pipeline(spark, corpus_path, out, run_id="v1").run(resume=False)
+    p = Pipeline(spark, corpus_path, out, run_id="maint")
+    before = _digest(p._read("nodes"))
+    stale = os.path.join(out, "nodes.compact_old")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    p.compact(target_files_per_dir=0)
+    assert not os.path.exists(stale)
+    assert not os.path.exists(os.path.join(out, "nodes.compact_tmp"))
+    assert _digest(p._read("nodes")) == before
