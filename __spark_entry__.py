@@ -547,6 +547,49 @@ def d_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality scoring — round 4: train token
+    frequencies on the corpus itself (one algebraic agg), score every
+    doc by its total log2 token probability. The classic
+    perplexity-filter shape with the LM reduced to unigrams so the
+    oracle can recompute it exactly. Hash-safety: per-token log-probs
+    are rounded to 6 dp and summed as exact integer MICROS (float sums
+    are order-dependent at rounding boundaries — same trick as
+    d_embdup_pairs). At corpus scale the freq dim is vocabulary-sized
+    (Catalyst broadcasts it under the threshold; above it the token
+    join is AQE-skew-handled — 'the' is the hottest key there is)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.count()  # bounded scalar (one agg job)
+    lp_micro = F.round(
+        F.log2(F.col("cnt") / F.lit(float(total))) * 1e6
+    ).cast("long")
+    return (
+        toks.join(freq, "token")
+        .select("doc_id", lp_micro.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp").alias("sum_logp_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def d_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint groups, largest first (dup groups when they exist;
     the fingerprint values themselves are the cross-engine check)."""
@@ -1088,6 +1131,55 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     return triangle_counts(edges, "e1", "e2").orderBy("node")
+
+
+def g_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per entity — round 4: triangles /
+    possible wedges, 2·T(v) / (deg(v)·(deg(v)−1)), the standard
+    community-density metric composed from triangle_counts + a degree
+    agg (coefficient emitted in exact integer MICROS — no float-sum
+    hash risk)."""
+    from hikma_engine_spark.operators.graph import triangle_counts
+
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    edges = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .select("e1", "e2")
+        .distinct()
+        .cache()
+    )
+    tri = triangle_counts(edges, "e1", "e2")
+    sym = edges.select(F.col("e1").alias("node")).unionByName(
+        edges.select(F.col("e2").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2e6
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1))
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("clustering_micro"),
+        )
+        .orderBy("node")
+    )
 
 
 def kg_salted_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,6 +1731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range_join": ev_range_join,
         "a_time_rollup": a_time_rollup,
         "g_triangles": g_triangles,
+        "g_clustering": g_clustering,
+        "d_unigram_logprob": d_unigram_logprob,
         # -- captured in round 2 only --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -2400,6 +2494,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "g_clustering": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            e AS (
+              SELECT DISTINCT a.e AS a, b.e AS b
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.e < b.e
+            ),
+            tri AS (
+              SELECT t1.a AS x, t1.b AS y, t2.b AS z
+              FROM e t1
+              JOIN e t2 ON t2.a = t1.b
+              JOIN e t3 ON t3.a = t1.a AND t3.b = t2.b
+            ),
+            corners AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            tcnt AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node),
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY node
+            )
+            SELECT d.node, d.deg,
+                   coalesce(tc.n_triangles, 0) AS n_triangles,
+                   CASE WHEN d.deg >= 2
+                        THEN CAST(round(2000000.0 * coalesce(tc.n_triangles, 0)
+                             / (d.deg * (d.deg - 1))) AS BIGINT)
+                        ELSE 0 END AS clustering_micro
+            FROM deg d LEFT JOIN tcnt tc ON tc.node = d.node
+            ORDER BY d.node
+        """,
+        "d_unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t != '')) AS token
+              FROM documents
+            ),
+            freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+            tot AS (SELECT count(*)::DOUBLE AS total FROM toks)
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CAST(round(log2(f.cnt / tot.total) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_logp_micro
+            FROM toks JOIN freq f USING (token), tot
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "kg_conversation_stats": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL})
