@@ -590,6 +590,73 @@ def d_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "join", "vector", "window", "stream")
+
+
+def s_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Okapi, Lucene +1 IDF) — round 4: the
+    canonical lexical-relevance scorer the reference's text-search tier
+    approximates with LIKE ranking (src/api/controllers/
+    search-controller.ts text search). Query terms are a fixed literal
+    set, so the plan is scale-shaped: the token stream is filtered to
+    |Q| terms BEFORE any shuffle (the grouped tf state is at most
+    |docs containing a query term| x |Q| rows), the df dim is |Q| rows
+    and explicitly broadcast, doc-length is one algebraic agg, and the
+    final ranking is orderBy+limit = TakeOrdered (no global sort).
+    Hash-safety: per-(doc,term) contributions are rounded to integer
+    MICROS then summed as BIGINT (order-independent; contributions are
+    positive so HALF_UP == DuckDB's half-away). N and avgdl come from
+    one bounded scalar probe; arithmetic is written in the identical
+    association order as the DuckDB twin so both engines round the
+    same doubles."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    ).collect()[0]  # bounded scalar probe (two numbers)
+    n_docs = float(stats["n_docs"])
+    avgdl = float(stats["total_len"]) / n_docs
+    q = toks.filter(F.col("token").isin(list(_BM25_TERMS)))
+    tf = q.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = q.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)
+    )
+    c_micro = F.round(idf * (F.col("tf") * F.lit(2.2)) / denom * F.lit(1e6)).cast(
+        "long"
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .select("doc_id", c_micro.alias("c_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.sum("c_micro").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def d_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint groups, largest first (dup groups when they exist;
     the fingerprint values themselves are the cross-engine check)."""
@@ -1733,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": g_triangles,
         "g_clustering": g_clustering,
         "d_unigram_logprob": d_unigram_logprob,
+        "s_bm25_rank": s_bm25_rank,
         # -- captured in round 2 only --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -2550,6 +2618,50 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT)) AS BIGINT) AS sum_logp_micro
             FROM toks JOIN freq f USING (token), tot
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "s_bm25_rank": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t != '')) AS token
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n_docs,
+                     (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+              FROM dl
+            ),
+            q AS (
+              SELECT * FROM toks
+              WHERE token IN ('spark','join','vector','window','stream')
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM q GROUP BY doc_id, token
+            ),
+            dfreq AS (
+              SELECT token, count(DISTINCT doc_id) AS df
+              FROM q GROUP BY token
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+                          + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                       * 1000000.0) AS BIGINT) AS c_micro
+              FROM tf
+              JOIN dfreq USING (token)
+              JOIN dl ON dl.doc_id = tf.doc_id, stats
+            )
+            SELECT doc_id, count(*) AS n_terms_matched,
+                   CAST(sum(c_micro) AS BIGINT) AS bm25_micro
+            FROM contrib GROUP BY doc_id
+            ORDER BY bm25_micro DESC, doc_id ASC LIMIT 50
         """,
         "kg_conversation_stats": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL})
