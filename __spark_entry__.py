@@ -490,6 +490,69 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-style quantile sketch (`percentile_approx`, accuracy 10000)
+    with its rank-error CONTRACT checked in-query — the quantile
+    member of the mergeable-sketch family next to the HLL entry
+    (`a_approx_distinct`). At 100 TB the sketch is the only option:
+    O(1/eps · log n) state per group, mergeable across partitions,
+    where exact percentiles sort every group. The contract: the
+    returned element's rank range [lt+1, le] must overlap the target
+    rank p·n within n/accuracy + 1 slack (GK guarantee + tie slack).
+    The approx values themselves are engine-specific so the checked
+    booleans + exact counts are the cross-engine surface (same pattern
+    as a_approx_distinct)."""
+    e = _t(spark, sf_dir, "events")
+    appx = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("ap"),
+        F.count("value").alias("n_values"),
+    )
+    dim = F.broadcast(
+        appx.select(
+            "event_type",
+            F.col("ap")[0].alias("ap50"),
+            F.col("ap")[1].alias("ap90"),
+            "n_values",
+        )
+    )
+
+    def _lt_le(ap_col: str, name: str):
+        return [
+            F.sum(F.when(F.col("value") < F.col(ap_col), 1).otherwise(0)).alias(
+                f"lt{name}"
+            ),
+            F.sum(F.when(F.col("value") <= F.col(ap_col), 1).otherwise(0)).alias(
+                f"le{name}"
+            ),
+        ]
+
+    def _ok(p: float, name: str):
+        target = F.lit(p) * F.col("n_values")
+        tol = F.col("n_values") / F.lit(10000.0) + F.lit(1.0)
+        return (F.col(f"lt{name}") <= target + tol) & (
+            F.col(f"le{name}") >= target - tol
+        )
+
+    return (
+        e.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_values").alias("n_values"),
+            *_lt_le("ap50", "50"),
+            *_lt_le("ap90", "90"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            _ok(0.5, "50").alias("p50_ok"),
+            _ok(0.9, "90").alias("p90_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def a_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (T-digest-free)."""
     e = _t(spark, sf_dir, "events")
@@ -1801,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_clustering": g_clustering,
         "d_unigram_logprob": d_unigram_logprob,
         "s_bm25_rank": s_bm25_rank,
+        "a_approx_quantile": a_approx_quantile,
         # -- captured in round 2 only --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -2278,6 +2342,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id) AS exact_users,
                    TRUE AS approx_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "a_approx_quantile": """
+            SELECT event_type,
+                   count(value) AS n_values,
+                   TRUE AS p50_ok,
+                   TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "a_value_percentiles": """
