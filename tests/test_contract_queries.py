@@ -78,3 +78,32 @@ def test_embdup_blocking_exhaustive_on_clustered_view(spark):
         ).collect()
     }
     assert approx == exact and len(exact) > 0
+
+
+def test_bm25_plan_is_topk_with_broadcast_df_dim(spark):
+    """BM25's scale shape (round 4): ranking must compile to
+    TakeOrderedAndProject (no global sort) and the |Q|-row document-
+    frequency dim must broadcast — corpus size never enters the final
+    ranking shuffle."""
+    from hikma_engine_spark.plans import inspect
+
+    df = entrymod.queries()["s_bm25_rank"](spark, SF_DIR)
+    plan = inspect.physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    # scores descend with doc_id tie-break, every score positive
+    assert (pdf.bm25_micro.values[:-1] >= pdf.bm25_micro.values[1:]).all()
+    assert (pdf.bm25_micro > 0).all()
+    assert pdf.n_terms_matched.between(1, 5).all()
+
+
+def test_approx_quantile_contract_holds(spark):
+    """The GK sketch's rank-error guarantee (checked in-query by
+    a_approx_quantile) holds on every event-type group."""
+    pdf = entrymod.queries()["a_approx_quantile"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert pdf.p50_ok.all()
+    assert pdf.p90_ok.all()
+    assert (pdf.n_values > 0).all()
