@@ -284,6 +284,64 @@ def w_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel (view → click → purchase) — round 4:
+    the product-analytics shape every event pipeline runs. Per user,
+    step k's timestamp is the earliest qualifying event STRICTLY AFTER
+    step k-1 (min-after-join, not a window: each step is an algebraic
+    min over a user-keyed equi-join, so every stage shuffles on the
+    same key and map-side combine absorbs per-user event fan-in; the
+    event_type filters push to the parquet scan). Output is the
+    3-row funnel: users reaching each step + total step-to-step lag.
+    Hash-safety: lags are summed as exact integer MICROS via
+    timestampdiff on the NTZ timestamps (pure wall-clock arithmetic,
+    no float math and no timezone interpretation anywhere)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.max("t2").alias("t2"), F.min("ts").alias("t3"))
+    )
+
+    def _step(df, name: str, lag):
+        agg = [F.count("*").alias("n_users")]
+        if lag is not None:
+            agg.append(
+                F.coalesce(F.sum(lag), F.lit(0)).cast("long").alias("sum_lag_micros")
+            )
+        out = df.agg(*agg)
+        if lag is None:
+            out = out.withColumn("sum_lag_micros", F.lit(0).cast("long"))
+        return out.select(
+            F.lit(name).alias("step"), "n_users", "sum_lag_micros"
+        )
+
+    return (
+        _step(t1, "1_view", None)
+        .unionByName(
+            _step(t2, "2_click", F.expr("timestampdiff(MICROSECOND, t1, t2)"))
+        )
+        .unionByName(
+            _step(t3, "3_purchase", F.expr("timestampdiff(MICROSECOND, t2, t3)"))
+        )
+        .orderBy("step")
+    )
+
+
 def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, shaped for scale: events against per-day maintenance
     windows [02:00, 02:30). The join key is the COARSE bucket (the
@@ -1865,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_unigram_logprob": d_unigram_logprob,
         "s_bm25_rank": s_bm25_rank,
         "a_approx_quantile": a_approx_quantile,
+        "ev_funnel": ev_funnel,
         # -- captured in round 2 only --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -2350,6 +2409,35 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p50_ok,
                    TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ev_funnel": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+              SELECT e.user_id, max(t1.t1) AS t1, min(e.ts) AS t2
+              FROM events e JOIN t1 ON t1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > t1.t1
+              GROUP BY e.user_id
+            ),
+            t3 AS (
+              SELECT e.user_id, max(t2.t2) AS t2, min(e.ts) AS t3
+              FROM events e JOIN t2 ON t2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+              GROUP BY e.user_id
+            )
+            SELECT '1_view' AS step, count(*) AS n_users,
+                   CAST(0 AS BIGINT) AS sum_lag_micros FROM t1
+            UNION ALL
+            SELECT '2_click', count(*),
+                   CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT)
+            FROM t2
+            UNION ALL
+            SELECT '3_purchase', count(*),
+                   CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT)
+            FROM t3
+            ORDER BY step
         """,
         "a_value_percentiles": """
             SELECT event_type,
