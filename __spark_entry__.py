@@ -1781,15 +1781,17 @@ def s_hybrid_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s_comprehensive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's comprehensiveSearch: four heterogeneous sources
-    under 40/30/20/10 quotas (semantic/text/metadata/name,
-    search-service.ts:692-779) with source-weight ranking and
-    first-wins dedup (rankComprehensiveResults :948-982) — round 4
-    completes the search family's oracle coverage. Same
-    documents×embeddings node view as s_hybrid_blend; the DuckDB twin
-    replays each source's own cutoff (top-8 cosine / top-6 shortest
-    text / top-4 metadata by id / top-2 name tier), the weighted
-    union, the per-id dedup window, and the final exact-name-boosted
-    rank."""
+    under 40/30/20/10 quotas (semantic/METADATA/text/name — metadata
+    holds the 30% quota, search-service.ts:692-779) with source-weight
+    ranking and first-wins dedup (rankComprehensiveResults :948-982;
+    rank = type weight > similarity > exact-name last) — round 4
+    completed the search family's oracle coverage, round 5 corrected
+    the quota mapping and rank order to the reference's exact values
+    (r4 ADVICE item 1). Same documents×embeddings node view as
+    s_hybrid_blend; the DuckDB twin replays each source's own cutoff
+    (top-8 cosine / top-6 metadata by id / top-4 shortest text /
+    top-2 name tier), the weighted union, the per-id dedup window,
+    and the final rank."""
     from hikma_engine_spark.query.search import comprehensive_search
 
     d = _t(spark, sf_dir, "documents")
@@ -1896,42 +1898,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict order is deliberate (round-3 verdict item 1): the driver's
-    correctness artifact captures the FIRST 50 entries, so the entries
-    with the thinnest driver-artifact history come first — the four
-    never-driver-captured ones (kg_full_pipeline's contract columns,
-    g_depth, g_pagerank, s_structural_tier), then the six captured only
-    in round 2, then everything else. The tail holds the entries with
-    the deepest green history (TPC-H shapes + simple windows, green in
-    r01+r02+r03); all entries remain verifiable at any sf via
+    """Dict order is deliberate (round-3 verdict item 1, rotated each
+    round per round-4 verdict item 1): the driver's correctness
+    artifact captures the FIRST 50 entries, so the head holds the
+    entries with the THINNEST driver-artifact history — this round's
+    brand-new entries first, then the 24 whose last driver capture was
+    r03 (they sat past the 50-entry window in r04), then the
+    multi-round-green middle. The tail holds the 17 entries freshly
+    captured in r04 (their history is one round old — the youngest
+    possible). Net effect: every entry keeps a driver row ≤2 rounds
+    old. All entries remain verifiable at any sf via
     tools/verify_entry.py."""
     return {
-        # -- never driver-captured before round 4 --
-        "kg_full_pipeline": kg_full_pipeline,
-        "g_depth_entities": g_depth_entities,
-        "g_pagerank_entities": g_pagerank_entities,
-        "s_structural_tier": s_structural_tier,
-        "s_hybrid_blend": s_hybrid_blend,
-        "e_knn_join": e_knn_join,
-        "e_knn_join_ivf": e_knn_join_ivf,
-        "d_incremental_dedup": d_incremental_dedup,
-        "s_comprehensive": s_comprehensive,
-        "ev_range_join": ev_range_join,
-        "a_time_rollup": a_time_rollup,
-        "g_triangles": g_triangles,
-        "g_clustering": g_clustering,
-        "d_unigram_logprob": d_unigram_logprob,
-        "s_bm25_rank": s_bm25_rank,
-        "a_approx_quantile": a_approx_quantile,
-        "ev_funnel": ev_funnel,
-        # -- captured in round 2 only --
+        # -- last driver capture r03 (aged out of the r04 window) --
+        "e_cosine_pairs": e_cosine_pairs,
+        "e_ann_lsh_topk": e_ann_lsh_topk,
+        "e_ann_ivf_topk": e_ann_ivf_topk,
+        "l_zorder_events": l_zorder_events,
+        "a_approx_distinct": a_approx_distinct,
+        "a_value_percentiles": a_value_percentiles,
+        "a_pivot_status_by_priority": a_pivot_status_by_priority,
+        "a_rollup_orders": a_rollup_orders,
+        "a_event_histogram": a_event_histogram,
+        "f_json_extract": f_json_extract,
+        "ev_sessionize": ev_sessionize,
+        "ev_asof_join": ev_asof_join,
+        "set_except_customers": set_except_customers,
+        "w_top3_events_per_user": w_top3_events_per_user,
+        "w_running_agg": w_running_agg,
+        "w_lead_lag_gaps": w_lead_lag_gaps,
+        "w1_best_order_per_customer": w1_best_order_per_customer,
+        "j_customers_without_orders": j_customers_without_orders,
+        "j_active_customers_semi": j_active_customers_semi,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
+        # -- multi-round green (r02 and/or r03 + r04) --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
         "g_k_hop_spark": g_k_hop_spark,
         "g_cc_dupgroups": g_cc_dupgroups,
         "s_name_case_rank": s_name_case_rank,
         "s_metadata_daterange": s_metadata_daterange,
-        # -- KG / pipeline family --
         "kg_mentions_per_entity": kg_mentions_per_entity,
         "kg_mentions_triples": kg_mentions_triples,
         "kg_cooccurrence": kg_cooccurrence,
@@ -1941,7 +1951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_alias_only": kg_pipeline_alias_only,
         "kg_nodes_alias_only": kg_nodes_alias_only,
         "kg_salted_entity_histogram": kg_salted_entity_histogram,
-        # -- dedup / export / embedding families --
         "d_embdup_pairs": d_embdup_pairs,
         "d_jaccard_pairs": d_jaccard_pairs,
         "d_minhash_pairs": d_minhash_pairs,
@@ -1960,32 +1969,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lang_guess": d_lang_guess,
         "d_quality": d_quality,
         "e_cosine_topk": e_cosine_topk,
-        "e_cosine_pairs": e_cosine_pairs,
-        "e_ann_lsh_topk": e_ann_lsh_topk,
-        "e_ann_ivf_topk": e_ann_ivf_topk,
-        # -- analytics / layout --
-        "l_zorder_events": l_zorder_events,
-        "a_approx_distinct": a_approx_distinct,
-        "a_value_percentiles": a_value_percentiles,
-        "a_pivot_status_by_priority": a_pivot_status_by_priority,
-        "a_rollup_orders": a_rollup_orders,
-        "a_event_histogram": a_event_histogram,
-        "f_json_extract": f_json_extract,
-        "ev_sessionize": ev_sessionize,
-        "ev_asof_join": ev_asof_join,
-        "set_except_customers": set_except_customers,
-        # -- deepest green history (r01+r02+r03) --
-        "w_top3_events_per_user": w_top3_events_per_user,
-        "w_running_agg": w_running_agg,
-        "w_lead_lag_gaps": w_lead_lag_gaps,
-        "w1_best_order_per_customer": w1_best_order_per_customer,
-        "j_customers_without_orders": j_customers_without_orders,
-        "j_active_customers_semi": j_active_customers_semi,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q18_large_orders": q18_large_orders,
+        # -- freshly captured in r04 (youngest history → tail) --
+        "kg_full_pipeline": kg_full_pipeline,
+        "g_depth_entities": g_depth_entities,
+        "g_pagerank_entities": g_pagerank_entities,
+        "s_structural_tier": s_structural_tier,
+        "s_hybrid_blend": s_hybrid_blend,
+        "e_knn_join": e_knn_join,
+        "e_knn_join_ivf": e_knn_join_ivf,
+        "d_incremental_dedup": d_incremental_dedup,
+        "s_comprehensive": s_comprehensive,
+        "ev_range_join": ev_range_join,
+        "a_time_rollup": a_time_rollup,
+        "g_triangles": g_triangles,
+        "g_clustering": g_clustering,
+        "d_unigram_logprob": d_unigram_logprob,
+        "s_bm25_rank": s_bm25_rank,
+        "a_approx_quantile": a_approx_quantile,
+        "ev_funnel": ev_funnel,
     }
 
 
@@ -2117,9 +2118,11 @@ _HYBRID_BLEND_SQL = _hybrid_blend_sql()
 
 
 def _comprehensive_sql() -> str:
-    """DuckDB twin of s_comprehensive: per-source quota cutoffs (8/6/
-    4/2 of k=20), weighted union, first-wins dedup per id, exact-name
-    boost, final rank (search-service.ts:692-779, 948-982)."""
+    """DuckDB twin of s_comprehensive: per-source quota cutoffs of
+    k=20 (semantic 8 / metadata 6 / text 4 / name 2 — metadata holds
+    the 30% quota per the reference), weighted union, first-wins dedup
+    per id, rank = weight > score > exact-name (exact is the LAST
+    tie-break, search-service.ts:692-779, 948-982)."""
     from hikma_engine_spark.functions.embeddings import embed_text
 
     qv = embed_text("src1")
@@ -2149,12 +2152,12 @@ def _comprehensive_sql() -> str:
         txt AS (
           SELECT id, node_type, source_text, 0.0 AS score, 3 AS source_weight
           FROM nodes WHERE contains(source_text, 'src1')
-          ORDER BY length(source_text), id LIMIT 6
+          ORDER BY length(source_text), id LIMIT 4
         ),
         meta AS (
           SELECT id, node_type, source_text, 0.0 AS score, 2 AS source_weight
           FROM nodes WHERE contains(lower(source_text), 'src1')
-          ORDER BY id LIMIT 4
+          ORDER BY id LIMIT 6
         ),
         nm AS (
           SELECT id, node_type, source_text, 1.0 / tier AS score,
@@ -2180,11 +2183,11 @@ def _comprehensive_sql() -> str:
           SELECT id, node_type, score, source_weight,
                  CASE WHEN lower(source_text) = 'src1' THEN 1 ELSE 0 END AS exact
           FROM dd WHERE rn = 1
-          ORDER BY source_weight DESC, exact DESC, score DESC, id LIMIT 20
+          ORDER BY source_weight DESC, score DESC, exact DESC, id LIMIT 20
         )
         SELECT id, node_type, round(score, 6) AS score_r, source_weight, exact,
                CAST(row_number() OVER (
-                 ORDER BY source_weight DESC, exact DESC, score DESC, id)
+                 ORDER BY source_weight DESC, score DESC, exact DESC, id)
                  AS int) AS rank
         FROM fin ORDER BY rank
     """

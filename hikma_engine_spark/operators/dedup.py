@@ -274,6 +274,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.8,
     max_bucket_size: int = 200,
     verify: str = "exact",
+    on_overlap: str = "error",
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup pairs TOUCHING THE NEW BATCH ONLY (new-vs-indexed and
     new-vs-new), given a persisted ``dedup_index`` — the indexed
@@ -297,11 +298,50 @@ def incremental_minhash_pairs(
     column is ``jaccard`` either way; estimate-mode values are the
     estimator, not ground truth.
 
+    PRECONDITION — id-disjointness (r4 ADVICE item 2): the math below
+    assumes no ``id`` appears in BOTH the persisted index and the new
+    batch. A replayed/re-ingested id would put two feature rows per id
+    into the verify join (duplicated pair rows with conflicting
+    jaccard) while the old-vs-new self-comparison is silently dropped
+    by the ``qa != qb`` filter. ``on_overlap`` picks the policy:
+
+    - ``"error"`` (default): probe for overlap (a left-semi on the two
+      id columns — column-pruned scan, no shuffle of features) and
+      raise. The safe default for pipelines that mint fresh ids.
+    - ``"replace"``: re-ingestion is expected — stale index rows for
+      overlapping ids are dropped for THIS computation, so the new
+      batch's version is the one compared against the corpus. The
+      caller must then UPSERT ``new_index_rows`` by id (not blind
+      append), or the persisted index grows a second row per id.
+    - ``"assume_disjoint"``: skip the probe — for 10^12-doc indexes
+      where ingestion already guarantees fresh ids and even a
+      column-pruned id scan per batch is unwanted.
+
     Returns ``(pairs, new_index_rows)``: append ``new_index_rows`` to
     the persisted index after the batch commits — the incremental
     contract that makes tomorrow's batch as cheap as today's."""
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if on_overlap not in ("error", "replace", "assume_disjoint"):
+        raise ValueError(
+            "on_overlap must be 'error', 'replace' or 'assume_disjoint', "
+            f"got {on_overlap!r}"
+        )
+    if on_overlap == "error":
+        clash = (
+            index.select(id_col)
+            .join(new_df.select(id_col), id_col, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"id {clash[0][0]!r} is in both the persisted index and the "
+                "new batch; pass on_overlap='replace' for re-ingestion "
+                "semantics (then upsert new_index_rows by id)"
+            )
+    elif on_overlap == "replace":
+        index = index.join(new_df.select(id_col), id_col, "left_anti")
     # the new batch's rows are consumed three times (band explode,
     # verify join, returned for append): cache so shingling+minhashing
     # runs once (executor-distributed, batch-sized — same idiom as

@@ -227,14 +227,18 @@ def comprehensive_search(
     quotas: tuple[float, float, float, float] = (0.4, 0.3, 0.2, 0.1),
 ) -> DataFrame:
     """Union of FOUR heterogeneous strategies under per-source quotas
-    (reference: comprehensiveSearch semantic/text/metadata/file-name at
-    40/30/20/10%, src/modules/search-service.ts:692-779, 874-916, +
-    weighted rank rankComprehensiveResults :948-982: source weight
-    semantic 4 > text 3 > metadata 2 > name 1, then score, then
-    exact-name match), first-wins dedup by id (T7)."""
+    (reference: comprehensiveSearch semantic/METADATA/text/file-name at
+    40/30/20/10%, src/modules/search-service.ts:692-779, 874-916 —
+    note metadata takes the 30% quota and text 20%, while the RANK
+    weights order text above metadata — + weighted rank
+    rankComprehensiveResults :948-982: source weight semantic 4 >
+    text 3 > metadata 2 > name 1, then score, THEN exact-name match as
+    the last tie-break), first-wins dedup by id (T7). Round 5: quota
+    mapping and score/exact rank order corrected to match the
+    reference exactly (r4 ADVICE item 1)."""
     n_sem = max(int(k * quotas[0]), 1)
-    n_txt = max(int(k * quotas[1]), 1)
-    n_meta = max(int(k * quotas[2]), 1)
+    n_meta = max(int(k * quotas[1]), 1)
+    n_txt = max(int(k * quotas[2]), 1)
     n_name = max(int(k * quotas[3]), 1)
     sem = semantic_search(nodes, query, k=n_sem).select(
         "id", "node_type", "source_text", F.col("similarity").alias("score"),
@@ -261,14 +265,14 @@ def comprehensive_search(
         F.desc("source_weight"), F.desc("score"), F.asc("node_type")
     )
     w_rank = Window.orderBy(
-        F.desc("source_weight"), F.desc("exact"), F.desc("score"), F.asc("id")
+        F.desc("source_weight"), F.desc("score"), F.desc("exact"), F.asc("id")
     )
     return (
         out.withColumn("rn", F.row_number().over(w_dedup))
         .filter(F.col("rn") == 1)
         .drop("rn")
         .withColumn("exact", exact)
-        .orderBy(F.desc("source_weight"), F.desc("exact"), F.desc("score"), F.asc("id"))
+        .orderBy(F.desc("source_weight"), F.desc("score"), F.desc("exact"), F.asc("id"))
         .limit(k)
         .withColumn("rank", F.row_number().over(w_rank))
     )

@@ -119,6 +119,58 @@ def test_incremental_minhash_estimate_mode(spark, docs):
         )
 
 
+def test_incremental_minhash_on_overlap(spark, docs):
+    """r4 ADVICE item 2: a doc_id present in BOTH the persisted index
+    and the new batch (replay/re-ingestion) violates the operator's
+    id-disjointness precondition. 'error' (default) raises naming the
+    id; 'replace' drops the stale index row so the new batch's version
+    is compared against the rest of the corpus (and the pair set
+    matches a from-scratch run on the replaced corpus);
+    'assume_disjoint' skips the probe."""
+    old = docs.filter("doc_id <= 3")
+    idx = dedup.dedup_index(old, "doc_id", "text")
+    # replay doc 3 with NEW text that now near-dups doc 0, plus doc 4
+    replay = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over a lazy dog"),
+         (4, "THE  quick   Brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="both the persisted index"):
+        dedup.incremental_minhash_pairs(replay, idx, "doc_id", "text")
+
+    pairs, new_rows = dedup.incremental_minhash_pairs(
+        replay, idx, "doc_id", "text", threshold=0.35, on_overlap="replace"
+    )
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    # from-scratch truth on the replaced corpus (docs 0-2 old + replayed 3,4)
+    replaced = old.filter("doc_id < 3").unionByName(replay)
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_pairs(
+            replaced, "doc_id", "text", threshold=0.35
+        ).collect()
+        if 3 in (r["a"], r["b"]) or 4 in (r["a"], r["b"])
+    }
+    assert got == full
+    assert (0, 3) in got  # replayed text's NEW near-dup is found...
+    # ...and exactly one jaccard per pair (no conflicting duplicates)
+    assert len(pairs.groupBy("a", "b").count().filter("count > 1").take(1)) == 0
+    # new_index_rows carries the replayed ids for the caller's upsert
+    assert {r["doc_id"] for r in new_rows.select("doc_id").collect()} == {3, 4}
+
+    # assume_disjoint: no probe, no raise (caller vouches)
+    pairs2, _ = dedup.incremental_minhash_pairs(
+        replay, idx, "doc_id", "text", threshold=0.35,
+        on_overlap="assume_disjoint",
+    )
+    pairs2.collect()  # runs; semantics undefined under violation by contract
+
+    with pytest.raises(ValueError, match="on_overlap must be"):
+        dedup.incremental_minhash_pairs(
+            replay, idx, "doc_id", "text", on_overlap="bogus"
+        )
+
+
 def test_simhash_pairs(spark, docs):
     pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).toPandas()
     got = {(r.a, r.b) for r in pairs.itertuples()}

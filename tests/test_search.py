@@ -153,6 +153,55 @@ def test_hybrid_search_temporal_boost(spark, pipeline_out):
     assert list(res0.id) == sorted(res0.id)  # ts ignored, id tie-break
 
 
+def _mk_nodes(spark, rows):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, MapType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("id", StringType()),
+        StructField("node_type", StringType()),
+        StructField("source_text", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+        StructField("properties", MapType(StringType(), StringType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_comprehensive_quota_mapping_matches_reference(spark):
+    """r4 ADVICE item 1: the reference gives METADATA the 30% quota and
+    text 20% (search-service.ts:724-750). With k=20 and 12 rows that
+    only the metadata source matches (uppercase text defeats the
+    case-sensitive text source; embeddings NULL defeats semantic),
+    exactly ceil(20*0.3)=6 metadata rows must survive — the old
+    swapped mapping yielded 4."""
+    rows = [
+        (f"n{i:02d}", "Turn", f"XX ALPHA {i:02d}", None, {}) for i in range(12)
+    ]
+    res = search.comprehensive_search(_mk_nodes(spark, rows), "alpha", k=20).toPandas()
+    assert (res.source_weight == 2).sum() == 6
+
+
+def test_comprehensive_rank_score_before_exact(spark):
+    """r4 ADVICE item 1: rankComprehensiveResults compares similarity
+    BEFORE exact-name (search-service.ts:948-982) — a higher-cosine
+    non-exact hit must outrank an exact-name lower-cosine hit of the
+    same source weight."""
+    from hikma_engine_spark.functions.embeddings import embed_text
+
+    q = "spark shuffle tuning"
+    rows = [
+        # exact name, weaker vector
+        ("b", "Turn", q, [float(x) for x in embed_text("unrelated topic")], {}),
+        # non-exact, perfect vector
+        ("a", "Turn", q + " notes", [float(x) for x in embed_text(q)], {}),
+    ]
+    res = search.comprehensive_search(_mk_nodes(spark, rows), q, k=10).toPandas()
+    res = res.set_index("id")
+    assert res.loc["a", "rank"] < res.loc["b", "rank"]
+    assert res.loc["b", "exact"] == 1 and res.loc["a", "exact"] == 0
+
+
 def test_comprehensive_search_has_name_source(spark, pipeline_out):
     """4th source (file-name analog) contributes rows with weight 1."""
     nodes = pipeline_out.nodes()
