@@ -954,6 +954,30 @@ def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: substring-level dedup — maximal cross-document
+    repeated spans of >= 8 tokens (dedup.substring_duplicate_spans, the
+    distributed shape of suffix-array corpus dedup: positional-shingle
+    fingerprints -> one algebraic groupBy for cross-doc grams ->
+    left-semi mark -> per-doc island merge; nothing quadratic, no
+    bucket caps needed because no pairs are ever enumerated). Completes
+    the dedup family below the document level (round-4 verdict Missing
+    #3); the reference's only dedup is whole-doc signature_hash
+    (src/modules/data-loader.ts:193-197). The DuckDB twin replays the
+    identical shingle algebra and island merge; Spark groups on
+    xxhash64 fingerprints where the twin groups on the gram string —
+    identical output absent a 64-bit collision among sf0.01's grams."""
+    d = _t(spark, sf_dir, "documents")
+    spans = dedup.substring_duplicate_spans(d, "doc_id", "text", n=8, min_docs=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        "n_shingles",
+    ).orderBy("doc_id", "span_start")
+
+
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 operator: incremental near-dup detection against a
     persisted MinHash index (dedup.dedup_index +
@@ -1910,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     old. All entries remain verifiable at any sf via
     tools/verify_entry.py."""
     return {
+        # -- brand-new round-5 entries (no driver history yet) --
+        "d_substring_dups": d_substring_dups,
         # -- last driver capture r03 (aged out of the r04 window) --
         "e_cosine_pairs": e_cosine_pairs,
         "e_ann_lsh_topk": e_ann_lsh_topk,
@@ -2619,6 +2645,49 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLE_CTE}
             SELECT a, b, round(jaccard, 4) AS jaccard
             FROM jac WHERE jaccard >= 0.8 ORDER BY a, b
+        """,
+        # substring-level dedup: identical positional-shingle algebra +
+        # island merge (the twin groups on the gram string where Spark
+        # groups on its xxhash64 fingerprint)
+        "d_substring_dups": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ),
+            pos_sh AS (
+              SELECT doc_id, u.pos, u.g FROM (
+                SELECT doc_id,
+                       unnest([{'pos': i, 'g': array_to_string(t[i:i+7], ' ')}
+                               for i in range(1, len(t) - 8 + 2)]) AS u
+                FROM toks WHERE len(t) >= 8
+              )
+            ),
+            dupg AS (
+              SELECT g FROM pos_sh GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            ),
+            dpos AS (
+              SELECT p.doc_id, p.pos FROM pos_sh p JOIN dupg USING (g)
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - coalesce(
+                            lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                            -1000000000) > 8 THEN 1 ELSE 0 END AS ni
+              FROM dpos
+            ),
+            grp AS (
+              SELECT doc_id, pos,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+                   count(*) AS n_shingles
+            FROM grp GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
         """,
         # incremental dedup: the exact set restricted to pairs touching
         # the new batch (doc_id >= 400)

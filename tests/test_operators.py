@@ -171,6 +171,45 @@ def test_incremental_minhash_on_overlap(spark, docs):
         )
 
 
+def test_substring_duplicate_spans(spark):
+    boiler = "creative commons attribution license applies to this document text"
+    rows = [
+        (0, "alpha beta gamma " + boiler + " delta epsilon"),
+        (1, boiler + " zeta eta theta iota kappa"),
+        (2, "totally unrelated content about orbital mechanics and rocket equations"),
+        # 8-token phrase repeated twice WITHIN one doc only → min_docs
+        # counts distinct documents, so this must not be flagged
+        (3, "repeat phrase one two three four five six "
+            "repeat phrase one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.substring_duplicate_spans(df, "doc_id", "text", n=8).toPandas()
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens, r.n_shingles)
+        for r in spans.itertuples()
+    }
+    # boiler is 9 tokens → 2 shingle windows, merged into one maximal span
+    assert got == {0: (4, 12, 9, 2), 1: (1, 9, 9, 2)}
+
+
+def test_substring_spans_island_separation(spark):
+    s1 = "first shared boilerplate alpha bravo charlie delta echo"
+    s2 = "second shared boilerplate foxtrot golf hotel india juliet"
+    rows = [
+        # s1 at tokens 1-8, lone filler token, s2 at tokens 10-17:
+        # windows at pos 1 and 10 are 9 > n apart → two islands
+        (0, s1 + " filler " + s2),
+        (1, "unique head words here " + s1 + " more unique tail " + s2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.substring_duplicate_spans(df, "doc_id", "text", n=8)
+    d0 = spans.filter("doc_id = 0").orderBy("span_start").toPandas()
+    assert [tuple(r) for r in d0[["span_start", "span_end"]].itertuples(index=False)] == [
+        (1, 8),
+        (10, 17),
+    ]
+
+
 def test_simhash_pairs(spark, docs):
     pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).toPandas()
     got = {(r.a, r.b) for r in pairs.itertuples()}

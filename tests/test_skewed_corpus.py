@@ -223,3 +223,27 @@ def test_pagerank_distributed_hot_hub_equals_driver(spark):
     # loop treatment) → top rank; the hub itself tops every normal node
     ranked = sorted(drv, key=drv.get, reverse=True)
     assert ranked[0] == "sink" and ranked[1] == "hub"
+
+
+def test_substring_spans_hot_gram(spark):
+    """A boilerplate phrase shared by EVERY doc (the 'terms of service'
+    pathology): the operator marks positions via one algebraic groupBy
+    + semi-join — each shingle row emits at most once, so a gram in 300
+    docs costs 300 marked rows, never a 300² pair explosion. Verify
+    exact spans under maximal gram heat."""
+    from hikma_engine_spark.operators import dedup
+
+    boiler = "standard legal disclaimer applies to every document in this corpus"
+    rows = [
+        (i, f"unique{i} prefix{i} " + boiler + f" suffix{i} tail{i}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.substring_duplicate_spans(df, "doc_id", "text", n=8).toPandas()
+    # one span per doc: the 10-token boiler at tokens 3-12, 3 windows
+    assert len(spans) == 300
+    assert set(spans.doc_id) == set(range(300))
+    assert (spans.span_start == 3).all()
+    assert (spans.span_end == 12).all()
+    assert (spans.span_tokens == 10).all()
+    assert (spans.n_shingles == 3).all()
