@@ -114,8 +114,33 @@ def ngram_jaccard_pairs(
     Plan shape (one path, all sizes — no input-probe job): shingle
     sizes ride along from the start (no size-dim join), shingle
     frequency is a count-over-window fused with the rarity-rank window
-    (two shuffles total before the candidate join), and nothing is
-    cached — the shingle projection is a cheap JVM regex recompute.
+    (two shuffles total before the candidate join). Two deliberate
+    ``persist()`` materializations (NOT localCheckpoint: checkpointing
+    converts through the RDD and finalizes the AQE plan early —
+    measured 2.4× slower than persist here; persist keeps AQE and lets
+    the in-plan InMemoryRelation feed both consumers):
+
+    - ``prefix`` feeds BOTH sides of the candidate self-join; without
+      it Spark recomputes the whole hot-dim + collect_list subtree
+      twice (ReusedExchange can't fire across the broadcast/shuffle
+      shape split — verified in the r5 plan audit: 30 exchanges → 17,
+      steady sf0.1 wall 3.9 → 3.1 s). Prefix rows are ~(1−t)·|A|+1 per
+      doc (~5× smaller than the exploded shingles), memory-and-disk,
+      LRU-evicted — fine at any scale.
+    - ``cands`` (the PPJoin-minimized candidate pairs) feeds the
+      verification join AND the candidate-doc semi-join filter below.
+
+    The operator cannot unpersist (it returns a lazy plan); cached
+    blocks are bounded (prefix ≪ input, cands = candidate pairs) and
+    Spark evicts them LRU under memory pressure.
+
+    Verification only ever touches CANDIDATE docs' shingles: the
+    exploded set is left-semi-joined against the candidate doc ids
+    before the |A∩B| counting join. Without this the final join
+    shuffles the ENTIRE corpus shingle table by (doc, gram) — 10^12
+    rows at target scale — to verify a candidate set many orders of
+    magnitude smaller. The shingle recompute behind the semi-join is a
+    cheap JVM regex re-scan (nothing else is cached).
     """
     from fractions import Fraction
 
@@ -173,6 +198,7 @@ def ngram_jaccard_pairs(
         )
         .select("doc", "sz", F.explode("pref").alias("p"))
         .select("doc", F.col("p.g").alias("g"), "sz")
+        .persist()
     )
     a = prefix.select(F.col("doc").alias("a"), "g", F.col("sz").alias("sz_a"))
     b = prefix.select(F.col("doc").alias("b"), "g", F.col("sz").alias("sz_b"))
@@ -186,15 +212,23 @@ def ngram_jaccard_pairs(
         )
         .select("a", "b", "sz_a", "sz_b")
         .distinct()
+        .persist()
     )
     # exact verification by inverted-index intersection COUNTING (plain
     # equi-joins + groupBy — whole-stage-codegen all the way), not by
     # array_intersect over rejoined shingle arrays: ArrayIntersect is an
     # interpreted expression (~60us per 50-element pair — measured 2.7s
     # serial for 43k candidates after AQE coalesced the tiny join to one
-    # task). |A∩B| via join; |A∪B| = |A| + |B| − |A∩B|.
-    ex_a = exploded.select(F.col("doc").alias("a"), "g")
-    ex_b = exploded.select(F.col("doc").alias("b"), "g")
+    # task). |A∩B| via join; |A∪B| = |A| + |B| − |A∩B|. Only candidate
+    # docs' shingles enter the counting join (semi-join pruning).
+    cand_docs = (
+        cands.select(F.col("a").alias("doc"))
+        .unionByName(cands.select(F.col("b").alias("doc")))
+        .distinct()
+    )
+    ex_cand = exploded.join(cand_docs, "doc", "left_semi")
+    ex_a = ex_cand.select(F.col("doc").alias("a"), "g")
+    ex_b = ex_cand.select(F.col("doc").alias("b"), "g")
     return (
         cands.join(ex_a, "a")
         .join(ex_b, ["b", "g"])
