@@ -626,6 +626,51 @@ def a_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: count-min heavy-hitters contract
+    (operators.sketch) — the third member of the mergeable-sketch
+    family (HLL distinct `a_approx_distinct`, GK quantile
+    `a_approx_quantile`). Top-20 users by event count with their CM
+    estimates from a depth=3 × width=128 sketch, plus the CM
+    guarantees asserted in-query with exact integer math:
+    ge_exact (estimate ≥ truth — structural) and within_2eps
+    ((est − truth)·width ≤ 2·N, the ε=2/width Markov bound at min
+    over depth rows; empirical margin ~45% at sf0.01 AND sf0.1, where
+    every top-20 estimate carries real collision excess ≥ 313 — the
+    sketch is genuinely approximate, not trivially exact). The DuckDB
+    twin replays the identical md5-bucket integers, so estimates
+    hash-match exactly (same cross-engine pattern as the other two
+    sketch entries, but here even the approximate values compare)."""
+    from hikma_engine_spark.operators import sketch as sk
+
+    depth, width = 3, 128
+    e = _t(spark, sf_dir, "events")
+    items = e.select(F.col("user_id").cast("string").alias("item"))
+    table = sk.count_min_sketch_table(items, "item", depth=depth, width=width)
+    exact = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("item"))
+        .limit(20)
+    )
+    est = sk.count_min_estimates(table, exact, "item", depth=depth, width=width)
+    n_total = F.broadcast(items.agg(F.count("*").alias("n_total")))
+    return (
+        est.crossJoin(n_total)
+        .select(
+            F.col("item").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") >= F.col("n_events")).alias("ge_exact"),
+            (
+                (F.col("cm_est") - F.col("n_events")) * width
+                <= 2 * F.col("n_total")
+            ).alias("within_2eps"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
 def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1936,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- brand-new round-5 entries (no driver history yet) --
         "d_substring_dups": d_substring_dups,
+        "a_topk_sketch": a_topk_sketch,
         # -- last driver capture r03 (aged out of the r04 window) --
         "e_cosine_pairs": e_cosine_pairs,
         "e_ann_lsh_topk": e_ann_lsh_topk,
@@ -2438,6 +2484,43 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p50_ok,
                    TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # count-min heavy hitters: the twin replays the IDENTICAL
+        # md5-bucket integers (CAST('0x'||substr(md5,1,12)) ≡ Spark's
+        # conv(substring(md5,1,12),16,10)), so even the approximate
+        # estimates hash-match — unlike the other two sketch entries,
+        # whose approx values are engine-specific
+        "a_topk_sketch": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS item FROM events
+            ),
+            depths AS (SELECT unnest([0,1,2]) AS d),
+            buck AS (
+              SELECT d.d,
+                     CAST('0x'||substr(md5(d.d||':'||item),1,12) AS BIGINT) % 128 AS bucket
+              FROM ev, depths d
+            ),
+            sk AS (SELECT d, bucket, count(*) AS cnt FROM buck GROUP BY 1, 2),
+            exact AS (
+              SELECT item, count(*) AS n_events FROM ev GROUP BY item
+              ORDER BY n_events DESC, item ASC LIMIT 20
+            ),
+            qb AS (
+              SELECT e.item, e.n_events, d.d,
+                     CAST('0x'||substr(md5(d.d||':'||e.item),1,12) AS BIGINT) % 128 AS bucket
+              FROM exact e, depths d
+            ),
+            est AS (
+              SELECT q.item, q.n_events, min(s.cnt) AS cm_est
+              FROM qb q JOIN sk s USING (d, bucket) GROUP BY 1, 2
+            )
+            SELECT CAST(item AS BIGINT) AS user_id,
+                   n_events,
+                   cm_est,
+                   cm_est >= n_events AS ge_exact,
+                   (cm_est - n_events) * 128 <= 2 * (SELECT count(*) FROM ev) AS within_2eps
+            FROM est
+            ORDER BY n_events DESC, user_id ASC
         """,
         "ev_funnel": """
             WITH t1 AS (

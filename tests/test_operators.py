@@ -888,3 +888,38 @@ def test_triangle_counts_matches_brute_force(spark):
     df = spark.createDataFrame(sorted(edges), "a long, b long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {k: v for k, v in expect.items() if v > 0}
+
+
+def test_count_min_sketch_contract(spark):
+    from hikma_engine_spark.operators import sketch
+
+    rows = [(f"u{i % 37}",) for i in range(1000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, ["item"])
+    sk = sketch.count_min_sketch_table(df, "item", depth=3, width=16)
+    # sketch state is bounded by depth*width whatever the item skew
+    assert sk.count() <= 3 * 16
+    exact = df.groupBy("item").count().withColumnRenamed("count", "n")
+    est = sketch.count_min_estimates(sk, exact, "item", depth=3, width=16).toPandas()
+    # CM structural guarantee: estimate never undercounts
+    assert (est.cm_est >= est.n).all()
+    # the planted heavy hitter is found heavy
+    hot = est[est.item == "hot"].iloc[0]
+    assert hot.cm_est >= 500
+
+
+def test_count_min_sketch_mergeable(spark):
+    from hikma_engine_spark.operators import sketch
+
+    rows = [(f"u{i % 53}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["item"]).withColumn(
+        "shard", (F.rand(7) * 2).cast("int")
+    )
+    full = sketch.count_min_sketch_table(df, "item", depth=3, width=32)
+    s0 = sketch.count_min_sketch_table(df.filter("shard = 0"), "item", 3, 32)
+    s1 = sketch.count_min_sketch_table(df.filter("shard = 1"), "item", 3, 32)
+    merged = (
+        s0.unionByName(s1).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    # merge = bucket-wise add: merged sketch is EXACTLY the full sketch
+    assert full.exceptAll(merged).count() == 0
+    assert merged.exceptAll(full).count() == 0
