@@ -46,9 +46,13 @@ def zorder_key(cols: list[ColSpec], bits: int = 10) -> Column:
     signed 64-bit key AND stay under MAX_INTERLEAVE_TERMS chained
     bitwiseOR terms (codegen-size guard)."""
     n = len(cols)
-    if n * bits > 62:
-        raise ValueError(f"zorder_key: {n} dims × {bits} bits exceeds 62")
-    if n * bits > MAX_INTERLEAVE_TERMS:
+    # n*bits is BOTH the key width and the interleave term count, so
+    # one comparison against the tighter cap covers both constraints
+    # (round-4 advice item 4: a second check after the 62-bit one was
+    # dead code while MAX_INTERLEAVE_TERMS > 62)
+    if n * bits > min(62, MAX_INTERLEAVE_TERMS):
+        if n * bits > 62:
+            raise ValueError(f"zorder_key: {n} dims × {bits} bits exceeds 62")
         raise ValueError(
             f"zorder_key: {n} dims × {bits} bits = {n * bits} interleave "
             f"terms exceeds the codegen-safe cap {MAX_INTERLEAVE_TERMS}"

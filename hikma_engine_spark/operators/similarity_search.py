@@ -16,6 +16,29 @@ from pyspark.sql import functions as F
 from ..functions.similarity import cosine_to_literal
 from .dedup import _hyperplanes
 
+# Hard cap on the hash-block count for the exact blocked-GEMM paths:
+# the unordered block-pair grid has n_blocks·(n_blocks+1)/2 rows and is
+# broadcast into both sides, so it must stay bounded whatever n is —
+# at the cap it's ~525k (ba, bb) int pairs (~8 MB broadcast). Above
+# ceil(n / block_size) = cap, the EFFECTIVE block size grows with n
+# instead (bigger per-group GEMMs — sliced in 1024-row strips inside
+# the worker, so peak memory stays strip × block).
+MAX_GEMM_BLOCKS = 1024
+
+
+def _n_gemm_blocks(n: int, block_size: int) -> int:
+    return max(2, min(MAX_GEMM_BLOCKS, -(-n // block_size)))
+
+
+def _block_pair_grid(spark, n_blocks: int) -> DataFrame:
+    """All unordered block pairs (ba ≤ bb), generated DISTRIBUTEDLY
+    (spark.range self-join) — never as a driver-side Python list, whose
+    construction + createDataFrame would blow the driver long before
+    any executor work at large n_blocks (round-4 advice item 3)."""
+    ra = spark.range(n_blocks).select(F.col("id").cast("int").alias("ba"))
+    rb = spark.range(n_blocks).select(F.col("id").cast("int").alias("bb"))
+    return ra.join(rb, F.col("ba") <= F.col("bb"))
+
 
 def all_pairs_cosine(
     df: DataFrame,
@@ -47,7 +70,7 @@ def all_pairs_cosine(
     if df.limit(broadcast_limit + 1).count() <= broadcast_limit:
         return _all_pairs_cosine_broadcast(df, threshold, id_col, emb_col, round_digits)
     n = df.count()
-    n_blocks = max(2, -(-n // block_size))
+    n_blocks = _n_gemm_blocks(n, block_size)
     return _all_pairs_cosine_blocked(
         df, threshold, id_col, emb_col, round_digits, n_blocks
     )
@@ -109,10 +132,7 @@ def _all_pairs_cosine_blocked(
     base = df.select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
     ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "ba int, bb int",
-    )
+    pairs = _block_pair_grid(spark, n_blocks)
     left = base.join(F.broadcast(pairs), base.blk == pairs.ba).select(
         "ba", "bb", "id", "emb", F.lit(0).alias("side")
     )
@@ -337,7 +357,7 @@ def knn_join_exact(
         partials = _knn_partials_broadcast(df, k, id_col, emb_col, round_digits)
     else:
         n = df.count()
-        n_blocks = max(2, -(-n // block_size))
+        n_blocks = _n_gemm_blocks(n, block_size)
         partials = _knn_partials_blocked(
             df, k, id_col, emb_col, round_digits, n_blocks
         )
@@ -415,10 +435,7 @@ def _knn_partials_blocked(
     base = df.select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
     ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "ba int, bb int",
-    )
+    pairs = _block_pair_grid(spark, n_blocks)
     left = base.join(F.broadcast(pairs), base.blk == pairs.ba).select(
         "ba", "bb", "id", "emb", F.lit(0).alias("side")
     )

@@ -1013,6 +1013,25 @@ class Pipeline:
         default_par = self.spark.sparkContext.defaultParallelism
         for name in tables or self._COMPACTABLE:
             path = self._path(name)
+            # recover/sweep leftovers of a CRASHED previous compact()
+            # before any rewrite decision (r4 advice 5) — otherwise a
+            # table that never re-crosses the fragmentation threshold
+            # keeps a full stale copy on disk forever:
+            # - .compact_old present + table present: crash after the
+            #   swap completed but before cleanup → drop the stale copy
+            # - .compact_old present + table ABSENT: crash between the
+            #   two os.replace calls → the old dir IS the table;
+            #   restore it (the documented mid-swap recovery)
+            # - .compact_tmp: incomplete rewrite, always safe to drop
+            old_dir = path + ".compact_old"
+            if os.path.exists(old_dir):
+                if not os.path.exists(path):
+                    os.replace(old_dir, path)
+                else:
+                    shutil.rmtree(old_dir)
+            tmp_dir = path + ".compact_tmp"
+            if os.path.exists(tmp_dir):
+                shutil.rmtree(tmp_dir)
             if not os.path.exists(path):
                 continue
             before = _parquet_file_counts(path)

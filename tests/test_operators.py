@@ -828,10 +828,15 @@ def test_zorder_chunks_bound_both_dimensions(spark):
         .toPandas()
     )
     n_chunks = 16
-    chunks = np.array_split(z, n_chunks)
+    def _split(pdf, n):
+        # np.array_split on a DataFrame goes through the deprecated
+        # DataFrame.swapaxes — split by positional index instead
+        return [pdf.iloc[ix] for ix in np.array_split(np.arange(len(pdf)), n)]
+
+    chunks = _split(z, n_chunks)
     z_spread_v = np.mean([c.v.max() - c.v.min() for c in chunks])
     u_sorted = pdf.sort_values("u")
-    u_spread_v = np.mean([c.v.max() - c.v.min() for c in np.array_split(u_sorted, n_chunks)])
+    u_spread_v = np.mean([c.v.max() - c.v.min() for c in _split(u_sorted, n_chunks)])
     # single-column sort leaves v at ~full range per chunk; z-order
     # must cut it at least in half
     assert z_spread_v < 0.5 * u_spread_v
