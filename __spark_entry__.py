@@ -1099,6 +1099,27 @@ def d_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: EXACT-quota stratified sampling with
+    temperature-scaled quotas (export.temperature_quotas α=0.5 +
+    export.quota_sample) — the fixed-budget training-mix composer
+    (CC100/mT5 c^α rebalancing), complementing the rate-based
+    d_domain_mix. Budget 120 docs across sources; each stratum
+    contributes exactly floor(120·√c_k/Σ√c_j) rows: the ones with the
+    smallest seeded-md5 hashes, found by oversample-then-trim (the
+    rank window only ever sees O(quota) rows per stratum — a 10^9-row
+    stratum never enters a sort). The twin replays the identical
+    quota math and picks the same rows via a plain full window — both
+    engines must select the IDENTICAL doc_ids."""
+    d = _t(spark, sf_dir, "documents")
+    quotas = export.temperature_quotas(d, "source", budget=120, alpha=0.5)
+    return (
+        export.quota_sample(d, "doc_id", "source", quotas, seed="quota")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def d_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic seeded global shuffle into 8 export shards: the
     (shard, shuffle_rank) layout a training job reads. Reproducible
@@ -1991,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- brand-new round-5 entries (no driver history yet) --
         "d_substring_dups": d_substring_dups,
         "a_topk_sketch": a_topk_sketch,
+        "d_quota_sample": d_quota_sample,
         # -- last driver capture r03 (aged out of the r04 window) --
         "e_cosine_pairs": e_cosine_pairs,
         "e_ann_lsh_topk": e_ann_lsh_topk,
@@ -2530,6 +2552,33 @@ def oracle_sql() -> dict[str, str]:
                    (cm_est - n_events) * 128 <= 2 * (SELECT count(*) FROM ev) AS within_2eps
             FROM est
             ORDER BY n_events DESC, user_id ASC
+        """,
+        # exact-quota temperature sample: identical quota doubles
+        # (sqrt is IEEE-correctly-rounded; window total ordered by
+        # stratum) and identical md5 order => identical row identity
+        "d_quota_sample": """
+            WITH counts AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ),
+            q AS (
+              SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wgt,
+                     CAST(floor(120.0 * sqrt(CAST(n AS DOUBLE)) /
+                          sum(sqrt(CAST(n AS DOUBLE))) OVER
+                            (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)) AS BIGINT) AS quota
+              FROM counts
+            ),
+            ranked AS (
+              SELECT d.doc_id, d.source, q.quota,
+                     row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY CAST('0x'||substr(md5('quota:'||CAST(d.doc_id AS VARCHAR)),1,8) AS BIGINT) / 4294967296.0,
+                                d.doc_id
+                     ) AS rk
+              FROM documents d JOIN q USING (source)
+            )
+            SELECT doc_id, source FROM ranked WHERE rk <= quota
+            ORDER BY doc_id
         """,
         "ev_funnel": """
             WITH t1 AS (

@@ -107,6 +107,97 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def temperature_quotas(
+    df: DataFrame,
+    strata_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled per-stratum quotas — the multilingual/domain
+    REBALANCING rule of CC100/mT5 (sample stratum k with probability
+    ∝ c_k^alpha): quota_k = floor(budget · c_k^alpha / Σ c_j^alpha).
+    alpha=1 keeps natural proportions, alpha=0 is uniform, 0.5 boosts
+    small domains. Computed ENTIRELY in-plan (per-stratum counts →
+    window total → floor) — no collect; the strata dim is vocabulary-
+    sized. alpha=0.5 uses sqrt() (IEEE-correctly-rounded, so the twin
+    engine reproduces the doubles bit-for-bit); other alphas use pow.
+    Window total is ordered by stratum so the double summation order
+    is deterministic cross-engine. Returns (strata_col, n_in_stratum,
+    quota)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_in_stratum"))
+    w = F.sqrt(F.col("n_in_stratum").cast("double")) if alpha == 0.5 else (
+        F.pow(F.col("n_in_stratum").cast("double"), F.lit(float(alpha)))
+    )
+    win = (
+        Window.orderBy(strata_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return counts.withColumn("wgt", w).withColumn(
+        "quota",
+        F.floor(F.lit(float(budget)) * F.col("wgt") / F.sum("wgt").over(win)).cast(
+            "long"
+        ),
+    ).select(strata_col, "n_in_stratum", "quota")
+
+
+def quota_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    quotas: DataFrame,
+    seed: str = "quota",
+) -> DataFrame:
+    """EXACT-quota stratified sample: for each stratum, the rows with
+    the ``quota`` SMALLEST seeded-md5 hash values (ties broken by id) —
+    deterministic row identity, so two engines agree on the exact row
+    set, and reruns/repartitions cannot change the sample (content-
+    keyed like stratified_sample, which is rate-based in expectation;
+    this is the fixed-token-budget variant a training-mix composer
+    needs).
+
+    Scale shape — oversample-then-trim, NEVER a full per-stratum sort:
+    the hash u is uniform in [0,1), so the quota-th smallest u in a
+    stratum of n rows concentrates at quota/n. Keep the sliver
+    u < (quota + 6·sqrt(quota) + 10) / n (Chernoff: the probability the
+    sliver holds fewer than quota rows is < 1e-8 even at quota = 1),
+    then rank ONLY the sliver — the window sorts O(quota) rows per
+    stratum, proportional to the OUTPUT, while a 10^9-row stratum with
+    a 10^5 quota never enters the sort. The sliver filter is a pure
+    map over the input (no shuffle) stacked on a broadcast quota dim.
+
+    ``quotas``: (strata_col, n_in_stratum, quota) — temperature_quotas
+    output or hand-built. Strata missing from it are dropped. Returns
+    df's rows (+ none of the helper columns), exactly quota per stratum
+    (min(quota, n) when the stratum is smaller than its quota)."""
+    from pyspark.sql import Window
+
+    u = F.conv(
+        F.substring(_md5_key(F.col(id_col), seed), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(16**8))
+    qd = F.broadcast(quotas.select(strata_col, "n_in_stratum", "quota"))
+    sliver = (
+        F.col("quota")
+        + F.lit(6.0) * F.sqrt(F.col("quota").cast("double"))
+        + F.lit(10.0)
+    ) / F.col("n_in_stratum")
+    ranked = (
+        df.join(qd, strata_col)
+        .withColumn("_u", u)
+        .filter(F.col("_u") < sliver)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(strata_col).orderBy("_u", id_col)
+            ),
+        )
+    )
+    return ranked.filter(F.col("_rk") <= F.col("quota")).drop(
+        "_u", "_rk", "n_in_stratum", "quota"
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

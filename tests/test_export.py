@@ -240,3 +240,72 @@ def test_write_training_shards_spark_manifest_equals_footer_walk(
                 ).num_rows
     assert footer_counts == m["shards"]
     assert sum(footer_counts.values()) == m["total"] == docs.count()
+
+
+def test_quota_sample_exact_and_equals_naive(spark):
+    from pyspark.sql import Window
+
+    from hikma_engine_spark.operators import export
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    quotas = spark.createDataFrame(
+        [("big", 2700, 40), ("small", 300, 1000)],
+        ["source", "n_in_stratum", "quota"],
+    )
+    got = export.quota_sample(df, "doc_id", "source", quotas, seed="s").toPandas()
+    by = got.groupby("source").size().to_dict()
+    # exact quota for the big stratum; capped at n for the small one
+    assert by == {"big": 40, "small": 300}
+
+    # the sliver path selects EXACTLY the quota smallest hashes — same
+    # rows as ranking the whole stratum (no sliver)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("s"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 16**8
+    )
+    naive = (
+        df.join(F.broadcast(quotas), "source")
+        .withColumn("_u", u)
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("source").orderBy("_u", "doc_id")),
+        )
+        .filter(F.col("_rk") <= F.col("quota"))
+        .select("doc_id", "source")
+        .toPandas()
+    )
+    assert sorted(got.doc_id) == sorted(naive.doc_id)
+
+    # content-keyed: repartitioning cannot change the sample
+    got2 = export.quota_sample(
+        df.repartition(17), "doc_id", "source", quotas, seed="s"
+    ).toPandas()
+    assert sorted(got2.doc_id) == sorted(got.doc_id)
+
+
+def test_temperature_quotas_alpha(spark):
+    from hikma_engine_spark.operators import export
+
+    rows = [(i, "a" if i < 1600 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    q1 = {
+        r["source"]: r["quota"]
+        for r in export.temperature_quotas(df, "source", 100, alpha=1.0).collect()
+    }
+    q05 = {
+        r["source"]: r["quota"]
+        for r in export.temperature_quotas(df, "source", 100, alpha=0.5).collect()
+    }
+    # alpha=1 keeps natural proportions; alpha=0.5 boosts the small stratum
+    assert q1 == {"a": 80, "b": 20}
+    assert q05["b"] > 20 and q05["a"] < 80
+    assert q05["a"] + q05["b"] <= 100
