@@ -97,6 +97,39 @@ def streaming_dedup(
     )
 
 
+def streaming_user_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization via ``F.session_window`` — the native
+    Structured Streaming session operator, and the streaming twin of
+    the batch lag+cumsum sessionizer (``ev_sessionize``): state is one
+    OPEN window per (user, session), merged as events arrive and
+    finalized (append mode) once the watermark passes the window end,
+    so session state is bounded by the watermark horizon, never by
+    stream length.
+
+    Boundary semantics: an event exactly ``gap`` after the previous
+    one starts a NEW session (window end is exclusive) — the lag-based
+    batch rule must use ``delta >= gap`` to match (pinned by the
+    three-way parity test in tests/test_streaming.py).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def _sql_gazetteer() -> str:
     from .. import vocab
 

@@ -141,3 +141,65 @@ def test_streaming_windowed_mention_counts(spark, stream_dir):
     assert counts.get("postgresql") == 1
     assert counts.get("k8s") == 1
     assert (got.n_mentions >= 1).all()
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Three-way sessionization parity: streaming session_window ==
+    batch session_window == the lag+cumsum rule (with the matching
+    >= gap boundary). Gap 30 min; events spread so every user has
+    multiple sessions."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    for u in range(5):
+        t = base + pd.Timedelta(minutes=7 * u)
+        for i in range(20):
+            # gaps alternate 5 min (same session) / 45 min (new session)
+            t = t + pd.Timedelta(minutes=5 if i % 3 else 45)
+            rows.append((u, t, i))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "seq"])
+    src = str(tmp_path / "sess_events")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_df.schema).parquet(src)
+    )
+    agg = ingest.streaming_user_sessions(stream, gap="30 minutes")
+    ingest.run_available_now(agg, "sess_stream", output_mode="complete")
+    got = spark.sql("SELECT * FROM sess_stream").toPandas()
+
+    batch_sw = ingest.streaming_user_sessions(batch_df, gap="30 minutes").toPandas()
+    key = ["user_id", "session_start", "session_end", "n_events"]
+
+    def norm(p):
+        return sorted(map(tuple, p[key].astype(str).values.tolist()))
+
+    assert norm(got) == norm(batch_sw)
+
+    # lag+cumsum twin (>= gap boundary per session_window's exclusive end)
+    w = Window.partitionBy("user_id").orderBy("ts", "seq")
+    delta = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    lagged = (
+        batch_df.withColumn(
+            "new_sess", F.when(delta.isNull() | (delta >= 1800), 1).otherwise(0)
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    a = sorted(
+        map(tuple, got[["user_id", "session_start", "n_events"]].astype(str).values.tolist())
+    )
+    b = sorted(
+        map(
+            tuple,
+            lagged.toPandas()[["user_id", "session_start", "n_events"]]
+            .astype(str)
+            .values.tolist(),
+        )
+    )
+    assert a == b
