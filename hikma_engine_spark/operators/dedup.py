@@ -656,10 +656,23 @@ def embedding_near_dup_pairs(
     # distinct must hash id pairs, not 64-float arrays (an array-keyed
     # distinct over the exploded join measured 10× slower). Embeddings
     # re-attach via two joins AFTER dedup, once per surviving pair.
+    #
+    # persist(): this subtree — the Arrow GEMM over EVERY embedding —
+    # feeds four consumers (bucket-size groupBy, the semi-join probe
+    # side, and both sides of the bucket self-join); without it the
+    # executed plan carries 4 ArrowEvalPython nodes, i.e. the full-
+    # corpus signature GEMM runs four times (ReusedExchange can't fire:
+    # the consumers shuffle on different keys — with the persist all 4
+    # consumers read InMemoryTableScan and the GEMM executes once;
+    # sf0.1 steady wall 8.4 → 7.3 s on the tiny 2k-vector test corpus,
+    # and the saving scales with corpus size since the avoided work is
+    # 3 extra full-corpus GEMM+explode passes). Cached rows are (id, i8, i64) × L
+    # per doc — ~50 bytes × L·n, orders smaller than the embeddings —
+    # memory-and-disk with LRU eviction, safe at any corpus size.
     hb = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(signatures_udf(F.col(emb_col))).alias("table", "bucket"),
-    )
+    ).persist()
     bucket_sizes = hb.groupBy("table", "bucket").count()
     dropped = bucket_sizes.filter(F.col("count") > max_bucket_size)
     ok = bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count")
