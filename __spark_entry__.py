@@ -671,6 +671,86 @@ def a_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: KMV (k-minimum-values) corpus-overlap sketch
+    (operators.sketch.kmv_sketch / kmv_overlap) — the fourth member of
+    the mergeable-sketch family (HLL distinct, GK quantile, count-min
+    heavy hitters). The decontamination question at corpus scale: how
+    much does a training corpus overlap a benchmark set, WITHOUT
+    joining the corpora — two O(k)-state sketches answer cardinality,
+    union, intersection and Jaccard.
+
+    Here the documents table is split train/bench by doc_id parity and
+    overlap is measured over distinct word 5-gram shingles. Exact
+    counts ride along as the oracle surface (affordable at test scale;
+    at 10^12 elements ONLY the sketch path runs — that is the point).
+    All estimator arithmetic is 48-bit-md5 + BIGINT, so the DuckDB
+    twin reproduces every ESTIMATE bit-for-bit, not just the exact
+    counts (same cross-engine trick as a_topk_sketch). Contracts
+    asserted in-query with integer math: |est−exact|·4 ≤ exact (25%
+    bound ≈ 4σ at k=256, SE = 1/√(k−2) ≈ 6.3%) for both cardinalities
+    and the union; the intersection estimate is Binomial in the hit
+    count (n_common ~ Bin(k, ρ), so σ(est_common) ≈ est_union·√n_common/k
+    in the small-ρ regime here) and its 3σ contract is kept in exact
+    integers by squaring: (est−exact)²·k² ≤ 9·est_union²·n_common.
+    All contracts hold at sf0.001/0.01/0.1."""
+    from hikma_engine_spark.operators import lsh
+    from hikma_engine_spark.operators import sketch as sk
+
+    k = 256
+    d = _t(spark, sf_dir, "documents")
+    shingles = d.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(lsh.word_shingles(F.col("text"), 5)).alias("g"),
+    )
+    sketches = sk.kmv_sketch(shingles, "side", "g", k=k)
+    sk_a = sketches.filter(F.col("s") == 0).select("h", "rn")
+    sk_b = sketches.filter(F.col("s") == 1).select("h", "rn")
+    est = sk.kmv_overlap(sk_a, sk_b, k)
+
+    hs = shingles.select(
+        "side", sk.portable_hash48(F.col("g")).alias("h")
+    ).distinct()
+    flags = hs.groupBy("h").agg(
+        F.max((F.col("side") == 0).cast("int")).alias("in_a"),
+        F.max((F.col("side") == 1).cast("int")).alias("in_b"),
+    )
+    exact = flags.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_common"),
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_common",
+            "est_a",
+            "est_b",
+            "est_union",
+            "n_common",
+            "est_common",
+            "jaccard_ppm",
+            (F.abs(F.col("est_a") - F.col("exact_a")) * 4 <= F.col("exact_a")).alias("card_a_ok"),
+            (F.abs(F.col("est_b") - F.col("exact_b")) * 4 <= F.col("exact_b")).alias("card_b_ok"),
+            (
+                F.abs(
+                    F.col("est_union")
+                    - (F.col("exact_a") + F.col("exact_b") - F.col("exact_common"))
+                ) * 4
+                <= F.col("exact_a") + F.col("exact_b") - F.col("exact_common")
+            ).alias("union_ok"),
+            (
+                (F.col("est_common") - F.col("exact_common"))
+                * (F.col("est_common") - F.col("exact_common"))
+                * (k * k)
+                <= F.lit(9) * F.col("est_union") * F.col("est_union") * F.col("n_common")
+            ).alias("common_ok"),
+        )
+    )
+
+
 def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -2010,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "a_kmv_overlap": a_kmv_overlap,
         "d_substring_dups": d_substring_dups,
         "a_topk_sketch": a_topk_sketch,
         "d_quota_sample": d_quota_sample,
@@ -2515,6 +2596,83 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p50_ok,
                    TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # KMV overlap: the twin replays the IDENTICAL 48-bit md5 hash
+        # integers and BIGINT estimator arithmetic (// ≡ Spark DIV on
+        # positives), so every ESTIMATE hash-matches bit-for-bit; the
+        # sketches themselves come from exact ORDER BY h QUALIFY rn<=k
+        # (no threshold pre-filter — which also cross-checks the Spark
+        # side's HLL-threshold pass found the true k-minima)
+        "a_kmv_overlap": """
+            WITH toks AS (
+              SELECT doc_id % 2 AS side,
+                     string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT side,
+                     unnest(list_distinct(
+                       CASE WHEN len(t) >= 5
+                            THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]
+                            ELSE [array_to_string(t, ' ')] END
+                     )) AS g
+              FROM toks
+            ),
+            hs AS (
+              SELECT DISTINCT side,
+                     CAST('0x'||substr(md5(g),1,12) AS BIGINT) AS h
+              FROM sh
+            ),
+            ska AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rn
+              FROM hs WHERE side = 0 QUALIFY rn <= 256
+            ),
+            skb AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rn
+              FROM hs WHERE side = 1 QUALIFY rn <= 256
+            ),
+            sku AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rn
+              FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+              QUALIFY rn <= 256
+            ),
+            card AS (
+              SELECT
+                (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                        ELSE 71776119061217280 // max(CASE WHEN rn = 256 THEN h END) END
+                 FROM ska) AS est_a,
+                (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                        ELSE 71776119061217280 // max(CASE WHEN rn = 256 THEN h END) END
+                 FROM skb) AS est_b,
+                (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                        ELSE 71776119061217280 // max(CASE WHEN rn = 256 THEN h END) END
+                 FROM sku) AS est_union,
+                (SELECT count(*) FROM sku
+                   JOIN ska USING (h) JOIN skb USING (h)) AS n_common
+            ),
+            flags AS (
+              SELECT h,
+                     max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+                     max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+              FROM hs GROUP BY h
+            ),
+            ex AS (
+              SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+                     CAST(sum(in_b) AS BIGINT) AS exact_b,
+                     CAST(sum(in_a * in_b) AS BIGINT) AS exact_common
+              FROM flags
+            )
+            SELECT exact_a, exact_b, exact_common,
+                   est_a, est_b, est_union, n_common,
+                   n_common * est_union // 256 AS est_common,
+                   n_common * 1000000 // 256 AS jaccard_ppm,
+                   abs(est_a - exact_a) * 4 <= exact_a AS card_a_ok,
+                   abs(est_b - exact_b) * 4 <= exact_b AS card_b_ok,
+                   abs(est_union - (exact_a + exact_b - exact_common)) * 4
+                     <= exact_a + exact_b - exact_common AS union_ok,
+                   (est_common - exact_common) * (est_common - exact_common) * 65536
+                     <= 9 * est_union * est_union * n_common AS common_ok
+            FROM card, ex
         """,
         # count-min heavy hitters: the twin replays the IDENTICAL
         # md5-bucket integers (CAST('0x'||substr(md5,1,12)) ≡ Spark's

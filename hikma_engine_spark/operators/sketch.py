@@ -29,8 +29,11 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: hash space size for the portable 48-bit md5 hash (12 hex chars)
+HASH_SPACE = 1 << 48
 
 
 def _bucket(item: Column, row: int, width: int) -> Column:
@@ -101,4 +104,134 @@ def count_min_estimates(
     )
     return queries.join(
         est.withColumnRenamed("item", item_col), item_col, "left"
+    )
+
+
+# ---------- KMV (k-minimum-values) set-overlap sketch ----------
+
+def portable_hash48(item: Column) -> Column:
+    """Element → uniform 48-bit integer, identical in Spark
+    (`conv(substring(md5(x),1,12),16,10)`) and DuckDB
+    (`CAST('0x'||substr(md5(x),1,12) AS BIGINT)`): the property that
+    lets the oracle twin replay KMV ESTIMATES exactly, not just exact
+    counts (same cross-engine trick as `_bucket` / `a_topk_sketch`).
+    Collision rate n²/2^49 — ~3e-5 at 10^5 distinct elements — is the
+    standard KMV hash-identity assumption (Beyer et al. 2007)."""
+    return F.conv(F.substring(F.md5(item), 1, 12), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    set_col: str,
+    item_col: str,
+    k: int = 256,
+    distinct_safety: int = 8,
+) -> DataFrame:
+    """Per-set KMV sketch: the k smallest DISTINCT 48-bit hashes of
+    ``item_col``, as rows ``(s, h, rn)`` with rn = 1..k ascending
+    (Beyer et al. 2007, "On synopses for distinct-value estimation
+    under multiset operations" — the public KMV/AKMV construction).
+
+    The sketch is the O(k)-state answer to set cardinality / overlap
+    at corpus scale: |S| ≈ (k−1)·M / h_k, two sketches UNION by
+    re-taking the k smallest of their union, and Jaccard(A,B) ≈
+    |union_sketch ∩ A_sketch ∩ B_sketch| / k — so cross-corpus overlap
+    (train-vs-benchmark contamination) needs only 2·k rows, never the
+    corpora.
+
+    Scale shape — Spark has no bounded-state top-k aggregate, so the
+    naive per-set k-min (window over ALL rows, or collect_list) sorts
+    the full element stream. Instead, two bounded passes:
+
+    1. per-set `approx_count_distinct` (HLL — O(1) mergeable state)
+       estimates n̂; a hash THRESHOLD t = safety·k·M/n̂ is broadcast
+       back. Uniform hashes ⇒ expected survivors = safety·k per set;
+       P[true h_k > t] ≤ exp(−k·(safety−1)²/(2·safety)) (Chernoff) —
+       ~1e-100 at safety 8, and the 5% HLL rsd moves it negligibly.
+    2. `h < t` filters AT THE SCAN (pushed down — the full stream
+       never shuffles); the ~safety·k survivors per set deduplicate
+       and rank by a per-set window that now sorts thousands of rows,
+       not 10^12.
+
+    The threshold failure mode is self-checking downstream: a sketch
+    with fewer than min(k, n_distinct) rows is detectably short — the
+    overlap entry's oracle twin computes sketches from the exact
+    element sets, so any short sketch hash-mismatches.
+    """
+    base = df.select(
+        F.col(set_col).alias("s"),
+        portable_hash48(F.col(item_col)).alias("h"),
+    )
+    counts = base.groupBy("s").agg(
+        F.approx_count_distinct("h", 0.05).alias("nd")
+    )
+    thr = F.least(
+        F.lit(HASH_SPACE),
+        (F.lit(int(distinct_safety * k) * HASH_SPACE)
+         / F.greatest(F.col("nd"), F.lit(1))).cast("long"),
+    )
+    surv = (
+        base.join(F.broadcast(counts.select("s", thr.alias("thr"))), "s")
+        .filter(F.col("h") < F.col("thr"))
+        .select("s", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    return (
+        surv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """Two KMV sketches (rows ``(h, rn)``) → one row of integer-exact
+    overlap estimators (all arithmetic is BIGINT so the DuckDB twin
+    reproduces every value bit-for-bit; M = 2^48):
+
+    - ``est_a``/``est_b``   : (k−1)·M DIV h_k         (|A|, |B|)
+    - ``est_union``         : same over the union sketch (k smallest
+                              of A_sketch ∪ B_sketch)
+    - ``n_common``          : |union_sketch ∩ A_sketch ∩ B_sketch|
+    - ``est_common``        : n_common·est_union DIV k (|A∩B|)
+    - ``jaccard_ppm``       : n_common·10^6 DIV k
+    A sketch with fewer than k rows means the set had < k distinct
+    hashes — the sketch IS the set, so the estimate falls back to the
+    exact row count. Everything here runs over ≤ 3·k rows; the
+    corpora are never touched."""
+    ua = sk_a.select("h")
+    ub = sk_b.select("h")
+    wu = Window.orderBy("h")
+    union_sk = (
+        ua.union(ub).distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+    )
+    common = (
+        union_sk.join(ua, "h", "left_semi")
+        .join(ub, "h", "left_semi")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+    def card_est(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.when(
+                F.count("*") < k, F.count("*")
+            ).otherwise(
+                F.expr(f"{(k - 1) * HASH_SPACE} DIV max(CASE WHEN rn = {k} THEN h END)")
+            ).alias(name)
+        )
+
+    out = (
+        card_est(sk_a, "est_a")
+        .crossJoin(F.broadcast(card_est(sk_b, "est_b")))
+        .crossJoin(F.broadcast(card_est(union_sk, "est_union")))
+        .crossJoin(F.broadcast(common))
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "n_common",
+        F.expr(f"n_common * est_union DIV {k}").alias("est_common"),
+        F.expr(f"n_common * 1000000 DIV {k}").alias("jaccard_ppm"),
     )

