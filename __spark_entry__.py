@@ -410,6 +410,66 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: weekly cohort-retention matrix — the classic
+    product-analytics rollup next to ev_funnel/ev_sessionize. Users
+    are cohorted by the ISO week of their FIRST PURCHASE (a behavior
+    cohort — first-activity cohorts are degenerate on this table:
+    every user has week-1 events); cell (cohort, w) = distinct users
+    of that cohort active (any event) w weeks after their cohort week
+    (negative offsets — pre-purchase activity — are real cells too),
+    plus retention as exact integer permille.
+
+    Scale shape: first-seen is an algebraic min over user_id (map-side
+    partial), activity is distinct (user_id, week) — both shuffle on
+    the SAME key so the join between them is a co-partitioned
+    sort-merge with no extra exchange; the final (cohort, offset)
+    rollup shuffles ≤ |users|·|weeks| pre-deduped rows, and cohort
+    sizes re-attach via a broadcast dim (#cohorts rows). Weeks ride as
+    'yyyy-MM-dd' strings and the offset as (days DIV 7) — both Monday
+    truncations, so the division is exact and the DuckDB twin matches
+    bit-for-bit (date_trunc('week') is Monday-start in both engines;
+    permille is BIGINT division)."""
+    e = _t(spark, sf_dir, "events")
+    wk = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")
+    first = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    cohort = first.select(
+        "user_id", wk(F.col("first_ts")).alias("cohort_week")
+    )
+    activity = e.select("user_id", wk(F.col("ts")).alias("act_week")).distinct()
+    cells = (
+        activity.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.to_date("act_week"), F.to_date("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("n_active * 1000 DIV cohort_size").alias("retention_permille"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: new session when gap > 30 min (lag + cumsum)."""
     e = _t(spark, sf_dir, "events")
@@ -2090,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "ev_retention_cohorts": ev_retention_cohorts,
         "a_kmv_overlap": a_kmv_overlap,
         "d_substring_dups": d_substring_dups,
         "a_topk_sketch": a_topk_sketch,
@@ -2596,6 +2657,32 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p50_ok,
                    TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ev_retention_cohorts": """
+            WITH first AS (
+              SELECT user_id,
+                     strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            ),
+            act AS (
+              SELECT DISTINCT user_id,
+                     strftime(date_trunc('week', ts), '%Y-%m-%d') AS act_week
+              FROM events
+            ),
+            cells AS (
+              SELECT cohort_week,
+                     date_diff('day', CAST(cohort_week AS DATE), CAST(act_week AS DATE)) // 7 AS week_offset,
+                     count(DISTINCT a.user_id) AS n_active
+              FROM act a JOIN first f USING (user_id)
+              GROUP BY 1, 2
+            ),
+            sizes AS (
+              SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY 1
+            )
+            SELECT c.cohort_week, week_offset, n_active, cohort_size,
+                   n_active * 1000 // cohort_size AS retention_permille
+            FROM cells c JOIN sizes USING (cohort_week)
+            ORDER BY cohort_week, week_offset
         """,
         # KMV overlap: the twin replays the IDENTICAL 48-bit md5 hash
         # integers and BIGINT estimator arithmetic (// ≡ Spark DIV on
