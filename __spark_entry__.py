@@ -410,6 +410,41 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_kcore_custpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: k-core decomposition (operators.graph.k_core)
+    of the customer–part bipartite graph (distinct (custkey, partkey)
+    pairs through orders⋈lineitem) at k=20 — the density-backbone
+    member of the graph family (CC, depth, PageRank, triangles,
+    clustering). The gazetteer co-mention graph is a complete K₁₀, so
+    the TPC-H-ish bipartite graph is the honest test topology: near-
+    regular (median degree 32), k=20 sits below the median and peels
+    CASCADES — 3-5 rounds at these SFs, removing 4-10% of nodes.
+
+    Each peel round is one algebraic degree agg + two semi-joins on
+    the same node key; a round removes the whole sub-k frontier, so
+    round count = peeling depth, with ConvergenceError (never a silent
+    non-core) past max_iter. The DuckDB twin unrolls 8 peel rounds as
+    chained CTEs and emits degrees WITHOUT a final ≥k filter — if
+    either engine had not reached the fixpoint the degree multiset
+    would differ and the value-hash would catch it, so convergence
+    itself is oracle-checked."""
+    from hikma_engine_spark.operators.graph import k_core
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=20, a_col="a", b_col="b").select(
+        F.col("u").alias("node"), "core_deg"
+    ).orderBy("node")
+
+
 def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: weekly cohort-retention matrix — the classic
     product-analytics rollup next to ev_funnel/ev_sessionize. Users
@@ -2150,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "g_kcore_custpart": g_kcore_custpart,
         "ev_retention_cohorts": ev_retention_cohorts,
         "a_kmv_overlap": a_kmv_overlap,
         "d_substring_dups": d_substring_dups,
@@ -2441,6 +2477,42 @@ def _comprehensive_sql() -> str:
 _COMPREHENSIVE_SQL = _comprehensive_sql()
 
 
+def _kcore_sql(k: int = 20, rounds: int = 8) -> str:
+    """Unrolled distributed-peel twin for g_kcore_custpart: ``rounds``
+    chained (degree → keep → induce) CTE triples over the customer-part
+    bipartite graph. 8 rounds ≥ measured peel depth 3-5 at all SFs;
+    the final SELECT emits degrees with NO ≥k filter, so an
+    unconverged unroll (or an unconverged Spark loop) changes the
+    degree multiset and hash-mismatches."""
+    parts = [
+        """e AS MATERIALIZED (
+              SELECT DISTINCT 'c'||o_custkey AS a, 'p'||l_partkey AS b
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            sym0 AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM e
+              UNION ALL SELECT b AS u, a AS v FROM e
+            )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""deg{i} AS (SELECT u, count(*) AS c FROM sym{i} GROUP BY u),
+            keep{i} AS MATERIALIZED (SELECT u FROM deg{i} WHERE c >= {k}),
+            sym{i + 1} AS MATERIALIZED (
+              SELECT s.u, s.v FROM sym{i} s
+              JOIN keep{i} ka ON s.u = ka.u
+              JOIN keep{i} kb ON s.v = kb.u
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(parts)
+        + f"""
+            SELECT u AS node, count(*) AS core_deg
+            FROM sym{rounds} GROUP BY u ORDER BY node"""
+    )
+
+
 # exact kNN self-join over the clustered view: per-row window on the
 # ROUNDED cosine with neighbor-id tie-break — the same ranking rule the
 # Spark operator applies, so the twin is exact (shared by both kNN
@@ -2658,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "g_kcore_custpart": _kcore_sql(),
         "ev_retention_cohorts": """
             WITH first AS (
               SELECT user_id,

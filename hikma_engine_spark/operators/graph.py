@@ -509,3 +509,62 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Dat
         .unionByName(tri.select(F.col("w").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal induced subgraph in which
+    every node has degree ≥ k — with their in-core degree. The
+    standard corpus-graph density filter (entity cores, spam rings,
+    co-occurrence backbones) next to triangle_counts / clustering.
+
+    Iterative distributed peel: each round computes degrees (algebraic
+    groupBy — map-side partials absorb hubs), keeps nodes with deg ≥
+    k, and induces the surviving edge set via two semi-joins on the
+    SAME node key (one shuffle family end-to-end; AQE shrinks the
+    width as the graph melts). A round removes the ENTIRE sub-k
+    frontier at once, so the round count is the peeling DEPTH of the
+    graph, not its node count — single-digit for social/co-occurrence
+    topologies (here: 3 rounds at sf0.1); a pathological path graph
+    peels O(n) deep, hence the ``max_iter`` guard raising
+    ConvergenceError rather than silently returning a non-core
+    (round-1 advice: no silent wrong answers). Lineage is cut per
+    round with localCheckpoint exactly like connected_components.
+
+    Input: unique undirected (a, b) pairs; self-loops dropped.
+    Returns (node, core_deg) for k-core members, core_deg ≥ k.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    cur = (
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(sym.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = cur.groupBy("u").agg(F.count("*").alias("core_deg"))
+        keep = deg.filter(F.col("core_deg") >= k).select("u")
+        n_nodes, n_keep = deg.count(), keep.count()
+        if n_keep == n_nodes:
+            return deg.orderBy("u")
+        if n_keep == 0:
+            return deg.sparkSession.createDataFrame(
+                [], "u string, core_deg long"
+            )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise ConvergenceError(
+        f"k_core(k={k}) did not converge in {max_iter} rounds"
+    )

@@ -985,3 +985,44 @@ def test_kmv_cardinality_estimate_within_4sigma(spark):
     assert abs(row.est_a - n) / n <= 4 / (k - 2) ** 0.5
     # self-overlap: identical sketches ⇒ jaccard_ppm = 10^6
     assert row.jaccard_ppm == 1000000 and row.n_common == k
+
+
+def test_k_core_peels_to_known_core(spark):
+    """Triangle with a pendant chain: the 2-core is exactly the
+    triangle (the chain peels away in cascading rounds — this pins the
+    CASCADE: n4 has degree 2 until n5 is removed)."""
+    from hikma_engine_spark.operators.graph import k_core
+
+    edges = [("n1", "n2"), ("n2", "n3"), ("n1", "n3"),
+             ("n3", "n4"), ("n4", "n5")]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["u"]: r["core_deg"] for r in k_core(df, 2).collect()}
+    assert got == {"n1": 2, "n2": 2, "n3": 2}
+    # k above the max degree: empty core, empty (not failing) result
+    assert k_core(df, 5).count() == 0
+
+
+def test_k_core_bipartite_clique(spark):
+    """K_{3,3} is its own 3-core; adding a degree-1 satellite does not
+    change it."""
+    from hikma_engine_spark.operators.graph import k_core
+
+    edges = [(f"l{i}", f"r{j}") for i in range(3) for j in range(3)]
+    edges.append(("r0", "sat"))
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["u"]: r["core_deg"] for r in k_core(df, 3).collect()}
+    assert got == {f"l{i}": 3 for i in range(3)} | {f"r{j}": 3 for j in range(3)}
+
+
+def test_k_core_convergence_guard(spark):
+    """A long path peels one node per round from each end — max_iter
+    below the peel depth must raise, never return a non-core."""
+    import pytest as _pytest
+    from hikma_engine_spark.operators.graph import ConvergenceError, k_core
+
+    path = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(12)]
+    df = spark.createDataFrame(path, ["a", "b"])
+    with _pytest.raises(ConvergenceError):
+        k_core(df, 2, max_iter=3).collect()
+    # with budget it converges to the empty 2-core (a path has none)
+    assert k_core(df, 2, max_iter=12).count() == 0
