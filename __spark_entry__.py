@@ -410,6 +410,36 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_walks_custpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: DeepWalk-style walk-corpus generation
+    (operators.graph.deterministic_walks) — 4-step walks from every
+    CUSTOMER node of the customer–part bipartite graph, the input a
+    graph-embedding trainer (DeepWalk / node2vec, public) consumes.
+    The walker's RNG is the portable 48-bit md5 hash of (current,
+    step, neighbor) (argmin = next hop), so the corpus is
+    reproducible, partition-failure-safe (a re-run emits identical
+    walks), and the DuckDB twin replays every hop exactly via
+    arg_min over the same hash integers. Walker state is one
+    (start, cur) row per walk regardless of length; each step is one
+    join on the current-node key + an algebraic min_by."""
+    from hikma_engine_spark.operators.graph import deterministic_walks
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    starts = edges.select(F.col("a").alias("node")).distinct()
+    return deterministic_walks(
+        edges, length=4, a_col="a", b_col="b", starts=starts
+    ).orderBy("start", "step")
+
+
 def g_kcore_custpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: k-core decomposition (operators.graph.k_core)
     of the customer–part bipartite graph (distinct (custkey, partkey)
@@ -2185,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "g_walks_custpart": g_walks_custpart,
         "g_kcore_custpart": g_kcore_custpart,
         "ev_retention_cohorts": ev_retention_cohorts,
         "a_kmv_overlap": a_kmv_overlap,
@@ -2477,6 +2508,43 @@ def _comprehensive_sql() -> str:
 _COMPREHENSIVE_SQL = _comprehensive_sql()
 
 
+def _walks_sql(length: int = 4) -> str:
+    """Unrolled deterministic-walk twin for g_walks_custpart: step t
+    is arg_min over neighbors of the identical 48-bit md5 hash the
+    Spark walker minimizes, so every hop replays exactly."""
+    parts = [
+        """e AS MATERIALIZED (
+              SELECT DISTINCT 'c'||o_custkey AS a, 'p'||l_partkey AS b
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            sym AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM e
+              UNION ALL SELECT b AS u, a AS v FROM e
+            ),
+            w0 AS (SELECT DISTINCT a AS start, a AS cur FROM e)"""
+    ]
+    for t in range(1, length + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+              SELECT w.start,
+                     arg_min(s.v, CAST('0x'||substr(md5(w.cur||':{t}:'||s.v),1,12) AS BIGINT)) AS cur
+              FROM w{t - 1} w JOIN sym s ON s.u = w.cur
+              GROUP BY w.start
+            )"""
+        )
+    sel = "\n            UNION ALL ".join(
+        f"SELECT start, {t} AS step, cur AS node FROM w{t}"
+        for t in range(length + 1)
+    )
+    return (
+        "WITH "
+        + ",\n            ".join(parts)
+        + f"""
+            SELECT start, CAST(step AS INT) AS step, node FROM ({sel})
+            ORDER BY start, step"""
+    )
+
+
 def _kcore_sql(k: int = 20, rounds: int = 8) -> str:
     """Unrolled distributed-peel twin for g_kcore_custpart: ``rounds``
     chained (degree → keep → induce) CTE triples over the customer-part
@@ -2730,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "g_walks_custpart": _walks_sql(),
         "g_kcore_custpart": _kcore_sql(),
         "ev_retention_cohorts": """
             WITH first AS (

@@ -1026,3 +1026,51 @@ def test_k_core_convergence_guard(spark):
         k_core(df, 2, max_iter=3).collect()
     # with budget it converges to the empty 2-core (a path has none)
     assert k_core(df, 2, max_iter=12).count() == 0
+
+
+def test_deterministic_walks_replay_exactly(spark):
+    """The distributed walker must equal a pure-Python walker using
+    the same md5-argmin rule — pins both the hash spec and the
+    min_by step semantics."""
+    import hashlib
+
+    from hikma_engine_spark.operators.graph import deterministic_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")]
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    want = {}
+    for start in adj:
+        cur = start
+        want[(start, 0)] = cur
+        for t in range(1, 4):
+            cur = min(adj[cur], key=lambda v: h48(f"{cur}:{t}:{v}"))
+            want[(start, t)] = cur
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        (r["start"], r["step"]): r["node"]
+        for r in deterministic_walks(df, 3).collect()
+    }
+    assert got == want
+
+
+def test_deterministic_walks_starts_and_dead_start(spark):
+    """starts restricts origins; an origin absent from the graph walks
+    to NULL from step 1 (defensive null propagation)."""
+    from hikma_engine_spark.operators.graph import deterministic_walks
+
+    df = spark.createDataFrame([("a", "b")], ["a", "b"])
+    starts = spark.createDataFrame([("a",), ("ghost",)], ["node"])
+    rows = deterministic_walks(df, 2, starts=starts).collect()
+    byk = {(r["start"], r["step"]): r["node"] for r in rows}
+    assert set(r["start"] for r in rows) == {"a", "ghost"}
+    assert byk[("a", 1)] == "b" and byk[("a", 2)] == "a"
+    assert byk[("ghost", 0)] == "ghost"
+    assert byk[("ghost", 1)] is None and byk[("ghost", 2)] is None
