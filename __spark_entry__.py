@@ -410,6 +410,30 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: sliding-window document chunking
+    (operators.export.chunk_documents, 32-token chunks, 8-token
+    overlap — sized so the 10-99-token test docs genuinely multi-chunk) — the context-length prep step between cleaning and
+    packing in a training pipeline. Pure narrow whole-stage-codegen
+    work (tokenize → arithmetic chunk count → posexplode sequence →
+    slice): zero shuffles, zero UDFs. The entry emits per-chunk
+    (doc_id, chunk_id, n_tokens, chunk_hash) with the portable 48-bit
+    md5 of the chunk text, so the DuckDB twin replays every chunk
+    boundary AND content hash exactly."""
+    from hikma_engine_spark.operators.export import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+    return ch.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "n_tokens",
+        F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 def g_walks_custpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: DeepWalk-style walk-corpus generation
     (operators.graph.deterministic_walks) — 4-step walks from every
@@ -2215,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "d_chunked_docs": d_chunked_docs,
         "g_walks_custpart": g_walks_custpart,
         "g_kcore_custpart": g_kcore_custpart,
         "ev_retention_cohorts": ev_retention_cohorts,
@@ -2797,6 +2822,30 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p50_ok,
                    TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "d_chunked_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x <> ''
+                     ) AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, t, len(t) AS n,
+                     1 + greatest(0, CAST(ceil((len(t) - 32) / 24.0) AS INT)) AS n_chunks
+              FROM toks WHERE len(t) > 0
+            ),
+            ch AS (
+              SELECT doc_id, unnest(range(n_chunks)) AS chunk_id, t, n
+              FROM base
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(len(t[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_tokens,
+                   CAST('0x'||substr(md5(array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')),1,12) AS BIGINT) AS chunk_hash
+            FROM ch
+            ORDER BY doc_id, chunk_id
         """,
         "g_walks_custpart": _walks_sql(),
         "g_kcore_custpart": _kcore_sql(),

@@ -383,3 +383,73 @@ def write_training_shards(
     with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, sort_keys=True)
     return manifest
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the training-prep step that
+    turns long documents into model-context-sized pieces (chunk size
+    ``chunk_tokens``, stride ``chunk_tokens − overlap``, the standard
+    overlapping-window scheme long-context pretraining and RAG
+    indexing both use).
+
+    Pure narrow JVM work — tokenize (the repo's standard
+    lower/strip/split normalization), compute the chunk count
+    arithmetically, posexplode a ``sequence`` of chunk indices, and
+    ``slice`` the token array per chunk. NO shuffle, NO UDF: at 100 TB
+    this runs entirely inside whole-stage codegen scan-side, and the
+    chunk stream feeds pack_sequences / write_training_shards
+    downstream.
+
+    Emits (id, chunk_id, n_tokens, chunk_text) one row per chunk:
+    every token is covered, consecutive chunks share exactly
+    ``overlap`` tokens (except a shorter final chunk), and a document
+    shorter than ``chunk_tokens`` yields one chunk. Zero-token
+    documents yield no rows.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    # chunks start at 0, stride, 2*stride, ... while start < n, but a
+    # final chunk fully contained in the previous one is dropped:
+    # n_chunks = 1 + max(0, ceil((n - chunk_tokens) / stride))
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((F.col("n") - F.lit(chunk_tokens)) / F.lit(stride)).cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("n")
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(
+                F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+            ).alias("chunk_toks"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("chunk_toks").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        )
+    )

@@ -309,3 +309,47 @@ def test_temperature_quotas_alpha(spark):
     assert q1 == {"a": 80, "b": 20}
     assert q05["b"] > 20 and q05["a"] < 80
     assert q05["a"] + q05["b"] <= 100
+
+
+def test_chunk_documents_reconstruction_invariant(spark):
+    """Dropping the first `overlap` tokens of every chunk after the
+    first and concatenating reproduces the exact token stream — the
+    no-token-lost/no-token-duplicated contract of sliding-window
+    chunking. Also pins: short docs yield one chunk, zero-token docs
+    none, consecutive chunks share exactly `overlap` tokens."""
+    from hikma_engine_spark.operators.export import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),   # multi-chunk
+        (2, " ".join(f"s{i}" for i in range(32))),    # exactly one chunk
+        (3, "solo"),                                  # tiny
+        (4, "!!! ???"),                               # zero tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ch = chunk_documents(df, "doc_id", "text", chunk_tokens=32, overlap=8)
+    got = {}
+    for r in ch.collect():
+        got.setdefault(r["id"], []).append((r["chunk_id"], r["chunk_text"].split(" ")))
+    assert 4 not in got
+    assert [c for c, _ in sorted(got[2])] == [0]
+    assert got[3] == [(0, ["solo"])]
+    for doc, want_n in ((1, 100), (2, 32), (3, 1)):
+        chunks = [t for _, t in sorted(got[doc])]
+        recon = list(chunks[0])
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert prev[-8:] == cur[:8]  # exact overlap
+            recon.extend(cur[8:])
+        assert recon == [w for w, _ in [(f"t{i}", 0) for i in range(100)]][:want_n] or doc != 1
+        assert len(recon) == want_n
+
+
+def test_chunk_documents_param_validation(spark):
+    import pytest as _pytest
+
+    from hikma_engine_spark.operators.export import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=16, overlap=16)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=16, overlap=-1)
