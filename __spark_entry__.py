@@ -410,6 +410,41 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: synchronous label propagation
+    (operators.graph.label_propagation) for 4 rounds over the
+    customer–part bipartite graph — community detection joins the
+    graph family (CC finds CONNECTED groups; LPA finds DENSE ones).
+    Deterministic tie-break (most frequent neighbor label, then
+    smaller label) replaces classic LPA's random tie-break so
+    partition retries reproduce identical labels and the DuckDB twin
+    can replay all 4 rounds exactly via unrolled
+    count → row_number-argmax CTEs. Fixed-round semantics are the
+    honest contract: synchronous LPA on bipartite graphs can
+    oscillate, so "labels after R rounds" is the well-defined
+    deterministic output. The entry emits the community-size
+    histogram (label, n_members) — compact, and any label flip moves
+    two rows of it."""
+    from hikma_engine_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, rounds=4)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("label"))
+    )
+
+
 def d_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: sliding-window document chunking
     (operators.export.chunk_documents, 32-token chunks, 8-token
@@ -2239,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "g_lpa_communities": g_lpa_communities,
         "d_chunked_docs": d_chunked_docs,
         "g_walks_custpart": g_walks_custpart,
         "g_kcore_custpart": g_kcore_custpart,
@@ -2570,6 +2606,47 @@ def _walks_sql(length: int = 4) -> str:
     )
 
 
+def _lpa_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA twin for g_lpa_communities: each round
+    is neighbor-label join → (node, label) count → deterministic
+    argmax via row_number (count DESC, label ASC) — the exact
+    min_by((−c, label)) rule the Spark operator applies."""
+    parts = [
+        """e AS MATERIALIZED (
+              SELECT DISTINCT 'c'||o_custkey AS a, 'p'||l_partkey AS b
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            sym AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM e
+              UNION ALL SELECT b AS u, a AS v FROM e
+            ),
+            l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""c{t} AS (
+              SELECT s.u, l.label, count(*) AS c
+              FROM sym s JOIN l{t - 1} l ON l.node = s.v
+              GROUP BY s.u, l.label
+            ),
+            l{t} AS MATERIALIZED (
+              SELECT u AS node, label FROM (
+                SELECT u, label,
+                       row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+                FROM c{t}
+              ) WHERE rn = 1
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(parts)
+        + f"""
+            SELECT label, count(*) AS n_members
+            FROM l{rounds} GROUP BY label
+            ORDER BY n_members DESC, label ASC"""
+    )
+
+
 def _kcore_sql(k: int = 20, rounds: int = 8) -> str:
     """Unrolled distributed-peel twin for g_kcore_custpart: ``rounds``
     chained (degree → keep → induce) CTE triples over the customer-part
@@ -2823,6 +2900,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "g_lpa_communities": _lpa_sql(),
         "d_chunked_docs": """
             WITH toks AS (
               SELECT doc_id,

@@ -1074,3 +1074,30 @@ def test_deterministic_walks_starts_and_dead_start(spark):
     assert byk[("a", 1)] == "b" and byk[("a", 2)] == "a"
     assert byk[("ghost", 0)] == "ghost"
     assert byk[("ghost", 1)] is None and byk[("ghost", 2)] is None
+
+
+def test_label_propagation_recovers_planted_communities(spark):
+    """Two 5-cliques joined by one bridge edge: 4 LPA rounds label
+    each clique uniformly with its minimum member; the bridge does not
+    merge them (a single cross-neighbor never outvotes 4 in-clique
+    neighbors)."""
+    from hikma_engine_spark.operators.graph import label_propagation
+
+    cliq = lambda p: [(f"{p}{i}", f"{p}{j}") for i in range(5) for j in range(i + 1, 5)]
+    edges = cliq("x") + cliq("y") + [("x0", "y0")]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["label"] for r in label_propagation(df, 4).collect()}
+    assert all(got[f"x{i}"] == "x0" for i in range(5))
+    assert all(got[f"y{i}"] == "y0" for i in range(5))
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    """A node with equally-frequent neighbor labels adopts the SMALLER
+    label — pinned on a path a-m-z after one round (m sees {a, z} once
+    each)."""
+    from hikma_engine_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([("a", "m"), ("m", "z")], ["a", "b"])
+    got = {r["node"]: r["label"] for r in label_propagation(df, 1).collect()}
+    assert got["m"] == "a"      # tie {a, z} -> smaller
+    assert got["a"] == "m" and got["z"] == "m"  # single neighbor
