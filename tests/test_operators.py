@@ -1101,3 +1101,40 @@ def test_label_propagation_deterministic_tiebreak(spark):
     got = {r["node"]: r["label"] for r in label_propagation(df, 1).collect()}
     assert got["m"] == "a"      # tie {a, z} -> smaller
     assert got["a"] == "m" and got["z"] == "m"  # single neighbor
+
+
+def test_quantize_int8_bounds_and_error(spark):
+    """Quantized coords stay in [-127, 127], the max coordinate maps
+    to ±127 exactly, and dequantized cosine error vs float cosine is
+    below 1% on deterministic pseudo-random vectors."""
+    import numpy as np
+
+    from hikma_engine_spark.operators import similarity_search as ss
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(32)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = ss.quantize_int8(df).collect()
+    for r in got:
+        q = r["q"]
+        v = np.array(r["embedding"])
+        assert max(abs(x) for x in q) == 127
+        assert all(-127 <= x <= 127 for x in q)
+        # dequantize and compare cosine against an arbitrary probe
+        s = 127.0 / np.abs(v).max()
+        dq = np.array(q) / s
+        cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        probe = np.array(vecs[0][1])
+        assert abs(cos(v, probe) - cos(dq, probe)) < 0.01
+
+
+def test_int8_topk_zero_vector_safe(spark):
+    """An all-zero vector quantizes to scale 0 / cosine 0 instead of
+    dividing by zero, and never enters the top-k above real matches."""
+    from hikma_engine_spark.operators import similarity_search as ss
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = ss.int8_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got[:2]] == [1, 2]
+    assert got[2]["cosine_q"] == 0.0
