@@ -410,6 +410,96 @@ def a_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: burst detection — hourly event-type volumes
+    whose count is ≥ 2 trailing standard deviations above the trailing
+    24-bucket mean (the anomaly/trend primitive behind "entity X is
+    suddenly hot" alerts on a mention stream). Pure narrow work + ONE
+    window over (event_type ORDER BY hour): the baseline statistics
+    come from integer sum/sum-of-squares window aggregates — NOT
+    stddev_samp(), whose streaming implementation differs between
+    engines; here both engines evaluate the identical closed-form
+    arithmetic on exact integer sums, so the z-scores match to the
+    last double bit. Scale: one shuffle by event_type (the hourly
+    pre-aggregation is map-side combinable; the per-key window rides
+    the same partitioning)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_bucket",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("n").over(w).alias("nb"),
+    )
+    mu = F.col("s1") / F.col("nb")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    return (
+        stats.filter(F.col("nb") >= 12)
+        .withColumn("var", var)
+        .filter(F.col("var") > 0)  # flat baseline: no scale to burst against
+        .withColumn("z", (F.col("n") - mu) / F.sqrt(F.col("var")))
+        .filter(F.col("z") >= 2.0)
+        .select(
+            "event_type",
+            F.col("hour_bucket").cast("string").alias("hour_bucket"),
+            "n",
+            F.round("z", 4).alias("z"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )
+
+
+def a_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: MERGEABLE-sketch rollup — per-hour HLL
+    sketches of distinct users unioned into daily estimates
+    (hll_sketch_agg → hll_union_agg, Apache DataSketches under the
+    hood), the pattern that lets a 100 TB store keep only O(KB)
+    pre-aggregated sketches hot and still answer distinct-count
+    rollups at any coarser grain (completes the sketch family: HLL
+    point estimate ✓, GK quantile ✓, count-min top-k ✓, KMV overlap
+    ✓ — this one evidences MERGE, the property the others only
+    document). Contract entry: the daily estimate is compared in-plan
+    against the exact daily distinct (lgConfigK=12 → relative std
+    error ~1.6%; bound asserted at 5%), so the oracle-checkable
+    output is (day, exact, within-bound) — sketch internals never
+    leave the plan. HLL union is order-insensitive, so the assertion
+    is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    hourly_sk = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_bucket"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    daily_est = hourly_sk.groupBy("day_bucket").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    daily_exact = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_bucket")
+    ).agg(F.countDistinct("user_id").alias("n_users_exact"))
+    return (
+        daily_exact.join(daily_est, "day_bucket")
+        .select(
+            F.col("day_bucket").cast("string").alias("day_bucket"),
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("day_bucket")
+    )
+
+
 def e_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: int8-quantized similarity search
     (operators.similarity_search.quantize_int8 / int8_topk) — the
@@ -1274,6 +1364,26 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: directed doc-in-doc dedup — exact shingle
+    CONTAINMENT C(A→B) = |sh(A)∩sh(B)|/|sh(A)| ≥ 0.8 via
+    dedup.containment_pairs (prefix filter on the contained side only;
+    see the operator docstring for why Jaccard structurally misses
+    quote/boilerplate inclusions that containment catches). The DuckDB
+    twin derives both directions from the same undirected intersection
+    counts the Jaccard twin uses."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.containment_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+        .select(
+            "contained",
+            "container",
+            F.round("containment", 4).alias("containment"),
+        )
+        .orderBy("contained", "container")
+    )
+
+
 def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1997,6 +2107,95 @@ def g_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_SEED = "spark"  # highest-frequency gazetteer surface (present at every sf)
+
+
+def g_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related entities around one seed node via personalized PageRank
+    (random walk with restart, alpha=0.15, 6 fixed iterations) over the
+    symmetric co-mention graph — the interactive "what's related to X"
+    KG query (reference analog: the structural search tier around a
+    focus node, src/api/services/search-service.ts; scored by visit
+    probability instead of hop count). Oracle: unrolled per-iteration
+    SQL twin of the identical recurrence."""
+    from hikma_engine_spark.operators.graph import personalized_pagerank
+
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    pairs = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .select("e1", "e2")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("e1").alias("src"), F.col("e2").alias("dst")
+    ).unionByName(pairs.select(F.col("e2").alias("src"), F.col("e1").alias("dst")))
+    return (
+        personalized_pagerank(edges, seed=_PPR_SEED, alpha=0.15, n_iter=6)
+        .select(F.col("node").alias("entity"), F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "entity")
+    )
+
+
+def _ppr_oracle_sql(
+    gaz: str, seed: str, n_iter: int = 6, alpha: float = 0.15
+) -> str:
+    """Unrolled twin of ``operators.graph.personalized_pagerank``:
+    r_0 = e_seed; r_{i+1} = alpha*e_seed + (1-alpha)*P^T r_i (the
+    co-mention graph is symmetric, so the dangling self-loop closure
+    adds no edges here — same note as ``_pagerank_oracle_sql``)."""
+    parts = [
+        f"WITH t AS ({_DOC_TRANSCRIPTS_SQL})",
+        f"""m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            )""",
+        """p AS (
+              SELECT DISTINCT a.e AS e1, b.e AS e2
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.e < b.e
+            )""",
+        "ed AS (SELECT e1 AS src, e2 AS dst FROM p UNION ALL SELECT e2, e1 FROM p)",
+        "nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)",
+        "deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src)",
+        f"""r0 AS (
+              SELECT node,
+                     CASE WHEN node = '{seed}' THEN 1.0 ELSE 0.0 END AS score
+              FROM nodes
+            )""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (
+              SELECT ed.dst AS node, sum(r.score / deg.deg) AS contrib
+              FROM ed JOIN r{i - 1} r ON ed.src = r.node
+                      JOIN deg ON ed.src = deg.src
+              GROUP BY ed.dst
+            )"""
+        )
+        parts.append(
+            f"""r{i} AS (
+              SELECT nodes.node,
+                     {alpha:.17g} * CASE WHEN nodes.node = '{seed}' THEN 1.0 ELSE 0.0 END
+                     + {1.0 - alpha:.17g} * COALESCE(c{i}.contrib, 0.0) AS score
+              FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS entity, round(score, 6) AS score FROM r{n_iter} "
+        "ORDER BY score DESC, entity"
+    )
+
+
 def _zorder_oracle_sql() -> str:
     from hikma_engine_spark.operators import layout
 
@@ -2294,6 +2493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "d_containment_pairs": d_containment_pairs,
+        "g_ppr_related": g_ppr_related,
+        "ev_bursts": ev_bursts,
+        "a_hll_rollup": a_hll_rollup,
         "e_int8_topk": e_int8_topk,
         "g_lpa_communities": g_lpa_communities,
         "d_chunked_docs": d_chunked_docs,
@@ -3260,6 +3463,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2 ORDER BY day_bucket, event_type
         """,
+        # burst z-scores from integer sum/sum-of-squares window
+        # aggregates — identical closed-form arithmetic both engines
+        "ev_bursts": """
+            WITH hourly AS (
+              SELECT event_type,
+                     date_trunc('hour', ts)::TIMESTAMP AS hour_bucket,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+              SELECT event_type, hour_bucket, n,
+                     sum(n) OVER w AS s1,
+                     sum(n * n) OVER w AS s2,
+                     count(n) OVER w AS nb
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, CAST(hour_bucket AS varchar) AS hour_bucket, n,
+                   round((n - s1 / nb) / sqrt((s2 - s1 * s1 / nb) / (nb - 1)), 4) AS z
+            FROM stats
+            WHERE nb >= 12
+              AND (s2 - s1 * s1 / nb) / (nb - 1) > 0
+              AND (n - s1 / nb) / sqrt((s2 - s1 * s1 / nb) / (nb - 1)) >= 2.0
+            ORDER BY event_type, hour_bucket
+        """,
+        # HLL rollup contract: the oracle replays the EXACT daily
+        # distinct; the sketch estimate only survives as the asserted
+        # within-bound boolean (sketch internals never leave the plan)
+        "a_hll_rollup": """
+            SELECT CAST(date_trunc('day', ts)::TIMESTAMP AS varchar) AS day_bucket,
+                   count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS hll_within_5pct
+            FROM events GROUP BY 1 ORDER BY day_bucket
+        """,
         "d_token_freq": """
             WITH toks AS (
               SELECT doc_id,
@@ -3316,6 +3554,25 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLE_CTE}
             SELECT a, b, round(jaccard, 4) AS jaccard
             FROM jac WHERE jaccard >= 0.8 ORDER BY a, b
+        """,
+        # directed containment from the same undirected intersection
+        # counts; threshold in exact integer arithmetic (10·n ≥ 8·sz),
+        # mirroring the Spark side's ⌈t·|A|⌉ integer filter
+        "d_containment_pairs": f"""
+            WITH {_SHINGLE_CTE},
+            dir AS (
+              SELECT p.a AS contained, p.b AS container,
+                     p.n_inter::double / sa.sz AS containment,
+                     10 * p.n_inter >= 8 * sa.sz AS keep
+              FROM pair_inter p JOIN sizes sa ON sa.doc_id = p.a
+              UNION ALL
+              SELECT p.b, p.a,
+                     p.n_inter::double / sb.sz,
+                     10 * p.n_inter >= 8 * sb.sz
+              FROM pair_inter p JOIN sizes sb ON sb.doc_id = p.b
+            )
+            SELECT contained, container, round(containment, 4) AS containment
+            FROM dir WHERE keep ORDER BY contained, container
         """,
         "d_minhash_pairs": f"""
             WITH {_SHINGLE_CTE}
@@ -3750,6 +4007,7 @@ def oracle_sql() -> dict[str, str]:
             FROM paths GROUP BY n ORDER BY node
         """,
         "g_pagerank_entities": _pagerank_oracle_sql(gaz),
+        "g_ppr_related": _ppr_oracle_sql(gaz, _PPR_SEED),
         "s_name_case_rank": """
             SELECT id, tier FROM (
               SELECT CAST(doc_id AS varchar) AS id, source AS name,

@@ -244,6 +244,129 @@ def ngram_jaccard_pairs(
     )
 
 
+# ---------- exact n-gram CONTAINMENT (directed doc-in-doc) ----------
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT directed containment pairs: (contained, container,
+    containment) where C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold
+    and A ≠ B. Containment is the asymmetric sibling of Jaccard and the
+    right tool for DOC-IN-DOC duplication (a paragraph quoted inside a
+    much longer page): J(A,B) = |A∩B|/|A∪B| vanishes as |B| grows even
+    when ALL of A is inside B, so a Jaccard dedup pass at any threshold
+    misses it, while C(A→B) stays 1.0. Real LLM-corpus pipelines run
+    both (whole-doc Jaccard + containment for quotes/boilerplate
+    inclusions); cf. the set-similarity-join literature's C-join
+    variant of AllPairs/PPJoin.
+
+    Candidate generation — prefix filter on the CONTAINED side only:
+    if C(A→B) ≥ t then at most |A| − ⌈t·|A|⌉ of A's shingles are
+    absent from B, so A's rarity-ordered prefix of length
+    |A| − ⌈t·|A|⌉ + 1 must share ≥ 1 shingle with B (pigeonhole).
+    Unlike the Jaccard join there is NO prefix bound on the container
+    side (any of B's shingles can be the witness), so the candidate
+    join is prefix(A) ⋈_g inverted-index(corpus) — the index side is
+    the full exploded shingle table, shuffled by gram once (the same
+    inverted-index build every set-similarity join pays; at warehouse
+    scale it is built once and bucketed by gram). The prefix side
+    contains only each doc's RAREST shingles (the bounded hot-shingle
+    dim pushes corpus-hot grams out of prefixes exactly as in
+    ``ngram_jaccard_pairs``), so posting lists met by prefixes are
+    short; worst case remains a doc whose rarest shingle is globally
+    hot, which the size filter |B| ≥ ⌈t·|A|⌉ and exact verification
+    bound but do not eliminate — document-level truth, no false
+    positives/negatives either way.
+
+    Verification mirrors ``ngram_jaccard_pairs``: candidate-doc
+    semi-join pruning, then |A∩B| by inverted-index COUNTING (plain
+    equi-joins + groupBy, whole-stage codegen), filter
+    n_inter ≥ ⌈t·|A|⌉.
+    """
+    from fractions import Fraction
+
+    df = _rebalance(df)
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+
+    def ceil_t_times(col: str) -> Column:
+        return F.expr(f"CAST(({num} * {col} + {den} - 1) DIV {den} AS INT)")
+
+    sh = df.select(
+        F.col(id_col).alias("doc"), lsh.word_shingles(F.col(text_col), n).alias("sh")
+    )
+    exploded = sh.select(
+        "doc", F.size("sh").alias("sz"), F.explode("sh").alias("g")
+    )
+    hot = (
+        exploded.groupBy("g")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("g"))
+        .limit(100_000)
+    )
+    prefix = (
+        exploded.join(F.broadcast(hot), "g", "left")
+        .groupBy("doc", "sz")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce("freq", F.lit(0)).alias("freq"),
+                            F.xxhash64("g").alias("h"),
+                            F.col("g"),
+                        )
+                    )
+                ),
+                F.lit(1),
+                F.col("sz") - ceil_t_times("sz") + F.lit(1),
+            ).alias("pref")
+        )
+        .select("doc", "sz", F.explode("pref").alias("p"))
+        .select("doc", F.col("p.g").alias("g"), "sz")
+    )
+    a = prefix.select(F.col("doc").alias("a"), "g", F.col("sz").alias("sz_a"))
+    b = exploded.select(F.col("doc").alias("b"), "g", F.col("sz").alias("sz_b"))
+    cands = (
+        a.join(b, "g")
+        .filter(
+            (F.col("a") != F.col("b"))
+            # size filter: C(A→B) ≥ t needs |B| ≥ ⌈t·|A|⌉ shared shingles
+            & (F.col("sz_b") >= ceil_t_times("sz_a"))
+        )
+        .select("a", "b", "sz_a")
+        .distinct()
+        .persist()  # feeds the verify join AND the semi-join filter
+    )
+    cand_docs = (
+        cands.select(F.col("a").alias("doc"))
+        .unionByName(cands.select(F.col("b").alias("doc")))
+        .distinct()
+    )
+    ex_cand = exploded.join(cand_docs, "doc", "left_semi")
+    ex_a = ex_cand.select(F.col("doc").alias("a"), "g")
+    ex_b = ex_cand.select(F.col("doc").alias("b"), "g")
+    return (
+        cands.join(ex_a, "a")
+        .join(ex_b, ["b", "g"])
+        .groupBy("a", "b", "sz_a")
+        .agg(F.count("*").alias("n_inter"))
+        .withColumn(
+            "containment", F.col("n_inter") / F.col("sz_a").cast("double")
+        )
+        .filter(F.col("n_inter") >= ceil_t_times("sz_a"))
+        .select(
+            F.col("a").alias("contained"),
+            F.col("b").alias("container"),
+            "containment",
+        )
+    )
+
+
 # ---------- MinHash + LSH (approximate blocking, exact verify) ----------
 
 def minhash_pairs(

@@ -458,6 +458,123 @@ def pagerank(
     return ranks
 
 
+def _ppr_driver(
+    edge_list: list[tuple[str, str]], seed: str, alpha: float, n_iter: int
+) -> list[tuple[str, float]]:
+    """Driver twin of ``personalized_pagerank`` (same recurrence on a
+    collected edge list; bounded by ``driver_threshold``)."""
+    import numpy as np
+
+    edge_list = sorted(edge_list)
+    ids = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {u: i for i, u in enumerate(ids)}
+    n = len(ids)
+    srcs = np.fromiter((idx[u] for u, _ in edge_list), dtype=np.int64)
+    dsts = np.fromiter((idx[v] for _, v in edge_list), dtype=np.int64)
+    deg = np.bincount(srcs, minlength=n).astype(np.float64)
+    dangling = deg == 0
+    deg[dangling] = 1.0
+    e_seed = np.zeros(n)
+    if seed in idx:
+        e_seed[idx[seed]] = 1.0
+    ranks = e_seed.copy()
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dsts, ranks[srcs] / deg[srcs])
+        contrib[dangling] += ranks[dangling]
+        ranks = alpha * e_seed + (1.0 - alpha) * contrib
+    return [(u, float(ranks[idx[u]])) for u in ids]
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed: str,
+    src: str = "src",
+    dst: str = "dst",
+    alpha: float = 0.15,
+    n_iter: int = 6,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Random-walk-with-restart proximity to ONE seed node — the
+    "related entities" query a knowledge graph serves interactively
+    (reference analog: the graph-traversal search tier,
+    src/api/services/search-service.ts — structural relatedness around
+    a focus node; here scored by stationary visit probability instead
+    of hop count). Returns (node, score) for every node incident to an
+    edge; mass concentrates near the seed, so the top-k IS the
+    related-entity answer.
+
+    Recurrence (fixed iterations, oracle-replayable like ``pagerank``):
+        r_0      = e_seed
+        r_{i+1}  = alpha * e_seed + (1 - alpha) * P^T r_i
+    with the same dangling self-loop closure as ``pagerank`` (a node
+    with no out-edge keeps its damped mass). Fixed n_iter keeps the
+    result a pure function of (edges, seed, alpha, n_iter).
+
+    Scale shape: identical to ``pagerank`` — per iteration one
+    co-partitioned join (edge x rank) + one map-side-combinable
+    groupBy(dst); the rank vector is as sparse as the walk frontier in
+    early iterations but the plan is the same either way. Driver twin
+    below ``driver_threshold`` edges (bounded-probe economics, pinned
+    equal to the distributed path by
+    ``test_operators.test_ppr_driver_equals_distributed``).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = e.sparkSession
+    small = (
+        driver_threshold > 0
+        and e.limit(driver_threshold + 1).count() <= driver_threshold
+    )
+    if small:
+        pairs = [(r[0], r[1]) for r in e.collect()]
+        if not pairs:
+            return spark.createDataFrame([], "node string, score double")
+        return spark.createDataFrame(
+            _ppr_driver(pairs, seed, alpha, n_iter), ["node", "score"]
+        )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dangling = nodes.join(
+        e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    )
+    e_closed = e.unionByName(
+        dangling.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint(eager=True)
+    outdeg = e_closed.groupBy("src").agg(F.count("*").alias("deg"))
+    seed_ind = F.when(F.col("node") == seed, F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = nodes.withColumn("score", seed_ind)
+    for i in range(n_iter):
+        contribs = (
+            e_closed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("score") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(alpha) * seed_ind
+                + F.lit(1.0 - alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("score"),
+        )
+        if (i + 1) % 3 == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED simple graph given as
     unique (a < b) edge pairs — the graph-quality metric behind

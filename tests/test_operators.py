@@ -1138,3 +1138,106 @@ def test_int8_topk_zero_vector_safe(spark):
     got = ss.int8_topk(df, [1.0, 0.0], k=3).collect()
     assert [r["vec_id"] for r in got[:2]] == [1, 2]
     assert got[2]["cosine_q"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# round 5: directed containment dedup + personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def _brute_containment(rows, n=3, threshold=0.8):
+    """Independent python twin of containment semantics (same shingle
+    rules as lsh.word_shingles: lowercase, alnum tokens, distinct
+    n-grams, whole-text fallback below n tokens)."""
+    import re
+
+    def shingles(text):
+        toks = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    out = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                out[(a, b)] = c
+    return out
+
+
+def test_containment_pairs_catches_doc_in_doc(spark):
+    """The motivating asymmetry: A fully quoted inside a 4x-longer B
+    has C(A→B)=1.0 but Jaccard ~0.25 — the Jaccard pass at 0.8 finds
+    NOTHING, containment finds the inclusion (directed, one way)."""
+    a_text = "alpha beta gamma delta epsilon zeta"
+    b_text = (
+        a_text
+        + " eta theta iota kappa lam mu nu xi omicron pi rho sigma tau"
+    )
+    rows = [(0, a_text), (1, b_text), (2, "unrelated words entirely here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8)
+    assert jac.count() == 0
+    got = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert set(got) == {(0, 1)}  # directed: A-in-B only, never B-in-A
+    assert abs(got[(0, 1)] - 1.0) < 1e-12
+
+
+def test_containment_pairs_match_bruteforce(spark, docs):
+    """Exactness on the shared docs fixture at a mid threshold: the
+    prefix-filtered candidate join + counting verify loses nothing vs
+    the quadratic python twin."""
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _brute_containment(rows, n=3, threshold=0.5)
+    got = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in got)
+
+
+def test_ppr_driver_equals_distributed(spark):
+    """Both physical strategies of personalized_pagerank replay the
+    identical recurrence, including the dangling self-loop closure;
+    mass concentrates at the seed and unreachable nodes score 0."""
+    from hikma_engine_spark.operators.graph import personalized_pagerank
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+        ("c", "d"),            # d dangling (no out-edge)
+        ("x", "y"), ("y", "x"),  # component unreachable from seed 'a'
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    drv = {
+        r["node"]: r["score"]
+        for r in personalized_pagerank(df, seed="a").collect()
+    }
+    dist = {
+        r["node"]: r["score"]
+        for r in personalized_pagerank(df, seed="a", driver_threshold=0).collect()
+    }
+    assert set(drv) == set(dist) == {"a", "b", "c", "d", "x", "y"}
+    assert all(abs(drv[k] - dist[k]) < 1e-12 for k in drv)
+    assert drv["a"] == max(drv.values())  # restart mass pins the seed on top
+    assert drv["x"] == 0.0 and drv["y"] == 0.0  # never visited
+    assert drv["b"] > 0 and drv["c"] > 0 and drv["d"] > 0
+
+
+def test_ppr_missing_seed_is_all_zero(spark):
+    from hikma_engine_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = personalized_pagerank(df, seed="nope").collect()
+    assert {r["score"] for r in got} == {0.0}
