@@ -2107,6 +2107,123 @@ def g_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength between co-mentioned entities via LIFT
+    (P(a,b)/(P(a)P(b)) over turn units) — the KG edge-weighting /
+    surprising-pair primitive (PMI's argument without the log). All
+    math is EXACT INTEGERS: lift_millis = (1000·N·c_ab) DIV (c_a·c_b)
+    — no float sums, no libm log, so both engines agree bit-for-bit
+    (the same hash-safety doctrine as d_unigram_logprob's micro-sums,
+    taken one step further to pure integer division; at warehouse
+    scale the 1000·N·c_ab product needs DECIMAL(38) above ~1e15, a
+    widening Spark's decimal does natively). Scale shape: one distinct
+    + one self-join per turn unit for pair counts (the same co-mention
+    join every kg_* graph entry uses), margins are a vocabulary-sized
+    dim re-attached via broadcast-able equi-joins; everything
+    map-side-combinable."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    n_units = m.select("conv_id", "turn_idx").distinct().count()  # bounded scalar
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    pair_counts = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    marg = m.groupBy("surface_norm").agg(F.count("*").alias("c"))
+    m1 = marg.select(F.col("surface_norm").alias("e1"), F.col("c").alias("c_a"))
+    m2 = marg.select(F.col("surface_norm").alias("e2"), F.col("c").alias("c_b"))
+    return (
+        pair_counts.join(F.broadcast(m1), "e1")
+        .join(F.broadcast(m2), "e2")
+        .select(
+            "e1",
+            "e2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(f"(1000 * {n_units} * c_ab) DIV (c_a * c_b)").alias(
+                "lift_millis"
+            ),
+        )
+        .orderBy(F.desc("lift_millis"), "e1", "e2")
+    )
+
+
+_RRF_K = 60
+_RRF_TERM = "spark"
+
+
+def s_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two heterogeneous rankers — the
+    calibration-free way to merge ranked lists whose SCORES are not
+    comparable (term-frequency integers vs recency), complementing the
+    reference's weighted-score blend (search-controller.ts:552-576,
+    which needs normalized scores; RRF needs only ranks). Ranker A:
+    occurrences of a query term (exact integer via length arithmetic,
+    desc). Ranker B: recency of the synthetic ISO ts (the
+    s_hybrid_blend date derivation), desc. Each ranker's top-100 is a
+    TakeOrdered (no global sort shuffle); ranks are dense integers, so
+    RRF = Σ 1/(60+r) is a fixed-length sum of correctly-rounded
+    doubles — deterministic across engines with no score-calibration
+    float risk. Full-outer join on doc_id merges the lists (a doc
+    missing from one list contributes 0 from it)."""
+    d = _t(spark, sf_dir, "documents")
+    term_len = len(_RRF_TERM)
+    scored = d.select(
+        "doc_id",
+        (
+            (
+                F.length(F.lower(F.col("text")))
+                - F.length(F.replace(F.lower(F.col("text")), F.lit(_RRF_TERM)))
+            )
+            / term_len
+        )
+        .cast("long")
+        .alias("tc"),
+        (F.col("doc_id") % 60).cast("long").alias("age_days"),
+    )
+    top_a = scored.orderBy(F.desc("tc"), "doc_id").limit(100)
+    rank_a = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tc"), "doc_id"))
+        .alias("rank_a"),
+    )
+    top_b = scored.orderBy("age_days", "doc_id").limit(100)
+    rank_b = top_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("age_days", "doc_id"))
+        .alias("rank_b"),
+    )
+    fused = rank_a.join(rank_b, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf"),
+        "rank_a",
+        "rank_b",
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf"),
+            F.coalesce("rank_a", F.lit(-1)).cast("long").alias("rank_a"),
+            F.coalesce("rank_b", F.lit(-1)).cast("long").alias("rank_b"),
+        )
+    )
+
+
 _PPR_SEED = "spark"  # highest-frequency gazetteer surface (present at every sf)
 
 
@@ -2493,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "kg_cooccur_lift": kg_cooccur_lift,
+        "s_rrf_fusion": s_rrf_fusion,
         "d_containment_pairs": d_containment_pairs,
         "g_ppr_related": g_ppr_related,
         "ev_bursts": ev_bursts,
@@ -4008,6 +4127,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g_pagerank_entities": _pagerank_oracle_sql(gaz),
         "g_ppr_related": _ppr_oracle_sql(gaz, _PPR_SEED),
+        # lift in pure integer arithmetic (DuckDB // == Spark DIV on
+        # positives) — no float anywhere, bit-exact across engines
+        "kg_cooccur_lift": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            nu AS (
+              SELECT count(*) AS n
+              FROM (SELECT DISTINCT conv_id, turn_idx FROM m)
+            ),
+            pc AS (
+              SELECT a.e AS e1, b.e AS e2, count(*) AS c_ab
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.e < b.e
+              GROUP BY 1, 2
+            ),
+            marg AS (SELECT e, count(*) AS c FROM m GROUP BY e)
+            SELECT e1, e2, c_ab, ma.c AS c_a, mb.c AS c_b,
+                   (1000 * (SELECT n FROM nu) * c_ab) // (ma.c * mb.c)
+                     AS lift_millis
+            FROM pc JOIN marg ma ON ma.e = pc.e1
+                    JOIN marg mb ON mb.e = pc.e2
+            ORDER BY lift_millis DESC, e1, e2
+        """,
+        "s_rrf_fusion": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     CAST((length(lower(text))
+                           - length(replace(lower(text), '{_RRF_TERM}', '')))
+                          / {len(_RRF_TERM)} AS BIGINT) AS tc,
+                     CAST(doc_id % 60 AS BIGINT) AS age_days
+              FROM documents
+            ),
+            ta AS (SELECT doc_id, tc FROM scored
+                   ORDER BY tc DESC, doc_id LIMIT 100),
+            ra AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY tc DESC, doc_id) AS rank_a
+                   FROM ta),
+            tb AS (SELECT doc_id, age_days FROM scored
+                   ORDER BY age_days, doc_id LIMIT 100),
+            rb AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY age_days, doc_id) AS rank_b
+                   FROM tb),
+            fused AS (
+              SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                     COALESCE(1.0::DOUBLE / ({_RRF_K} + rank_a), 0.0)
+                     + COALESCE(1.0::DOUBLE / ({_RRF_K} + rank_b), 0.0) AS rrf,
+                     rank_a, rank_b
+              FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+            )
+            SELECT doc_id, round(rrf, 6) AS rrf,
+                   CAST(COALESCE(rank_a, -1) AS BIGINT) AS rank_a,
+                   CAST(COALESCE(rank_b, -1) AS BIGINT) AS rank_b
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+        """,
         "s_name_case_rank": """
             SELECT id, tier FROM (
               SELECT CAST(doc_id AS varchar) AS id, source AS name,
