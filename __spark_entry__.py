@@ -2047,6 +2047,51 @@ def g_cc_dupgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def g_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: INCREMENTAL connected components
+    (graph.incremental_connected_components) — dup-group
+    canonicalization resumed from a PERSISTED map instead of re-run
+    from scratch. docs < 400 are the historical corpus: their CC map is
+    written to parquet and read back (the production path — the
+    historical EDGES are never re-read, matching d_incremental_dedup's
+    index economics); pairs touching docs ≥ 400 are the new batch,
+    contracted onto old component ids and resolved by the DISTRIBUTED
+    large-star/small-star path (driver_threshold=0). The twin closes
+    over ALL J≥0.8 pairs from scratch, so a green hash PROVES
+    incremental == full."""
+    import os
+
+    from hikma_engine_spark.operators.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # persist: the pair set feeds TWO consumers (historical map build,
+    # new batch) — without it the whole PPJoin verify join re-runs per
+    # consumer (production reads pairs from the dedup service's output
+    # table, so the production path pays this once by construction)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8
+    ).persist()
+    old_edges = pairs.filter((F.col("a") < 400) & (F.col("b") < 400))
+    new_edges = pairs.filter((F.col("a") >= 400) | (F.col("b") >= 400))
+    map_path = os.path.join(
+        "/tmp", f"hikma_cc_map_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    connected_components(old_edges, src="a", dst="b").write.mode(
+        "overwrite"
+    ).parquet(map_path)
+    cm = spark.read.parquet(map_path)
+    out = incremental_connected_components(
+        cm, new_edges, src="a", dst="b", driver_threshold=0
+    )
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("node")
+
+
 def g_depth_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node transitive dependency depth (reference:
     computeTransitiveDepth, src/modules/ast-parser.ts:440-449) via the
@@ -2612,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- brand-new round-5 entries (no driver history yet) --
         "kg_cooccur_lift": kg_cooccur_lift,
         "s_rrf_fusion": s_rrf_fusion,
+        "g_cc_incremental": g_cc_incremental,
         "d_containment_pairs": d_containment_pairs,
         "g_ppr_related": g_ppr_related,
         "ev_bursts": ev_bursts,
@@ -4089,6 +4135,24 @@ def oracle_sql() -> dict[str, str]:
             FROM bfs GROUP BY id ORDER BY id
         """,
         "g_cc_dupgroups": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+            sym AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b, a FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            )
+            SELECT u AS node, least(u, min(v)) AS component
+            FROM reach GROUP BY u ORDER BY node
+        """,
+        # incremental CC twin: the SAME from-scratch closure over ALL
+        # pairs — green hash proves the contracted incremental path
+        # loses nothing vs a full re-run
+        "g_cc_incremental": f"""
             WITH RECURSIVE {_SHINGLE_CTE},
             pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
             sym AS (

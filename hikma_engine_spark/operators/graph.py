@@ -160,6 +160,65 @@ def connected_components(
     )
 
 
+def incremental_connected_components(
+    comp_map: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental CC: merge a PERSISTED canonical map with a batch of
+    new edges — the daily-ingest path of entity canonicalization. A
+    10^12-edge historical graph is canonicalized ONCE; each new batch
+    must not re-run CC over it (the same economics as
+    ``dedup.dedup_index``: the corpus is never re-read, only its
+    index/map rows).
+
+    ``comp_map``: (node, component) with component = MIN member id —
+    exactly ``connected_components``' output convention, which is what
+    makes contraction LOSSLESS: every old component is internally
+    connected, so it collapses to its component id (itself a member
+    node, the min); the merged component's new label = min over member
+    nodes = min over (old component ids ∪ unmapped new node ids) =
+    what CC over the contracted graph returns. No approximation, no
+    second pass.
+
+    Cost: two broadcast-able (or map-side, if the map is bucketed by
+    node) equi-joins to rewrite the batch onto component ids, then CC
+    over the CONTRACTED graph — O(|batch|) edges plus one node per
+    touched old component — and one join to re-point old members.
+    Returns the updated (node, component) covering old ∪ new nodes.
+    Equality with a from-scratch CC over (old ∪ new) edges is pinned
+    by ``test_operators.test_incremental_cc_equals_full`` and by the
+    ``g_cc_incremental`` oracle entry (the twin closes over ALL
+    edges).
+    """
+    e = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    cm_s = comp_map.select(F.col("node").alias("s"), F.col("component").alias("cs"))
+    cm_d = comp_map.select(F.col("node").alias("d"), F.col("component").alias("cd"))
+    contracted = (
+        e.join(cm_s, "s", "left")
+        .join(cm_d, "d", "left")
+        .select(
+            F.coalesce("cs", F.col("s")).alias("src"),
+            F.coalesce("cd", F.col("d")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    delta = connected_components(contracted, **cc_kwargs)
+    repoint = delta.select(
+        F.col("node").alias("component"), F.col("component").alias("newc")
+    )
+    old_updated = comp_map.join(repoint, "component", "left").select(
+        "node", F.coalesce("newc", F.col("component")).alias("component")
+    )
+    # contracted-graph nodes are old component ids (present in the map:
+    # the min member maps to itself) or brand-new nodes — the anti-join
+    # keeps exactly the latter
+    new_nodes = delta.join(comp_map.select("node"), "node", "left_anti")
+    return old_updated.unionByName(new_nodes)
+
+
 def _transitive_depth_driver(pairs: list[tuple[str, str]]) -> dict:
     """Driver-side twin: memoized DFS longest path (same spec)."""
     out_edges: dict[str, list[str]] = {}

@@ -1241,3 +1241,66 @@ def test_ppr_missing_seed_is_all_zero(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     got = personalized_pagerank(df, seed="nope").collect()
     assert {r["score"] for r in got} == {0.0}
+
+
+def test_incremental_cc_equals_full(spark):
+    """incremental_connected_components over (persisted map, batch) ==
+    from-scratch CC over the union — including a batch edge CHAINING
+    two old components through a new node, a batch-only component, and
+    an old component the batch never touches."""
+    from hikma_engine_spark.operators.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    old_edges = [
+        ("a", "b"), ("b", "c"),      # comp A (min a)
+        ("m", "n"),                  # comp B (min m)
+        ("x", "y"),                  # comp C (min x) — untouched below
+    ]
+    new_edges = [
+        ("c", "q"), ("q", "m"),      # new node q chains comps A and B
+        ("u", "v"),                  # brand-new component
+    ]
+    old_df = spark.createDataFrame(old_edges, "src string, dst string")
+    new_df = spark.createDataFrame(new_edges, "src string, dst string")
+    cm = connected_components(old_df)
+    got = {
+        (r["node"], r["component"])
+        for r in incremental_connected_components(cm, new_df).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(old_df.unionByName(new_df)).collect()
+    }
+    assert got == full
+    assert ("q", "a") in got and ("m", "a") in got  # chained merge
+    assert ("u", "u") in got and ("x", "x") in got  # new + untouched
+
+
+def test_incremental_cc_distributed_path(spark):
+    """Same equality with the delta CC forced onto the distributed
+    large-star/small-star path."""
+    from hikma_engine_spark.operators.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    old_edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(0, 40, 2)]
+    new_edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(1, 39, 2)]
+    old_df = spark.createDataFrame(old_edges, "src string, dst string")
+    new_df = spark.createDataFrame(new_edges, "src string, dst string")
+    cm = connected_components(old_df)
+    got = sorted(
+        (r["node"], r["component"])
+        for r in incremental_connected_components(
+            cm, new_df, driver_threshold=0
+        ).collect()
+    )
+    full = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(old_df.unionByName(new_df)).collect()
+    )
+    assert got == full and len(got) == 40
+    # everything chained into ONE component rooted at the min node
+    assert {c for _, c in got} == {"n000"}
