@@ -460,6 +460,46 @@ def ev_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator: per-key volume TREND via closed-form OLS over
+    (day index, daily count) — the "is this entity/event type growing"
+    primitive next to ev_bursts' "is it spiking". Hash-safety doctrine:
+    every aggregate is an EXACT INTEGER (n, Σx, Σy, Σxy, Σx²; x =
+    days since a fixed epoch, so no min-date scalar probe), and slope
+    = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is ONE double division of two
+    exact integers (IEEE-correctly-rounded, identical in both
+    engines) — float never enters a sum. Scale: daily pre-agg is
+    map-side combinable; the per-key OLS is a second tiny algebraic
+    agg riding the same partitioning."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.filter(den != 0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def a_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: MERGEABLE-sketch rollup — per-hour HLL
     sketches of distinct users unioned into daily estimates
@@ -2658,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur_lift": kg_cooccur_lift,
         "s_rrf_fusion": s_rrf_fusion,
         "g_cc_incremental": g_cc_incremental,
+        "ev_trend_slope": ev_trend_slope,
         "d_containment_pairs": d_containment_pairs,
         "g_ppr_related": g_ppr_related,
         "ev_bursts": ev_bursts,
@@ -3653,6 +3694,32 @@ def oracle_sql() -> dict[str, str]:
               AND (s2 - s1 * s1 / nb) / (nb - 1) > 0
               AND (n - s1 / nb) / sqrt((s2 - s1 * s1 / nb) / (nb - 1)) >= 2.0
             ORDER BY event_type, hour_bucket
+        """,
+        # OLS slope from exact integer sums; the single double division
+        # is IEEE-correctly-rounded, identical in both engines
+        "ev_trend_slope": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS BIGINT) AS x,
+                     count(*) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            sums AS (
+              -- DuckDB sum(BIGINT) widens to HUGEINT; cast back so the
+              -- dtypes (and downstream arithmetic) match Spark's long
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM daily GROUP BY event_type
+            )
+            SELECT event_type, n AS n_days,
+                   round((n * sxy - sx * sy)::DOUBLE
+                         / (n * sxx - sx * sx)::DOUBLE, 6) AS slope
+            FROM sums
+            WHERE n * sxx - sx * sx != 0
+            ORDER BY event_type
         """,
         # HLL rollup contract: the oracle replays the EXACT daily
         # distinct; the sketch estimate only survives as the asserted

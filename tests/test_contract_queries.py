@@ -137,3 +137,42 @@ def test_queries_count_matches_coverage_doc():
         f"COVERAGE.md documents {m.group(1)} queries() entries; "
         f"the live dict has {len(q)} — update COVERAGE.md"
     )
+
+
+def test_rrf_plan_is_topk_and_ranks_sane(spark):
+    """s_rrf_fusion's per-ranker top-100 must compile to
+    TakeOrderedAndProject (no global sort shuffles a 10^12-doc corpus);
+    the fused list is rrf-descending with doc_id tie-break and every
+    contribution comes from rank 1..100 or the -1 absent marker."""
+    from hikma_engine_spark.plans import inspect
+
+    df = entrymod.queries()["s_rrf_fusion"](spark, SF_DIR)
+    plan = inspect.physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    pdf = df.toPandas()
+    assert len(pdf) == 20
+    assert (pdf.rrf.values[:-1] >= pdf.rrf.values[1:]).all()
+    for col in ("rank_a", "rank_b"):
+        v = pdf[col]
+        assert (((v >= 1) & (v <= 100)) | (v == -1)).all()
+    # a doc ranked by BOTH lists must outscore one ranked by EITHER alone
+    both = pdf[(pdf.rank_a != -1) & (pdf.rank_b != -1)]
+    one = pdf[(pdf.rank_a == -1) | (pdf.rank_b == -1)]
+    if len(both) and len(one):
+        assert both.rrf.min() > 0 and both.rrf.max() >= one.rrf.max() - 1e-12
+
+
+def test_cooccur_lift_margins_broadcast_and_integer(spark):
+    """kg_cooccur_lift's vocabulary-sized margin dims must broadcast
+    (never a corpus-keyed shuffle), and lift_millis must be exact
+    integers (bit-reproducibility is the entry's contract)."""
+    from hikma_engine_spark.plans import inspect
+
+    df = entrymod.queries()["kg_cooccur_lift"](spark, SF_DIR)
+    plan = inspect.physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert str(pdf.lift_millis.dtype) == "int64"
+    # c_ab <= min(c_a, c_b) always
+    assert (pdf.c_ab <= pdf[["c_a", "c_b"]].min(axis=1)).all()
