@@ -176,3 +176,19 @@ def test_cooccur_lift_margins_broadcast_and_integer(spark):
     assert str(pdf.lift_millis.dtype) == "int64"
     # c_ab <= min(c_a, c_b) always
     assert (pdf.c_ab <= pdf[["c_a", "c_b"]].min(axis=1)).all()
+
+
+def test_containment_plan_broadcasts_hot_dim(spark):
+    """containment_pairs' bounded top-K hot-shingle dim must reach the
+    prefix build as a broadcast join (the corpus-sized exploded side
+    never shuffles for it), and the output must be directed: every
+    containment ≥ 0.8 with contained != container."""
+    from hikma_engine_spark.plans import inspect
+
+    df = entrymod.queries()["d_containment_pairs"](spark, SF_DIR)
+    plan = inspect.physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert (pdf.containment >= 0.8).all()
+    assert (pdf.contained != pdf.container).all()
