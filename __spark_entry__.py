@@ -2674,6 +2674,435 @@ def kg_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5 wave 2: pipeline-accounting / sequence / ER / link-prediction ops
+# ---------------------------------------------------------------------------
+
+
+def d_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style quality-filter CASCADE with per-rule drop
+    accounting — the ablation ledger every production corpus filter
+    ships (which rule removed how much, in order). Attribution is
+    FIRST-FAILING-RULE (a when-cascade, exactly the semantics of a
+    sequential filter pipeline), so the ledger rows sum to the corpus
+    and re-ordering rules visibly moves mass between them. All rule
+    predicates are integer arithmetic on lengths (digit share as
+    5·digits > n_chars, mean-token-length as alnum > 12·n_tokens) —
+    no floats anywhere, and share_millis is integer division over a
+    window total. Scale: one narrow projection + one 5-row groupBy;
+    every predicate is whole-stage-codegen Column algebra."""
+    d = _t(spark, sf_dir, "documents")
+    digits = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[0-9]", "")
+    )
+    alnum = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    )
+    ntoks = F.size(
+        F.filter(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            ),
+            lambda t: t != "",
+        )
+    )
+    verdict = (
+        F.when(F.col("n_chars") < 200, "r1_too_short")
+        .when(F.col("lang") != "en", "r2_not_target_lang")
+        .when(digits * 5 > F.col("n_chars"), "r3_digit_heavy")
+        .when(alnum > ntoks * 12, "r4_long_words")
+        .otherwise("kept")
+    )
+    return (
+        d.groupBy(verdict.alias("verdict"))
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "verdict",
+            "n_docs",
+            F.expr("(1000 * n_docs) DIV sum(n_docs) OVER ()").alias(
+                "share_millis"
+            ),
+        )
+        .orderBy("verdict")
+    )
+
+
+def ev_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals via gaps-and-islands: per user,
+    consecutive runs of the same event_type collapse into one
+    (state, valid_from, valid_to) row — the dimension-history builder
+    (slowly-changing-dimension type 2) expressed as lag-change flag →
+    running sum → island groupBy → lead for the closing edge.
+    Timestamps leave the plan as exact integer MICROS since a fixed
+    epoch literal (timestampdiff / date_diff on TIMESTAMP_NTZ — tz-free
+    and string-format-free on both engines); the open interval is
+    -1. A deterministic 1-in-25 user slice keeps the driver-side
+    compare bounded — the operator itself is full-corpus shaped (two
+    windows + one agg, all partitioned by the same user key, so the
+    sort is paid once). Ordering inside a user is total via
+    (ts, event_id)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 7)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(lagged.isNull() | (lagged != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    isl = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    grp = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf_ts"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', {})"
+    return (
+        grp.withColumn("vt_ts", F.lead("vf_ts").over(w2))
+        .select(
+            "user_id",
+            "state",
+            F.expr(us.format("vf_ts")).alias("valid_from_us"),
+            F.coalesce(F.expr(us.format("vt_ts")), F.lit(-1)).alias(
+                "valid_to_us"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+def d_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: adjacent-token-pair frequencies
+    (the argmax candidates of a BPE merge step, run at word grain so
+    the oracle shares the corpus tokenization with d_unigram_logprob /
+    d_token_freq). The pair stream is pure NARROW work — zip_with of
+    the token array against its own tail (no window, no second
+    explode-join) — then one map-side-combinable groupBy; top-30 by
+    (count, pair) is a TakeOrderedAndProject. This is exactly the
+    per-iteration job shape of distributed BPE training: count pairs,
+    take the argmax, substitute, repeat."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    pairs = (
+        d.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "w1", "w2")
+        .limit(30)
+    )
+
+
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimation over event streams:
+    per-user next-event via lead, then exact transition counts and
+    integer-millis row-normalized probabilities (1000·n DIV margin —
+    the kg_cooccur_lift hash-safety doctrine; float never enters).
+    The margin is a window sum partitioned by from_type, so no second
+    shuffle and no scalar probe. Scale: the lead window rides the
+    same (user_id, ts) sort sessionization already pays; the output
+    is |event_type|² rows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        tr.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr(
+                "(1000 * n) DIV sum(n) OVER (PARTITION BY from_type)"
+            ).alias("prob_millis"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def d_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: docs ranked by unigram-LM
+    quality (the d_unigram_logprob score, identical algebra) and cut
+    into terciles, reporting per-bucket doc/token mass and the bucket's
+    aggregate per-token log-prob. The rank key avg_lp is ONE double
+    division of two exact integers (order-free, bit-identical across
+    engines) with doc_id tiebreak; the tercile cut is ntile(3). Scale
+    note (in-plan honesty): ntile's global sort is fine at doc-dim
+    cardinality; at 100 TB you'd cut at two GK-sketch quantile
+    boundaries instead (a_approx_quantile shows the contract) — same
+    output schema, no global sort. Per-bucket sums are exact integer
+    micros; the single closing division is rounded to 6 dp."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.count()  # bounded scalar (one agg job)
+    lp_micro = F.round(
+        F.log2(F.col("cnt") / F.lit(float(total))) * 1e6
+    ).cast("long")
+    per_doc = (
+        toks.join(freq, "token")
+        .select("doc_id", lp_micro.alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp").alias("slp"))
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "slp",
+        (F.col("slp").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "avg_lp"
+        ),
+    )
+    bucketed = scored.select(
+        "*",
+        F.ntile(3)
+        .over(Window.orderBy(F.desc("avg_lp"), "doc_id"))
+        .alias("b"),
+    )
+    return (
+        bucketed.groupBy("b")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("slp").alias("sum_lp_micro"),
+        )
+        .select(
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "sum_tokens",
+            F.round(
+                F.col("sum_lp_micro").cast("double")
+                / F.col("sum_tokens").cast("double"),
+                6,
+            ).alias("bucket_avg_lp_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def s_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD: delta-encoded posting lists (the Lucene /
+    block-max storage layout) for the top-20 df terms. Per-(term, doc)
+    tf → per-term df dim (TakeOrdered top-20, broadcast back as the
+    prune key so only 20 terms' postings are ever assembled) → gap
+    encoding via lag along doc_id → deterministic assembly via
+    array_sort(collect_list(struct(doc_id, entry))) (sorted AFTER
+    collection, so collect_list's arbitrary arrival order cannot leak
+    into the string). Output is a flat string — engine-comparable and
+    exactly what an index shard writer would emit. Scale: groupBy
+    term is the classic posting-build shuffle; hot terms are bounded
+    here by the top-20 prune, and a full build would range-partition
+    terms and spill per-term runs (documented, not needed at any
+    test SF)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    top = dfr.orderBy(F.desc("df"), "token").limit(20)
+    w = Window.partitionBy("token").orderBy("doc_id")
+    entries = (
+        tf.join(F.broadcast(top.select("token")), "token")
+        .select(
+            "token",
+            "doc_id",
+            F.concat_ws(
+                ":",
+                (F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0)))
+                .cast("string"),
+                F.col("tf").cast("string"),
+            ).alias("s"),
+        )
+        .select("token", F.struct("doc_id", "s").alias("e"))
+    )
+    postings = entries.groupBy("token").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("e")), lambda x: x["s"]),
+            ",",
+        ).alias("postings")
+    )
+    return (
+        postings.join(F.broadcast(top), "token")
+        .select("token", "df", "total_tf", "postings")
+        .orderBy(F.desc("df"), "token")
+    )
+
+
+def kg_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution against a canonical master: deterministic
+    single-char-deletion typos (every p_partkey % 7 == 3 part, deleted
+    position p_partkey % length — reproducible in pure SQL on both
+    engines) are matched back to the distinct-name master via the
+    classic blocked-fuzzy shape: equi-join on a BLOCK KEY (first
+    char — a BroadcastHashJoin, the master dim is vocabulary-sized),
+    residual length-band + levenshtein ≤ 2 filter, best match per
+    dirty row by (distance, name) row_number. matched_correct is a
+    self-grading contract column (did ER recover the original?).
+    Extends the exact-key alias linking of stages/link.py (reference:
+    src/modules/data-loader.ts name-equality joins) with the fuzzy
+    tier a real KG ingest needs. Scale: candidates = dirty × (names
+    in block), never n²; a production run swaps first-char for a
+    stronger key (soundex / q-gram bands) — same plan shape."""
+    p = _t(spark, sf_dir, "part")
+    dirty = (
+        p.filter(F.col("p_partkey") % 7 == 3)
+        .select(
+            "p_partkey",
+            F.col("p_name").alias("orig"),
+            F.expr(
+                "concat(substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),"
+                "       substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))"
+            ).alias("dirty_name"),
+        )
+    )
+    canon = p.select(F.col("p_name").alias("canon")).distinct()
+    cand = (
+        dirty.join(
+            F.broadcast(canon),
+            F.substring("dirty_name", 1, 1) == F.substring("canon", 1, 1),
+        )
+        .filter(F.abs(F.length("dirty_name") - F.length("canon")) <= 1)
+        .select(
+            "p_partkey",
+            "orig",
+            "dirty_name",
+            "canon",
+            F.levenshtein("dirty_name", "canon").alias("lev"),
+        )
+        .filter(F.col("lev") <= 2)
+    )
+    w = Window.partitionBy("p_partkey").orderBy("lev", "canon")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "dirty_name",
+            F.col("canon").alias("best_match"),
+            F.col("lev").cast("long").alias("lev"),
+            (F.col("canon") == F.col("orig")).alias("matched_correct"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def g_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction / collaborative-filtering similarity: customer
+    pairs scored by JACCARD over their purchased-part sets (common
+    DIV union, exact integer millis — the set-overlap complement to
+    kg_cooccur_lift's probabilistic lift). Shape: distinct (cust,
+    part) bipartite edges → per-part degree dim → DEGREE CAP ≤ 40
+    (the standard CF hot-item guard: a part bought by everyone
+    predicts nothing and would alone contribute O(n²) wedges — same
+    doctrine as g_triangles' degree orientation) → self-join on part
+    for common counts → two broadcast degree-dim joins → integer
+    Jaccard, top-50 TakeOrdered. Wedge work is Σ d²·capped, never
+    n²."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cp = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    part_deg = cp.groupBy("p").agg(F.count("*").alias("d")).filter(F.col("d") <= 40)
+    cpc = cp.join(F.broadcast(part_deg.select("p")), "p")
+    deg = cpc.groupBy("c").agg(F.count("*").alias("deg"))
+    a = cpc.select("p", F.col("c").alias("c1"))
+    b = cpc.select("p", F.col("c").alias("c2"))
+    common = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= 5)
+    )
+    d1 = deg.select(F.col("c").alias("c1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("c").alias("c2"), F.col("deg").alias("deg2"))
+    return (
+        common.join(F.broadcast(d1), "c1")
+        .join(F.broadcast(d2), "c2")
+        .select(
+            "c1",
+            "c2",
+            "common",
+            "deg1",
+            "deg2",
+            F.expr("(1000 * common) DIV (deg1 + deg2 - common)").alias(
+                "jacc_millis"
+            ),
+        )
+        .orderBy(F.desc("jacc_millis"), "c1", "c2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2686,15 +3115,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round per round-4 verdict item 1): the driver's correctness
     artifact captures the FIRST 50 entries, so the head holds the
     entries with the THINNEST driver-artifact history — this round's
-    brand-new entries first, then the 24 whose last driver capture was
-    r03 (they sat past the 50-entry window in r04), then the
-    multi-round-green middle. The tail holds the 17 entries freshly
+    26 brand-new entries first, then the 24 whose last driver capture
+    was r03 (they sat past the 50-entry window in r04): together they
+    fill the window exactly, then the multi-round-green middle.
+    The tail holds the 17 entries freshly
     captured in r04 (their history is one round old — the youngest
     possible). Net effect: every entry keeps a driver row ≤2 rounds
     old. All entries remain verifiable at any sf via
     tools/verify_entry.py."""
     return {
         # -- brand-new round-5 entries (no driver history yet) --
+        "d_filter_cascade": d_filter_cascade,
+        "ev_state_intervals": ev_state_intervals,
+        "d_bpe_merges": d_bpe_merges,
+        "ev_markov_transitions": ev_markov_transitions,
+        "d_ccnet_buckets": d_ccnet_buckets,
+        "s_inverted_postings": s_inverted_postings,
+        "kg_fuzzy_match": kg_fuzzy_match,
+        "g_link_predict": g_link_predict,
         "kg_cooccur_lift": kg_cooccur_lift,
         "s_rrf_fusion": s_rrf_fusion,
         "g_cc_incremental": g_cc_incremental,
@@ -3147,6 +3585,217 @@ def _knn_exact_sql(extra_cols: str = "") -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "d_filter_cascade": """
+            WITH f AS (
+              SELECT CASE
+                WHEN n_chars < 200 THEN 'r1_too_short'
+                WHEN lang != 'en' THEN 'r2_not_target_lang'
+                WHEN 5 * (length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     > n_chars THEN 'r3_digit_heavy'
+                WHEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                     > 12 * len(list_filter(
+                         string_split(trim(regexp_replace(
+                           lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         t -> t != '')) THEN 'r4_long_words'
+                ELSE 'kept' END AS verdict
+              FROM documents
+            ),
+            g AS (SELECT verdict, count(*) AS n_docs FROM f GROUP BY verdict)
+            SELECT verdict, n_docs,
+                   CAST((1000 * n_docs) // sum(n_docs) OVER () AS BIGINT)
+                     AS share_millis
+            FROM g ORDER BY verdict
+        """,
+        "ev_state_intervals": """
+            WITH e AS (SELECT * FROM events WHERE user_id % 25 = 7),
+            f AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w != event_type
+                          THEN 1 ELSE 0 END AS ni
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            i AS (
+              SELECT user_id, ts, event_type,
+                     sum(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+              FROM f
+            ),
+            g AS (
+              SELECT user_id, island, min(event_type) AS state,
+                     min(ts) AS vf, count(*) AS n_events
+              FROM i GROUP BY user_id, island
+            )
+            SELECT user_id, state,
+                   date_diff('microsecond',
+                             TIMESTAMP '2024-01-01 00:00:00', vf)
+                     AS valid_from_us,
+                   coalesce(date_diff('microsecond',
+                              TIMESTAMP '2024-01-01 00:00:00',
+                              lead(vf) OVER
+                                (PARTITION BY user_id ORDER BY island)), -1)
+                     AS valid_to_us,
+                   n_events
+            FROM g ORDER BY user_id, valid_from_us
+        """,
+        "d_bpe_merges": """
+            WITH t AS (
+              SELECT list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x != '') AS toks
+              FROM documents
+            ),
+            p AS (
+              SELECT unnest(list_zip(toks, toks[2:])) AS pr
+              FROM t WHERE len(toks) >= 2
+            )
+            SELECT pr[1] AS w1, pr[2] AS w2,
+                   count(*) AS pair_count
+            FROM p WHERE pr[2] IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY pair_count DESC, w1, w2 LIMIT 30
+        """,
+        "ev_markov_transitions": """
+            WITH tr AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              FROM events
+            ),
+            c AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type)
+                        AS BIGINT) AS prob_millis
+            FROM c ORDER BY from_type, to_type
+        """,
+        "d_ccnet_buckets": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t != '')) AS token
+              FROM documents
+            ),
+            freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+            tot AS (SELECT count(*)::DOUBLE AS total FROM toks),
+            pd AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     CAST(sum(CAST(round(log2(f.cnt / tot.total) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS slp
+              FROM toks JOIN freq f USING (token), tot
+              GROUP BY doc_id
+            ),
+            sc AS (SELECT doc_id, n_tokens, slp,
+                          slp::DOUBLE / n_tokens::DOUBLE AS avg_lp FROM pd),
+            bk AS (SELECT *, ntile(3) OVER (ORDER BY avg_lp DESC, doc_id) AS b
+                   FROM sc)
+            SELECT CASE WHEN b = 1 THEN 'head'
+                        WHEN b = 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   round(CAST(sum(slp) AS BIGINT)::DOUBLE
+                         / CAST(sum(n_tokens) AS BIGINT)::DOUBLE, 6)
+                     AS bucket_avg_lp_micro
+            FROM bk GROUP BY b ORDER BY bucket
+        """,
+        "s_inverted_postings": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t != '')) AS token
+              FROM documents
+            ),
+            tf AS MATERIALIZED (
+              SELECT token, doc_id, count(*) AS tf
+              FROM toks GROUP BY 1, 2
+            ),
+            dfr AS (
+              SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY token
+            ),
+            top AS (SELECT token, df, total_tf FROM dfr
+                    ORDER BY df DESC, token LIMIT 20),
+            d AS (
+              SELECT token, doc_id, tf,
+                     doc_id - coalesce(lag(doc_id) OVER
+                       (PARTITION BY token ORDER BY doc_id), 0) AS delta
+              FROM tf WHERE token IN (SELECT token FROM top)
+            ),
+            p AS (
+              SELECT token,
+                     string_agg(delta::VARCHAR || ':' || tf::VARCHAR, ','
+                                ORDER BY doc_id) AS postings
+              FROM d GROUP BY token
+            )
+            SELECT t.token, t.df, t.total_tf, p.postings
+            FROM p JOIN top t USING (token)
+            ORDER BY df DESC, token
+        """,
+        "kg_fuzzy_match": """
+            WITH dirty AS (
+              SELECT p_partkey, p_name AS orig,
+                     substring(p_name, 1,
+                       CAST(p_partkey % length(p_name) AS INT))
+                     || substring(p_name,
+                       CAST(p_partkey % length(p_name) AS INT) + 2)
+                       AS dirty_name
+              FROM part WHERE p_partkey % 7 = 3
+            ),
+            canon AS (SELECT DISTINCT p_name AS canon FROM part),
+            cand AS (
+              SELECT d.p_partkey, d.orig, d.dirty_name, c.canon,
+                     levenshtein(d.dirty_name, c.canon) AS lev
+              FROM dirty d JOIN canon c
+                ON substring(d.dirty_name, 1, 1) = substring(c.canon, 1, 1)
+               AND abs(length(d.dirty_name) - length(c.canon)) <= 1
+              WHERE levenshtein(d.dirty_name, c.canon) <= 2
+            ),
+            best AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY p_partkey ORDER BY lev, canon) AS rn
+              FROM cand
+            )
+            SELECT p_partkey, dirty_name, canon AS best_match,
+                   CAST(lev AS BIGINT) AS lev,
+                   canon = orig AS matched_correct
+            FROM best WHERE rn = 1 ORDER BY p_partkey
+        """,
+        "g_link_predict": """
+            WITH cp AS MATERIALIZED (
+              SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            pdim AS (
+              SELECT p FROM (SELECT p, count(*) AS d FROM cp GROUP BY p)
+              WHERE d <= 40
+            ),
+            cpc AS MATERIALIZED (
+              SELECT c, p FROM cp WHERE p IN (SELECT p FROM pdim)
+            ),
+            deg AS (SELECT c, count(*) AS deg FROM cpc GROUP BY c),
+            cm AS (
+              SELECT a.c AS c1, b.c AS c2, count(*) AS common
+              FROM cpc a JOIN cpc b USING (p)
+              WHERE a.c < b.c
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT c1, c2, common, d1.deg AS deg1, d2.deg AS deg2,
+                   CAST((1000 * common) // (d1.deg + d2.deg - common)
+                        AS BIGINT) AS jacc_millis
+            FROM cm JOIN deg d1 ON d1.c = cm.c1
+                    JOIN deg d2 ON d2.c = cm.c2
+            ORDER BY jacc_millis DESC, c1, c2 LIMIT 50
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -192,3 +192,122 @@ def test_containment_plan_broadcasts_hot_dim(spark):
     assert len(pdf) > 0
     assert (pdf.containment >= 0.8).all()
     assert (pdf.contained != pdf.container).all()
+
+
+def test_filter_cascade_ledger_sums_to_corpus(spark):
+    """The first-failing-rule ledger must partition the corpus: verdict
+    counts sum to the doc count, labels come from the fixed rule set,
+    and share_millis is exact integer thousandths."""
+    pdf = entrymod.queries()["d_filter_cascade"](spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert pdf.n_docs.sum() == n_docs
+    allowed = {
+        "kept", "r1_too_short", "r2_not_target_lang",
+        "r3_digit_heavy", "r4_long_words",
+    }
+    assert set(pdf.verdict) <= allowed
+    assert (pdf.share_millis == (1000 * pdf.n_docs) // n_docs).all()
+
+
+def test_state_intervals_tile_per_user(spark):
+    """SCD2 islands must TILE each user's timeline: every interval's
+    valid_to equals the next interval's valid_from (no gaps, no
+    overlaps), and the single open interval per user is last."""
+    pdf = (
+        entrymod.queries()["ev_state_intervals"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "valid_from_us"])
+    )
+    assert len(pdf) > 0
+    for _, g in pdf.groupby("user_id"):
+        vt = g.valid_to_us.values
+        vf = g.valid_from_us.values
+        # exactly one open interval, and it is the last row
+        assert (vt == -1).sum() == 1 and vt[-1] == -1
+        assert (vt[:-1] == vf[1:]).all()
+        assert (vf[1:] > vf[:-1]).all()
+
+
+def test_bpe_merges_is_narrow_takeordered(spark):
+    """The pair stream must stay NARROW (zip_with, no Window operator
+    anywhere in the plan) and the top-30 must be a TakeOrdered, not a
+    global sort."""
+    from hikma_engine_spark.plans import inspect
+
+    df = entrymod.queries()["d_bpe_merges"](spark, SF_DIR)
+    plan = inspect.physical_plan(df, "simple")
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    pdf = df.toPandas()
+    assert len(pdf) == 30
+    c = pdf.pair_count.values
+    assert (c[:-1] >= c[1:]).all()
+
+
+def test_markov_rows_normalize_within_truncation(spark):
+    """Row-normalized integer probabilities: per from_type the millis
+    sum to 1000 minus at most |event_types| truncation remainders."""
+    pdf = entrymod.queries()["ev_markov_transitions"](spark, SF_DIR).toPandas()
+    sums = pdf.groupby("from_type").prob_millis.sum()
+    assert ((sums > 950) & (sums <= 1000)).all()
+    # margins: n sums over to_type match the transition totals
+    assert (pdf.groupby("from_type").n.sum() > 0).all()
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    """Tercile sizes differ by at most 1 doc and bucket quality is
+    monotone: head >= middle >= tail on the per-token log-prob."""
+    pdf = entrymod.queries()["d_ccnet_buckets"](spark, SF_DIR).toPandas()
+    assert list(pdf.bucket) == ["head", "middle", "tail"]
+    assert pdf.n_docs.max() - pdf.n_docs.min() <= 1
+    h, m, t = pdf.set_index("bucket").bucket_avg_lp_micro[
+        ["head", "middle", "tail"]
+    ]
+    assert h >= m >= t
+
+
+def test_inverted_postings_delta_roundtrip(spark):
+    """Gap decoding must reconstruct strictly increasing doc ids and
+    df must equal the posting length — the index is self-consistent."""
+    pdf = entrymod.queries()["s_inverted_postings"](spark, SF_DIR).toPandas()
+    assert len(pdf) == 20
+    for _, r in pdf.iterrows():
+        entries = [e.split(":") for e in r.postings.split(",")]
+        assert len(entries) == r.df
+        doc = 0
+        prev = -1
+        total = 0
+        for delta, tf in entries:
+            doc += int(delta)
+            assert doc > prev
+            prev = doc
+            total += int(tf)
+        assert total == r.total_tf
+
+
+def test_fuzzy_match_blocked_broadcast_and_recovery(spark):
+    """The canonical master must arrive via BroadcastHashJoin (block-key
+    equi-join, never a nested loop), every match is within the lev<=2
+    budget, and ER recovers the original name for >= 75% of typos (the
+    rest legitimately resolve to an equally-close other canonical)."""
+    from hikma_engine_spark.plans import inspect
+
+    df = entrymod.queries()["kg_fuzzy_match"](spark, SF_DIR)
+    plan = inspect.physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert (pdf.lev <= 2).all()
+    assert pdf.matched_correct.mean() >= 0.75
+
+
+def test_link_predict_jaccard_bounds(spark):
+    """Integer Jaccard invariants: common <= min(deg), jacc in (0,
+    1000], and the pair list is the deterministic top-50 (descending)."""
+    pdf = entrymod.queries()["g_link_predict"](spark, SF_DIR).toPandas()
+    assert 0 < len(pdf) <= 50
+    assert (pdf.common <= pdf[["deg1", "deg2"]].min(axis=1)).all()
+    assert ((pdf.jacc_millis > 0) & (pdf.jacc_millis <= 1000)).all()
+    j = pdf.jacc_millis.values
+    assert (j[:-1] >= j[1:]).all()
