@@ -2960,7 +2960,9 @@ def s_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     )
-    tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    # tf feeds both the df dim and the posting assembly — persist so the
+    # tokenize+count subtree runs once (multi-consumer recompute guard).
+    tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf")).persist()
     dfr = tf.groupBy("token").agg(
         F.count("*").alias("df"), F.sum("tf").alias("total_tf")
     )
@@ -3071,7 +3073,11 @@ def g_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     part_deg = cp.groupBy("p").agg(F.count("*").alias("d")).filter(F.col("d") <= 40)
-    cpc = cp.join(F.broadcast(part_deg.select("p")), "p")
+    # The capped bipartite edge set feeds THREE consumers (degree dim +
+    # both self-join sides); without a persist Spark re-derives the
+    # lineitem⋈orders distinct for each one (31-Exchange plan audited).
+    # In production this edge set is a materialized table.
+    cpc = cp.join(F.broadcast(part_deg.select("p")), "p").persist()
     deg = cpc.groupBy("c").agg(F.count("*").alias("deg"))
     a = cpc.select("p", F.col("c").alias("c1"))
     b = cpc.select("p", F.col("c").alias("c2"))
