@@ -1,0 +1,274 @@
+"""Edge-case oracles for the round-5 wave-2 entries: each test builds a
+tiny adversarial table layout on disk, runs the ACTUAL queries() entry
+against it (same code path as the driver gate), and compares to a
+pure-Python reference — catching semantics the sf-corpora can't probe
+(rule-order attribution, same-timestamp ties, degree-cap boundaries,
+first-char block misses)."""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def _write(tmp_path, name: str, pdf: pd.DataFrame) -> str:
+    pdf.to_parquet(str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def test_filter_cascade_first_failing_rule_wins(spark, tmp_path):
+    """A doc failing several rules is attributed to the FIRST in order:
+    short+wrong-lang -> r1, long+wrong-lang -> r2, wrong-lang never
+    shadows digit-heavy for an en doc."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "x",  # short AND effectively unscored -> r1
+                "w " * 150,  # 300 chars, lang de -> r2
+                "1234567890 " * 30,  # en, digit-heavy -> r3
+                ("ok tokens here " * 20).strip(),  # clean -> kept
+            ],
+            "lang": ["de", "de", "en", "en"],
+            "source": ["s"] * 4,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_filter_cascade"](spark, sf).toPandas()
+    got = dict(zip(pdf.verdict, pdf.n_docs))
+    assert got == {
+        "r1_too_short": 1,
+        "r2_not_target_lang": 1,
+        "r3_digit_heavy": 1,
+        "kept": 1,
+    }
+
+
+def test_state_intervals_same_ts_ties_and_singletons(spark, tmp_path):
+    """Two events at the SAME timestamp order by event_id (stable
+    islands), and a single-event user yields one open interval."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 7: a,a at same ts (one island via event_id order), then b
+        (1, t0, 7, "a"),
+        (2, t0, 7, "a"),
+        (3, t0 + timedelta(hours=1), 7, "b"),
+        # user 32 (also %25==7): singleton
+        (4, t0, 32, "a"),
+        # user 5: filtered out by the 1-in-25 slice
+        (5, t0, 5, "z"),
+    ]
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events["value"] = 0.0
+    events["props"] = "{}"
+    sf = _write(tmp_path, "events", events)
+    pdf = (
+        entrymod.queries()["ev_state_intervals"](spark, sf)
+        .toPandas()
+        .sort_values(["user_id", "valid_from_us"])
+        .reset_index(drop=True)
+    )
+    assert set(pdf.user_id) == {7, 32}
+    u7 = pdf[pdf.user_id == 7]
+    assert list(u7.state) == ["a", "b"]
+    assert list(u7.n_events) == [2, 1]
+    assert u7.valid_to_us.iloc[0] == u7.valid_from_us.iloc[1]
+    assert u7.valid_to_us.iloc[1] == -1
+    u32 = pdf[pdf.user_id == 32]
+    assert len(u32) == 1 and u32.valid_to_us.iloc[0] == -1
+
+
+def test_bpe_merges_matches_python_counter(spark, tmp_path):
+    """Pair counts equal a pure-Python bigram Counter over the same
+    tokenization; single-token and empty docs contribute nothing."""
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "solo",
+        "",
+        "Punct!!! only??? the--cat",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_bpe_merges"](spark, sf).toPandas()
+
+    import re
+
+    ref: Counter = Counter()
+    for t in texts:
+        toks = [x for x in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if x]
+        ref.update(zip(toks, toks[1:]))
+    got = {(r.w1, r.w2): r.pair_count for r in pdf.itertuples()}
+    # entry returns top-30; with < 30 distinct pairs it is the full map
+    assert got == dict(ref)
+
+
+def test_markov_transitions_python_oracle(spark, tmp_path):
+    """Transition counts/normalization against a hand-walked chain."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    seq = ["a", "a", "b", "a", "b"]  # user 1: aa, ab, ba, ab
+    for i, s in enumerate(seq):
+        rows.append((i, t0 + timedelta(minutes=i), 1, s))
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events["value"] = 0.0
+    events["props"] = "{}"
+    sf = _write(tmp_path, "events", events)
+    pdf = entrymod.queries()["ev_markov_transitions"](spark, sf).toPandas()
+    got = {(r.from_type, r.to_type): (r.n, r.prob_millis) for r in pdf.itertuples()}
+    # from a: a->a 1, a->b 2 (margin 3); from b: b->a 1 (margin 1)
+    assert got == {
+        ("a", "a"): (1, 333),
+        ("a", "b"): (2, 666),
+        ("b", "a"): (1, 1000),
+    }
+
+
+def test_fuzzy_match_first_char_block_miss_is_honest(spark, tmp_path):
+    """A typo that deletes the FIRST character leaves the block, so the
+    row is absent (an honest blocking miss) — never a wrong match; a
+    mid-name deletion resolves back to its original."""
+    # p_partkey % 7 == 3 rows are dirtied at position p_partkey % len
+    names = {
+        3: "red widget",   # k = 3 % 10 = 3 -> deletes 'd' (mid-name)
+        10: "blue bolt",   # clean (10 % 7 = 3? no: 10 % 7 = 3 -> dirty!)
+        17: "hot gear",    # 17 % 7 = 3 -> k = 17 % 8 = 1 -> deletes 'o'
+        2: "red widget",
+        4: "blue bolt",
+        5: "hot gear",
+    }
+    # recompute honestly: dirty rows are partkeys 3, 10, 17
+    part = pd.DataFrame(
+        {"p_partkey": list(names), "p_name": list(names.values())}
+    )
+    sf = _write(tmp_path, "part", part)
+    pdf = entrymod.queries()["kg_fuzzy_match"](spark, sf).toPandas()
+    by_key = {r.p_partkey: r for r in pdf.itertuples()}
+    # partkey 3: "red widget" k=3 -> "re widget"? (0-based deletion at 3
+    # removes ' '): either way lev<=2 from the original, must recover it
+    assert by_key[3].best_match == "red widget" and by_key[3].matched_correct
+    # partkey 10: "blue bolt" k = 10 % 9 = 1 -> "bue bolt" (block 'b' kept)
+    assert by_key[10].best_match == "blue bolt" and by_key[10].matched_correct
+    # partkey 17: "hot gear" k = 17 % 8 = 1 -> "ht gear" (block 'h' kept)
+    assert by_key[17].best_match == "hot gear" and by_key[17].matched_correct
+
+
+def test_fuzzy_match_first_char_deletion_absent(spark, tmp_path):
+    """partkey where k == 0 deletes the first char -> the first-char
+    block no longer contains the original; with no other canonical in
+    the new block the row must be ABSENT, not mismatched."""
+    # k = p_partkey % len(name) == 0 and p_partkey % 7 == 3 -> partkey 24,
+    # name of length 8: 24 % 8 == 0 deletes 'h' from "hot gear"
+    part = pd.DataFrame(
+        {"p_partkey": [24, 1, 2], "p_name": ["hot gear", "red bolt", "red ring"]}
+    )
+    sf = _write(tmp_path, "part", part)
+    pdf = entrymod.queries()["kg_fuzzy_match"](spark, sf).toPandas()
+    assert 24 not in set(pdf.p_partkey)
+
+
+def test_link_predict_degree_cap_excludes_hot_part(spark, tmp_path):
+    """A part bought by every customer (degree > 40) must contribute no
+    wedges: customers sharing ONLY the hot part never pair."""
+    n_cust = 50
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(n_cust),
+            "o_custkey": range(n_cust),
+        }
+    )
+    rows = []
+    # every customer buys hot part 999 (degree 50 > cap 40)
+    for c in range(n_cust):
+        rows.append((c, 999))
+    # customers 0..5 share cold parts 1..6 pairwise-completely
+    for c in range(6):
+        for p in range(1, 7):
+            rows.append((c, p))
+    lineitem = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", lineitem)
+    pdf = entrymod.queries()["g_link_predict"](spark, sf).toPandas()
+    # only the cold clique pairs (0..5 choose 2 = 15), all with common=6
+    # (>=5 threshold), jacc = 6/(6+6-6) = 1000 millis
+    assert len(pdf) == 15
+    assert set(pdf.c1) | set(pdf.c2) <= set(range(6))
+    assert (pdf.common == 6).all()
+    assert (pdf.jacc_millis == 1000).all()
+
+
+def test_ccnet_buckets_rank_by_avg_logprob(spark, tmp_path):
+    """Three docs with strictly ordered per-token rarity land in
+    head/middle/tail respectively."""
+    # 'common' appears 8x, 'mid' 4x, 'rare' 1x -> doc avg logprob ordered
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "common common common common common common",  # highest avg
+                "common mid mid mid mid",
+                "common mid rare",  # lowest avg
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = (
+        entrymod.queries()["d_ccnet_buckets"](spark, sf)
+        .toPandas()
+        .set_index("bucket")
+    )
+    assert (pdf.n_docs == 1).all()
+    assert (
+        pdf.loc["head"].bucket_avg_lp_micro
+        > pdf.loc["middle"].bucket_avg_lp_micro
+        > pdf.loc["tail"].bucket_avg_lp_micro
+    )
+
+
+def test_inverted_postings_noncontiguous_doc_ids(spark, tmp_path):
+    """Gap encoding over sparse doc ids: first delta is the absolute id,
+    later deltas the gaps; tf counts duplicates within a doc."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [5, 100, 1000],
+            "text": ["zz zz yy", "zz yy", "zz"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = (
+        entrymod.queries()["s_inverted_postings"](spark, sf)
+        .toPandas()
+        .set_index("token")
+    )
+    assert pdf.loc["zz"].postings == "5:2,95:1,900:1"
+    assert pdf.loc["zz"].df == 3 and pdf.loc["zz"].total_tf == 4
+    assert pdf.loc["yy"].postings == "5:1,95:1"
