@@ -126,6 +126,29 @@ tests/test_plans.py::test_knn_join_plans_use_group_limit_and_bounded_shuffles.""
         plan(similarity_search.knn_join_ivf(wc, cents, k=5, nprobe=3)),
     ))
 
+    sections.append((
+        "g_link_predict — degree-capped CF Jaccard (round 5)",
+        """What to look for: the per-part degree dim enters through a
+BroadcastExchange (the cap filter makes it part-dim-sized), the capped
+bipartite edge set materializes ONCE as an InMemoryTableScan feeding
+all three consumers (degree dim + both self-join sides — without it
+the lineitem⋈orders distinct re-derives per consumer), the wedge
+self-join is the only big-big SortMergeJoin, and the top-50 compiles
+to TakeOrderedAndProject.""",
+        plan(e.g_link_predict(spark, SF), "simple"),
+    ))
+    sections.append((
+        "kg_fuzzy_match — blocked-levenshtein entity resolution (round 5)",
+        """What to look for: the canonical-name master arrives via
+BroadcastExchange into a BroadcastHashJoin on the BLOCK key (first
+char) — never a BroadcastNestedLoopJoin, despite the length-band and
+levenshtein predicates (they stay residual filters above the hash
+join); the best-match pick compiles to WindowGroupLimit before the
+final window. Asserted by tests/test_contract_queries.py::
+test_fuzzy_match_blocked_broadcast_and_recovery.""",
+        plan(e.kg_fuzzy_match(spark, SF), "simple"),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for the headline operators",
         "",
