@@ -925,3 +925,117 @@ def substring_duplicate_spans(
             "n_shingles",
         )
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.92,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    round_digits: int = 6,
+    max_cell_size: int = 4096,
+    return_dropped: bool = False,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-
+    dedup SEMANTIC deduplication — vectors are partitioned into k-means
+    cells (``similarity_search.train_ivf_centroids`` — deterministic,
+    seeded) and near-duplicate pairs (cosine ≥ ``threshold``) are mined
+    WITHIN each cell only. This is the published trade: candidate work
+    drops from n² to Σ|cell|², at the cost of missing pairs that
+    straddle a cell boundary (raise n_cells recall via the
+    ``knn_join_ivf`` nprobe pattern if that matters; classic SemDeDup
+    accepts the miss because true semantic dups land in the same cell).
+
+    Scale shape: one cogrouped Arrow GEMM per cell — candidate PAIRS
+    never ride a shuffle (the family doctrine: ``knn_join_ivf``,
+    ``embedding_near_dup_pairs``); a pair is emitted only under a < b,
+    and each vector lives in exactly one cell, so the output is
+    duplicate-free by construction. Hot-cell guard: cells larger than
+    ``max_cell_size`` are excluded BEFORE the join with exact
+    accounting (``return_dropped=True`` returns a second DataFrame of
+    (cell, size)) — same cap-plus-accounting contract as the LSH dedup
+    family; re-train with more cells rather than raising the cap.
+
+    Returns (a, b, cosine) with cosine rounded to ``round_digits``
+    (np.round — deterministic), plus the dropped-cells frame when
+    requested. Compose with ``semantic_dedup_keep`` for the
+    keep-one-representative step.
+
+    Reference analog: none — the reference's only dedup is exact
+    signature_hash (src/modules/data-loader.ts:193-197); this is a
+    target-domain (LLM corpus) operator.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from .similarity_search import add_ivf_cells  # noqa: PLC0415
+
+    df = df.filter(F.col(emb_col).isNotNull())
+    with_cells = add_ivf_cells(df, centroids, emb_col=emb_col).select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("emb"), "ivf_cell"
+    )
+    sizes = with_cells.groupBy("ivf_cell").agg(F.count("*").alias("cell_size"))
+    hot = sizes.filter(F.col("cell_size") > max_cell_size)
+    ok = with_cells.join(
+        F.broadcast(hot.select("ivf_cell")), "ivf_cell", "left_anti"
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        m = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        m = m / nrm[:, None]
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        out_a, out_b, out_c = [], [], []
+        # blocked upper-triangle GEMM: id-sorted rows, emit a < b only
+        for s in range(0, len(ids), 1024):
+            block = m[s : s + 1024]
+            sims = np.round(block @ m.T, round_digits)
+            for i in range(block.shape[0]):
+                gi = s + i
+                row = sims[i, gi + 1 :]
+                hits = np.nonzero(row >= threshold)[0]
+                out_a.extend([ids[gi]] * len(hits))
+                out_b.extend(ids[gi + 1 + hits])
+                out_c.extend(row[hits])
+        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+
+    pairs = ok.groupBy("ivf_cell").applyInPandas(
+        cell_pairs, "a long, b long, cosine double"
+    )
+    if return_dropped:
+        return pairs, hot
+    return pairs
+
+
+def semantic_dedup_keep(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Representative selection over ``semantic_dedup_pairs`` output:
+    near-dup pairs are closed into groups by connected components
+    (min-id canonical — graph.connected_components, distributed
+    large-star/small-star above the driver threshold) and exactly one
+    row per group survives (``keep`` = id equals the group minimum;
+    SemDeDup keeps one random member — min-id is the deterministic,
+    retry-stable choice). Rows with no near-dup form their own group.
+    Returns (id, group, keep)."""
+    from .graph import connected_components  # noqa: PLC0415
+
+    comp = connected_components(pairs, src="a", dst="b").select(
+        F.col("node").cast("long").alias("id"),
+        F.col("component").cast("long").alias("group"),
+    )
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("group", "id").alias("group"),
+            (F.coalesce("group", "id") == F.col("id")).alias("keep"),
+        )
+    )

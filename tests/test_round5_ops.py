@@ -272,3 +272,115 @@ def test_inverted_postings_noncontiguous_doc_ids(spark, tmp_path):
     assert pdf.loc["zz"].postings == "5:2,95:1,900:1"
     assert pdf.loc["zz"].df == 3 and pdf.loc["zz"].total_tf == 4
     assert pdf.loc["yy"].postings == "5:1,95:1"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators.dedup.semantic_dedup_pairs / semantic_dedup_keep)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_embeddings(spark, per_cluster=6, dim=8):
+    """Three tight clusters around orthogonal axes + per-row jitter —
+    within-cluster cosine ~0.99+, across ~0."""
+    import numpy as np
+
+    rows = []
+    rid = 0
+    rng_base = 1000
+    for c in range(3):
+        axis = np.zeros(dim)
+        axis[c] = 1.0
+        for i in range(per_cluster):
+            jitter = np.zeros(dim)
+            jitter[(c + 3 + i) % dim] = 0.03 * ((i % 3) + 1)
+            v = axis + jitter
+            rows.append((rid, [float(x) for x in v]))
+            rid += 1
+    return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+
+def test_semdedup_pairs_within_clusters_only(spark):
+    from hikma_engine_spark.operators import dedup as dd
+    from hikma_engine_spark.operators.similarity_search import (
+        train_ivf_centroids,
+    )
+
+    df = _clustered_embeddings(spark)
+    cents = train_ivf_centroids(
+        df, n_cells=3, emb_col="embedding", id_col="doc_id", seed=7
+    )
+    pairs = dd.semantic_dedup_pairs(
+        df, cents, threshold=0.95, id_col="doc_id"
+    ).toPandas()
+    assert len(pairs) > 0
+    # a < b always; pairs never straddle clusters (ids 0-5, 6-11, 12-17)
+    assert (pairs.a < pairs.b).all()
+    assert ((pairs.a // 6) == (pairs.b // 6)).all()
+    assert (pairs.cosine >= 0.95).all()
+
+
+def test_semdedup_matches_bruteforce_with_one_cell(spark):
+    """n_cells=1 removes the clustering approximation: pairs must equal
+    the exact all-pairs cosine thresholding (numpy reference)."""
+    import numpy as np
+
+    from hikma_engine_spark.operators import dedup as dd
+
+    df = _clustered_embeddings(spark)
+    pdf = df.toPandas().sort_values("doc_id")
+    m = np.array([list(v) for v in pdf.embedding], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1)[:, None]
+    sims = np.round(m @ m.T, 6)
+    ids = pdf.doc_id.to_numpy()
+    ref = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.95
+    }
+    one_cell = np.zeros((1, m.shape[1]))
+    one_cell[0, 0] = 1.0
+    pairs = dd.semantic_dedup_pairs(
+        df, one_cell, threshold=0.95, id_col="doc_id"
+    ).toPandas()
+    got = {(int(r.a), int(r.b)) for r in pairs.itertuples()}
+    assert got == ref
+
+
+def test_semdedup_hot_cell_cap_accounts_dropped(spark):
+    from hikma_engine_spark.operators import dedup as dd
+    from hikma_engine_spark.operators.similarity_search import (
+        train_ivf_centroids,
+    )
+
+    df = _clustered_embeddings(spark)
+    cents = train_ivf_centroids(
+        df, n_cells=3, emb_col="embedding", id_col="doc_id", seed=7
+    )
+    pairs, dropped = dd.semantic_dedup_pairs(
+        df, cents, threshold=0.95, id_col="doc_id",
+        max_cell_size=5, return_dropped=True,
+    )
+    dr = dropped.toPandas()
+    # every 6-row cell exceeds the cap of 5 -> all dropped, no pairs
+    assert len(dr) == 3 and (dr.cell_size == 6).all()
+    assert pairs.count() == 0
+
+
+def test_semdedup_keep_one_per_group(spark):
+    from hikma_engine_spark.operators import dedup as dd
+    from hikma_engine_spark.operators.similarity_search import (
+        train_ivf_centroids,
+    )
+
+    df = _clustered_embeddings(spark)
+    cents = train_ivf_centroids(
+        df, n_cells=3, emb_col="embedding", id_col="doc_id", seed=7
+    )
+    pairs = dd.semantic_dedup_pairs(df, cents, threshold=0.95, id_col="doc_id")
+    keep = dd.semantic_dedup_keep(df, pairs, id_col="doc_id").toPandas()
+    assert len(keep) == 18  # every input row classified
+    # exactly one keeper per group, and it is the group min
+    for g, grp in keep.groupby("group"):
+        assert grp.keep.sum() == 1
+        assert grp[grp.keep].id.iloc[0] == grp.id.min() == g
