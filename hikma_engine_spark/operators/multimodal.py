@@ -347,3 +347,86 @@ def sample_frames(
             )
 
     return df.filter(df.kind == "video").mapInPandas(body, schema)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Mono float64 samples in [-1, 1] → 16-bit PCM WAV bytes (stdlib
+    ``wave`` — the inverse codec to decode_wav, same role encode_pnm
+    plays for images)."""
+    clipped = np.clip(samples, -1.0, 1.0)
+    pcm = np.round(clipped * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(int(rate))
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def resample_audio_samples(
+    samples: np.ndarray, in_rate: int, out_rate: int
+) -> np.ndarray:
+    """Linear-interpolation resample (numpy) — deterministic; output
+    grid is t_k = k / out_rate over the input duration."""
+    if len(samples) == 0 or in_rate == out_rate:
+        return samples
+    duration = len(samples) / float(in_rate)
+    n_out = max(int(round(duration * out_rate)), 1)
+    t_out = np.arange(n_out) / float(out_rate)
+    t_in = np.arange(len(samples)) / float(in_rate)
+    return np.interp(t_out, t_in, samples)
+
+
+def resample_audio(
+    df: DataFrame, out_rate: int, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas resample pass: audio rows → (media_id, codec,
+    payload, out_rate, n_samples) with payload the re-encoded 16-bit
+    PCM WAV at ``out_rate`` — the audio analog of resize_images, and
+    like it REAL end-to-end for the stdlib-decodable format (WAV
+    decode → linear-interp resample → WAV re-encode, no external
+    codec). MP3/MP4 hit the same stub boundary as extract_features
+    (NULL payload with the codec labeled; decode_stub=False raises).
+    Corrupt WAV payloads yield NULL (quarantine), never task death."""
+    if out_rate <= 0:
+        raise ValueError(f"target sample rate must be positive, got {out_rate}")
+    schema = (
+        "media_id string, codec string, payload binary, "
+        "out_rate int, n_samples long"
+    )
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codecs, payloads, counts = [], [], []
+            for p in pdf["payload"]:
+                codec = sniff_codec(p)
+                out: bytes | None = None
+                n_out = 0
+                if codec == "wav":
+                    try:
+                        samples, rate = decode_wav(p)
+                        res = resample_audio_samples(samples, rate, out_rate)
+                        out = encode_wav(res, out_rate)
+                        n_out = len(res)
+                    except (ValueError, EOFError, wave.Error):
+                        out = None  # corrupt → quarantine
+                elif codec not in ("empty",):
+                    if not decode_stub:
+                        raise NotImplementedError(
+                            f"decoding {codec} requires ffmpeg — not in this image"
+                        )
+                codecs.append(codec)
+                payloads.append(out)
+                counts.append(n_out)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "codec": codecs,
+                    "payload": payloads,
+                    "out_rate": out_rate,
+                    "n_samples": counts,
+                }
+            )
+
+    return df.filter(df.kind == "audio").mapInPandas(body, schema)
