@@ -2691,29 +2691,8 @@ def d_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     window total. Scale: one narrow projection + one 5-row groupBy;
     every predicate is whole-stage-codegen Column algebra."""
     d = _t(spark, sf_dir, "documents")
-    digits = F.length("text") - F.length(
-        F.regexp_replace(F.col("text"), "[0-9]", "")
-    )
-    alnum = F.length(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
-    )
-    ntoks = F.size(
-        F.filter(
-            F.split(
-                F.trim(
-                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
-                ),
-                " ",
-            ),
-            lambda t: t != "",
-        )
-    )
-    verdict = (
-        F.when(F.col("n_chars") < 200, "r1_too_short")
-        .when(F.col("lang") != "en", "r2_not_target_lang")
-        .when(digits * 5 > F.col("n_chars"), "r3_digit_heavy")
-        .when(alnum > ntoks * 12, "r4_long_words")
-        .otherwise("kept")
+    verdict = tx.filter_cascade_verdict(
+        F.col("text"), F.col("lang"), F.col("n_chars")
     )
     return (
         d.groupBy(verdict.alias("verdict"))

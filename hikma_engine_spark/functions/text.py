@@ -77,3 +77,33 @@ def fingerprint(text: Column) -> Column:
     switched to md5+normalization as the near-dup-friendly variant)."""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
+
+
+def filter_cascade_verdict(
+    text: Column, lang: Column, n_chars: Column, target_lang: str = "en"
+) -> Column:
+    """C4/CCNet-style quality-filter cascade verdict with FIRST-FAILING-
+    RULE attribution (the ablation-ledger semantics of a sequential
+    filter pipeline): r1 too-short → r2 wrong-language → r3 digit-heavy
+    (5·digits > chars) → r4 long-words (alnum > 12·tokens) → 'kept'.
+    Pure integer length arithmetic — identical under batch and
+    Structured Streaming (stateless projection), and replayable in
+    ANSI SQL (the d_filter_cascade oracle twin)."""
+    digits = F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    alnum = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    ntoks = F.size(
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")),
+                " ",
+            ),
+            lambda t: t != "",
+        )
+    )
+    return (
+        F.when(n_chars < 200, "r1_too_short")
+        .when(lang != target_lang, "r2_not_target_lang")
+        .when(digits * 5 > n_chars, "r3_digit_heavy")
+        .when(alnum > ntoks * 12, "r4_long_words")
+        .otherwise("kept")
+    )

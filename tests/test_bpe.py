@@ -93,3 +93,32 @@ def test_pair_counts_agree_with_entry_tokenization(spark):
     for w, c in CORPUS_WORDS.items():
         ref[w] += c
     assert Counter(dict(zip(wc.word, wc.cnt))) == ref
+
+
+def test_bpe_pack_composition(spark):
+    """End-to-end tokenize→pack: documents encoded with learned merges,
+    packed into budgeted sequences on the REAL subword counts — every
+    doc packed exactly once, no sequence over budget (single-doc
+    overflow excepted by next-fit contract)."""
+    from pyspark.sql import functions as F
+
+    from hikma_engine_spark.operators.export import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "the lowest newest widest low lower " * (1 + i % 4))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    wc = bpe.word_counts(_corpus_df(spark))
+    merges, _ = bpe.train_bpe(wc, n_merges=5)
+    encoded = bpe.apply_bpe(docs, merges).withColumn(
+        "n_bpe", F.size("bpe_tokens")
+    )
+    packed = pack_sequences(
+        encoded, "doc_id", token_col="n_bpe", budget=64, n_buckets=4
+    ).toPandas()
+    assert sorted(packed.doc_id) == list(range(40))  # exactly once each
+    sums = packed.groupby(["bucket", "seq_idx"]).n_tokens.agg(["sum", "count"])
+    over = sums[sums["sum"] > 64]
+    # only single-doc sequences may exceed the budget
+    assert (over["count"] == 1).all()

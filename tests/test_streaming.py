@@ -203,3 +203,68 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         )
     )
     assert a == b
+
+
+def test_streaming_filter_cascade_matches_batch(spark, tmp_path):
+    """The quality-filter cascade is a stateless projection, so its
+    per-rule ledger under Structured Streaming (complete-mode count
+    agg over micro-batches) equals the batch ledger exactly."""
+    import pandas as pd
+
+    from hikma_engine_spark.functions.text import filter_cascade_verdict
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "docs_cascade"
+    d.mkdir()
+    rows = [
+        (0, "x", "de"),                        # r1
+        (1, "w " * 150, "de"),                 # r2
+        (2, "1234567890 " * 30, "en"),         # r3
+        (3, ("ok tokens here " * 20).strip(), "en"),  # kept
+        (4, "y", "en"),                        # r1
+        (5, ("fine text words " * 20).strip(), "en"),  # kept
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    for i, chunk in enumerate([pdf.iloc[:3], pdf.iloc[3:]]):
+        chunk.to_parquet(str(d / f"part-{i}.parquet"), index=False)
+
+    schema = "doc_id long, text string, lang string, n_chars long"
+    verdict = lambda df: df.groupBy(  # noqa: E731
+        filter_cascade_verdict(
+            F.col("text"), F.col("lang"), F.col("n_chars")
+        ).alias("verdict")
+    ).agg(F.count("*").alias("n_docs"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        verdict(stream)
+        .writeStream.format("memory")
+        .queryName("cascade_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM cascade_stream")
+        .toPandas()
+        .set_index("verdict")
+        .n_docs.to_dict()
+    )
+    want = (
+        verdict(spark.read.parquet(str(d)))
+        .toPandas()
+        .set_index("verdict")
+        .n_docs.to_dict()
+    )
+    assert got == want == {
+        "r1_too_short": 2,
+        "r2_not_target_lang": 1,
+        "r3_digit_heavy": 1,
+        "kept": 2,
+    }
