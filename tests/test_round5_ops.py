@@ -384,3 +384,111 @@ def test_semdedup_keep_one_per_group(spark):
     for g, grp in keep.groupby("group"):
         assert grp.keep.sum() == 1
         assert grp[grp.keep].id.iloc[0] == grp.id.min() == g
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators.similarity_search.train_pq_codebooks /
+# pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def _pq_corpus(spark, n_clusters=5, per_cluster=40, dim=32, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    rid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.08 * rng.randn(dim)
+            rows.append((rid, [float(x) for x in v]))
+            rid += 1
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        centers,
+    )
+
+
+def test_pq_codebook_shapes_and_dim_guard(spark):
+    import pytest as _pytest
+
+    from hikma_engine_spark.operators import similarity_search as ss
+
+    df, _ = _pq_corpus(spark)
+    books = ss.train_pq_codebooks(df, m=8, k=16)
+    assert books.shape == (8, 16, 4)
+    with _pytest.raises(ValueError):
+        ss.train_pq_codebooks(df, m=5, k=16)  # 32 % 5 != 0
+
+
+def test_pq_adc_recall_and_rerank(spark):
+    """ADC resolves the CLUSTER exactly (all top-10 from the query's
+    cluster — the honest PQ contract: m-byte codes localize, they do
+    not rank within-cluster); the two-stage ADC-shortlist -> exact
+    cosine re-rank recovers the exact fine ranking."""
+    from hikma_engine_spark.operators import similarity_search as ss
+
+    df, centers = _pq_corpus(spark)
+    books = ss.train_pq_codebooks(df, m=16, k=16)
+    enc = ss.pq_encode(df, books).cache()
+    query = [float(x) for x in centers[2]]
+
+    exact = ss.brute_force_topk(df, query, k=10).toPandas()
+    adc = ss.pq_topk(enc, books, query, k=10, rerank=None).toPandas()
+    assert len(adc) == 10
+    # cluster 2 owns ids 80..119: ADC never leaves the right cluster
+    assert ((adc.vec_id >= 80) & (adc.vec_id < 120)).all()
+    recall_adc = len(set(adc.vec_id) & set(exact.vec_id)) / 10.0
+    assert recall_adc >= 0.4
+
+    two_stage = ss.pq_topk(enc, books, query, k=10, rerank=8).toPandas()
+    recall_two = len(set(two_stage.vec_id) & set(exact.vec_id)) / 10.0
+    assert recall_two >= 0.9
+    # re-ranked scores are EXACT cosines: equal to brute force on the
+    # intersection
+    merged = two_stage.merge(exact, on="vec_id", suffixes=("_pq", "_bf"))
+    assert (merged.cosine_pq == merged.cosine_bf).all()
+    enc.unpersist()
+
+
+def test_pq_adc_score_is_jvm_side_lut_sum(spark):
+    """One row's JVM-computed ADC score equals the numpy LUT sum — and
+    the scoring plan contains no Python UDF (codes are the only
+    Arrow-produced column; scoring is pure Catalyst)."""
+    import numpy as np
+
+    from hikma_engine_spark.operators import similarity_search as ss
+    from hikma_engine_spark.plans import inspect
+
+    df, centers = _pq_corpus(spark)
+    books = ss.train_pq_codebooks(df, m=8, k=16)
+    enc = ss.pq_encode(df, books)
+    query = [float(x) for x in centers[0]]
+    adc_df = ss.pq_topk(
+        enc.select("vec_id", "embedding", "pq_code"),
+        books, query, k=3, rerank=None,
+    )
+
+    row = enc.filter("vec_id = 0").select("pq_code").collect()[0][0]
+    q = np.asarray(query)
+    q = q / np.linalg.norm(q)
+    sub_d = 32 // 8
+    lut = np.array(
+        [books[j] @ q[j * sub_d : (j + 1) * sub_d] for j in range(8)]
+    )
+    want = round(float(sum(lut[j][row[j]] for j in range(8))), 6)
+    got = (
+        enc.filter("vec_id = 0")
+        .select("vec_id", "embedding", "pq_code")
+        .transform(lambda d: ss.pq_topk(d, books, query, k=1, rerank=None))
+        .toPandas()
+        .adc_score.iloc[0]
+    )
+    assert got == want
+    # scoring stage (downstream of the encode) has no Python evals:
+    # the only Arrow node belongs to pq_encode's code column
+    plan = inspect.physical_plan(adc_df, "simple")
+    assert plan.count("ArrowEvalPython") <= 1  # encode only
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
