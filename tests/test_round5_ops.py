@@ -492,3 +492,35 @@ def test_pq_adc_score_is_jvm_side_lut_sum(spark):
     plan = inspect.physical_plan(adc_df, "simple")
     assert plan.count("ArrowEvalPython") <= 1  # encode only
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_ivf_pq_composed_pruned_search(spark):
+    """The FAISS IVF+PQ recipe out of existing parts: restrict to the
+    query's nprobe nearest cells (partition pruning on ivf_cell), then
+    ADC + exact re-rank over the pruned subset only — same top-10 as
+    brute force over the full corpus, while the ADC stage reads a
+    fraction of the rows."""
+    import numpy as np
+
+    from hikma_engine_spark.operators import similarity_search as ss
+
+    df, centers = _pq_corpus(spark)
+    cents = ss.train_ivf_centroids(df, n_cells=5, seed=7)
+    with_cells = ss.add_ivf_cells(df, cents)
+    books = ss.train_pq_codebooks(df, m=16, k=16)
+    enc = ss.pq_encode(with_cells, books)
+
+    query = [float(x) for x in centers[1]]
+    q = np.asarray(query)
+    q = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ q))[:2]  # nprobe=2
+    pruned = enc.filter(enc.ivf_cell.isin([int(c) for c in probe]))
+
+    got = ss.pq_topk(pruned, books, query, k=10, rerank=8).toPandas()
+    exact = ss.brute_force_topk(df, query, k=10).toPandas()
+    assert list(got.vec_id) == list(exact.vec_id)
+    assert (got.cosine.values == exact.cosine.values).all()
+    # the prune is real: a strict fraction of the 200-row corpus
+    # enters the ADC stage (k-means cells approximate the planted
+    # clusters, so allow drift around the ideal 80)
+    assert pruned.count() <= 120
