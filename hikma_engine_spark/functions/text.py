@@ -107,3 +107,30 @@ def filter_cascade_verdict(
         .when(alnum > ntoks * 12, "r4_long_words")
         .otherwise("kept")
     )
+
+
+# PII patterns shared by the scan entry (d_pii_scan) and the redactor —
+# one definition so the pre-screen counts exactly what redaction removes.
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "URL": r"https?://[^\s]+",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "IP": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """PII REDACTION (the transform the d_pii_scan pre-screen precedes):
+    each matched span is replaced by a fixed typed placeholder
+    (``<EMAIL>``, ``<URL>``, ``<PHONE>``, ``<IP>``) — the standard
+    corpus-release treatment (placeholder over deletion so sentence
+    structure and token counts stay stable). Pure JVM regexp_replace
+    chain — whole-stage codegen, no UDF, order fixed (EMAIL before
+    URL so mailto-like text can't double-match; PHONE after URL so
+    digits inside URLs are already collapsed). Deterministic and
+    idempotent: placeholders match no pattern."""
+    order = kinds if kinds is not None else ("EMAIL", "URL", "PHONE", "IP")
+    out = text
+    for kind in order:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    return out

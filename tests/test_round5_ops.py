@@ -524,3 +524,31 @@ def test_ivf_pq_composed_pruned_search(spark):
     # enters the ADC stage (k-means cells approximate the planted
     # clusters, so allow drift around the ideal 80)
     assert pruned.count() <= 120
+
+
+def test_redact_pii_placeholders_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from hikma_engine_spark.functions.text import redact_pii
+
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.org today"),
+        (1, "see https://example.com/a?b=c#d and http://x.io"),
+        (2, "call +1 (415) 555-0199 or 020-7946-0958 now"),
+        (3, "server at 192.168.001.1 responded"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", redact_pii(F.col("text")).alias("red")
+    ).toPandas().set_index("doc_id")
+    assert out.loc[0].red == "mail me at <EMAIL> today"
+    assert out.loc[1].red == "see <URL> and <URL>"
+    assert out.loc[2].red == "call <PHONE> or <PHONE> now"
+    assert out.loc[3].red == "server at <IP> responded"
+    assert out.loc[4].red == rows[4][1]
+    # idempotent: redacting redacted text is a no-op
+    twice = df.select(
+        "doc_id", redact_pii(redact_pii(F.col("text"))).alias("red")
+    ).toPandas().set_index("doc_id")
+    assert (twice.red == out.red).all()
