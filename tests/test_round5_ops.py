@@ -552,3 +552,68 @@ def test_redact_pii_placeholders_and_idempotence(spark):
         "doc_id", redact_pii(redact_pii(F.col("text"))).alias("red")
     ).toPandas().set_index("doc_id")
     assert (twice.red == out.red).all()
+
+
+def test_corpus_release_pipeline_composes(spark):
+    """End-to-end release flow across the package APIs: quality
+    cascade -> PII redaction -> exact-dup removal (first-wins) ->
+    benchmark decontamination -> sequence packing. Each stage's
+    invariant holds on the final artifact: only 'kept' docs, no raw
+    PII, one survivor per fingerprint, no contaminated doc, every
+    survivor packed exactly once."""
+    from pyspark.sql import functions as F
+
+    from hikma_engine_spark.functions.text import (
+        filter_cascade_verdict,
+        fingerprint,
+        redact_pii,
+    )
+    from hikma_engine_spark.operators.dedup import exact_duplicates
+    from hikma_engine_spark.operators.export import (
+        decontaminate,
+        pack_sequences,
+    )
+
+    base = "useful training words appear here repeatedly " * 6  # ~270 chars
+    rows = [
+        (0, base + "alpha beta gamma", "en"),
+        (1, base + "alpha beta gamma", "en"),            # exact dup of 0
+        (2, base + "email me x@y.org soon", "en"),       # PII
+        (3, "short", "en"),                              # r1 drop
+        (4, base + "delta epsilon zeta", "de"),          # r2 drop
+        (5, base + "the secret benchmark answer is fortytwo", "en"),  # contam
+        (6, base + "totally clean unique content", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    docs = docs.withColumn("n_chars", F.length("text"))
+    evals = spark.createDataFrame(
+        [(100, "the secret benchmark answer is fortytwo")],
+        "doc_id long, text string",
+    )
+
+    # 1. quality cascade
+    kept = docs.filter(
+        filter_cascade_verdict(F.col("text"), F.col("lang"), F.col("n_chars"))
+        == "kept"
+    )
+    # 2. PII redaction
+    red = kept.withColumn("text", redact_pii(F.col("text")))
+    # 3. exact dedup, first-wins
+    dup_losers = exact_duplicates(red, "doc_id", "text").select(
+        F.explode(F.slice("doc_ids", 2, 1000)).alias("doc_id")
+    )
+    deduped = red.join(dup_losers, "doc_id", "left_anti")
+    # 4. decontamination
+    contaminated = decontaminate(
+        deduped, evals, "doc_id", "text", n=3, containment=0.5
+    ).select("doc_id").distinct()
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    # 5. packing
+    packed = pack_sequences(clean, "doc_id", text_col="text", budget=128)
+
+    survivors = sorted(r.doc_id for r in clean.select("doc_id").collect())
+    assert survivors == [0, 2, 6]  # 1 dup-dropped, 3/4 cascade, 5 contam
+    assert clean.filter(F.col("text").contains("x@y.org")).count() == 0
+    assert clean.filter(F.col("text").contains("<EMAIL>")).count() == 1
+    pk = packed.toPandas()
+    assert sorted(pk.doc_id) == survivors  # each survivor exactly once
