@@ -3087,6 +3087,32 @@ def g_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): exact positional phrase search —
+    docs ranked by occurrences of the contiguous phrase "table scan"
+    (query.search.phrase_match). The search family's missing rung:
+    s_inverted_postings BUILDS the postings layout, s_bm25_rank ranks
+    by bag-of-words; this is the positional QUERY between them (Lucene
+    PhraseQuery semantics, slop 0), which LIKE '%table scan%' cannot
+    express over a tokenized stream (it would also match across
+    punctuation runs the tokenizer collapses).
+
+    Plan: phrase-term pre-shuffle prune → ONE groupBy(doc) shuffle →
+    per-doc shifted-position-list intersection in pure JVM codegen →
+    TakeOrderedAndProject. No joins, no second pass over the corpus;
+    n_chars rides along as a carry column instead of re-tokenizing
+    for a length dim. The DuckDB twin replays the identical filtered
+    token stream (list_filter + parallel-unnest range zip, 0-based)
+    and INTERSECTs the shifted position sets — positions are unique
+    per doc, so set semantics equal multiset semantics."""
+    from hikma_engine_spark.query import search
+
+    d = _t(spark, sf_dir, "documents")
+    return search.phrase_match(
+        d, ["table", "scan"], k=20, carry_cols=("n_chars",)
+    ).select("doc_id", "phrase_tf", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3213,6 +3239,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_bm25_rank": s_bm25_rank,
         "a_approx_quantile": a_approx_quantile,
         "ev_funnel": ev_funnel,
+        # -- round-5 LATE wave (added after the r05 window plan was
+        # fixed; kept past position 50 so the 24 r03-aged entries keep
+        # their promised driver capture — these are verified locally
+        # via tools/verify_entry.py + pytest and rotate into the r06
+        # head as the thinnest-history entries) --
+        "s_phrase_query": s_phrase_query,
     }
 
 
@@ -5276,5 +5308,35 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS alias_merges_covered,
                    TRUE AS sameas_canonical_ok
             FROM alle ORDER BY id, src
+        """,
+        "s_phrase_query": """
+            WITH tk AS (
+              SELECT doc_id, n_chars,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS toks
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, n_chars,
+                     unnest(toks) AS token,
+                     unnest(range(0, len(toks))) AS pos
+              FROM tk
+            ),
+            m0 AS (SELECT doc_id, pos FROM occ WHERE token = 'table'),
+            m1 AS (SELECT doc_id, pos - 1 AS pos FROM occ WHERE token = 'scan'),
+            hits AS (
+              SELECT doc_id, pos FROM m0
+              INTERSECT
+              SELECT doc_id, pos FROM m1
+            ),
+            g AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+              FROM hits GROUP BY doc_id
+            )
+            SELECT g.doc_id, g.phrase_tf,
+                   CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM g JOIN documents d ON g.doc_id = d.doc_id
+            ORDER BY phrase_tf DESC, g.doc_id LIMIT 20
         """,
     }

@@ -336,3 +336,83 @@ def find_similar(nodes: DataFrame, node_id: str, k: int = 10) -> DataFrame:
         .limit(k)
     )
     return _strip(df)
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact positional phrase matching (the classic inverted-index
+    phrase query — Lucene PhraseQuery with slop 0) as ONE shuffle and
+    zero joins. No reference analog: search-service.ts stops at LIKE
+    containment (textBasedSearch, :207-262), which cannot distinguish
+    "table scan" from "scan ... table"; this is the target-domain
+    upgrade over s_inverted_postings' postings BUILD.
+
+    Plan shape (the part that must survive 100 TB):
+    1. tokenize → posexplode, then filter to the |P| phrase terms
+       BEFORE anything wide — the same pre-shuffle prune as BM25's
+       |Q|-term filter, so the shuffle carries only phrase-term
+       occurrences (~|P|/|V| of all tokens), never the corpus.
+    2. groupBy(doc) collecting (token, pos) structs — the ONLY
+       shuffle; per-doc state is bounded by phrase-term occurrences
+       in that doc (≤ doc length, no cross-doc state).
+    3. phrase hits = |p₀ ∩ (p₁−1) ∩ … ∩ (p_{L−1}−(L−1))| computed
+       per doc with F.filter/F.transform/F.array_intersect — pure
+       JVM whole-stage-codegen, handles repeated phrase terms
+       ("big big") since the shifted lists come from the same
+       occurrence set.
+    4. TakeOrderedAndProject top-k by (phrase_tf DESC, id) — no
+       global sort.
+
+    Positions index the FILTERED token stream (empties removed), same
+    as the DuckDB twin's list_filter + range zip.
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    terms = [t.lower() for t in phrase]
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    occ = (
+        docs.select(id_col, *carry_cols, F.posexplode(toks).alias("pos", "token"))
+        .filter(F.col("token").isin(list(set(terms))))
+    )
+    per_doc = occ.groupBy(id_col, *carry_cols).agg(
+        F.collect_list(F.struct("token", "pos")).alias("tp")
+    )
+    # NB: single-arg lambdas built via factories — a default-arg capture
+    # (lambda e, _t=t: …) raises the lambda's arity to 2, which pyspark's
+    # HOF binder reads as the (element, index) form and silently binds
+    # the capture slot to the array index.
+    def _is_term(t: str):
+        return lambda e: e.getField("token") == F.lit(t)
+
+    def _shift(i: int):
+        return lambda e: e.getField("pos") - F.lit(i)
+
+    shifted = [
+        F.array_sort(F.transform(F.filter(F.col("tp"), _is_term(t)), _shift(i)))
+        for i, t in enumerate(terms)
+    ]
+    hits = shifted[0]
+    for s in shifted[1:]:
+        hits = F.array_intersect(hits, s)
+    return (
+        per_doc.select(
+            id_col,
+            *carry_cols,
+            F.size(hits).cast("long").alias("phrase_tf"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+        .orderBy(F.desc("phrase_tf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -617,3 +617,61 @@ def test_corpus_release_pipeline_composes(spark):
     assert clean.filter(F.col("text").contains("<EMAIL>")).count() == 1
     pk = packed.toPandas()
     assert sorted(pk.doc_id) == survivors  # each survivor exactly once
+
+
+def _phrase_ref(texts: dict[int, str], phrase: list[str]) -> dict[int, int]:
+    """Pure-Python positional phrase counter over the same tokenizer."""
+    import re as _re
+
+    out = {}
+    for did, text in texts.items():
+        toks = [t for t in _re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+        n = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == phrase
+        )
+        if n:
+            out[did] = n
+    return out
+
+
+def test_phrase_match_three_terms_and_overlaps(spark):
+    """3-term phrase, overlapping occurrences ("a b a b a" contains
+    "a b a" twice, overlapping), punctuation collapse, and a repeated
+    single-term phrase ("big big")."""
+    from hikma_engine_spark.query.search import phrase_match
+
+    texts = {
+        0: "a b a b a",                 # "a b a" x2 (overlap)
+        1: "x, A??b!a zz a b a",         # punctuation collapses -> x2
+        2: "a b b a",                    # 0
+        3: "big big small big big big",  # "big big" x3 (pos 0,3,4)
+        4: "",                           # empty doc
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    for phrase in (["a", "b", "a"], ["big", "big"]):
+        got = {
+            r["doc_id"]: r["phrase_tf"]
+            for r in phrase_match(docs, phrase, k=10).collect()
+        }
+        assert got == _phrase_ref(texts, phrase), phrase
+
+
+def test_phrase_match_single_shuffle_no_join(spark):
+    """Plan contract: exactly one exchange (the groupBy), zero joins —
+    the shifted-list intersection happens inside the aggregate's
+    project, never as a self-join."""
+    from hikma_engine_spark.query.search import phrase_match
+
+    docs = spark.createDataFrame(
+        [(i, "table scan fast table scan") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = phrase_match(docs, ["table", "scan"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # one pre-agg exchange; TakeOrderedAndProject handles the top-k
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
