@@ -3113,6 +3113,47 @@ def s_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "phrase_tf", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def g_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): weighted k-bounded multi-source
+    shortest paths (operators.graph.bounded_sssp — frontier-pruned
+    Bellman-Ford, k=3 rounds). The graph family's weighted-traversal
+    rung: g_depth_entities relaxes unweighted longest-path depth,
+    g_k_hop_spark expands unweighted reach; this is min-WEIGHT
+    distance, the radius-bounded "how close is every node to the
+    seed set" primitive.
+
+    Graph (deterministic, linear-sized — no pair blowup): consecutive
+    user transitions per event_type ordered by (ts, event_id) give
+    directed edges u→v with integer weight 1 + (u+v) % 7; parallel
+    edges collapse to min weight (same value — weight is a pure
+    function of the endpoints). Sources: user_id % 50 = 0 (1 source
+    at sf0.001, 30 at sf0.1). All arithmetic is BIGINT; the DuckDB
+    twin unrolls the identical three relaxation rounds as
+    MATERIALIZED CTEs (a recursive CTE would dedup on the full row —
+    wrong algebra for min-distance)."""
+    from hikma_engine_spark.operators.graph import bounded_sssp
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tr = e.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    edges = tr.select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 7).alias("w")
+    )
+    sources = (
+        e.filter(F.col("user_id") % 50 == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    return (
+        bounded_sssp(edges, sources, k=3)
+        .select(F.col("node").cast("long").alias("user_id"), F.col("dist").alias("dist_w"))
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3245,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via tools/verify_entry.py + pytest and rotate into the r06
         # head as the thinnest-history entries) --
         "s_phrase_query": s_phrase_query,
+        "g_shortest_paths": g_shortest_paths,
     }
 
 
@@ -5338,5 +5380,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.n_chars AS BIGINT) AS n_chars
             FROM g JOIN documents d ON g.doc_id = d.doc_id
             ORDER BY phrase_tf DESC, g.doc_id LIMIT 20
+        """,
+        "g_shortest_paths": """
+            WITH tr AS (
+              SELECT user_id AS src,
+                     lead(user_id) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id) AS dst
+              FROM events
+            ),
+            em AS MATERIALIZED (
+              SELECT src, dst,
+                     CAST(min(1 + (src + dst) % 7) AS BIGINT) AS w
+              FROM tr
+              WHERE dst IS NOT NULL AND dst != src
+              GROUP BY src, dst
+            ),
+            d0 AS (
+              SELECT DISTINCT user_id AS node, CAST(0 AS BIGINT) AS dist
+              FROM events WHERE user_id % 50 = 0
+            ),
+            d1 AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d0 d JOIN em e ON e.src = d.node
+              ) GROUP BY node
+            ),
+            d2 AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d1 d JOIN em e ON e.src = d.node
+              ) GROUP BY node
+            ),
+            d3 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d2 d JOIN em e ON e.src = d.node
+              ) GROUP BY node
+            )
+            SELECT node AS user_id, dist AS dist_w
+            FROM d3 ORDER BY user_id
         """,
     }

@@ -888,3 +888,90 @@ def label_propagation(
             )
         ).localCheckpoint(eager=True)
     return labels.select(F.col("u").alias("node"), "label")
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Multi-source single-source-shortest-paths bounded to ``k``
+    relaxation rounds (weighted Bellman-Ford over ≤ k hops) — the
+    weighted sibling of transitive_depth's unweighted relaxation and
+    the "how far is every node from the seed set" primitive behind
+    radius-bounded KG neighborhood pricing. No reference analog
+    (the reference's only traversal is unweighted DFS depth,
+    src/modules/ast-parser.ts:440-449); target-domain addition.
+
+    Returns (node, dist) for every node reachable from ``sources``
+    (a one-column DataFrame named ``node``) within k hops, dist =
+    min total weight over all ≤ k-hop paths. Weights must be
+    non-negative (asserted on the first pass); ties need no break —
+    min is total.
+
+    Scale shape: per round ONE equi-join (frontier × edges, hashed on
+    the join key) + ONE groupBy-min — both on the same node key, and
+    the join's left side is the FRONTIER ONLY (nodes whose dist
+    improved last round), never the full dist table: on expander-ish
+    graphs the frontier decays after the wave passes a region, so
+    late rounds cost |frontier|·avg-degree, not |V|·avg-degree.
+    k is a hard bound — rounds are O(k) scheduler steps, each lineage
+    cut with localCheckpoint (the iterative-union recompute trap).
+    Early-exits when the frontier empties.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = (
+        edges.select(
+            F.col(src).alias("es"),
+            F.col(dst).alias("et"),
+            F.col(weight).cast("long").alias("ew"),
+        )
+        .filter(
+            F.col("es").isNotNull()
+            & F.col("et").isNotNull()
+            & (F.col("es") != F.col("et"))
+        )
+        .groupBy("es", "et")
+        .agg(F.min("ew").alias("ew"))
+        .localCheckpoint(eager=True)
+    )
+    n_bad = e.filter(F.col("ew") < 0).limit(1).count()
+    if n_bad:
+        raise ValueError("bounded_sssp requires non-negative weights")
+    dist = (
+        sources.select(F.col("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(k):
+        cand = (
+            frontier.join(e, frontier["node"] == e["es"])
+            .select(F.col("et").alias("node"), (F.col("dist") + F.col("ew")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(2**62)),
+                    F.coalesce(F.col("nd"), F.lit(2**62)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # frontier = nodes whose dist changed this round (new or improved)
+        frontier = merged.join(dist, ["node", "dist"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        dist = merged
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

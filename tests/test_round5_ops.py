@@ -675,3 +675,32 @@ def test_phrase_match_single_shuffle_no_join(spark):
     # one pre-agg exchange; TakeOrderedAndProject handles the top-k
     assert plan.count("Exchange hashpartitioning") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bounded_sssp_improving_path_and_bounds(spark):
+    """A 3-hop cheap path (1+1+1=3) must beat the direct heavy edge
+    (10) — but only once k reaches 3; k=1 reports the heavy edge, k=0
+    the sources alone. Unreachable nodes never appear; negative
+    weights raise."""
+    from hikma_engine_spark.operators.graph import bounded_sssp
+
+    edges = spark.createDataFrame(
+        [("s", "x", 10), ("s", "a", 1), ("a", "b", 1), ("b", "x", 1),
+         ("z", "q", 1)],  # z/q unreachable from s
+        "src string, dst string, w long",
+    )
+    src = spark.createDataFrame([("s",)], "node string")
+
+    def d(k):
+        return {r["node"]: r["dist"] for r in bounded_sssp(edges, src, k).collect()}
+
+    assert d(0) == {"s": 0}
+    assert d(1) == {"s": 0, "x": 10, "a": 1}
+    assert d(3) == {"s": 0, "a": 1, "b": 2, "x": 3}
+    assert d(5) == d(3)  # converged; early-exit path
+
+    import pytest as _pt
+
+    bad = spark.createDataFrame([("s", "x", -1)], "src string, dst string, w long")
+    with _pt.raises(ValueError):
+        bounded_sssp(bad, src, 2)
