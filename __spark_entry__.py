@@ -3154,6 +3154,47 @@ def g_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_dialog_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): instruction-tuning pair extraction
+    (operators.export.dialog_pairs) — the SFT last mile the export
+    family was missing: pack_sequences packs PRETRAINING token
+    streams; this re-assembles transcripts into (context, prompt,
+    response) examples with corpus-wide exact-response dedup
+    (first-wins by (conv_id, turn_idx), executed as a map-side-
+    combinable agg + semi-join, never a partitionBy(response)
+    window — boilerplate responses are the classic hot key).
+
+    Roles ride the deterministic transcripts view with alternating
+    parity (even turn = user, odd = assistant); responses gated to
+    [40, 2000] chars. The engine-compare surface is the sha256 of the
+    PACKED example (context\\n\\nprompt\\n\\nresponse — null context
+    skipped by concat_ws in both engines), i.e. exactly the bytes a
+    trainer would consume."""
+    from hikma_engine_spark.operators.export import dialog_pairs
+
+    t = _doc_transcripts(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    p = dialog_pairs(t, context_turns=2, min_resp_chars=40, max_resp_chars=2000)
+    return (
+        p.select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.col("n_context_turns").cast("long").alias("n_context_turns"),
+            F.length("prompt").cast("long").alias("prompt_chars"),
+            F.length("response").cast("long").alias("resp_chars"),
+            F.sha2(
+                F.concat_ws("\n\n", F.col("context"), F.col("prompt"), F.col("response")),
+                256,
+            ).alias("example_sha"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3287,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # head as the thinnest-history entries) --
         "s_phrase_query": s_phrase_query,
         "g_shortest_paths": g_shortest_paths,
+        "d_dialog_pairs": d_dialog_pairs,
     }
 
 
@@ -5425,5 +5467,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS user_id, dist AS dist_w
             FROM d3 ORDER BY user_id
+        """,
+        "d_dialog_pairs": f"""
+            WITH t AS (
+              {_DOC_TRANSCRIPTS_SQL}
+            ),
+            p AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     text,
+                     lag(CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                              ELSE 'assistant' END, 1) OVER w AS prev_role,
+                     lag(text, 1) OVER w AS prompt,
+                     lag(text, 3) OVER w AS c1,
+                     lag(text, 2) OVER w AS c2
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            pairs AS (
+              SELECT conv_id, turn_idx,
+                     nullif(concat_ws(chr(10), c1, c2), '') AS context,
+                     (CASE WHEN c1 IS NOT NULL AND c1 != '' THEN 1 ELSE 0 END
+                      + CASE WHEN c2 IS NOT NULL AND c2 != '' THEN 1 ELSE 0 END)
+                       AS n_context_turns,
+                     prompt, text AS response
+              FROM p
+              WHERE role = 'assistant' AND prev_role = 'user'
+                AND length(text) BETWEEN 40 AND 2000
+            ),
+            dedup AS (
+              SELECT * FROM pairs
+              QUALIFY row_number() OVER (PARTITION BY response
+                                         ORDER BY conv_id, turn_idx) = 1
+            )
+            SELECT conv_id,
+                   CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(n_context_turns AS BIGINT) AS n_context_turns,
+                   CAST(length(prompt) AS BIGINT) AS prompt_chars,
+                   CAST(length(response) AS BIGINT) AS resp_chars,
+                   sha256(concat_ws(chr(10) || chr(10),
+                                    context, prompt, response)) AS example_sha
+            FROM dedup ORDER BY conv_id, turn_idx
         """,
     }

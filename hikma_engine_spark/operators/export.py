@@ -453,3 +453,94 @@ def chunk_documents(
             F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
         )
     )
+
+
+def dialog_pairs(
+    transcripts: DataFrame,
+    context_turns: int = 2,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    min_resp_chars: int = 1,
+    max_resp_chars: int = 1 << 20,
+) -> DataFrame:
+    """Instruction-tuning pair extraction: every ``response_role`` turn
+    whose IMMEDIATELY preceding turn is ``prompt_role`` becomes one
+    (context, prompt, response) training example, with up to
+    ``context_turns`` earlier turns carried as context and exact
+    duplicate responses deduplicated corpus-wide (first occurrence by
+    (conv_id, turn_idx) wins). The SFT-data last mile over the
+    transcript corpus — no reference analog (the reference indexes
+    turns, it never re-assembles them into training pairs);
+    target-domain addition next to pack_sequences/chunk_documents.
+
+    Scale shape:
+    - context/prompt assembly = lag windows over (conv_id, turn_idx) —
+      ONE shuffle on conv_id, no joins, no per-row Python;
+    - global response dedup = groupBy(response-hash) keeping
+      min(struct(conv_id, turn_idx)) + a semi-join back — agg, NOT a
+      row_number window, so map-side partial aggregation absorbs the
+      hot keys (boilerplate "ok"/"done" responses are the classic
+      skewed key here; a window over partitionBy(response) would ship
+      every copy to one reducer).
+    - length gates are plain pushdown-able filters.
+
+    Returns (conv_id, turn_idx, context, n_context_turns, prompt,
+    response); ``context`` is NULL when no prior turns exist,
+    ``turn_idx`` is the RESPONSE turn.
+    """
+    from pyspark.sql import Window as W
+
+    if context_turns < 0:
+        raise ValueError("context_turns must be >= 0")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    lags_txt = [F.lag("text", i + 2).over(w) for i in range(context_turns)][::-1]
+    pairs = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.lag("role", 1).over(w).alias("prev_role"),
+            F.lag("text", 1).over(w).alias("prompt"),
+            *(
+                []
+                if context_turns == 0
+                else [
+                    F.nullif(F.concat_ws("\n", *lags_txt), F.lit("")).alias(
+                        "context"
+                    ),
+                    sum(
+                        F.when(c.isNotNull() & (c != ""), 1).otherwise(0)
+                        for c in lags_txt
+                    )
+                    .cast("int")
+                    .alias("n_context_turns"),
+                ]
+            ),
+        )
+        .filter(
+            (F.col("role") == response_role)
+            & (F.col("prev_role") == prompt_role)
+            & (F.length("text") >= min_resp_chars)
+            & (F.length("text") <= max_resp_chars)
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            *(
+                [F.lit(None).cast("string").alias("context"),
+                 F.lit(0).alias("n_context_turns")]
+                if context_turns == 0
+                else ["context", "n_context_turns"]
+            ),
+            "prompt",
+            F.col("text").alias("response"),
+        )
+    )
+    first = pairs.groupBy(F.sha2(F.col("response"), 256).alias("rh")).agg(
+        F.min(F.struct("conv_id", "turn_idx")).alias("k")
+    )
+    keep = first.select(
+        F.col("k.conv_id").alias("conv_id"), F.col("k.turn_idx").alias("turn_idx")
+    )
+    return pairs.join(keep, ["conv_id", "turn_idx"], "left_semi")

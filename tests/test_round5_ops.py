@@ -704,3 +704,41 @@ def test_bounded_sssp_improving_path_and_bounds(spark):
     bad = spark.createDataFrame([("s", "x", -1)], "src string, dst string, w long")
     with _pt.raises(ValueError):
         bounded_sssp(bad, src, 2)
+
+
+def test_dialog_pairs_gates_dedup_and_context(spark):
+    """Role gate (response must follow a prompt_role turn), corpus-wide
+    first-wins dedup on exact response text, null context on the first
+    exchange, and length gates."""
+    from hikma_engine_spark.operators.export import dialog_pairs
+
+    rows = [
+        # conv A: clean 2-exchange dialog
+        ("a", 0, "user", "q1 aaaa"),
+        ("a", 1, "assistant", "answer one"),
+        ("a", 2, "user", "q2 bbbb"),
+        ("a", 3, "assistant", "answer two"),
+        # conv B: duplicate response text (loses to conv a, turn 1)
+        ("b", 0, "user", "other q"),
+        ("b", 1, "assistant", "answer one"),
+        # conv C: assistant after assistant -> gated out
+        ("c", 0, "assistant", "no prompt before me"),
+        ("c", 1, "assistant", "me neither"),
+        # conv D: too-short response
+        ("d", 0, "user", "q"),
+        ("d", 1, "assistant", "x"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in dialog_pairs(t, context_turns=2, min_resp_chars=2).collect()
+    }
+    assert set(got) == {("a", 1), ("a", 3)}
+    r1, r3 = got[("a", 1)], got[("a", 3)]
+    assert r1["context"] is None and r1["n_context_turns"] == 0
+    assert r1["prompt"] == "q1 aaaa" and r1["response"] == "answer one"
+    assert r3["n_context_turns"] == 2
+    assert r3["context"] == "q1 aaaa\nanswer one"
+    # context_turns=0 keeps the pair but carries no context
+    z = dialog_pairs(t, context_turns=0, min_resp_chars=2).collect()
+    assert all(r["context"] is None and r["n_context_turns"] == 0 for r in z)
