@@ -3195,6 +3195,49 @@ def d_dialog_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): deterministic negative-edge
+    sampling (operators.graph.negative_edge_samples) — the training-
+    label complement to g_link_predict's positive scorer: KG-embedding
+    / link-prediction trainers need (u, v⁻) non-edges, and at corpus
+    scale they must be mintable WITHOUT rand() so a resumed export
+    never re-draws. Candidates = md5(u,v,j) mod |parts| over the
+    positive (customer, part) edges, broadcast-validated against the
+    part dim, anti-joined against positives, top-5 per customer in
+    seeded-hash order. Output sliced to custkey % 10 = 3 to bound the
+    driver compare; the sampling itself runs full-corpus. All hash
+    arithmetic is the repo's 48-bit-md5 BIGINT idiom, so the DuckDB
+    twin reproduces every rank bit-for-bit."""
+    from hikma_engine_spark.operators.graph import negative_edge_samples
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    pos = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("v"))
+        .distinct()
+    )
+    n_items = part.count()  # bounded probe: the item dim is broadcast-sized
+    neg = negative_edge_samples(
+        pos,
+        n_items=n_items,
+        k=5,
+        n_candidates=4,
+        seed="neg",
+        valid_items=part.select(F.col("p_partkey").alias("v")),
+    )
+    return (
+        neg.filter(F.col("u") % 10 == 3)
+        .select(
+            F.col("u").cast("long").alias("custkey"),
+            F.col("neg_v").cast("long").alias("neg_partkey"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("custkey", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3329,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_phrase_query": s_phrase_query,
         "g_shortest_paths": g_shortest_paths,
         "d_dialog_pairs": d_dialog_pairs,
+        "g_negative_samples": g_negative_samples,
     }
 
 
@@ -5509,5 +5553,42 @@ def oracle_sql() -> dict[str, str]:
                    sha256(concat_ws(chr(10) || chr(10),
                                     context, prompt, response)) AS example_sha
             FROM dedup ORDER BY conv_id, turn_idx
+        """,
+        "g_negative_samples": """
+            WITH pos AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS u, l_partkey AS v
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            nn AS (SELECT count(*) AS n_items FROM part),
+            cand AS (
+              SELECT DISTINCT u,
+                     CAST('0x' || substr(md5('neg:' || u || ':' || v
+                                              || ':' || j), 1, 12)
+                          AS BIGINT) % (SELECT n_items FROM nn) AS neg_v
+              FROM pos CROSS JOIN (SELECT unnest(range(4)) AS j)
+            ),
+            valid AS (
+              SELECT c.u, c.neg_v FROM cand c
+              JOIN part p ON p.p_partkey = c.neg_v
+            ),
+            clean AS (
+              SELECT * FROM valid va
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pos WHERE pos.u = va.u AND pos.v = va.neg_v
+              )
+            ),
+            ranked AS (
+              SELECT u, neg_v,
+                     row_number() OVER (
+                       PARTITION BY u
+                       ORDER BY md5('neg:rank:' || u || ':' || neg_v), neg_v
+                     ) AS rnk
+              FROM clean
+            )
+            SELECT CAST(u AS BIGINT) AS custkey,
+                   CAST(neg_v AS BIGINT) AS neg_partkey,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5 AND u % 10 = 3
+            ORDER BY custkey, rnk
         """,
     }

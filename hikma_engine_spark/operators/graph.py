@@ -975,3 +975,101 @@ def bounded_sssp(
         if frontier.limit(1).count() == 0:
             break
     return dist
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    n_items: int,
+    k: int = 5,
+    n_candidates: int = 4,
+    seed: str = "neg",
+    u_col: str = "u",
+    v_col: str = "v",
+    valid_items: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic NEGATIVE edge sampling for link-prediction /
+    KG-embedding training: for every positive edge (u, v) mint
+    ``n_candidates`` pseudo-random items h(u,v,j) mod ``n_items``,
+    drop collisions with the positive set, and keep the top-``k``
+    negatives per u in seeded-hash order. Same-seed re-runs are
+    byte-identical (the export family's determinism contract — no
+    rand(), so a resumed job never re-draws). No reference analog;
+    target-domain addition next to g_link_predict's positive scorer.
+
+    Caller maps items to a dense [0, n_items) id space first (the
+    modulus must cover real ids); ``valid_items`` (one column named
+    ``v_col``) optionally broadcast-semi-joins candidates to the real
+    item dim when the space has holes.
+
+    Scale shape: candidate minting is a narrow generate (explode of a
+    j-array literal — rows out = n_candidates × |E|, no shuffle);
+    the positive-collision drop is ONE anti-join on (u, item); the
+    per-u top-k window is bounded by n_candidates·deg(u) candidate
+    rows per u — skew inherits the positive degree distribution, so
+    cap the input degree the same way g_link_predict does if u is
+    hot. Ranking key is md5 of the FINAL pair (recomputed after
+    distinct), so dedup order can't leak.
+    """
+    if n_items <= 0:
+        raise ValueError("n_items must be positive")
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    cand = (
+        e.select(
+            "u",
+            "v",
+            F.explode(F.array(*[F.lit(j) for j in range(n_candidates)])).alias("j"),
+        )
+        .select(
+            "u",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(seed),
+                            F.col("u").cast("string"),
+                            F.col("v").cast("string"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .select("u", (F.col("h") % n_items).alias("neg_v"))
+        .distinct()
+    )
+    if valid_items is not None:
+        cand = cand.join(
+            F.broadcast(valid_items.select(F.col(v_col).alias("neg_v")).distinct()),
+            "neg_v",
+        )
+    clean = cand.join(
+        e.select("u", F.col("v").alias("neg_v")), ["u", "neg_v"], "left_anti"
+    )
+    rank_key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.lit("rank"),
+            F.col("u").cast("string"),
+            F.col("neg_v").cast("string"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("u").orderBy(rank_key, F.col("neg_v"))
+    return (
+        clean.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("u").alias(u_col),
+            F.col("neg_v").alias(f"neg_{v_col}"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

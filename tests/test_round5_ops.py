@@ -742,3 +742,32 @@ def test_dialog_pairs_gates_dedup_and_context(spark):
     # context_turns=0 keeps the pair but carries no context
     z = dialog_pairs(t, context_turns=0, min_resp_chars=2).collect()
     assert all(r["context"] is None and r["n_context_turns"] == 0 for r in z)
+
+
+def test_negative_samples_disjoint_capped_deterministic(spark):
+    """Negatives never collide with positives, per-u count caps at k,
+    ranks are 1..n dense, valid_items filters out-of-dim candidates,
+    and same-seed re-runs are identical while a different seed
+    differs."""
+    from hikma_engine_spark.operators.graph import negative_edge_samples
+
+    pos = spark.createDataFrame(
+        [(u, v) for u in range(3) for v in range(4)],  # dense-ish positives
+        "u long, v long",
+    )
+    items = spark.createDataFrame([(v,) for v in range(10)], "v long")
+    kw = dict(n_items=10, k=3, n_candidates=8, valid_items=items)
+    a = negative_edge_samples(pos, seed="s1", **kw).collect()
+    b = negative_edge_samples(pos, seed="s1", **kw).collect()
+    c = negative_edge_samples(pos, seed="s2", **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    pos_set = {(r["u"], r["v"]) for r in pos.collect()}
+    by_u = {}
+    for r in a:
+        assert (r["u"], r["neg_v"]) not in pos_set
+        assert 0 <= r["neg_v"] < 10
+        by_u.setdefault(r["u"], []).append(r["rnk"])
+    for u, rnks in by_u.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 3
