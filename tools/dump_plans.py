@@ -149,6 +149,26 @@ test_fuzzy_match_blocked_broadcast_and_recovery.""",
         plan(e.kg_fuzzy_match(spark, SF), "simple"),
     ))
 
+    sections.append((
+        "s_phrase_query — positional phrase search (round 5 late)",
+        """What to look for: ZERO Join operators — the phrase match is a
+per-doc shifted-position-list intersection inside the aggregate's
+projection; ONE hashpartitioning Exchange (the groupBy(doc)) fed by a
+scan-side filter to the phrase-term set (the pre-shuffle prune), and
+TakeOrderedAndProject for the top-k. Asserted by
+tests/test_round5_ops.py::test_phrase_match_single_shuffle_no_join.""",
+        plan(e.s_phrase_query(spark, SF)),
+    ))
+    sections.append((
+        "d_dialog_pairs — SFT pair extraction (round 5 late)",
+        """What to look for: the lag/window assembly rides ONE
+hashpartitioning Exchange on conv_id; the corpus-wide response dedup
+is a sha256-keyed HashAggregate with a PARTIAL pass (map-side combine
+— the hot-boilerplate-response guard) and re-enters as a semi-join,
+never a partitionBy(response) window.""",
+        plan(e.d_dialog_pairs(spark, SF), "simple"),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence for the headline operators",
         "",
