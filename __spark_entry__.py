@@ -3238,6 +3238,74 @@ def g_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): bigram-LM quality scoring — the
+    conditional-probability rung above d_unigram_logprob (real CCNet
+    uses a 5-gram KenLM; the bigram keeps the oracle exact while
+    exercising the full n-gram-LM plan shape, which the unigram entry
+    cannot: a MODEL JOIN on the n-gram key, not just a token-freq
+    lookup). Per doc: Σ log2 P(w₂|w₁) over its bigram stream with
+    add-one smoothing P = (c(w₁w₂)+1)/(c(w₁)+V).
+
+    Plan shape: bigram stream minted from the token ARRAY by
+    slice+arrays_zip (narrow — no self-join, no window); the log-prob
+    is computed ONCE PER DISTINCT BIGRAM on the model dim (counts join
+    on w1 — vocabulary-sized), then the doc stream joins the scored
+    dim on (w1,w2). 'the the'-class hot bigrams are the skewed keys;
+    the dim is broadcast under the threshold and AQE-skew-handled
+    above it (same doctrine as the unigram entry). Hash-safety:
+    per-bigram log2 rounded to 6 dp and summed as exact integer
+    MICROS. Docs with <2 tokens carry no bigrams and drop out in
+    both engines."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = d.select("doc_id", arr.alias("toks")).filter(F.size("toks") >= 2)
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.count()  # bounded scalar: |V| (one agg job)
+    model = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log2((F.col("c12") + 1) / (F.col("c1") + F.lit(vocab))) * 1e6
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp").alias("sum_lp2_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3373,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_shortest_paths": g_shortest_paths,
         "d_dialog_pairs": d_dialog_pairs,
         "g_negative_samples": g_negative_samples,
+        "d_bigram_logprob": d_bigram_logprob,
     }
 
 
@@ -5590,5 +5659,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= 5 AND u % 10 = 3
             ORDER BY custkey, rnk
+        """,
+        "d_bigram_logprob": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS toks
+              FROM documents
+            ),
+            d2 AS MATERIALIZED (
+              SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+            ),
+            bg2 AS MATERIALIZED (
+              SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+              FROM (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS bg
+                    FROM d2)
+              WHERE bg[2] IS NOT NULL
+            ),
+            uni AS MATERIALIZED (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(toks) AS w1 FROM d2)
+              GROUP BY w1
+            ),
+            v AS (SELECT count(*) AS vocab FROM uni),
+            model AS MATERIALIZED (
+              SELECT b.w1, b.w2,
+                     CAST(round(log2((b.c12 + 1)
+                                     / (u.c1 + (SELECT vocab FROM v)))
+                                * 1e6) AS BIGINT) AS lp
+              FROM (SELECT w1, w2, count(*) AS c12
+                    FROM bg2 GROUP BY w1, w2) b
+              JOIN uni u USING (w1)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(lp) AS BIGINT) AS sum_lp2_micro
+            FROM bg2 JOIN model USING (w1, w2)
+            GROUP BY doc_id ORDER BY doc_id
         """,
     }

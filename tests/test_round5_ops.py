@@ -771,3 +771,36 @@ def test_negative_samples_disjoint_capped_deterministic(spark):
     for u, rnks in by_u.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) <= 3
+
+
+def test_bigram_logprob_matches_hand_model(spark, tmp_path):
+    """Add-one-smoothed bigram scores on a 3-doc corpus equal a pure-
+    Python LM trained on the same corpus (short docs drop out)."""
+    import math
+    from collections import Counter
+
+    texts = {0: "a b a b c", 1: "b a", 2: "x"}  # doc 2: no bigrams
+    docs = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_bigram_logprob"](spark, sf).toPandas()
+
+    kept = {k: v.split() for k, v in texts.items() if len(v.split()) >= 2}
+    uni = Counter(t for ts in kept.values() for t in ts)
+    big = Counter(
+        (ts[i], ts[i + 1]) for ts in kept.values() for i in range(len(ts) - 1)
+    )
+    V = len(uni)
+    exp = {}
+    for did, ts in kept.items():
+        s = 0
+        for i in range(len(ts) - 1):
+            p = (big[(ts[i], ts[i + 1])] + 1) / (uni[ts[i]] + V)
+            s += round(math.log2(p) * 1e6)
+        exp[did] = (len(ts) - 1, s)
+    got = {
+        int(r.doc_id): (int(r.n_bigrams), int(r.sum_lp2_micro))
+        for r in pdf.itertuples()
+    }
+    assert got == exp
