@@ -3306,6 +3306,61 @@ def d_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): robust outlier detection via
+    median/MAD — the BREAKDOWN-POINT complement to ev_bursts' trailing
+    mean/stddev z-score (one fat-tailed burst inflates a stddev
+    baseline and masks siblings; the median absolute deviation has a
+    50% breakdown point). Per event_type: median event value, MAD,
+    and the count of events with |x − med| > 1.5·MAD.
+
+    Exactness doctrine: values become integer CENTS at the scan
+    (2-dp doubles — round() is exact); both medians ride as
+    DOUBLED integers (2·median of ints is integer under linear
+    interpolation), and the anomaly flag is the all-integer predicate
+    2·dev_half > 3·mad2_half — zero float comparisons anywhere, so
+    the twin matches bit-for-bit (the 1.4826 normal-consistency
+    constant is deliberately folded into the 1.5 threshold choice).
+    Scale: exact per-group medians sort within groups (5 type
+    partitions here); at 10^12 rows the same query swaps in the GK
+    sketch (a_approx_quantile's contract) — this entry pins the exact
+    semantics the sketch approximates. Two passes are inherent (MAD
+    needs the median first); the per-type stat dims broadcast back."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    med = x.groupBy("event_type").agg(
+        (2 * F.percentile("c", 0.5)).cast("long").alias("med_half"),
+        F.count("*").alias("n_events"),
+    )
+    dev = x.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_events",
+        "med_half",
+        F.abs(2 * F.col("c") - F.col("med_half")).alias("dev_half"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.percentile("dev_half", 0.5)).cast("long").alias("mad2_half")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("med_half").alias("med_half"),
+            F.first("mad2_half").alias("mad2_half"),
+            F.sum(
+                F.when(2 * F.col("dev_half") > 3 * F.col("mad2_half"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+            F.max("dev_half").alias("max_dev_half"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3442,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dialog_pairs": d_dialog_pairs,
         "g_negative_samples": g_negative_samples,
         "d_bigram_logprob": d_bigram_logprob,
+        "ev_anomaly_mad": ev_anomaly_mad,
     }
 
 
@@ -5697,5 +5753,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(lp) AS BIGINT) AS sum_lp2_micro
             FROM bg2 JOIN model USING (w1, w2)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ev_anomaly_mad": """
+            WITH x AS (
+              SELECT event_type, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ),
+            m AS MATERIALIZED (
+              SELECT event_type,
+                     CAST(2 * median(c) AS BIGINT) AS med_half,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM x GROUP BY event_type
+            ),
+            d AS MATERIALIZED (
+              SELECT x.event_type, m.n_events, m.med_half,
+                     abs(2 * x.c - m.med_half) AS dev_half
+              FROM x JOIN m USING (event_type)
+            ),
+            mm AS (
+              SELECT event_type,
+                     CAST(2 * median(dev_half) AS BIGINT) AS mad2_half
+              FROM d GROUP BY event_type
+            )
+            SELECT d.event_type,
+                   CAST(min(d.n_events) AS BIGINT) AS n_events,
+                   CAST(min(d.med_half) AS BIGINT) AS med_half,
+                   CAST(min(mm.mad2_half) AS BIGINT) AS mad2_half,
+                   CAST(sum(CASE WHEN 2 * d.dev_half > 3 * mm.mad2_half
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+                   CAST(max(d.dev_half) AS BIGINT) AS max_dev_half
+            FROM d JOIN mm USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type
         """,
     }

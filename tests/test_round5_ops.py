@@ -804,3 +804,32 @@ def test_bigram_logprob_matches_hand_model(spark, tmp_path):
         for r in pdf.itertuples()
     }
     assert got == exp
+
+
+def test_anomaly_mad_hand_case_and_breakdown(spark, tmp_path):
+    """Hand-checkable MAD flags, even-count interpolation (x.5 medians
+    stay exact as doubled ints), and the breakdown property a stddev
+    z-score lacks: one huge outlier must not mask a second, smaller
+    one."""
+    t0 = datetime(2024, 1, 1)
+    # type 'a': values 1..8 plus outliers 100 and 13
+    vals_a = [1, 2, 3, 4, 5, 6, 7, 8, 100, 13.5]
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "a", float(v), "{}")
+        for i, v in enumerate(vals_a)
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["ev_anomaly_mad"](spark, sf).toPandas()
+    r = pdf.iloc[0]
+    # cents: 100..800,10000,1350 -> sorted median = (500+600)/2 = 550
+    assert r.med_half == 2 * 550
+    # dev_half: [900,700,500,300,100,100,300,500,18900,1600] ->
+    # sorted median = (500+500)/2 = 500 -> mad2_half = 1000
+    assert r.mad2_half == 1000
+    # flag: 2*dev > 3*1000 -> dev_half > 1500: 18900 (100.0), 1600 (13.5)
+    assert r.n_anomalies == 2  # the big outlier does NOT mask the 13.5
+    assert r.max_dev_half == 18900
