@@ -1073,3 +1073,73 @@ def negative_edge_samples(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """HyperBall (Boldi/Vigna) — per-node ≤ k-hop neighborhood SIZE via
+    iterated HLL-sketch unions: b₀(v) = sketch{v};
+    b_{t+1}(v) = b_t(v) ∪ ⋃_{(v,w)∈E} b_t(w). Returns
+    (node, reach_est) where reach_est = round(estimate(b_k)) INCLUDING
+    the node itself. The neighborhood function / effective-diameter
+    estimator used on billion-edge graphs, where the exact frontier
+    set per node is O(reach) state and dies at scale — the HLL
+    register array is O(2^lgK) bytes per node REGARDLESS of reach,
+    and union is associative+idempotent so re-delivered edges (task
+    retries) cannot inflate it. No reference analog; target-domain
+    addition beside the mergeable-sketch family (HLL distinct / GK /
+    count-min / KMV).
+
+    Scale shape: per round ONE equi-join keyed on the edge source
+    (sketches ride to their in-neighbors) + ONE hll_union_agg groupBy
+    + a full-outer merge with the previous ball — all DataSketches
+    JVM aggregates, no Python; lineage cut per round; round count is
+    the hard bound k (for diameter work k grows to ~log(diameter),
+    still scheduler-bounded).
+
+    At small cardinalities (≪ 2^lgK) the DataSketches HLL runs in
+    exact sparse mode, so estimates equal exact reach — callers
+    asserting error contracts should size test graphs accordingly.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("es"), F.col(dst).alias("et"))
+        .filter(F.col("es").isNotNull() & F.col("et").isNotNull())
+        .filter(F.col("es") != F.col("et"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("es").alias("node"))
+        .unionByName(e.select(F.col("et").alias("node")))
+        .distinct()
+    )
+    ball = nodes.groupBy("node").agg(
+        F.hll_sketch_agg(F.col("node").cast("string"), F.lit(lg_config_k)).alias("b")
+    ).localCheckpoint(eager=True)
+    for _ in range(k):
+        recv = (
+            e.join(ball, e["et"] == ball["node"])
+            .select(F.col("es").alias("node"), "b")
+            .groupBy("node")
+            .agg(F.hll_union_agg("b").alias("nb"))
+        )
+        ball = (
+            ball.join(recv, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("nb").isNull(), F.col("b")
+                ).otherwise(F.hll_union("b", "nb")).alias("b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ball.select(
+        "node", F.round(F.hll_sketch_estimate("b")).cast("long").alias("reach_est")
+    )

@@ -833,3 +833,28 @@ def test_anomaly_mad_hand_case_and_breakdown(spark, tmp_path):
     # flag: 2*dev > 3*1000 -> dev_half > 1500: 18900 (100.0), 1600 (13.5)
     assert r.n_anomalies == 2  # the big outlier does NOT mask the 13.5
     assert r.max_dev_half == 18900
+
+
+def test_hyperball_sparse_mode_exact_on_hand_graph(spark):
+    """At tiny cardinality the DataSketches HLL is sparse-mode exact,
+    so the HyperBall estimate must EQUAL the true ≤k-hop reach on a
+    hand graph — directed semantics, k=0/1/2, union idempotence under
+    a duplicated edge."""
+    from hikma_engine_spark.operators.graph import neighborhood_function
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("a", "b")],
+        "src string, dst string",
+    )
+
+    def reach(k):
+        return {
+            r["node"]: r["reach_est"]
+            for r in neighborhood_function(edges, k).collect()
+        }
+
+    assert reach(0) == {"a": 1, "b": 1, "c": 1, "d": 1}
+    # 1 hop: a->{b,c}, b->{c}, c->{d}
+    assert reach(1) == {"a": 3, "b": 2, "c": 2, "d": 1}
+    # 2 hops: a reaches {a,b,c,d}, b {b,c,d}
+    assert reach(2) == {"a": 4, "b": 3, "c": 2, "d": 1}
