@@ -3423,6 +3423,48 @@ def g_reach_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): time-respecting reachability
+    (operators.graph.temporal_reachability) — earliest-arrival
+    propagation where a hop may only use edges with ts ≥ the arrival
+    time at its source (contact-network / taint-propagation
+    semantics). Distinct algebra from g_shortest_paths: the static
+    shortest path happily walks backwards in time; this cannot.
+
+    Edges: consecutive user transitions per event_type, stamped with
+    the DESTINATION event's timestamp as exact integer micros from
+    the 2024-01-01 NTZ epoch (the repo's cross-engine timestamp
+    idiom). Seeds: user_id % 50 = 0, available from t0 = 0. k = 3
+    relaxation rounds, unrolled identically in the DuckDB twin."""
+    from hikma_engine_spark.operators.graph import temporal_reachability
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', {})"
+    tr = e.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+        F.lead("ts").over(w).alias("dst_ts"),
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    edges = tr.select(
+        "src", "dst", F.expr(us.format("dst_ts")).alias("t")
+    )
+    sources = (
+        e.filter(F.col("user_id") % 50 == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+        .withColumn("t0", F.lit(0).cast("long"))
+    )
+    return (
+        temporal_reachability(edges, sources, k=3)
+        .select(
+            F.col("node").cast("long").alias("user_id"),
+            F.col("arrival").alias("arrival_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3561,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bigram_logprob": d_bigram_logprob,
         "ev_anomaly_mad": ev_anomaly_mad,
         "g_reach_hyperball": g_reach_hyperball,
+        "ev_temporal_reach": ev_temporal_reach,
     }
 
 
@@ -5874,5 +5917,51 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_10pct
             FROM p WHERE node % 5 = 0
             GROUP BY node ORDER BY user_id
+        """,
+        "ev_temporal_reach": """
+            WITH tr AS (
+              SELECT user_id AS src,
+                     lead(user_id) OVER w AS dst,
+                     lead(ts) OVER w AS dst_ts
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            e AS MATERIALIZED (
+              SELECT DISTINCT src, dst,
+                     date_diff('microsecond',
+                               TIMESTAMP '2024-01-01 00:00:00',
+                               dst_ts) AS t
+              FROM tr WHERE dst IS NOT NULL AND dst != src
+            ),
+            a0 AS (
+              SELECT DISTINCT user_id AS node, CAST(0 AS BIGINT) AS arrival
+              FROM events WHERE user_id % 50 = 0
+            ),
+            a1 AS MATERIALIZED (
+              SELECT node, min(arrival) AS arrival FROM (
+                SELECT node, arrival FROM a0
+                UNION ALL
+                SELECT e.dst AS node, e.t AS arrival
+                FROM a0 a JOIN e ON e.src = a.node AND e.t >= a.arrival
+              ) GROUP BY node
+            ),
+            a2 AS MATERIALIZED (
+              SELECT node, min(arrival) AS arrival FROM (
+                SELECT node, arrival FROM a1
+                UNION ALL
+                SELECT e.dst AS node, e.t AS arrival
+                FROM a1 a JOIN e ON e.src = a.node AND e.t >= a.arrival
+              ) GROUP BY node
+            ),
+            a3 AS (
+              SELECT node, min(arrival) AS arrival FROM (
+                SELECT node, arrival FROM a2
+                UNION ALL
+                SELECT e.dst AS node, e.t AS arrival
+                FROM a2 a JOIN e ON e.src = a.node AND e.t >= a.arrival
+              ) GROUP BY node
+            )
+            SELECT node AS user_id, arrival AS arrival_us
+            FROM a3 ORDER BY user_id
         """,
     }

@@ -1143,3 +1143,86 @@ def neighborhood_function(
     return ball.select(
         "node", F.round(F.hll_sketch_estimate("b")).cast("long").alias("reach_est")
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    time: str = "t",
+) -> DataFrame:
+    """Time-RESPECTING reachability (contact-network / provenance
+    semantics): a path may only traverse edges whose timestamps are
+    non-decreasing along the path, and each hop departs no earlier
+    than it arrived. Returns (node, arrival) = the EARLIEST time
+    information seeded at ``sources`` (rows (node, t0) — available
+    from t0) can reach each node within ≤ k hops. This is a different
+    algebra from bounded_sssp's min-weight: the relaxation value is
+    the edge's own timestamp, and usability is the predicate
+    edge.t ≥ arrival(u) — a static shortest path through a temporal
+    graph gives WRONG answers (it happily walks backwards in time).
+    No reference analog; target-domain addition (who could have seen
+    X / taint propagation over transcripts and event streams).
+
+    Earlier arrival is monotonically at least as good (t ≥ arrival
+    is a superset predicate), so frontier-pruned min-relaxation
+    converges exactly like Bellman-Ford: per round ONE frontier ×
+    edges equi-join (+ the time predicate as a residual filter) and
+    ONE groupBy-min, lineage cut per round, early exit on empty
+    frontier. Edge times are caller-provided integers (micros) —
+    no timestamp arithmetic inside the loop.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = (
+        edges.select(
+            F.col(src).alias("es"),
+            F.col(dst).alias("et"),
+            F.col(time).cast("long").alias("tt"),
+        )
+        .filter(
+            F.col("es").isNotNull()
+            & F.col("et").isNotNull()
+            & F.col("tt").isNotNull()
+            & (F.col("es") != F.col("et"))
+        )
+        .groupBy("es", "et", "tt")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+        .localCheckpoint(eager=True)
+    )
+    arr = (
+        sources.select("node", F.col("t0").cast("long").alias("arrival"))
+        .groupBy("node")
+        .agg(F.min("arrival").alias("arrival"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = arr
+    for _ in range(k):
+        cand = (
+            frontier.join(e, frontier["node"] == e["es"])
+            .filter(F.col("tt") >= F.col("arrival"))
+            .select(F.col("et").alias("node"), F.col("tt").alias("na"))
+            .groupBy("node")
+            .agg(F.min("na").alias("na"))
+        )
+        merged = (
+            arr.join(cand, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("arrival"), F.lit(2**62)),
+                    F.coalesce(F.col("na"), F.lit(2**62)),
+                ).alias("arrival"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.join(arr, ["node", "arrival"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        arr = merged
+        if frontier.limit(1).count() == 0:
+            break
+    return arr

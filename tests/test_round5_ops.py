@@ -858,3 +858,29 @@ def test_hyperball_sparse_mode_exact_on_hand_graph(spark):
     assert reach(1) == {"a": 3, "b": 2, "c": 2, "d": 1}
     # 2 hops: a reaches {a,b,c,d}, b {b,c,d}
     assert reach(2) == {"a": 4, "b": 3, "c": 2, "d": 1}
+
+
+def test_temporal_reachability_respects_time_ordering(spark):
+    """The defining case: a path that exists statically but walks
+    BACKWARDS in time must not be taken; a later parallel edge can
+    rescue it. Also: waiting at a node is allowed (t == arrival)."""
+    from hikma_engine_spark.operators.graph import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 10),
+            ("a", "b", 5),    # arrives at a at 10 -> 5 < 10, unusable
+            ("a", "b", 10),   # equal time: usable (waiting allowed)
+            ("b", "c", 9),    # 9 < 10, unusable -> c unreachable
+            ("x", "s", 1),    # into the seed: s keeps arrival 0
+        ],
+        "src string, dst string, t long",
+    )
+    src = spark.createDataFrame([("s", 0)], "node string, t0 long")
+    got = {
+        r["node"]: r["arrival"]
+        for r in temporal_reachability(edges, src, k=4).collect()
+    }
+    assert got == {"s": 0, "a": 10, "b": 10}
+    # static shortest path WOULD reach c via s->a->b->c; temporal must not
+    assert "c" not in got
