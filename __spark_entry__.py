@@ -3465,6 +3465,67 @@ def ev_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): chi-square goodness-of-fit against
+    hour-of-day uniformity, per event_type — the distribution-DRIFT
+    primitive (is this stream's diurnal profile still flat / still
+    matching yesterday's?) that data-quality gates run alongside the
+    volume checks ev_bursts covers. New family: statistical testing.
+
+    Integer doctrine: with E = n/24, χ² = Σ_h (O_h − n/24)²/(n/24)
+    = Σ_h (24·O_h − n)² / (24·n) — the numerator S is an EXACT BIGINT
+    (hours with zero events contribute n² each: S = S_present +
+    (24 − k)·n²), and the 1% rejection test χ² > 41.638 (df = 23)
+    becomes the all-integer predicate 1000·S > 41638·24·n. Scale:
+    one map-side-combinable groupBy(type, hour) then a 24-row-per-type
+    re-agg — the two-level rollup shape of a_time_rollup."""
+    e = _t(spark, sf_dir, "events")
+    byh = e.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("o"))
+    per = byh.groupBy("event_type").agg(
+        F.sum("o").alias("n_events"),
+        F.count("*").alias("n_hours_present"),
+    )
+    s_present = (
+        byh.join(per.select("event_type", "n_events"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (24 * F.col("o") - F.col("n_events"))
+                * (24 * F.col("o") - F.col("n_events"))
+            ).alias("sp")
+        )
+    )
+    return (
+        per.join(s_present, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_hours_present").cast("long").alias("n_hours_present"),
+            (
+                F.col("sp")
+                + (24 - F.col("n_hours_present"))
+                * F.col("n_events")
+                * F.col("n_events")
+            )
+            .cast("long")
+            .alias("chi2_numer"),
+            (
+                1000
+                * (
+                    F.col("sp")
+                    + (24 - F.col("n_hours_present"))
+                    * F.col("n_events")
+                    * F.col("n_events")
+                )
+                > F.lit(41638) * 24 * F.col("n_events")
+            ).alias("non_uniform_1pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3604,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_anomaly_mad": ev_anomaly_mad,
         "g_reach_hyperball": g_reach_hyperball,
         "ev_temporal_reach": ev_temporal_reach,
+        "ev_hour_chi2": ev_hour_chi2,
     }
 
 
@@ -5963,5 +6025,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS user_id, arrival AS arrival_us
             FROM a3 ORDER BY user_id
+        """,
+        "ev_hour_chi2": """
+            WITH byh AS (
+              SELECT event_type, hour(ts) AS h, count(*) AS o
+              FROM events GROUP BY event_type, hour(ts)
+            ),
+            per AS (
+              SELECT event_type,
+                     sum(o) AS n_events,
+                     count(*) AS n_hours_present
+              FROM byh GROUP BY event_type
+            ),
+            sp AS (
+              SELECT b.event_type,
+                     sum((24 * b.o - p.n_events)
+                         * (24 * b.o - p.n_events)) AS s_present
+              FROM byh b JOIN per p USING (event_type)
+              GROUP BY b.event_type
+            )
+            SELECT p.event_type,
+                   CAST(p.n_events AS BIGINT) AS n_events,
+                   CAST(p.n_hours_present AS BIGINT) AS n_hours_present,
+                   CAST(sp.s_present
+                        + (24 - p.n_hours_present)
+                          * p.n_events * p.n_events AS BIGINT)
+                     AS chi2_numer,
+                   (1000 * (sp.s_present
+                            + (24 - p.n_hours_present)
+                              * p.n_events * p.n_events)
+                    > 41638 * 24 * p.n_events) AS non_uniform_1pct
+            FROM per p JOIN sp USING (event_type)
+            ORDER BY p.event_type
         """,
     }

@@ -884,3 +884,29 @@ def test_temporal_reachability_respects_time_ordering(spark):
     assert got == {"s": 0, "a": 10, "b": 10}
     # static shortest path WOULD reach c via s->a->b->c; temporal must not
     assert "c" not in got
+
+
+def test_hour_chi2_missing_hours_and_flag(spark, tmp_path):
+    """Zero-event hours must contribute n² to the numerator (a stream
+    concentrated in one hour is maximally non-uniform: S = 24·n²·(23/24)
+    ... exactly (24n−n)² + 23·n² = 529n²+23n² = 552n²), and a small
+    perfectly-uniform stream must not be flagged."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # type 'burst': 48 events all in hour 0 -> flagged
+    for i in range(48):
+        rows.append((i, t0 + timedelta(minutes=i % 60), 1, "burst"))
+    # type 'flat': one event in every hour -> chi2 = 0
+    for h in range(24):
+        rows.append((100 + h, t0 + timedelta(hours=h), 2, "flat"))
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["ev_hour_chi2"](spark, sf).toPandas()
+    r = {x.event_type: x for x in pdf.itertuples()}
+    n = 48
+    assert r["burst"].chi2_numer == (24 * n - n) ** 2 + 23 * n * n
+    assert bool(r["burst"].non_uniform_1pct)
+    assert r["flat"].chi2_numer == 0 and not bool(r["flat"].non_uniform_1pct)
