@@ -3526,6 +3526,68 @@ def ev_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_sft_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): the SFT-release COMPOSITION —
+    dialog-pair extraction → benchmark decontamination of the packed
+    examples (3-gram containment ≥ 0.8 vs the doc_id % 97 benchmark
+    split) → seeded shuffle-shard → per-shard manifest, end-to-end in
+    one lazy plan. The instruction-tuning mirror of
+    d_export_pipeline's pretraining composition: every stage's
+    individual oracle is green; this proves the stage BOUNDARIES
+    (column drift, id minting, hash-key drift) compose correctly too.
+
+    The manifest rows are the engine-compare surface: per shard, the
+    example count and the BIGINT sum of each example's 48-bit sha256
+    prefix — order-independent, and any dropped/extra/mutated example
+    anywhere in the chain shifts exactly one shard's sum."""
+    from hikma_engine_spark.operators.export import dialog_pairs
+
+    t = _doc_transcripts(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    p = dialog_pairs(t, context_turns=2, min_resp_chars=40, max_resp_chars=2000)
+    packed = F.concat_ws(
+        "\n\n", F.col("context"), F.col("prompt"), F.col("response")
+    )
+    pt = p.select(
+        F.concat_ws(
+            "#", F.col("conv_id"), F.col("turn_idx").cast("string")
+        ).alias("pair_id"),
+        packed.alias("text"),
+        F.sha2(packed, 256).alias("example_sha"),
+    )
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").cast("string").alias("pair_id"), "text")
+    )
+    flagged = (
+        export.decontaminate(pt, bench, "pair_id", "text", n=3, containment=0.8)
+        .select(F.col("doc_id").alias("pair_id"))
+        .distinct()
+    )
+    clean = pt.join(flagged, "pair_id", "left_anti")
+    sharded = export.shuffle_shard(clean, "pair_id", n_shards=8, seed="sft")
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_examples"),
+            F.sum(
+                F.conv(F.substring("example_sha", 1, 12), 16, 10).cast("long")
+            ).alias("sha_sum48"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_examples").cast("long").alias("n_examples"),
+            "sha_sum48",
+        )
+        .orderBy("shard")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3666,7 +3728,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_reach_hyperball": g_reach_hyperball,
         "ev_temporal_reach": ev_temporal_reach,
         "ev_hour_chi2": ev_hour_chi2,
+        "d_sft_release": d_sft_release,
     }
+
+
+# SFT dialog-pair CTE chain (ends at table `dedup` with conv_id,
+# turn_idx, context, n_context_turns, prompt, response) — shared by the
+# d_dialog_pairs twin and the d_sft_release composition twin so the
+# stage algebra can never drift between them.
+_DIALOG_PAIRS_CTE = f"""t AS (
+              {_DOC_TRANSCRIPTS_SQL}
+            ),
+            p AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     text,
+                     lag(CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                              ELSE 'assistant' END, 1) OVER w AS prev_role,
+                     lag(text, 1) OVER w AS prompt,
+                     lag(text, 3) OVER w AS c1,
+                     lag(text, 2) OVER w AS c2
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            pairs AS (
+              SELECT conv_id, turn_idx,
+                     nullif(concat_ws(chr(10), c1, c2), '') AS context,
+                     (CASE WHEN c1 IS NOT NULL AND c1 != '' THEN 1 ELSE 0 END
+                      + CASE WHEN c2 IS NOT NULL AND c2 != '' THEN 1 ELSE 0 END)
+                       AS n_context_turns,
+                     prompt, text AS response
+              FROM p
+              WHERE role = 'assistant' AND prev_role = 'user'
+                AND length(text) BETWEEN 40 AND 2000
+            ),
+            dedup AS (
+              SELECT * FROM pairs
+              QUALIFY row_number() OVER (PARTITION BY response
+                                         ORDER BY conv_id, turn_idx) = 1
+            )"""
 
 
 _SHINGLE_CTE = """
@@ -5806,38 +5907,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d3 ORDER BY user_id
         """,
         "d_dialog_pairs": f"""
-            WITH t AS (
-              {_DOC_TRANSCRIPTS_SQL}
-            ),
-            p AS (
-              SELECT conv_id, turn_idx,
-                     CASE WHEN turn_idx % 2 = 0 THEN 'user'
-                          ELSE 'assistant' END AS role,
-                     text,
-                     lag(CASE WHEN turn_idx % 2 = 0 THEN 'user'
-                              ELSE 'assistant' END, 1) OVER w AS prev_role,
-                     lag(text, 1) OVER w AS prompt,
-                     lag(text, 3) OVER w AS c1,
-                     lag(text, 2) OVER w AS c2
-              FROM t
-              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
-            ),
-            pairs AS (
-              SELECT conv_id, turn_idx,
-                     nullif(concat_ws(chr(10), c1, c2), '') AS context,
-                     (CASE WHEN c1 IS NOT NULL AND c1 != '' THEN 1 ELSE 0 END
-                      + CASE WHEN c2 IS NOT NULL AND c2 != '' THEN 1 ELSE 0 END)
-                       AS n_context_turns,
-                     prompt, text AS response
-              FROM p
-              WHERE role = 'assistant' AND prev_role = 'user'
-                AND length(text) BETWEEN 40 AND 2000
-            ),
-            dedup AS (
-              SELECT * FROM pairs
-              QUALIFY row_number() OVER (PARTITION BY response
-                                         ORDER BY conv_id, turn_idx) = 1
-            )
+            WITH {_DIALOG_PAIRS_CTE}
             SELECT conv_id,
                    CAST(turn_idx AS BIGINT) AS turn_idx,
                    CAST(n_context_turns AS BIGINT) AS n_context_turns,
@@ -6057,5 +6127,72 @@ def oracle_sql() -> dict[str, str]:
                     > 41638 * 24 * p.n_events) AS non_uniform_1pct
             FROM per p JOIN sp USING (event_type)
             ORDER BY p.event_type
+        """,
+        "d_sft_release": f"""
+            WITH {_DIALOG_PAIRS_CTE},
+            pt AS MATERIALIZED (
+              SELECT conv_id || '#' || turn_idx AS pair_id,
+                     concat_ws(chr(10) || chr(10),
+                               context, prompt, response) AS text,
+                     sha256(concat_ws(chr(10) || chr(10),
+                                      context, prompt, response))
+                       AS example_sha
+              FROM dedup
+            ),
+            ptoks AS (
+              SELECT pair_id,
+                     string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+              FROM pt
+            ),
+            psh AS (
+              SELECT pair_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(tk) >= 3
+                            THEN [array_to_string(tk[i:i+2], ' ')
+                                  for i in range(1, len(tk) - 1)]
+                            ELSE [array_to_string(tk, ' ')] END
+                     )) AS g
+              FROM ptoks
+            ),
+            btoks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+              FROM documents WHERE doc_id % 97 = 0
+            ),
+            bsh AS (
+              SELECT doc_id AS eval_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(tk) >= 3
+                            THEN [array_to_string(tk[i:i+2], ' ')
+                                  for i in range(1, len(tk) - 1)]
+                            ELSE [array_to_string(tk, ' ')] END
+                     )) AS g
+              FROM btoks
+            ),
+            bsz AS (SELECT eval_id, count(*) AS sz FROM bsh GROUP BY 1),
+            flagged AS (
+              SELECT DISTINCT i.pair_id
+              FROM (SELECT p.pair_id, b.eval_id, count(*) AS n
+                    FROM psh p JOIN bsh b USING (g) GROUP BY 1, 2) i
+              JOIN bsz s USING (eval_id)
+              WHERE i.n::double / s.sz >= 0.8
+            ),
+            clean AS (
+              SELECT * FROM pt
+              WHERE pair_id NOT IN (SELECT pair_id FROM flagged)
+            ),
+            sharded AS (
+              SELECT pair_id, example_sha,
+                     ('0x' || substr(md5('sft:' || pair_id), 1, 8))::BIGINT % 8
+                       AS shard
+              FROM clean
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_examples,
+                   CAST(sum(('0x' || substr(example_sha, 1, 12))::BIGINT)
+                        AS BIGINT) AS sha_sum48
+            FROM sharded GROUP BY shard ORDER BY shard
         """,
     }
