@@ -3588,6 +3588,93 @@ def d_sft_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): two-sample Kolmogorov-Smirnov test
+    — are 'click' and 'view' event values drawn from the same
+    distribution? The second member of the statistical-testing family
+    (ev_hour_chi2 tests a histogram against a FIXED shape; KS compares
+    two EMPIRICAL CDFs with no binning choice at all).
+
+    The scale-relevant piece is the CDF itself: a cumulative sum over
+    the global value order is a single-reducer window, so this builds
+    it as the classic TWO-PHASE DISTRIBUTED PREFIX SUM — per-(bucket)
+    partial aggregation in parallel, a bucket-count-sized offset dim
+    (32 rows, broadcast) carrying the exclusive running total of the
+    buckets before, then within-bucket windows that never see more
+    than one bucket's rows. Bucket count is fixed, data per bucket is
+    what scales.
+
+    Integer doctrine: values to cents; D arrives SCALED as
+    D_scaled = max|n2·cum1 − n1·cum2| (BIGINT — one max, no division);
+    the α=0.01 rejection c(α)=1.628 becomes
+    D_scaled² ≥ (26504·n1·n2·(n1+n2)) DIV 10000 — exact 64-bit-safe
+    integer comparison at every test SF (magnitudes documented:
+    D² ≤ 1.6e17, RHS ≤ 4.3e13 at sf0.1)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    x = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    per_val = x.groupBy("c").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    ).withColumn("b", (F.col("c") / 64).cast("long"))
+    # phase 1: per-bucket totals (parallel); phase 2: exclusive offsets
+    # over the ORDERED bucket dim — a window over ~32 rows, the only
+    # single-partition step, and its size is fixed by the bucket width,
+    # not by the data volume
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_val.groupBy("b")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .select(
+            "b",
+            F.coalesce(F.sum("s1").over(wb), F.lit(0)).alias("off1"),
+            F.coalesce(F.sum("s2").over(wb), F.lit(0)).alias("off2"),
+        )
+    )
+    # phase 3: within-bucket running sums, co-partitioned by bucket
+    wc = Window.partitionBy("b").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = per_val.join(F.broadcast(offsets), "b").select(
+        "c",
+        (F.col("off1") + F.sum("c1").over(wc)).alias("cum1"),
+        (F.col("off2") + F.sum("c2").over(wc)).alias("cum2"),
+    )
+    n = x.groupBy().agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n2"),
+    )
+    d = cdf.crossJoin(F.broadcast(n)).select(
+        F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")).alias(
+            "ds"
+        ),
+        "n1",
+        "n2",
+    )
+    return (
+        d.groupBy("n1", "n2")
+        .agg(F.max("ds").alias("d_scaled"))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("d_scaled").cast("long").alias("d_scaled"),
+        )
+        # integer floor-div keeps the comparison in exact BIGINT on
+        # both engines (a double division would shave low bits past
+        # 2^53 on the product)
+        .withColumn(
+            "reject_1pct",
+            F.expr(
+                "d_scaled * d_scaled >= "
+                "(26504 * n1 * n2 * (n1 + n2)) DIV 10000"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3729,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_temporal_reach": ev_temporal_reach,
         "ev_hour_chi2": ev_hour_chi2,
         "d_sft_release": d_sft_release,
+        "ev_ks_value_drift": ev_ks_value_drift,
     }
 
 
@@ -6194,5 +6282,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(('0x' || substr(example_sha, 1, 12))::BIGINT)
                         AS BIGINT) AS sha_sum48
             FROM sharded GROUP BY shard ORDER BY shard
+        """,
+        "ev_ks_value_drift": """
+            WITH x AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('click', 'view')
+            ),
+            pv AS (
+              SELECT c,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+              FROM x GROUP BY c
+            ),
+            cdf AS (
+              SELECT c,
+                     sum(c1) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+                     sum(c2) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+              FROM pv
+            ),
+            nn AS (
+              SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
+              FROM x
+            )
+            SELECT CAST(n1 AS BIGINT) AS n1,
+                   CAST(n2 AS BIGINT) AS n2,
+                   CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_scaled,
+                   (CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT)
+                      * CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT)
+                    >= (26504 * n1 * n2 * (n1 + n2)) // 10000)
+                     AS reject_1pct
+            FROM cdf, nn GROUP BY n1, n2
         """,
     }

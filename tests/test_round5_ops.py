@@ -910,3 +910,42 @@ def test_hour_chi2_missing_hours_and_flag(spark, tmp_path):
     assert r["burst"].chi2_numer == (24 * n - n) ** 2 + 23 * n * n
     assert bool(r["burst"].non_uniform_1pct)
     assert r["flat"].chi2_numer == 0 and not bool(r["flat"].non_uniform_1pct)
+
+
+def test_ks_value_drift_hand_cases(spark, tmp_path):
+    """KS decision against hand-computed D: identical-ish small samples
+    don't reject; fully-separated n=30 samples do. Values straddle the
+    64-cent prefix-sum buckets so the two-phase offsets are exercised."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # case data: clicks at 0.50 (bucket 0) x30, views at 1.50 (bucket 2) x30
+    for _ in range(30):
+        rows.append((eid, t0, 1, "click", 0.50, "{}")); eid += 1
+        rows.append((eid, t0, 1, "view", 1.50, "{}")); eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    r = entrymod.queries()["ev_ks_value_drift"](spark, sf).toPandas().iloc[0]
+    # D_scaled = max|n2*cum1 - n1*cum2| = |30*30 - 30*0| = 900
+    assert (r.n1, r.n2, r.d_scaled) == (30, 30, 900)
+    # 900^2 = 810000 >= (26504*30*30*60)//10000 = 143121 -> reject
+    assert bool(r.reject_1pct)
+
+    # same distribution: interleaved identical values -> D_scaled = small
+    rows2 = []
+    eid = 0
+    for v in (0.50, 1.50, 2.50):
+        for _ in range(10):
+            rows2.append((eid, t0, 1, "click", v, "{}")); eid += 1
+            rows2.append((eid, t0, 1, "view", v, "{}")); eid += 1
+    ev2 = pd.DataFrame(
+        rows2, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev2["ts"] = ev2["ts"].astype("datetime64[us]")
+    (tmp_path / "b").mkdir(exist_ok=True)
+    ev2.to_parquet(str(tmp_path / "b" / "events.parquet"))
+    r2 = entrymod.queries()["ev_ks_value_drift"](spark, str(tmp_path / "b")).toPandas().iloc[0]
+    assert r2.d_scaled == 0 and not bool(r2.reject_1pct)
