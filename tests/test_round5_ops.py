@@ -949,3 +949,29 @@ def test_ks_value_drift_hand_cases(spark, tmp_path):
     ev2.to_parquet(str(tmp_path / "b" / "events.parquet"))
     r2 = entrymod.queries()["ev_ks_value_drift"](spark, str(tmp_path / "b")).toPandas().iloc[0]
     assert r2.d_scaled == 0 and not bool(r2.reject_1pct)
+
+
+def test_ks_prefix_sum_is_two_phase(spark, tmp_path):
+    """Plan contract: the per-value CDF window is PARTITIONED by the
+    prefix-sum bucket (hashpartitioning(b…)), and the only
+    SinglePartition exchanges are the fixed-size ones (the ~32-row
+    bucket-offset dim and the final scalar agg) — never the full
+    value stream."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "click" if i % 2 else "view", float(i % 40), "{}")
+        for i in range(400)
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    plan = (
+        entrymod.queries()["ev_ks_value_drift"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(b#" in plan  # the big window is co-partitioned
+    assert plan.count("Exchange SinglePartition") <= 2
