@@ -3675,6 +3675,239 @@ def ev_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): two-sample Mann-Whitney U rank
+    test — does 'click' value stochastically dominate 'view' value?
+    Third member of the statistical-testing family: ev_hour_chi2 tests
+    a histogram against a FIXED shape, ev_ks_value_drift compares two
+    CDFs' maximum gap, Mann-Whitney compares LOCATION without any
+    normality assumption — the robust A/B-test primitive.
+
+    All rank math is EXACT INTEGERS: per distinct cent value, the
+    midrank arrives as midrank_x2 = 2·(count of smaller values) +
+    (ties + 1) — doubling clears the half-integer ties produce — and
+    R1_x2 = Σ c1·midrank_x2, U1_x2 = R1_x2 − n1(n1+1) are exact
+    BIGINTs (U1_x2 ≤ 2·n1·n2 ≈ 8e8 at sf0.1; past ~1e9 rows per arm
+    the sums need DECIMAL(38), a widening Spark does natively). The
+    cumulative 'count of smaller values' reuses ev_ks_value_drift's
+    TWO-PHASE DISTRIBUTED PREFIX SUM verbatim: per-bucket partials in
+    parallel, a ~32-row broadcast offset dim, within-bucket windows
+    that never see more than one bucket. The only non-integer step is
+    the final normal-approximation predicate — one fixed double
+    expression over the exact integer moments (tie-corrected variance;
+    z²>6.6349 ⟺ two-sided α=0.01), identical in both engines."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    x = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    per_val = (
+        x.groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "c1"
+            ),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "c2"
+            ),
+        )
+        .withColumn("t", F.col("c1") + F.col("c2"))
+        .withColumn("b", (F.col("c") / 64).cast("long"))
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_val.groupBy("b")
+        .agg(F.sum("t").alias("st"))
+        .select("b", F.coalesce(F.sum("st").over(wb), F.lit(0)).alias("off"))
+    )
+    wc = Window.partitionBy("b").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_val.join(F.broadcast(offsets), "b").select(
+        "c",
+        "c1",
+        "c2",
+        "t",
+        (F.col("off") + F.coalesce(F.sum("t").over(wc), F.lit(0))).alias(
+            "before"
+        ),
+    )
+    stats = ranked.groupBy().agg(
+        F.sum(F.col("c1") * (2 * F.col("before") + F.col("t") + 1)).alias(
+            "r1_x2"
+        ),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_cubes"),
+    )
+    return stats.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1_x2"),
+        F.col("tie_cubes").cast("long").alias("tie_cubes"),
+        # z² > 6.6349 (two-sided 1%), tie-corrected variance; the
+        # doubles are derived from exact BIGINTs by one fixed
+        # expression — both engines run the same IEEE ops in the same
+        # order, so the boolean cannot drift
+        F.expr(
+            "CAST(r1_x2 - n1*(n1+1) - n1*n2 AS DOUBLE)"
+            " * CAST(r1_x2 - n1*(n1+1) - n1*n2 AS DOUBLE)"
+            " > 4.0 * 6.6349 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)"
+            " * ((CAST(n1 + n2 AS DOUBLE) + 1.0)"
+            "    - CAST(tie_cubes AS DOUBLE)"
+            "      / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))"
+        ).alias("reject_1pct"),
+    )
+
+
+def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): TF-IDF weighted SPARSE cosine
+    document pairs via an inverted-index self-join — the lexical
+    similarity member between BM25 (query-vs-corpus ranking) and
+    MinHash/Jaccard (set overlap, no weighting): weighted bag-of-words
+    cosine is what dedup triage and citation-cluster detection run
+    when shingle sets are too coarse and embeddings too expensive.
+
+    Integer doctrine: idf is quantized ONCE per vocabulary term to
+    idf_milli = round(1000·log2(N/df)) (the d_ccnet_buckets libm-quant
+    precedent), weights w = tf·idf_milli are BIGINTs, and dot products
+    / squared norms are EXACT integer sums (max ≈ 1.7e8 at sf0.1 —
+    fifty bits of headroom). The only doubles are the final
+    cos_milli = round(1000·dot/√(na²·nb²)) — mult, IEEE-exact sqrt,
+    one division — identical in both engines.
+
+    Scale shape: postings for terms with df > N/10 are DROPPED before
+    the self-join (the hot-key cap every dedup operator here carries;
+    ubiquitous terms contribute ≈0 idf weight, so the cap costs
+    nothing and bounds the join's per-key fan-out at (N/10)²); the
+    idf dim is vocabulary-sized and broadcast; norms are a per-doc dim
+    attached by equi-join (NOT broadcast — it's O(corpus) at scale)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    nd = d.groupBy().agg(F.count("*").alias("n_docs"))
+    kept = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= F.col("n_docs") / 10)
+        .select(
+            "token",
+            F.round(
+                1000 * F.log2(F.col("n_docs").cast("double") / F.col("df"))
+            )
+            .cast("long")
+            .alias("idf_milli"),
+        )
+    )
+    w = tf.join(F.broadcast(kept), "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf_milli")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_w"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("norm_a2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("norm_b2"))
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("dot_w").cast("long").alias("dot_w"),
+            F.col("norm_a2").cast("long").alias("norm_a2"),
+            F.col("norm_b2").cast("long").alias("norm_b2"),
+            F.round(
+                1000
+                * F.col("dot_w")
+                / F.sqrt(
+                    F.col("norm_a2").cast("double")
+                    * F.col("norm_b2").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("cos_milli"),
+        )
+        .filter(F.col("cos_milli") >= 500)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def g_scc_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): strongly connected components of
+    the BEST-MATCH POINTER graph via pointer doubling
+    (operators.graph.functional_scc) — the directed sibling of
+    g_cc_dupgroups. Each doc points at its most-similar other doc
+    (most shared distinct 3-gram shingles, ties to the smaller id);
+    the SCCs of this out-degree-1 graph are exactly its cycles =
+    MUTUAL-best duplicate clusters (the canonicalization cores), tail
+    nodes are singletons that merely feed a cluster. Dedup pipelines
+    use precisely this split: cycle members are merged, tails are
+    re-verified against their cluster.
+
+    Scale: the pointer build is the capped co-shingle join every dedup
+    operator here uses (shingles in > 50 docs dropped — hot-key cap);
+    the SCC itself is ⌈log2(2n)⌉ self-joins (41 rounds at 10^12 docs),
+    the textbook list-ranking trade, never a transitive closure. The
+    DuckDB twin replays the pointer build verbatim and walks cycles by
+    recursive CTE — per-node reach is tail+cycle length, linear not
+    quadratic, because out-degree is 1."""
+    from hikma_engine_spark.operators.graph import functional_scc
+    from hikma_engine_spark.operators import lsh
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(lsh.word_shingles(F.col("text"), 3)).alias("g"),
+    )
+    hot = sh.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") > 50)
+    kept = sh.join(F.broadcast(hot.select("g")), "g", "left_anti")
+    a = kept.select(F.col("doc").alias("u"), "g")
+    b = kept.select(F.col("doc").alias("v"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    wp = Window.partitionBy("u").orderBy(F.desc("c"), "v")
+    ptr = (
+        shared.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select(F.col("u").alias("node"), F.col("v").alias("succ"))
+    )
+    return (
+        functional_scc(ptr)
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("scc_id").cast("long").alias("scc_id"),
+            "on_cycle",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3817,6 +4050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_hour_chi2": ev_hour_chi2,
         "d_sft_release": d_sft_release,
         "ev_ks_value_drift": ev_ks_value_drift,
+        "ev_mannwhitney": ev_mannwhitney,
+        "s_tfidf_pairs": s_tfidf_pairs,
+        "g_scc_pointer": g_scc_pointer,
     }
 
 
@@ -6315,5 +6551,138 @@ def oracle_sql() -> dict[str, str]:
                     >= (26504 * n1 * n2 * (n1 + n2)) // 10000)
                      AS reject_1pct
             FROM cdf, nn GROUP BY n1, n2
+        """,
+        "ev_mannwhitney": """
+            WITH x AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('click', 'view')
+            ),
+            pv AS (
+              SELECT c,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+              FROM x GROUP BY c
+            ),
+            r AS (
+              SELECT c, c1, c2, c1 + c2 AS t,
+                     coalesce(sum(c1 + c2) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS bef
+              FROM pv
+            ),
+            s AS (
+              SELECT CAST(sum(c1 * (2 * bef + t + 1)) AS BIGINT) AS r1_x2,
+                     CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2,
+                     CAST(sum(t * t * t - t) AS BIGINT) AS tie_cubes
+              FROM r
+            )
+            SELECT n1, n2,
+                   CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+                   tie_cubes,
+                   (CAST(r1_x2 - n1*(n1+1) - n1*n2 AS DOUBLE)
+                    * CAST(r1_x2 - n1*(n1+1) - n1*n2 AS DOUBLE)
+                    > 4.0 * 6.6349
+                      * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                      * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                         - CAST(tie_cubes AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+                     AS reject_1pct
+            FROM s
+        """,
+        "s_tfidf_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            kept AS (
+              SELECT token,
+                     CAST(round(1000 * log2(CAST(n_docs AS DOUBLE) / df))
+                          AS BIGINT) AS idf_milli
+              FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), nd
+              WHERE df <= n_docs / 10
+            ),
+            w AS (
+              SELECT doc_id, token, CAST(tf * idf_milli AS BIGINT) AS w
+              FROM tf JOIN kept USING (token)
+            ),
+            norms AS (
+              SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+              FROM w GROUP BY doc_id
+            ),
+            dotp AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(a.w * b.w) AS BIGINT) AS dot_w
+              FROM w a JOIN w b USING (token)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, dot_w,
+                   na.n2 AS norm_a2, nb.n2 AS norm_b2,
+                   CAST(round(1000 * dot_w
+                        / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+                        AS BIGINT) AS cos_milli
+            FROM dotp
+            JOIN norms na ON na.doc_id = doc_a
+            JOIN norms nb ON nb.doc_id = doc_b
+            WHERE CAST(round(1000 * dot_w
+                  / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+                  AS BIGINT) >= 500
+            ORDER BY doc_a, doc_b
+        """,
+        "g_scc_pointer": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(CASE WHEN len(tk) >= 3
+                       THEN [array_to_string(tk[i:i+2], ' ')
+                             for i in range(1, len(tk) - 1)]
+                       ELSE [array_to_string(tk, ' ')] END)) AS g
+              FROM toks
+            ),
+            dfq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+            kept AS (
+              SELECT s.doc_id, s.g
+              FROM sh s JOIN dfq USING (g) WHERE dfq.df <= 50
+            ),
+            shared AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+              FROM kept a JOIN kept b USING (g)
+              WHERE a.doc_id != b.doc_id GROUP BY 1, 2
+            ),
+            rk AS (
+              SELECT u, v,
+                     row_number() OVER (PARTITION BY u ORDER BY c DESC, v) AS r
+              FROM shared
+            ),
+            ptr AS (SELECT u AS node, v AS succ FROM rk WHERE r = 1),
+            walk(node, x) AS (
+              SELECT node, succ FROM ptr
+              UNION
+              SELECT w.node, p.succ FROM walk w JOIN ptr p ON p.node = w.x
+            ),
+            oncyc AS (SELECT DISTINCT node FROM walk WHERE x = node),
+            cmin AS (
+              SELECT w.node, min(w.x) AS scc_id
+              FROM walk w JOIN oncyc o USING (node) GROUP BY w.node
+            )
+            SELECT p.node AS doc_id,
+                   coalesce(c.scc_id, p.node) AS scc_id,
+                   (c.node IS NOT NULL) AS on_cycle
+            FROM ptr p LEFT JOIN cmin c ON c.node = p.node
+            ORDER BY doc_id
         """,
     }

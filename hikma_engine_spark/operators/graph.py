@@ -1226,3 +1226,86 @@ def temporal_reachability(
         if frontier.limit(1).count() == 0:
             break
     return arr
+
+
+def functional_scc(
+    ptr: DataFrame, node: str = "node", succ: str = "succ"
+) -> DataFrame:
+    """Strongly connected components of an out-degree-1 (functional)
+    pointer graph via POINTER DOUBLING — the directed sibling of
+    connected_components for the best-match-pointer graphs dedup
+    canonicalization produces (each doc points at its most-similar
+    doc; the SCCs, i.e. the cycles, are the mutual-best duplicate
+    clusters; tail nodes are singleton SCCs that merely *feed into*
+    a cluster). Reference analog: the alias-canonicalization intent of
+    hikma-engine's entity merging (src/utils/in-memory-graph.ts
+    connected traversals), directed rather than undirected.
+
+    Algorithm (classic parallel pointer jumping):
+      state(u) = (t = succ^(2^k)(u), m = min id in succ^1..2^k(u));
+      one self-equi-join per round composes the state with itself, so
+      after L = ceil(log2(2n)) rounds t(u) = succ^(2^L)(u) with
+      2^L >= n, which is ALWAYS on u's terminal cycle. Three facts
+      close the computation with no further iteration:
+        * image(t) = exactly the set of cycle nodes (t always lands on
+          a cycle, and t restricted to a cycle is a rotation, hence
+          surjective onto it) -> on_cycle(u) = u IN distinct(t);
+        * for a node ON its cycle the whole 2^L-step path stays on the
+          cycle, so m(u) = min id of the cycle -> scc_id = least(u, m);
+        * tail nodes are singleton SCCs -> scc_id = u.
+
+    Scale: L grows logarithmically (n = 10^12 -> 41 rounds), each
+    round ONE equi-join + projection shuffled on the join key — the
+    textbook O(log n)-depth list-ranking trade; lineage cut per round
+    with localCheckpoint exactly like connected_components. The
+    pointer domain must be closed (succ(u) always has a pointer row),
+    which holds by construction for best-match pointers (sharing a
+    shingle is symmetric).
+
+    Returns (node, scc_id, on_cycle), one row per pointer-table node.
+    """
+    import math
+
+    st = (
+        ptr.select(
+            F.col(node).alias("node"),
+            F.col(succ).alias("t"),
+            F.col(succ).alias("m"),
+        )
+        # self-pointers are legitimate 1-cycles and need no special
+        # case: (u,u,u) is a fixpoint of the doubling join, lands in
+        # image(t), and gets scc_id = u with on_cycle = true
+        .localCheckpoint(eager=True)
+    )
+    n = st.count()
+    if n == 0:
+        # schema-preserving empty result (node dtype follows the input)
+        return ptr.select(
+            F.col(node).alias("node"),
+            F.col(node).alias("scc_id"),
+            F.lit(True).alias("on_cycle"),
+        ).filter(F.lit(False))
+    rounds = max(1, math.ceil(math.log2(2 * n)))
+    for _ in range(rounds):
+        other = st.select(
+            F.col("node").alias("t"),
+            F.col("t").alias("t2"),
+            F.col("m").alias("m2"),
+        )
+        st = (
+            st.join(other, "t")
+            .select(
+                "node",
+                F.col("t2").alias("t"),
+                F.least("m", "m2").alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    cycle_nodes = st.select(F.col("t").alias("node")).distinct()
+    on_cycle = st.join(cycle_nodes, "node", "left_semi").select(
+        "node", F.least("node", "m").alias("scc_id"), F.lit(True).alias("on_cycle")
+    )
+    tails = st.join(cycle_nodes, "node", "left_anti").select(
+        "node", F.col("node").alias("scc_id"), F.lit(False).alias("on_cycle")
+    )
+    return on_cycle.unionByName(tails)

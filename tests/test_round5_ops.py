@@ -975,3 +975,97 @@ def test_ks_prefix_sum_is_two_phase(spark, tmp_path):
     )
     assert "hashpartitioning(b#" in plan  # the big window is co-partitioned
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_functional_scc_known_graph(spark):
+    """Pointer-doubling SCC on a hand-built functional graph: a
+    2-cycle, a 3-cycle, a self-loop, and tails feeding each — every
+    node's (scc_id, on_cycle) is forced."""
+    from hikma_engine_spark.operators.graph import functional_scc
+
+    ptr = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # 2-cycle {a,b}
+            ("c", "a"),                        # tail into it
+            ("d", "e"), ("e", "f"), ("f", "d"),  # 3-cycle {d,e,f}
+            ("g", "g"),                        # self-loop (1-cycle)
+            ("h", "g"), ("i", "h"),            # 2-deep tail chain
+        ],
+        ["node", "succ"],
+    )
+    got = {
+        r["node"]: (r["scc_id"], r["on_cycle"])
+        for r in functional_scc(ptr).collect()
+    }
+    assert got == {
+        "a": ("a", True), "b": ("a", True), "c": ("c", False),
+        "d": ("d", True), "e": ("d", True), "f": ("d", True),
+        "g": ("g", True), "h": ("h", False), "i": ("i", False),
+    }
+
+
+def test_mannwhitney_hand_computed(spark, tmp_path):
+    """U, tie term, and the rejection boolean against a pure-Python
+    midrank computation on a tied sample."""
+    click = [1.00, 2.00, 2.00, 5.00]
+    view = [2.00, 3.00, 4.00, 4.00, 6.00]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "click", v, "{}") for i, v in enumerate(click)
+    ] + [
+        (100 + i, t0, 1, "view", v, "{}") for i, v in enumerate(view)
+    ] + [(900, t0, 1, "purchase", 99.0, "{}")]  # other types excluded
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    r = entrymod.queries()["ev_mannwhitney"](spark, sf).toPandas().iloc[0]
+
+    # pure-Python midranks over cents
+    allv = sorted(int(round(v * 100)) for v in click + view)
+    rank_x2 = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        # midrank of positions i+1..j (1-based), doubled
+        rank_x2[allv[i]] = (i + 1) + j  # 2 * (i+1+j)/2
+        i = j
+    r1_x2 = sum(rank_x2[int(round(v * 100))] for v in click)
+    n1, n2 = len(click), len(view)
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    tie_sizes = Counter(allv).values()
+    tie_cubes = sum(t**3 - t for t in tie_sizes)
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.u1_x2 == u1_x2
+    assert r.tie_cubes == tie_cubes
+    n = n1 + n2
+    var = (n1 * n2 / 12.0) * ((n + 1.0) - tie_cubes / (n * (n - 1.0)))
+    d = u1_x2 - n1 * n2
+    assert bool(r.reject_1pct) == (d * d > 4.0 * 6.6349 * var)
+
+
+def test_tfidf_pairs_identical_docs_hit_cos_1000(spark, tmp_path):
+    """Two identical docs (below the df cap thanks to 28 unique-token
+    fillers) must surface with cos_milli == 1000 and dot == both
+    norms; disjoint docs never pair."""
+    texts = ["shared signal tokens alpha beta gamma"] * 2 + [
+        f"unique{w}a unique{w}b unique{w}c" for w in range(28)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["s_tfidf_pairs"](spark, sf).toPandas()
+    assert list(zip(pdf.doc_a, pdf.doc_b)) == [(0, 1)]
+    row = pdf.iloc[0]
+    assert row.cos_milli == 1000
+    assert row.dot_w == row.norm_a2 == row.norm_b2 > 0
