@@ -192,3 +192,76 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_graph_sink(
+    turns_stream: DataFrame,
+    pipeline,
+    staging_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """foreachBatch bridge from the streaming front-end into the SAME
+    graph store the batch pipeline maintains — one indexing code path,
+    two execution modes (previously the streaming layer only had
+    parity on the extraction/agg operators; this closes the sink).
+
+    Each micro-batch lands under ``staging_dir/batch_id=N`` with
+    mode=overwrite — a crash-replayed batch rewrites ITS OWN directory
+    and never duplicates rows (the standard foreachBatch exactly-once
+    idiom) — then drives ``pipeline.run_incremental()`` over the
+    cumulative staging area. Change detection is the pipeline's
+    content-hash diff, so replayed or overlapping batches converge to
+    the same store (idempotent upsert); the first batch bootstraps
+    with a full ``run()``.
+
+    Conversations may SPAN micro-batches, which is exactly why this
+    uses content-hash mode (O(cumulative input) rescan) and not delta
+    mode: a partial conversation in one batch would violate delta
+    mode's full-row-set-per-changed-conversation contract. A producer
+    that closes whole conversations per batch can pass each batch as
+    ``delta_path`` instead for O(batch) change detection — same store,
+    same semantics (pipeline.run_incremental docstring).
+    """
+    import os
+
+    if os.path.abspath(pipeline.transcripts_path) != os.path.abspath(
+        staging_dir
+    ):
+        raise ValueError(
+            "pipeline.transcripts_path must be the staging_dir the sink "
+            f"writes ({staging_dir!r}); got {pipeline.transcripts_path!r}"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(staging_dir, f"batch_id={batch_id}")
+        )
+        if pipeline._exists("conversations"):
+            pipeline.run_incremental(run_id=f"stream-{batch_id}")
+        else:
+            pipeline.run(resume=False)
+
+    writer = turns_stream.writeStream.foreachBatch(_sink).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def streaming_enrich_mentions(
+    mention_stream: DataFrame,
+    entity_dim: DataFrame,
+    key: str = "surface_norm",
+) -> DataFrame:
+    """Stream-static enrichment: left-join each streaming mention
+    against a STATIC entity dim (canonical id, type — the Entity rows
+    of a built graph store). Structured Streaming re-plans the static
+    side per micro-batch, so a dim refreshed on disk is picked up at
+    the next trigger without restarting the query; ``broadcast`` pins
+    the hash-side to the dim (vocabulary-sized) so the stream side
+    never shuffles. Unmatched mentions keep NULL enrichment — they are
+    the new-entity signal downstream linking consumes, never dropped.
+    """
+    return mention_stream.join(F.broadcast(entity_dim), key, "left")

@@ -268,3 +268,97 @@ def test_streaming_filter_cascade_matches_batch(spark, tmp_path):
         "r3_digit_heavy": 1,
         "kept": 2,
     }
+
+
+def test_streaming_graph_sink_matches_batch_index(spark, corpus_pdf, tmp_path):
+    """End-to-end streaming→graph parity: drain the corpus through the
+    foreachBatch sink in three micro-batches (conversations DO span
+    batches), then byte-digest-compare nodes/edges against a fresh
+    batch index of the identical corpus — one indexing code path, two
+    execution modes."""
+    import hashlib
+
+    from hikma_engine_spark.pipeline import Pipeline
+    from hikma_engine_spark.schemas import TRANSCRIPTS
+
+    def digest(df) -> str:
+        pdf = df.toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        rows = sorted(
+            pdf.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1)
+        )
+        return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    third = len(corpus_pdf) // 3
+    for i, chunk in enumerate(
+        [corpus_pdf.iloc[:third], corpus_pdf.iloc[third : 2 * third],
+         corpus_pdf.iloc[2 * third :]]
+    ):
+        chunk.to_parquet(
+            str(src / f"part-{i}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    staging = str(tmp_path / "staging")
+    p_stream = Pipeline(
+        spark, staging, str(tmp_path / "kg_stream"), run_id="sink",
+        n_buckets=16,
+    )
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ingest.streaming_graph_sink(
+        stream, p_stream, staging, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+
+    full = tmp_path / "full.parquet"
+    corpus_pdf.to_parquet(
+        str(full), index=False, coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    p_batch = Pipeline(
+        spark, str(full), str(tmp_path / "kg_batch"), run_id="ref",
+        n_buckets=16,
+    )
+    p_batch.run(resume=False)
+
+    for table in ("nodes", "edges"):
+        assert digest(p_stream._read(table)) == digest(p_batch._read(table)), table
+    # wrong staging dir is rejected up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ingest.streaming_graph_sink(stream, p_batch, staging)
+
+
+def test_streaming_enrich_mentions_matches_batch(spark, stream_dir, tiny_df):
+    """Stream-static broadcast join parity: enriched streaming mentions
+    equal the same join run in batch; unmatched surfaces survive with
+    NULL canonical ids."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("postgres", "ent:postgres", "Technology")],
+        ["surface_norm", "canonical_id", "entity_type"],
+    )
+    stream = ingest.stream_transcripts(spark, stream_dir)
+    enriched = ingest.streaming_enrich_mentions(
+        ingest.stream_extract_mentions(stream), dim
+    )
+    ingest.run_available_now(enriched, "enriched_stream")
+    got = spark.sql("SELECT * FROM enriched_stream").toPandas()
+    want = (
+        extract.extract_mentions(tiny_df)
+        .join(F.broadcast(dim), "surface_norm", "left")
+        .toPandas()
+    )
+    key = ["conv_id", "turn_idx", "start", "surface_norm", "canonical_id"]
+    assert sorted(map(tuple, got[key].fillna("∅").values.tolist())) == sorted(
+        map(tuple, want[key].fillna("∅").values.tolist())
+    )
+    assert (got.canonical_id.notna()).any() and (got.canonical_id.isna()).any()
