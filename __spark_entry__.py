@@ -3908,6 +3908,89 @@ def g_scc_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): DSIR-style importance weights for
+    training-data selection (public technique: hashed n-gram importance
+    resampling, Xie et al. 2023) — score every RAW-pool doc by how much
+    more likely its hashed-bigram profile is under the TARGET domain
+    (sources src0-src4, the curated slice) than under the raw pool:
+    w(doc) = Σ_features log(p_target(b)/p_raw(b)), Laplace-smoothed
+    over B=1024 hashed buckets. Completes the data-selection family:
+    d_filter_cascade rejects, d_quota_sample balances, d_ccnet_buckets/
+    d_unigram_logprob score against ONE reference LM — DSIR scores the
+    target-vs-raw CONTRAST, which is what curriculum/domain upsampling
+    actually resamples by.
+
+    Doctrine: the feature hash is the md5-prefix bucket (engine-
+    portable, same as the shard hashing), bucket counts are exact
+    BIGINTs, the log-ratio is quantized ONCE per bucket to micro units
+    (1024-row dim — the d_ccnet libm-quant precedent), and per-doc
+    weights are exact BIGINT sums of those micro ints. Scale: one
+    map-side-combinable bucket count (B fixed at 1024 — the dim stays
+    broadcastable at ANY corpus size; that's the point of feature
+    hashing), one broadcast join back onto the bigram stream, one
+    per-doc sum; top-20 is TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    is_target = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    bg = (
+        d.select("doc_id", is_target.alias("is_target"), toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("g"),
+        )
+        .withColumn(
+            "bkt",
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % 1024,
+        )
+    )
+    counts = bg.groupBy("bkt").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.groupBy().agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        F.expr(
+            "CAST(round(1000000 * ln("
+            "  CAST((ct + 1) * (tr + 1024) AS DOUBLE)"
+            "  / CAST((cr + 1) * (tt + 1024) AS DOUBLE))) AS BIGINT)"
+        ).alias("lr_micro"),
+    )
+    return (
+        bg.filter(~F.col("is_target"))
+        .join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lr_micro").alias("dsir_micro"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("dsir_micro").cast("long").alias("dsir_micro"),
+        )
+        .orderBy(F.desc("dsir_micro"), "doc_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4053,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_mannwhitney": ev_mannwhitney,
         "s_tfidf_pairs": s_tfidf_pairs,
         "g_scc_pointer": g_scc_pointer,
+        "d_dsir_weights": d_dsir_weights,
     }
 
 
@@ -6684,5 +6768,49 @@ def oracle_sql() -> dict[str, str]:
                    (c.node IS NOT NULL) AS on_cycle
             FROM ptr p LEFT JOIN cmin c ON c.node = p.node
             ORDER BY doc_id
+        """,
+        "d_dsir_weights": """
+            WITH t AS (
+              SELECT doc_id,
+                     source IN ('src0','src1','src2','src3','src4')
+                       AS is_target,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS tk
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, is_target,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bkt
+              FROM (
+                SELECT doc_id, is_target,
+                       unnest([tk[i] || ' ' || tk[i + 1]
+                               for i in range(1, len(tk))]) AS g
+                FROM t WHERE len(tk) >= 2
+              )
+            ),
+            counts AS (
+              SELECT bkt,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+              FROM bg GROUP BY bkt
+            ),
+            totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+            lr AS (
+              SELECT bkt,
+                     CAST(round(1000000 * ln(
+                       CAST((ct + 1) * (tr + 1024) AS DOUBLE)
+                       / CAST((cr + 1) * (tt + 1024) AS DOUBLE)))
+                       AS BIGINT) AS lr_micro
+              FROM counts, totals
+            )
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(lr_micro) AS BIGINT) AS dsir_micro
+            FROM bg b JOIN lr USING (bkt)
+            WHERE NOT b.is_target
+            GROUP BY b.doc_id
+            ORDER BY dsir_micro DESC, b.doc_id
+            LIMIT 20
         """,
     }

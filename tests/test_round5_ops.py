@@ -1069,3 +1069,23 @@ def test_tfidf_pairs_identical_docs_hit_cos_1000(spark, tmp_path):
     row = pdf.iloc[0]
     assert row.cos_milli == 1000
     assert row.dot_w == row.norm_a2 == row.norm_b2 > 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """A raw doc written in the target domain's language must outscore
+    a raw doc of off-domain bigrams (both with the same length)."""
+    target_text = "alpha beta gamma delta " * 10
+    rows = (
+        [(i, target_text, "en", "src0") for i in range(5)]       # target
+        + [(100, target_text, "en", "src9"),                      # mimic
+           (101, "zeta eta theta iota " * 10, "en", "src9")]      # off
+    )
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_dsir_weights"](spark, sf).toPandas()
+    assert set(pdf.doc_id) == {100, 101}
+    w = dict(zip(pdf.doc_id, pdf.dsir_micro))
+    assert w[100] > w[101]
+    # same bigram count -> the contrast is purely distributional
+    assert pdf.n_bigrams.nunique() == 1
