@@ -3815,8 +3815,15 @@ def s_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("idf_milli"),
         )
     )
-    w = tf.join(F.broadcast(kept), "token").select(
-        "doc_id", "token", (F.col("tf") * F.col("idf_milli")).alias("w")
+    # persist: w feeds THREE consumers (norms + both sides of the
+    # inverted-index self-join) and its lineage re-pays the tokenize +
+    # tf agg per consumer otherwise (the ngram_jaccard persist
+    # precedent — persist, not localCheckpoint, keeps AQE); weight rows
+    # are ≤ one per (doc, kept-term), memory-and-disk, LRU-evicted
+    w = (
+        tf.join(F.broadcast(kept), "token")
+        .select("doc_id", "token", (F.col("tf") * F.col("idf_milli")).alias("w"))
+        .persist()
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
