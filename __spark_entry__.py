@@ -3998,6 +3998,110 @@ def d_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): CUSUM change-point detection on
+    per-type hourly event rates — the SEQUENTIAL drift alarm the
+    monitoring family lacked (ev_bursts flags single hot windows,
+    ev_hour_chi2/KS test whole distributions; CUSUM accumulates small
+    sustained shifts until they cross a decision threshold — Page's
+    classic control chart).
+
+    The recurrence S_t = max(0, S_{t-1} + x_t − k) looks inherently
+    sequential, but the identity S_t = P_t − min_{τ≤t} P_τ (prefix sum
+    minus running minimum of the drift-adjusted series) turns it into
+    two WINDOW functions. Everything is exact integers: with
+    k = total_n/n_hours kept RATIONAL, y_t = n_hours·x_t − total_n and
+    the alarm S_t > 3·total_n compare BIGINTs scaled by n_hours — no
+    division ever happens (magnitudes: P ≤ n_hours·total_n ≈ 5e10 at
+    sf0.1; past ~1e18 the sums need DECIMAL(38), Spark widens
+    natively).
+
+    Scale shape — and why NO two-phase prefix trick is needed here
+    (contrast ev_ks_value_drift, whose CDF domain is DATA-sized): the
+    raw stream collapses first through a map-side-combinable
+    groupBy(type, hour), and the recurrence runs over that CALENDAR-
+    bounded aggregate (8760 rows/type/year no matter whether the input
+    is 10^6 or 10^12 events); the per-type ordered windows are
+    partitioned by event_type, so no global single-partition exchange.
+    Hours with ZERO events must still advance the recurrence — the
+    per-type hour spine comes from sequence(min_h, max_h), also
+    calendar-sized."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', ts)"
+            " DIV 3600000000"
+        ).alias("h"),
+    )
+    cnt = x.groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    rng = cnt.groupBy("event_type").agg(
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+        F.sum("c").alias("total_n"),
+    )
+    spine = rng.select(
+        "event_type",
+        "total_n",
+        (F.col("max_h") - F.col("min_h") + 1).alias("n_hours"),
+        F.explode(F.sequence("min_h", "max_h")).alias("h"),
+    )
+    y = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        "total_n",
+        "n_hours",
+        (
+            F.col("n_hours") * F.coalesce(F.col("c"), F.lit(0))
+            - F.col("total_n")
+        ).alias("y"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = y.select(
+        "event_type",
+        "h",
+        "total_n",
+        "n_hours",
+        F.sum("y").over(wcum).alias("p"),
+    )
+    # the running min must include the EMPTY prefix P_0 = 0, else a
+    # series that only ever rises would measure from P_1 instead of 0
+    s = p.select(
+        "event_type",
+        "h",
+        "total_n",
+        "n_hours",
+        (
+            F.col("p") - F.least(F.lit(0), F.min("p").over(wcum))
+        ).alias("s_scaled"),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.max("n_hours").cast("long").alias("n_hours"),
+            F.max("s_scaled").cast("long").alias("max_s_scaled"),
+            F.sum(
+                F.when(F.col("s_scaled") > 3 * F.col("total_n"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alarm_hours"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("s_scaled") > 3 * F.col("total_n"), F.col("h")
+                    )
+                ),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("first_alarm_h"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4144,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_tfidf_pairs": s_tfidf_pairs,
         "g_scc_pointer": g_scc_pointer,
         "d_dsir_weights": d_dsir_weights,
+        "ev_cusum_alarm": ev_cusum_alarm,
     }
 
 
@@ -6819,5 +6924,56 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b.doc_id
             ORDER BY dsir_micro DESC, b.doc_id
             LIMIT 20
+        """,
+        "ev_cusum_alarm": """
+            WITH x AS (
+              SELECT event_type,
+                     date_diff('microsecond',
+                               TIMESTAMP '2024-01-01 00:00:00', ts)
+                       // 3600000000 AS h
+              FROM events
+            ),
+            cnt AS (
+              SELECT event_type, h, count(*) AS c FROM x GROUP BY 1, 2
+            ),
+            rng AS (
+              SELECT event_type, min(h) AS min_h, max(h) AS max_h,
+                     sum(c) AS total_n
+              FROM cnt GROUP BY event_type
+            ),
+            spine AS (
+              SELECT event_type, total_n, max_h - min_h + 1 AS n_hours,
+                     unnest(range(min_h, max_h + 1)) AS h
+              FROM rng
+            ),
+            y AS (
+              SELECT s.event_type, s.h, s.total_n, s.n_hours,
+                     s.n_hours * coalesce(c.c, 0) - s.total_n AS y
+              FROM spine s LEFT JOIN cnt c
+                ON c.event_type = s.event_type AND c.h = s.h
+            ),
+            p AS (
+              SELECT event_type, h, total_n, n_hours,
+                     sum(y) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+              FROM y
+            ),
+            s AS (
+              SELECT event_type, h, total_n, n_hours,
+                     p - least(0, min(p) OVER (PARTITION BY event_type
+                       ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)) AS s_scaled
+              FROM p
+            )
+            SELECT event_type,
+                   CAST(max(n_hours) AS BIGINT) AS n_hours,
+                   CAST(max(s_scaled) AS BIGINT) AS max_s_scaled,
+                   CAST(sum(CASE WHEN s_scaled > 3 * total_n
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_alarm_hours,
+                   CAST(coalesce(min(CASE WHEN s_scaled > 3 * total_n
+                                          THEN h END), -1) AS BIGINT)
+                     AS first_alarm_h
+            FROM s GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -1089,3 +1089,42 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     assert w[100] > w[101]
     # same bigram count -> the contrast is purely distributional
     assert pdf.n_bigrams.nunique() == 1
+
+
+def test_cusum_alarm_matches_python_recurrence(spark, tmp_path):
+    """A rate shift (2/hour -> 12/hour at hour 12) must alarm, and the
+    scaled window identity must equal the literal Page recurrence
+    S_t = max(0, S_{t-1} + x_t - k) computed in pure Python — including
+    EMPTY hours (8-9), which must advance the recurrence."""
+    t0 = datetime(2024, 1, 1)
+    counts = [2] * 8 + [0, 0] + [2, 2] + [12] * 8  # hours 0..19
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append(
+                (eid, t0 + timedelta(hours=h, minutes=j), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    r = entrymod.queries()["ev_cusum_alarm"](spark, sf).toPandas().iloc[0]
+
+    n_hours = len(counts)
+    total = sum(counts)
+    # literal recurrence on the n_hours-scaled series
+    s, max_s, n_alarm, first = 0, 0, 0, -1
+    for h, c in enumerate(counts):
+        s = max(0, s + n_hours * c - total)
+        max_s = max(max_s, s)
+        if s > 3 * total:
+            n_alarm += 1
+            if first < 0:
+                first = h
+    assert r.n_hours == n_hours
+    assert r.max_s_scaled == max_s
+    assert r.n_alarm_hours == n_alarm > 0
+    assert r.first_alarm_h == first >= 12
