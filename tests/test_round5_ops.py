@@ -1128,3 +1128,42 @@ def test_cusum_alarm_matches_python_recurrence(spark, tmp_path):
     assert r.max_s_scaled == max_s
     assert r.n_alarm_hours == n_alarm > 0
     assert r.first_alarm_h == first >= 12
+
+
+def _scc_python(succ: dict) -> dict:
+    """Pure-Python SCC of a functional graph: walk each node to its
+    terminal cycle; nodes ON the cycle get the cycle min, tails
+    themselves."""
+    out = {}
+    for u in succ:
+        seen = {}
+        x, i = u, 0
+        while x not in seen:
+            seen[x] = i
+            x, i = succ[x], i + 1
+        cycle = {n for n, idx in seen.items() if idx >= seen[x]}
+        cmin = min(cycle)
+        for n, idx in seen.items():
+            if n not in out or idx >= seen[x]:
+                out[n] = (cmin, True) if n in cycle else (n, False)
+    return out
+
+
+def test_functional_scc_random_graphs_match_python(spark):
+    """Property: pointer-doubling SCC equals the walk-based reference
+    on seeded random functional graphs of varied shape (many small
+    cycles, one long cycle, deep tails)."""
+    import random
+
+    for seed, n in ((7, 40), (13, 97), (29, 256)):
+        rnd = random.Random(seed)
+        nodes = [f"n{i:03d}" for i in range(n)]
+        succ = {u: nodes[rnd.randrange(n)] for u in nodes}
+        ptr = spark.createDataFrame(sorted(succ.items()), ["node", "succ"])
+        from hikma_engine_spark.operators.graph import functional_scc
+
+        got = {
+            r["node"]: (r["scc_id"], r["on_cycle"])
+            for r in functional_scc(ptr).collect()
+        }
+        assert got == _scc_python(succ), f"seed={seed} n={n}"
