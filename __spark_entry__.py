@@ -3889,7 +3889,10 @@ def g_scc_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(lsh.word_shingles(F.col("text"), 3)).alias("g"),
     )
     hot = sh.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") > 50)
-    kept = sh.join(F.broadcast(hot.select("g")), "g", "left_anti")
+    # persist: kept feeds BOTH sides of the co-shingle self-join —
+    # without it the tokenize + shingle explode + anti-join lineage
+    # runs twice (the s_tfidf_pairs/ngram_jaccard persist precedent)
+    kept = sh.join(F.broadcast(hot.select("g")), "g", "left_anti").persist()
     a = kept.select(F.col("doc").alias("u"), "g")
     b = kept.select(F.col("doc").alias("v"), "g")
     shared = (
