@@ -4105,6 +4105,82 @@ def ev_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): Welch two-sample t-test on mean
+    event value, click vs view — the PARAMETRIC corner of the
+    statistical-testing family (χ² = histogram-vs-shape, KS =
+    whole-CDF gap, Mann-Whitney = rank location, Welch = mean
+    difference under unequal variances — the default A/B mean test).
+
+    The sufficient statistics are three exact BIGINTs per arm — n,
+    Σcents, Σcents² (sumsq ≤ ~4e14 at sf0.1; the single groupBy is
+    map-side combinable and this is the ONLY pass over the data; at
+    ~1e9 rows/arm the sumsq needs DECIMAL(38), Spark widens natively).
+    t² and the Welch-Satterthwaite df are ratios of those moments —
+    computed in ONE fixed double expression per output column,
+    identical text in both engines (the ev_mannwhitney doctrine). At
+    these arm sizes df > 10³, so the two-sided α=0.01 gate compares
+    t² against z² = 6.6349 (stated, not hidden: the df column ships
+    in the output so the approximation is auditable)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    x = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    m = x.groupBy().agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", F.col("c"))).alias("s1"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("c") * F.col("c"))
+        ).alias("q1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n2"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", F.col("c"))).alias("s2"),
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("c") * F.col("c"))
+        ).alias("q2"),
+    )
+    # vi = (ni·qi − si²)/(ni²·(ni−1)) is var/n of arm i; t² = Δmean²/(v1+v2);
+    # df = (v1+v2)²/(v1²/(n1−1) + v2²/(n2−1)) — all from the exact moments
+    v1 = (
+        "(CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)"
+        "    * (CAST(n1 AS DOUBLE) - 1.0))"
+    )
+    v2 = (
+        "(CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+        " / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        "    * (CAST(n2 AS DOUBLE) - 1.0))"
+    )
+    dmean = (
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    )
+    t2 = f"({dmean} * {dmean} / ({v1} + {v2}))"
+    df_ws = (
+        f"(({v1} + {v2}) * ({v1} + {v2})"
+        f" / ({v1} * {v1} / (CAST(n1 AS DOUBLE) - 1.0)"
+        f"    + {v2} * {v2} / (CAST(n2 AS DOUBLE) - 1.0)))"
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("s1").cast("long").alias("sum1_cents"),
+        F.col("s2").cast("long").alias("sum2_cents"),
+        F.col("q1").cast("long").alias("sumsq1_cents"),
+        F.col("q2").cast("long").alias("sumsq2_cents"),
+        F.expr(f"CAST(round(1000 * {t2}) AS BIGINT)").alias("t2_milli"),
+        F.expr(f"CAST(round({df_ws}) AS BIGINT)").alias("df_welch"),
+        F.expr(f"{t2} > 6.6349").alias("reject_1pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4252,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_scc_pointer": g_scc_pointer,
         "d_dsir_weights": d_dsir_weights,
         "ev_cusum_alarm": ev_cusum_alarm,
+        "ev_welch_ttest": ev_welch_ttest,
     }
 
 
@@ -6978,5 +7055,89 @@ def oracle_sql() -> dict[str, str]:
                                           THEN h END), -1) AS BIGINT)
                      AS first_alarm_h
             FROM s GROUP BY event_type ORDER BY event_type
+        """,
+        "ev_welch_ttest": """
+            WITH x AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('click', 'view')
+            ),
+            m AS (
+              SELECT
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+                sum(CASE WHEN event_type = 'click' THEN c END) AS s1,
+                sum(CASE WHEN event_type = 'click' THEN c * c END) AS q1,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+                sum(CASE WHEN event_type = 'view' THEN c END) AS s2,
+                sum(CASE WHEN event_type = 'view' THEN c * c END) AS q2
+              FROM x
+            )
+            SELECT CAST(n1 AS BIGINT) AS n1,
+                   CAST(n2 AS BIGINT) AS n2,
+                   CAST(s1 AS BIGINT) AS sum1_cents,
+                   CAST(s2 AS BIGINT) AS sum2_cents,
+                   CAST(q1 AS BIGINT) AS sumsq1_cents,
+                   CAST(q2 AS BIGINT) AS sumsq2_cents,
+                   CAST(round(1000 * ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1.0))
+                        + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                          / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (CAST(n2 AS DOUBLE) - 1.0)))))
+                     AS BIGINT) AS t2_milli,
+                   CAST(round((((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1.0))
+                        + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                          / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (CAST(n2 AS DOUBLE) - 1.0)))
+                     * ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1.0))
+                        + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                          / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (CAST(n2 AS DOUBLE) - 1.0)))
+                     / ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1.0))
+                        * ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                           / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                              * (CAST(n1 AS DOUBLE) - 1.0)))
+                        / (CAST(n1 AS DOUBLE) - 1.0)
+                        + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                          / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (CAST(n2 AS DOUBLE) - 1.0))
+                          * ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                             / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                * (CAST(n2 AS DOUBLE) - 1.0)))
+                          / (CAST(n2 AS DOUBLE) - 1.0))))
+                     AS BIGINT) AS df_welch,
+                   (((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1.0))
+                        + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                          / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (CAST(n2 AS DOUBLE) - 1.0)))) > 6.6349)
+                     AS reject_1pct
+            FROM m
         """,
     }

@@ -1167,3 +1167,39 @@ def test_functional_scc_random_graphs_match_python(spark):
             for r in functional_scc(ptr).collect()
         }
         assert got == _scc_python(succ), f"seed={seed} n={n}"
+
+
+def test_welch_ttest_hand_computed(spark, tmp_path):
+    """Moments, t², Welch df and the rejection boolean against a pure-
+    Python computation on small unequal-variance samples."""
+    click = [10.00, 12.00, 11.00, 13.00, 9.00, 12.50]
+    view = [1.00, 25.00, 3.00, 22.00, 5.00, 30.00, 2.00]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "click", v, "{}") for i, v in enumerate(click)
+    ] + [(100 + i, t0, 1, "view", v, "{}") for i, v in enumerate(view)]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    r = entrymod.queries()["ev_welch_ttest"](spark, sf).toPandas().iloc[0]
+
+    c1 = [int(round(v * 100)) for v in click]
+    c2 = [int(round(v * 100)) for v in view]
+    n1, s1, q1 = len(c1), sum(c1), sum(v * v for v in c1)
+    n2, s2, q2 = len(c2), sum(c2), sum(v * v for v in c2)
+    assert (r.n1, r.n2) == (n1, n2)
+    assert (r.sum1_cents, r.sum2_cents) == (s1, s2)
+    assert (r.sumsq1_cents, r.sumsq2_cents) == (q1, q2)
+    v1 = (n1 * q1 - s1 * s1) / (n1 * n1 * (n1 - 1))
+    v2 = (n2 * q2 - s2 * s2) / (n2 * n2 * (n2 - 1))
+    dm = s1 / n1 - s2 / n2
+    t2 = dm * dm / (v1 + v2)
+    df = (v1 + v2) ** 2 / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1))
+    assert abs(r.t2_milli - round(1000 * t2)) <= 1
+    assert abs(r.df_welch - round(df)) <= 1
+    assert bool(r.reject_1pct) == (t2 > 6.6349)
+    # unequal variances is the point of Welch: df must sit well below
+    # the pooled n1+n2-2
+    assert r.df_welch < n1 + n2 - 2
