@@ -1203,3 +1203,65 @@ def test_welch_ttest_hand_computed(spark, tmp_path):
     # unequal variances is the point of Welch: df must sit well below
     # the pooled n1+n2-2
     assert r.df_welch < n1 + n2 - 2
+
+
+def test_new_stats_entries_plan_contracts(spark, tmp_path):
+    """Plan pins for the final-wave entries: Mann-Whitney rides the
+    same bucket-partitioned two-phase prefix sum as KS (big windows
+    hash-partitioned, only fixed-size SinglePartition exchanges);
+    CUSUM's ordered windows are per-event-type, never global."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1,
+         "click" if i % 2 else "view", float(i % 40), "{}")
+        for i in range(400)
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+
+    mw = (
+        entrymod.queries()["ev_mannwhitney"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(b#" in mw
+    assert mw.count("Exchange SinglePartition") <= 2
+
+    cu = (
+        entrymod.queries()["ev_cusum_alarm"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(event_type#" in cu
+    assert cu.count("Exchange SinglePartition") == 0
+
+    we = (
+        entrymod.queries()["ev_welch_ttest"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one pass: a single scalar aggregation, no joins at all
+    assert "Join" not in we
+
+
+def test_tfidf_and_dsir_dims_are_broadcast(spark, tmp_path):
+    """The vocabulary-sized idf dim and the 1024-bucket DSIR log-ratio
+    dim must reach their corpus-sized streams as broadcasts — never a
+    shuffle join on the big side."""
+    texts = [f"alpha beta w{i} w{i + 1} gamma" for i in range(40)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": texts,
+            "lang": ["en"] * 40,
+            "source": [f"src{i % 10}" for i in range(40)],
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    for name in ("s_tfidf_pairs", "d_dsir_weights"):
+        plan = (
+            entrymod.queries()[name](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, name
