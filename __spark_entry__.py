@@ -4181,6 +4181,131 @@ def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): U-shaped (position-based)
+    multi-touch attribution — every purchase's credit is split over
+    the user's click/view touches in the prior 7 days: 40%/40% to
+    first/last touch, 20% spread over the middle (k=1 → 100%, k=2 →
+    50/50). The conversion-credit primitive growth analytics runs
+    downstream of sessionization/funnels — a distinct family from
+    both (funnel = ordered reach, attribution = credit assignment).
+
+    Exact integers end-to-end: credit in MICRO units with the middle
+    share as (200000 DIV (k−2)) — integer division, identical in both
+    engines, remainder documented as unassigned rather than smeared;
+    credited value = value_cents · credit_micros summed as BIGINT
+    (≤ ~1e16 at sf0.1). Scale shape: the touch↔conversion join is an
+    EQUI-join on user_id (the 7-day window is a residual filter via
+    exact microsecond diffs — never a BNLJ); per-user fan-out is
+    conversions×touches of ONE user, and a pathological hot user gets
+    the operators.skew salted-join treatment, not a plan change."""
+    e = _t(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+    )
+    j = (
+        conv.join(touch, "user_id")
+        .withColumn(
+            "d_us", F.expr("timestampdiff(MICROSECOND, tts, cts)")
+        )
+        .filter((F.col("d_us") > 0) & (F.col("d_us") <= 604800000000))
+    )
+    wk = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy("tts", "touch_id")
+    ranked = j.select(
+        "conv_id",
+        "touch_type",
+        "value_cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wk).alias("k"),
+    )
+    credited = ranked.withColumn(
+        "credit_micros",
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when(F.col("k") == 2, F.lit(500000))
+        .when(F.col("rn") == 1, F.lit(400000))
+        .when(F.col("rn") == F.col("k"), F.lit(400000))
+        .otherwise(F.expr("200000 DIV (k - 2)")),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit_micros").cast("long").alias("credit_micros_total"),
+            F.sum(F.col("value_cents") * F.col("credit_micros"))
+            .cast("long")
+            .alias("credited_value_micros"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def d_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): corpus version diff — the
+    added/removed/changed/unchanged accounting a data team runs
+    between two snapshot versions before re-training (and exactly the
+    FULL OUTER content-hash diff Pipeline.run_incremental performs
+    internally, surfaced as a standalone auditable query). Versions
+    are derived deterministically from the one corpus: OLD = doc_id %
+    13 != 5, NEW = doc_id % 17 != 3 with doc_id % 19 == 2 texts
+    amended — so every status class is populated at every SF.
+
+    Compare surface: per status, the doc count and the BIGINT sum of
+    each side's 48-bit sha256 prefix (the d_sft_release manifest
+    idiom) — any misclassified doc shifts two sums. Scale: ONE full
+    outer equi-join on doc_id; hashes computed before the join so the
+    join carries (id, 16-byte prefix), not text."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h_old")
+    )
+    new = (
+        d.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.sha2(
+                F.when(
+                    F.col("doc_id") % 19 == 2,
+                    F.concat(F.col("text"), F.lit(" [amended v2]")),
+                ).otherwise(F.col("text")),
+                256,
+            ).alias("h_new"),
+        )
+    )
+    diff = old.join(new, "doc_id", "full").select(
+        "doc_id",
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce(
+            F.conv(F.substring("h_old", 1, 12), 16, 10).cast("long"), F.lit(0)
+        ).alias("p_old"),
+        F.coalesce(
+            F.conv(F.substring("h_new", 1, 12), 16, 10).cast("long"), F.lit(0)
+        ).alias("p_new"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("p_old").cast("long").alias("sha_sum_old48"),
+            F.sum("p_new").cast("long").alias("sha_sum_new48"),
+        )
+        .orderBy("status")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4329,6 +4454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dsir_weights": d_dsir_weights,
         "ev_cusum_alarm": ev_cusum_alarm,
         "ev_welch_ttest": ev_welch_ttest,
+        "ev_attribution": ev_attribution,
+        "d_corpus_diff": d_corpus_diff,
     }
 
 
@@ -7139,5 +7266,75 @@ def oracle_sql() -> dict[str, str]:
                              * (CAST(n2 AS DOUBLE) - 1.0)))) > 6.6349)
                      AS reject_1pct
             FROM m
+        """,
+        "ev_attribution": """
+            WITH conv AS (
+              SELECT user_id, event_id AS conv_id, ts AS cts,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents
+              FROM events WHERE event_type = 'purchase'
+            ),
+            touch AS (
+              SELECT user_id, event_id AS touch_id,
+                     event_type AS touch_type, ts AS tts
+              FROM events WHERE event_type IN ('click', 'view')
+            ),
+            j AS (
+              SELECT c.conv_id, t.touch_type, c.value_cents, t.tts, t.touch_id
+              FROM conv c JOIN touch t USING (user_id)
+              WHERE date_diff('microsecond', t.tts, c.cts) > 0
+                AND date_diff('microsecond', t.tts, c.cts)
+                    <= 604800000000
+            ),
+            r AS (
+              SELECT conv_id, touch_type, value_cents,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY tts, touch_id) AS rn,
+                     count(*) OVER (PARTITION BY conv_id) AS k
+              FROM j
+            ),
+            cr AS (
+              SELECT touch_type, value_cents,
+                     CASE WHEN k = 1 THEN 1000000
+                          WHEN k = 2 THEN 500000
+                          WHEN rn = 1 THEN 400000
+                          WHEN rn = k THEN 400000
+                          ELSE 200000 // (k - 2) END AS credit_micros
+              FROM r
+            )
+            SELECT touch_type,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(sum(credit_micros) AS BIGINT) AS credit_micros_total,
+                   CAST(sum(value_cents * credit_micros) AS BIGINT)
+                     AS credited_value_micros
+            FROM cr GROUP BY touch_type ORDER BY touch_type
+        """,
+        "d_corpus_diff": """
+            WITH old_v AS (
+              SELECT doc_id, sha256(text) AS h_old
+              FROM documents WHERE doc_id % 13 != 5
+            ),
+            new_v AS (
+              SELECT doc_id,
+                     sha256(CASE WHEN doc_id % 19 = 2
+                                 THEN text || ' [amended v2]'
+                                 ELSE text END) AS h_new
+              FROM documents WHERE doc_id % 17 != 3
+            ),
+            diff AS (
+              SELECT CASE WHEN o.h_old IS NULL THEN 'added'
+                          WHEN n.h_new IS NULL THEN 'removed'
+                          WHEN o.h_old != n.h_new THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     coalesce(('0x' || substr(o.h_old, 1, 12))::BIGINT, 0)
+                       AS p_old,
+                     coalesce(('0x' || substr(n.h_new, 1, 12))::BIGINT, 0)
+                       AS p_new
+              FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+            )
+            SELECT status,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(p_old) AS BIGINT) AS sha_sum_old48,
+                   CAST(sum(p_new) AS BIGINT) AS sha_sum_new48
+            FROM diff GROUP BY status ORDER BY status
         """,
     }

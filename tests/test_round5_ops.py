@@ -1265,3 +1265,70 @@ def test_tfidf_and_dsir_dims_are_broadcast(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_attribution_u_shape_and_window(spark, tmp_path):
+    """k=3 splits 40/40/20 in time order, k=1 takes 100%, and touches
+    outside the 7-day window or after the conversion get nothing."""
+    t0 = datetime(2024, 2, 1)
+    rows = [
+        # user 1: purchase at t0, touches 3d/2d/1d before (k=3),
+        # plus one 8 days before (outside) and one after (excluded)
+        (1, t0, 1, "purchase", 10.00, "{}"),
+        (2, t0 - timedelta(days=3), 1, "click", 0.0, "{}"),   # first: 40%
+        (3, t0 - timedelta(days=2), 1, "view", 0.0, "{}"),    # middle: 20%
+        (4, t0 - timedelta(days=1), 1, "click", 0.0, "{}"),   # last: 40%
+        (5, t0 - timedelta(days=8), 1, "click", 0.0, "{}"),   # outside
+        (6, t0 + timedelta(days=1), 1, "view", 0.0, "{}"),    # after
+        # user 2: purchase with exactly one prior view (k=1)
+        (7, t0, 2, "purchase", 5.00, "{}"),
+        (8, t0 - timedelta(hours=2), 2, "view", 0.0, "{}"),
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["ev_attribution"](spark, sf).toPandas()
+    got = {r.touch_type: r for r in pdf.itertuples()}
+    # clicks: first (400k) + last (400k) of user 1 = 800k micros on 1000 cents
+    assert got["click"].n_touches == 2
+    assert got["click"].credit_micros_total == 800000
+    assert got["click"].credited_value_micros == 1000 * 800000
+    # views: middle (200k on 1000c) + k=1 full credit (1e6 on 500c)
+    assert got["view"].n_touches == 2
+    assert got["view"].credit_micros_total == 200000 + 1000000
+    assert got["view"].credited_value_micros == 1000 * 200000 + 500 * 1000000
+
+
+def test_corpus_diff_every_status_classified(spark, tmp_path):
+    """Each doc lands in exactly the status its id forces: %13==5 →
+    added (absent from OLD), %17==3 → removed (absent from NEW),
+    %19==2 → changed, rest unchanged; totals partition the id space."""
+    n = 60
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [f"document body {i}" for i in range(n)],
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_corpus_diff"](spark, sf).toPandas()
+    got = dict(zip(pdf.status, pdf.n_docs))
+    want = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    for i in range(n):
+        in_old, in_new = i % 13 != 5, i % 17 != 3
+        if not in_old and not in_new:
+            continue
+        if not in_old:
+            want["added"] += 1
+        elif not in_new:
+            want["removed"] += 1
+        elif i % 19 == 2:
+            want["changed"] += 1
+        else:
+            want["unchanged"] += 1
+    assert got == {k: v for k, v in want.items() if v > 0}
