@@ -4306,6 +4306,95 @@ def d_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): time-weighted average over
+    IRREGULAR samples (TimescaleDB's time_weight, last-observation-
+    carried-forward) — the metric a plain avg() gets wrong whenever
+    sampling is bursty: a value that held for six hours must weigh
+    more than six ticks from one hot minute.
+
+    Exact integers: each segment contributes value_cents · dt_millis
+    (BIGINT; ≤ ~5e15 per user at sf0.1 — at 10^9-event users the sum
+    needs DECIMAL(38), Spark widens natively), and the final TWA is
+    ONE integer division, numer DIV span — both engines floor
+    identically, no float path at all. Scale: one per-user lead
+    window (the sort sessionization already pays) then a map-side-
+    combinable groupBy; user_id % 25 == 7 bounds the OUTPUT rows, the
+    shape is per-key-parallel at any user count."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 7)
+    seg = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, ts,"
+            " lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+            " DIV 1000"
+        ).alias("dt_ms"),
+    ).filter(F.col("dt_ms").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("dt_ms").cast("long").alias("span_ms"),
+            F.sum(F.col("cents") * F.col("dt_ms")).cast("long").alias(
+                "twa_numer"
+            ),
+        )
+        .filter(F.col("span_ms") > 0)
+        .withColumn("twa_cents", F.expr("twa_numer DIV span_ms"))
+        .orderBy("user_id")
+    )
+
+
+def s_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): boolean retrieval — docs matching
+    (merge AND window AND NOT slow) — the AND/NOT set algebra layer
+    under the ranked searches (BM25 ranks, phrase positions; boolean
+    is the filter users compose FIRST). Shape: the token stream is
+    cut to the query's 3 terms BEFORE any shuffle (the BM25/phrase
+    pre-prune), then ONE groupBy(doc) computes must-hit counts and
+    the NOT flag as exact integer aggregates — the NOT is a conditional
+    max inside the same aggregation, not an anti-join pass over the
+    corpus. Output re-attaches doc metadata by equi-join."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col("text")), "[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                )
+            )
+        ).alias("t"),
+    ).filter(F.col("t").isin("merge", "window", "slow"))
+    hits = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("t").isin("merge", "window"), 1).otherwise(0)
+            ).alias("must_hits"),
+            F.max(F.when(F.col("t") == "slow", 1).otherwise(0)).alias(
+                "has_not"
+            ),
+        )
+        .filter((F.col("must_hits") == 2) & (F.col("has_not") == 0))
+    )
+    return (
+        hits.join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4456,6 +4545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_welch_ttest": ev_welch_ttest,
         "ev_attribution": ev_attribution,
         "d_corpus_diff": d_corpus_diff,
+        "ev_time_weighted_avg": ev_time_weighted_avg,
+        "s_boolean_query": s_boolean_query,
     }
 
 
@@ -7336,5 +7427,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(p_old) AS BIGINT) AS sha_sum_old48,
                    CAST(sum(p_new) AS BIGINT) AS sha_sum_new48
             FROM diff GROUP BY status ORDER BY status
+        """,
+        "ev_time_weighted_avg": """
+            WITH e AS (
+              SELECT * FROM events WHERE user_id % 25 = 7
+            ),
+            seg AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     date_diff('microsecond', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) // 1000
+                       AS dt_ms
+              FROM e
+            ),
+            g AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_segments,
+                     CAST(sum(dt_ms) AS BIGINT) AS span_ms,
+                     CAST(sum(cents * dt_ms) AS BIGINT) AS twa_numer
+              FROM seg WHERE dt_ms IS NOT NULL
+              GROUP BY user_id
+            )
+            SELECT user_id, n_segments, span_ms, twa_numer,
+                   CAST(twa_numer // span_ms AS BIGINT) AS twa_cents
+            FROM g WHERE span_ms > 0 ORDER BY user_id
+        """,
+        "s_boolean_query": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(string_split(trim(
+                       regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       ' '), x -> x != ''))) AS t
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                     sum(CASE WHEN t IN ('merge', 'window')
+                              THEN 1 ELSE 0 END) AS must_hits,
+                     max(CASE WHEN t = 'slow' THEN 1 ELSE 0 END) AS has_not
+              FROM toks WHERE t IN ('merge', 'window', 'slow')
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM hits h JOIN documents d USING (doc_id)
+            WHERE h.must_hits = 2 AND h.has_not = 0
+            ORDER BY d.doc_id
         """,
     }

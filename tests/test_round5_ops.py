@@ -1332,3 +1332,48 @@ def test_corpus_diff_every_status_classified(spark, tmp_path):
         else:
             want["unchanged"] += 1
     assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_time_weighted_avg_locf_semantics(spark, tmp_path):
+    """A value held for 9 hours must dominate a burst of ticks in one
+    minute: TWA = Σ cents·dt / span computed by hand; trailing event
+    contributes no segment."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view", 100.0, "{}"),                      # holds 9h at 10000c
+        (2, t0 + timedelta(hours=9), 7, "view", 2.0, "{}"),    # burst minute
+        (3, t0 + timedelta(hours=9, minutes=1), 7, "view", 2.0, "{}"),  # trailing
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    r = entrymod.queries()["ev_time_weighted_avg"](spark, sf).toPandas().iloc[0]
+    h9, m1 = 9 * 3600 * 1000, 60 * 1000
+    assert r.n_segments == 2 and r.span_ms == h9 + m1
+    numer = 10000 * h9 + 200 * m1
+    assert r.twa_numer == numer
+    assert r.twa_cents == numer // (h9 + m1)
+    assert r.twa_cents > 9900  # the held value dominates, plain avg would say ~3400
+
+
+def test_boolean_query_and_not_semantics(spark, tmp_path):
+    """AND requires both musts, NOT excludes even when musts match."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "merge the window now",          # match
+                "merge the window but slow",     # NOT-excluded
+                "merge only here",               # missing a must
+                "window only here",              # missing a must
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["s_boolean_query"](spark, sf).toPandas()
+    assert list(pdf.doc_id) == [0]
