@@ -4395,6 +4395,60 @@ def s_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): right-to-erasure (GDPR Art. 17)
+    impact accounting — given an erasure cohort (customers with
+    c_custkey % 97 == 11), count the rows each table must purge as the
+    deletion propagates the foreign-key chain customer → orders →
+    lineitem, plus the events keyed by user_id. The compliance
+    primitive every lakehouse runs before a purge commit (Iceberg/Delta
+    DELETE planning = exactly these semi-join row counts).
+
+    Scale shape: the cohort is a key-only dim (|cohort| ≈ n_cust/97)
+    — BROADCAST to every fact table as a LEFT SEMI join (purged) with
+    the total arriving from the same pass via count(*) minus semi
+    (kept is arithmetic, not an anti-join re-scan); the orders→
+    lineitem hop semi-joins on the already-reduced purged-orders key
+    set. No fact table is scanned twice per hop."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    cohort = (
+        cust.filter(F.col("c_custkey") % 97 == 11)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    po = orders.join(
+        F.broadcast(cohort), orders.o_custkey == cohort.k, "left_semi"
+    )
+    purged_orders = po.select(F.col("o_orderkey").alias("ok"))
+    rows = []
+
+    def _count(name: str, total_df, purged_df):
+        rows.append((name, purged_df, total_df))
+
+    _count("customer", cust, cust.join(
+        F.broadcast(cohort), cust.c_custkey == cohort.k, "left_semi"))
+    _count("orders", orders, po)
+    _count("lineitem", li, li.join(
+        F.broadcast(purged_orders), li.l_orderkey == F.col("ok"), "left_semi"))
+    _count("events", ev, ev.join(
+        F.broadcast(cohort), ev.user_id == cohort.k, "left_semi"))
+    out = None
+    for name, purged_df, total_df in rows:
+        one = purged_df.groupBy().agg(
+            F.count("*").alias("n_purged")
+        ).crossJoin(
+            F.broadcast(total_df.groupBy().agg(F.count("*").alias("n_total")))
+        ).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_purged").cast("long").alias("n_purged"),
+            (F.col("n_total") - F.col("n_purged")).cast("long").alias("n_kept"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("table_name")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4547,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_corpus_diff": d_corpus_diff,
         "ev_time_weighted_avg": ev_time_weighted_avg,
         "s_boolean_query": s_boolean_query,
+        "d_right_to_erasure": d_right_to_erasure,
     }
 
 
@@ -7473,5 +7528,38 @@ def oracle_sql() -> dict[str, str]:
             FROM hits h JOIN documents d USING (doc_id)
             WHERE h.must_hits = 2 AND h.has_not = 0
             ORDER BY d.doc_id
+        """,
+        "d_right_to_erasure": """
+            WITH cohort AS (
+              SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 11
+            ),
+            po AS (
+              SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT k FROM cohort)
+            ),
+            t AS (
+              SELECT 'customer' AS table_name,
+                     (SELECT count(*) FROM customer
+                      WHERE c_custkey IN (SELECT k FROM cohort)) AS n_purged,
+                     (SELECT count(*) FROM customer) AS n_total
+              UNION ALL
+              SELECT 'orders',
+                     (SELECT count(*) FROM po),
+                     (SELECT count(*) FROM orders)
+              UNION ALL
+              SELECT 'lineitem',
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+                     (SELECT count(*) FROM lineitem)
+              UNION ALL
+              SELECT 'events',
+                     (SELECT count(*) FROM events
+                      WHERE user_id IN (SELECT k FROM cohort)),
+                     (SELECT count(*) FROM events)
+            )
+            SELECT table_name,
+                   CAST(n_purged AS BIGINT) AS n_purged,
+                   CAST(n_total - n_purged AS BIGINT) AS n_kept
+            FROM t ORDER BY table_name
         """,
     }

@@ -1377,3 +1377,42 @@ def test_boolean_query_and_not_semantics(spark, tmp_path):
     sf = _write(tmp_path, "documents", docs)
     pdf = entrymod.queries()["s_boolean_query"](spark, sf).toPandas()
     assert list(pdf.doc_id) == [0]
+
+
+def test_right_to_erasure_propagates_fk_chain(spark, tmp_path):
+    """An erased customer takes their orders, those orders' lineitems,
+    and their events; unrelated rows stay."""
+    cust = pd.DataFrame({"c_custkey": [11, 20], "c_nationkey": [0, 0],
+                         "c_name": ["a", "b"], "c_acctbal": [0.0, 0.0]})
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3], "o_custkey": [11, 11, 20],
+        "o_totalprice": [1.0, 2.0, 3.0], "o_orderstatus": ["F"] * 3,
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 3),
+        "o_orderpriority": ["1-URGENT"] * 3,
+    })
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3, 3], "l_partkey": [1] * 5,
+        "l_suppkey": [1] * 5, "l_quantity": [1.0] * 5,
+        "l_extendedprice": [1.0] * 5, "l_discount": [0.0] * 5,
+        "l_tax": [0.0] * 5, "l_returnflag": ["N"] * 5,
+        "l_linestatus": ["O"] * 5,
+        "l_shipdate": pd.to_datetime(["2024-01-02"] * 5),
+    })
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3], "ts": pd.to_datetime(["2024-01-01"] * 3),
+        "user_id": [11, 20, 20], "event_type": ["view"] * 3,
+        "value": [0.0] * 3, "props": ["{}"] * 3,
+    })
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    sf = str(tmp_path)
+    for name, pdf in (("customer", cust), ("orders", orders),
+                      ("lineitem", li), ("events", ev)):
+        pdf.to_parquet(str(tmp_path / f"{name}.parquet"))
+    out = entrymod.queries()["d_right_to_erasure"](spark, sf).toPandas()
+    got = {r.table_name: (r.n_purged, r.n_kept) for r in out.itertuples()}
+    assert got == {
+        "customer": (1, 1), "orders": (2, 1),
+        "lineitem": (3, 2), "events": (1, 2),
+    }
