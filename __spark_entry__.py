@@ -853,6 +853,102 @@ def l_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stats-domain bounds for the prune accounting (tighter than
+# _ZORDER_SPEC so the scaled key exercises its high bits at the test
+# SFs; the clamp in scale_dim keeps file assignment — and therefore the
+# raw-min/max pruning soundness proof — valid for out-of-range values
+# at any SF)
+_PRUNE_SPEC = [("user_id", 0, 256), ("value", 0, 512)]
+_PRUNE_BITS = 10
+# 2-dim range predicate the file stats are probed with (user band is
+# low so it is non-empty from sf0.001 up)
+_PRUNE_PRED = (4, 80, 100.0, 200.0)  # u_lo, u_hi, v_lo, v_hi
+
+
+def l_minmax_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max file-skipping accounting — the measurement that
+    JUSTIFIES the Z-order layout (`l_zorder_events`): simulate two
+    file layouts over events (files = key-prefix buckets, no global
+    sort needed), collect per-file min/max footer stats for
+    (user_id, value) exactly as a parquet writer would, and count how
+    many files a 2-dim range predicate can skip under each layout.
+
+    - ``zorder`` files: top-10 interleaved bits of the Morton key —
+      each file is a tight bounding box in BOTH dimensions.
+    - ``linear`` files: the 10-bit scaled user_id (lexicographic
+      (user, value) sort order truncated to its leading dimension) —
+      tight on user_id, unbounded on value.
+
+    Output per layout: file count, files pruned, rows inside the
+    surviving files (the simulated scan cost), total predicate
+    matches, and the SOUNDNESS CONTRACT ``false_pruned`` — matching
+    rows inside pruned files — which must be 0 because pruning
+    compares the predicate against exact per-file raw min/max. At
+    100 TB this accounting is the layout-quality metric Delta/Iceberg
+    expose as `files_scanned/files_total`; the whole plan is one scan
+    + one map-side-combinable groupBy on (layout, file) + an
+    O(n_files) re-aggregation. Reference analog: the metadata/size
+    accounting family (hikma-engine stats queries); layout cited at
+    operators/layout.py."""
+    from hikma_engine_spark.operators import layout
+
+    u_lo, u_hi, v_lo, v_hi = _PRUNE_PRED
+    e = _t(spark, sf_dir, "events")
+    (uc, ulo, uhi), (vc, vlo, vhi) = _PRUNE_SPEC
+    zkey = layout.zorder_key(
+        [(F.col(uc), ulo, uhi), (F.col(vc), vlo, vhi)], bits=_PRUNE_BITS
+    )
+    su = layout.scale_dim(F.col(uc), ulo, uhi, _PRUNE_BITS)
+    m = (
+        (F.col(uc) >= u_lo)
+        & (F.col(uc) <= u_hi)
+        & (F.col(vc) >= v_lo)
+        & (F.col(vc) <= v_hi)
+    ).cast("long")
+    rows = e.select(
+        F.col(uc).alias("u"),
+        F.col(vc).alias("v"),
+        F.shiftright(zkey, _PRUNE_BITS).alias("zfile"),
+        su.alias("lfile"),
+        m.alias("m"),
+    ).select(
+        F.expr("stack(2, 'zorder', zfile, 'linear', lfile) AS (layout, file)"),
+        "u",
+        "v",
+        "m",
+    )
+    per_file = rows.groupBy("layout", "file").agg(
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.count("*").alias("n_rows"),
+        F.sum("m").alias("n_match"),
+    )
+    pruned = (
+        (F.col("max_u") < u_lo)
+        | (F.col("min_u") > u_hi)
+        | (F.col("max_v") < v_lo)
+        | (F.col("min_v") > v_hi)
+    )
+    return (
+        per_file.select("layout", pruned.alias("pruned"), "n_rows", "n_match")
+        .groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.col("pruned").cast("long")).alias("files_pruned"),
+            F.sum(
+                F.when(~F.col("pruned"), F.col("n_rows")).otherwise(F.lit(0))
+            ).alias("rows_scanned"),
+            F.sum("n_match").alias("rows_matched"),
+            F.sum(
+                F.when(F.col("pruned"), F.col("n_match")).otherwise(F.lit(0))
+            ).alias("false_pruned"),
+        )
+        .orderBy("layout")
+    )
+
+
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch distinct-count per event type with its accuracy
     CONTRACT as a checked column: |approx − exact| / exact ≤ 5% (rsd
@@ -2406,6 +2502,60 @@ def _zorder_oracle_sql() -> str:
         SELECT event_id, user_id, round(value, 2) AS value,
                {zexpr} AS zkey
         FROM events ORDER BY zkey, event_id LIMIT 50
+    """
+
+
+def _minmax_prune_oracle_sql() -> str:
+    """Exact twin of ``l_minmax_prune``: same scale/interleave algebra
+    (layout.zorder_sql / scale_sql), same file buckets, same raw
+    min/max prune test, integer-only outputs."""
+    from hikma_engine_spark.operators import layout
+
+    (uc, ulo, uhi), (vc, vlo, vhi) = _PRUNE_SPEC
+    zexpr = layout.zorder_sql(
+        [(uc, ulo, uhi), (vc, vlo, vhi)], bits=_PRUNE_BITS
+    )
+    suexpr = layout.scale_sql(uc, ulo, uhi, _PRUNE_BITS)
+    u_lo, u_hi, v_lo, v_hi = _PRUNE_PRED
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT {uc} AS u, {vc} AS v,
+                 ({zexpr}) >> {_PRUNE_BITS} AS zfile,
+                 {suexpr} AS lfile,
+                 CASE WHEN {uc} >= {u_lo} AND {uc} <= {u_hi}
+                       AND {vc} >= {v_lo} AND {vc} <= {v_hi}
+                      THEN 1 ELSE 0 END AS m
+          FROM events
+        ),
+        both_layouts AS (
+          SELECT 'zorder' AS layout, zfile AS file, u, v, m FROM base
+          UNION ALL
+          SELECT 'linear' AS layout, lfile AS file, u, v, m FROM base
+        ),
+        per_file AS (
+          SELECT layout, file,
+                 min(u) AS min_u, max(u) AS max_u,
+                 min(v) AS min_v, max(v) AS max_v,
+                 count(*) AS n_rows, sum(m) AS n_match
+          FROM both_layouts GROUP BY layout, file
+        ),
+        flagged AS (
+          SELECT layout,
+                 (max_u < {u_lo} OR min_u > {u_hi}
+                  OR max_v < {v_lo} OR min_v > {v_hi}) AS pruned,
+                 n_rows, n_match
+          FROM per_file
+        )
+        SELECT layout,
+               count(*) AS n_files,
+               CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+                 AS files_pruned,
+               CAST(sum(CASE WHEN pruned THEN 0 ELSE n_rows END) AS BIGINT)
+                 AS rows_scanned,
+               CAST(sum(n_match) AS BIGINT) AS rows_matched,
+               CAST(sum(CASE WHEN pruned THEN n_match ELSE 0 END) AS BIGINT)
+                 AS false_pruned
+        FROM flagged GROUP BY layout ORDER BY layout
     """
 
 
@@ -4602,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_time_weighted_avg": ev_time_weighted_avg,
         "s_boolean_query": s_boolean_query,
         "d_right_to_erasure": d_right_to_erasure,
+        "l_minmax_prune": l_minmax_prune,
     }
 
 
@@ -5375,6 +5526,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "l_zorder_events": _zorder_oracle_sql(),
+        "l_minmax_prune": _minmax_prune_oracle_sql(),
         # HLL contract twin: the oracle computes the exact side and
         # asserts TRUE for the bound column — a hash match proves the
         # sketch stayed within its promised 5% envelope

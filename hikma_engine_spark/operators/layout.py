@@ -20,14 +20,28 @@ from pyspark.sql import functions as F
 ColSpec = tuple  # (Column, lo, hi) — declared bounds, values clamped
 
 
-def _scale(c: Column, lo: float, hi: float, bits: int) -> Column:
+def scale_dim(c: Column, lo: float, hi: float, bits: int) -> Column:
     """Normalize to an integer in [0, 2^bits): floor((c-lo)*M/(hi-lo))
     clamped — floor (not cast) so the truncation direction is engine-
-    portable (double→int casts round half-even in some engines)."""
+    portable (double→int casts round half-even in some engines).
+    Public: also the per-dimension file-bucket key for the min/max
+    prune accounting (`l_minmax_prune`)."""
     m = (1 << bits) - 1
     scaled = F.floor(((c.cast("double") - lo) * m) / (hi - lo))
     return (
         F.least(F.lit(m).cast("long"), F.greatest(F.lit(0).cast("long"), scaled.cast("long")))
+    )
+
+
+_scale = scale_dim  # internal alias kept for existing call sites
+
+
+def scale_sql(expr: str, lo: float, hi: float, bits: int) -> str:
+    """The exact SQL twin of ``scale_dim`` (same floor, same clamp)."""
+    m = (1 << bits) - 1
+    return (
+        f"least({m}, greatest(0, CAST(floor(((CAST({expr} AS DOUBLE) - {lo})"
+        f" * {m}) / ({hi} - {lo})) AS BIGINT)))"
     )
 
 
@@ -70,11 +84,7 @@ def zorder_sql(exprs: list[tuple[str, float, float]], bits: int = 10) -> str:
     """The exact SQL twin of ``zorder_key`` (same scale, same floor,
     same clamp, same interleave) for oracle replay."""
     n = len(exprs)
-    m = (1 << bits) - 1
-    scaled = [
-        f"least({m}, greatest(0, CAST(floor(((CAST({e} AS DOUBLE) - {lo}) * {m}) / ({hi} - {lo})) AS BIGINT)))"
-        for e, lo, hi in exprs
-    ]
+    scaled = [scale_sql(e, lo, hi, bits) for e, lo, hi in exprs]
     terms = []
     for i in range(bits):
         for j, s in enumerate(scaled):

@@ -1416,3 +1416,64 @@ def test_right_to_erasure_propagates_fk_chain(spark, tmp_path):
         "customer": (1, 1), "orders": (2, 1),
         "lineitem": (3, 2), "events": (1, 2),
     }
+
+
+def test_minmax_prune_soundness_and_value_dim_pruning(spark, tmp_path):
+    """Pure-Python replay of the prune algebra on a crafted table:
+    pruning must be SOUND (false_pruned == 0, identical match totals
+    across layouts), and a file disjoint from the predicate ONLY on
+    the value dimension must be prunable under zorder while the
+    linear (user-leading) layout has to scan it."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    users = rng.randint(0, 200, n)
+    # bimodal values so many files sit entirely outside [100, 200]
+    values = np.where(rng.rand(n) < 0.5,
+                      rng.uniform(0, 60, n), rng.uniform(300, 480, n))
+    # a user inside the predicate band whose values are ALL outside it:
+    # under linear layout their file survives on user alone
+    users[:50] = 40
+    values[:50] = 400.0
+    ev = pd.DataFrame({"user_id": users.astype("int64"),
+                       "value": values.astype("float64")})
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+
+    out = entrymod.queries()["l_minmax_prune"](spark, str(tmp_path)).toPandas()
+    got = {r.layout: r for r in out.itertuples()}
+
+    # python reference of the exact algebra
+    bits, m = 10, 1023
+    (u_lo, u_hi, v_lo, v_hi) = entrymod._PRUNE_PRED
+    (_, ulo, uhi), (_, vlo, vhi) = entrymod._PRUNE_SPEC
+
+    def scale(x, lo, hi):
+        s = np.floor((x.astype("float64") - lo) * m / (hi - lo)).astype("int64")
+        return np.clip(s, 0, m)
+
+    su, sv = scale(users, ulo, uhi), scale(values, vlo, vhi)
+    zkey = np.zeros(n, dtype="int64")
+    for i in range(bits):
+        zkey |= ((su >> i) & 1) << (2 * i)
+        zkey |= ((sv >> i) & 1) << (2 * i + 1)
+    match = ((users >= u_lo) & (users <= u_hi)
+             & (values >= v_lo) & (values <= v_hi))
+    for layout, fid in (("zorder", zkey >> bits), ("linear", su)):
+        df = pd.DataFrame({"f": fid, "u": users, "v": values, "m": match})
+        g = df.groupby("f").agg(min_u=("u", "min"), max_u=("u", "max"),
+                                min_v=("v", "min"), max_v=("v", "max"),
+                                n=("m", "size"), nm=("m", "sum"))
+        pruned = ((g.max_u < u_lo) | (g.min_u > u_hi)
+                  | (g.max_v < v_lo) | (g.min_v > v_hi))
+        r = got[layout]
+        assert (r.n_files, r.files_pruned) == (len(g), int(pruned.sum()))
+        assert r.rows_scanned == int(g.n[~pruned].sum())
+        assert r.rows_matched == int(match.sum())
+        assert r.false_pruned == 0 and int(g.nm[pruned].sum()) == 0
+
+    assert got["zorder"].rows_matched == got["linear"].rows_matched
+    # the planted user-40/value-400 file: linear MUST scan those rows
+    # (user 40 is inside the band), zorder skips most of them
+    assert got["linear"].rows_scanned >= 50
+    assert got["zorder"].rows_scanned < got["linear"].rows_scanned
