@@ -256,6 +256,114 @@ def j_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M_BITS = 17  # 131072 bits / 4096 words -> m/n >= 44 at sf0.1
+_BLOOM_K = 4
+
+
+def j_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter semi-join with its contracts checked
+    in-plan (operators/bloom.py): build a 2^17-bit bitmap from the
+    BUILDING-segment customer keys, broadcast it as ONE array<long>
+    row, probe every order with pure bit arithmetic — the fact side
+    never shuffles (the runtime-filter pattern of Spark's own
+    bloomFilter rewrite, made auditable). The exact broadcast join
+    runs alongside ONLY to prove the contracts: ``sound`` (zero false
+    negatives — a Bloom filter may never drop a matching row) and
+    ``fpr_ok`` (false positives ≤ 1% of true non-matches; theory at
+    m/n ≥ 44, k = 4 predicts ≪ 0.1%). Both engines replay the exact
+    hash algebra, so false_positives is deterministic, not a bound.
+    At 100 TB the exact side disappears and the probe column becomes
+    the scan filter. Reference analog: search-service semi-join
+    intersections (T9)."""
+    from hikma_engine_spark.operators import bloom
+
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bf = bloom.bloom_build(keys, "key", _BLOOM_M_BITS, _BLOOM_K)
+    nk = keys.agg(F.count("*").alias("n_keys"))
+    kd = keys.select(F.col("key").alias("o_custkey"), F.lit(1).alias("ex"))
+    probed = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .join(F.broadcast(kd), "o_custkey", "left")
+        .crossJoin(F.broadcast(bf))
+        .crossJoin(F.broadcast(nk))
+        .select(
+            "n_keys",
+            F.coalesce("ex", F.lit(0)).alias("ex"),
+            bloom.bloom_hit("o_custkey", "bf", _BLOOM_M_BITS, _BLOOM_K)
+            .cast("long")
+            .alias("hit"),
+        )
+    )
+    agg = probed.groupBy("n_keys").agg(
+        F.count("*").alias("n_probed"),
+        F.sum("ex").alias("exact_matches"),
+        F.sum("hit").alias("bloom_kept"),
+        F.sum(
+            F.when((F.col("ex") == 1) & (F.col("hit") == 0), 1).otherwise(0)
+        ).alias("false_negatives"),
+        F.sum(
+            F.when((F.col("ex") == 0) & (F.col("hit") == 1), 1).otherwise(0)
+        ).alias("false_positives"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_probed",
+        "exact_matches",
+        "bloom_kept",
+        "false_negatives",
+        "false_positives",
+        (F.col("false_negatives") == 0).alias("sound"),
+        (
+            F.col("false_positives") * 100
+            <= F.col("n_probed") - F.col("exact_matches")
+        ).alias("fpr_ok"),
+    )
+
+
+def _bloom_semijoin_oracle_sql() -> str:
+    """Exact twin of ``j_bloom_semijoin`` via the shared hash algebra
+    in operators/bloom.py (bloom_build_sql / bloom_hit_sql)."""
+    from hikma_engine_spark.operators import bloom
+
+    build = bloom.bloom_build_sql("keys", "key", _BLOOM_M_BITS, _BLOOM_K)
+    hit = bloom.bloom_hit_sql("o.o_custkey", _BLOOM_M_BITS, _BLOOM_K)
+    return f"""
+        WITH keys AS MATERIALIZED (
+          SELECT DISTINCT c_custkey AS key FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        ),
+        {build},
+        probed AS (
+          SELECT CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END AS ex,
+                 CASE WHEN {hit} THEN 1 ELSE 0 END AS hit
+          FROM orders o LEFT JOIN keys k ON o.o_custkey = k.key
+          CROSS JOIN bf
+        ),
+        agg AS (
+          SELECT (SELECT count(*) FROM keys) AS n_keys,
+                 count(*) AS n_probed,
+                 CAST(sum(ex) AS BIGINT) AS exact_matches,
+                 CAST(sum(hit) AS BIGINT) AS bloom_kept,
+                 CAST(sum(CASE WHEN ex = 1 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_negatives,
+                 CAST(sum(CASE WHEN ex = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_positives
+          FROM probed
+        )
+        SELECT n_keys, n_probed, exact_matches, bloom_kept,
+               false_negatives, false_positives,
+               false_negatives = 0 AS sound,
+               false_positives * 100 <= n_probed - exact_matches AS fpr_ok
+        FROM agg
+    """
+
+
 def a_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -4753,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_boolean_query": s_boolean_query,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
+        "j_bloom_semijoin": j_bloom_semijoin,
     }
 
 
@@ -5527,6 +5636,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "l_zorder_events": _zorder_oracle_sql(),
         "l_minmax_prune": _minmax_prune_oracle_sql(),
+        "j_bloom_semijoin": _bloom_semijoin_oracle_sql(),
         # HLL contract twin: the oracle computes the exact side and
         # asserts TRUE for the bound column — a hash match proves the
         # sketch stayed within its promised 5% envelope

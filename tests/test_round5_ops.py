@@ -1477,3 +1477,49 @@ def test_minmax_prune_soundness_and_value_dim_pruning(spark, tmp_path):
     # (user 40 is inside the band), zorder skips most of them
     assert got["linear"].rows_scanned >= 50
     assert got["zorder"].rows_scanned < got["linear"].rows_scanned
+
+
+def test_bloom_semijoin_soundness_under_forced_collisions(spark, tmp_path):
+    """With a deliberately undersized bitmap (m = 256 bits, m/n ~ 2)
+    false positives MUST appear — and false negatives still must not:
+    a Bloom filter is sound by construction. The Spark probe is
+    replayed bit-for-bit in pure Python."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hikma_engine_spark.operators import bloom
+
+    m_bits, k = 8, 4
+    m = 1 << m_bits
+    build_keys = list(range(3, 400, 3))          # 133 keys
+    probe_keys = list(range(0, 1000))            # 1000 probes
+    keys = spark.createDataFrame([(x,) for x in build_keys], "key long")
+    bf = bloom.bloom_build(keys, "key", m_bits, k)
+    probes = spark.createDataFrame([(x,) for x in probe_keys], "pk long")
+    got = (
+        probes.crossJoin(F.broadcast(bf))
+        .select("pk", bloom.bloom_hit("pk", "bf", m_bits, k).alias("hit"))
+        .toPandas()
+        .sort_values("pk")
+        .reset_index(drop=True)
+    )
+
+    # pure-python replay of the same hash algebra
+    bits = set()
+    for x in build_keys:
+        for a, b in bloom.HASHES[:k]:
+            bits.add((((x % bloom.P) * a + b) % bloom.P) % m)
+
+    def py_hit(x):
+        return all(
+            (((x % bloom.P) * a + b) % bloom.P) % m in bits
+            for a, b in bloom.HASHES[:k]
+        )
+
+    expect = [py_hit(x) for x in probe_keys]
+    assert got.hit.tolist() == expect
+    member = set(build_keys)
+    fn = [x for x, h in zip(probe_keys, expect) if x in member and not h]
+    fp = [x for x, h in zip(probe_keys, expect) if x not in member and h]
+    assert fn == []            # soundness: never drops a member
+    assert len(fp) > 0         # undersized filter really collides
