@@ -1093,6 +1093,104 @@ def l_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature linear regression by DISTRIBUTED NORMAL EQUATIONS
+    — the one-pass way to fit a linear model on 100 TB: y =
+    o_totalprice cents regressed on x1 = items per order, x2 = total
+    quantity. The whole fit is (1) a map-side-combinable per-order
+    feature agg, (2) a co-partitioned join on orderkey, (3) ONE
+    algebraic reduce of the 9 Gram-matrix sums (n, Σx1, Σx2, Σy, Σx1²,
+    Σx1x2, Σx2², Σx1y, Σx2y — O(1) state, O(d²) for d features), then
+    a closed-form 3×3 Cramer solve done as a FIXED double expression
+    over those exact integers — no iteration, no driver collect, no
+    gradient steps. Hash doctrine: every sum is an exact int64 (Σy²
+    alone needs decimal(38)/HUGEINT — 20 digits at sf0.1), so both
+    engines feed bit-identical inputs to the identical IEEE expression
+    tree; output anchored by the exact n/Σx1/Σx2/Σy columns. At 1000×
+    scale only the int64 headroom changes (promote the xy sums to
+    decimal(38), same algebra). R² comes free from the normal-equation
+    identity SSE = Σy² − βᵀXᵀy. Reference analog: none (the reference
+    has no model fitting) — target-domain op for quality-weight
+    calibration over corpus features."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("x1"),
+        F.sum(F.col("l_quantity").cast("long")).alias("x2"),
+    )
+    feats = o.join(per_order, o.o_orderkey == per_order.l_orderkey).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        "x1",
+        "x2",
+    )
+    s = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy_dec"),
+    )
+    d = s.select(
+        "n", "sx1", "sx2", "sy", "sx1y", "sx2y",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx1").cast("double").alias("a1"),
+        F.col("sx2").cast("double").alias("a2"),
+        F.col("sy").cast("double").alias("ay"),
+        F.col("sx11").cast("double").alias("a11"),
+        F.col("sx12").cast("double").alias("a12"),
+        F.col("sx22").cast("double").alias("a22"),
+        F.col("sx1y").cast("double").alias("a1y"),
+        F.col("sx2y").cast("double").alias("a2y"),
+        F.col("syy_dec").cast("double").alias("ayy"),
+    )
+    nd, a1, a2, ay = F.col("nd"), F.col("a1"), F.col("a2"), F.col("ay")
+    a11, a12, a22 = F.col("a11"), F.col("a12"), F.col("a22")
+    a1y, a2y, ayy = F.col("a1y"), F.col("a2y"), F.col("ayy")
+    det = (
+        nd * (a11 * a22 - a12 * a12)
+        - a1 * (a1 * a22 - a12 * a2)
+        + a2 * (a1 * a12 - a11 * a2)
+    )
+    b0 = (
+        ay * (a11 * a22 - a12 * a12)
+        - a1 * (a1y * a22 - a12 * a2y)
+        + a2 * (a1y * a12 - a11 * a2y)
+    ) / det
+    b1 = (
+        nd * (a1y * a22 - a12 * a2y)
+        - ay * (a1 * a22 - a12 * a2)
+        + a2 * (a1 * a2y - a1y * a2)
+    ) / det
+    b2 = (
+        nd * (a11 * a2y - a1y * a12)
+        - a1 * (a1 * a2y - a1y * a2)
+        + ay * (a1 * a12 - a11 * a2)
+    ) / det
+    withb = d.select(
+        "n", "sx1", "sx2", "sy",
+        "a1y", "a2y", "ay", "ayy", "nd",
+        b0.alias("b0"), b1.alias("b1"), b2.alias("b2"),
+    )
+    sse = F.col("ayy") - (
+        F.col("b0") * F.col("ay")
+        + F.col("b1") * F.col("a1y")
+        + F.col("b2") * F.col("a2y")
+    )
+    sst = F.col("ayy") - (F.col("ay") * F.col("ay")) / F.col("nd")
+    return withb.select(
+        "n", "sx1", "sx2", "sy",
+        F.round(F.col("b0"), 6).alias("beta0"),
+        F.round(F.col("b1"), 6).alias("beta1"),
+        F.round(F.col("b2"), 6).alias("beta2"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch distinct-count per event type with its accuracy
     CONTRACT as a checked column: |approx − exact| / exact ≤ 5% (rsd
@@ -4821,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # placed PAST the 50-entry window so the 24 r03-tail entries
         # above keep their promised CORRECTNESS_r05 rows ---
         "l_bucket_join": l_bucket_join,
+        "a_ols_normal_eq": a_ols_normal_eq,
         # -- multi-round green (r02 and/or r03 + r04) --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
@@ -5686,6 +5785,74 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
             ORDER BY c.c_mktsegment
+        """,
+        # a_ols_normal_eq: identical Gram sums (exact integers) feeding
+        # the identical IEEE double Cramer expressions — see the entry
+        # docstring for the determinism argument
+        "a_ols_normal_eq": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       CAST(COUNT(*) AS BIGINT) AS x1,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+                FROM lineitem GROUP BY l_orderkey
+            ), feats AS (
+                SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS y,
+                       li.x1, li.x2
+                FROM orders o JOIN per_order li
+                  ON o.o_orderkey = li.l_orderkey
+            ), s AS (
+                SELECT CAST(COUNT(*) AS BIGINT)   AS n,
+                       CAST(SUM(x1) AS BIGINT)    AS sx1,
+                       CAST(SUM(x2) AS BIGINT)    AS sx2,
+                       CAST(SUM(y)  AS BIGINT)    AS sy,
+                       CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+                       CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+                       CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+                       CAST(SUM(x1 * y)  AS BIGINT) AS sx1y,
+                       CAST(SUM(x2 * y)  AS BIGINT) AS sx2y,
+                       CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS ayy
+                FROM feats
+            ), d AS (
+                SELECT n, sx1, sx2, sy, sx1y, sx2y, ayy,
+                       CAST(n AS DOUBLE)    AS nd,
+                       CAST(sx1 AS DOUBLE)  AS a1,
+                       CAST(sx2 AS DOUBLE)  AS a2,
+                       CAST(sy AS DOUBLE)   AS ay,
+                       CAST(sx11 AS DOUBLE) AS a11,
+                       CAST(sx12 AS DOUBLE) AS a12,
+                       CAST(sx22 AS DOUBLE) AS a22,
+                       CAST(sx1y AS DOUBLE) AS a1y,
+                       CAST(sx2y AS DOUBLE) AS a2y
+                FROM s
+            ), b AS (
+                SELECT n, sx1, sx2, sy, a1y, a2y, ay, ayy, nd,
+                       (ay * (a11 * a22 - a12 * a12)
+                        - a1 * (a1y * a22 - a12 * a2y)
+                        + a2 * (a1y * a12 - a11 * a2y))
+                       / (nd * (a11 * a22 - a12 * a12)
+                          - a1 * (a1 * a22 - a12 * a2)
+                          + a2 * (a1 * a12 - a11 * a2)) AS b0,
+                       (nd * (a1y * a22 - a12 * a2y)
+                        - ay * (a1 * a22 - a12 * a2)
+                        + a2 * (a1 * a2y - a1y * a2))
+                       / (nd * (a11 * a22 - a12 * a12)
+                          - a1 * (a1 * a22 - a12 * a2)
+                          + a2 * (a1 * a12 - a11 * a2)) AS b1,
+                       (nd * (a11 * a2y - a1y * a12)
+                        - a1 * (a1 * a2y - a1y * a2)
+                        + ay * (a1 * a12 - a11 * a2))
+                       / (nd * (a11 * a22 - a12 * a12)
+                          - a1 * (a1 * a22 - a12 * a2)
+                          + a2 * (a1 * a12 - a11 * a2)) AS b2
+                FROM d
+            )
+            SELECT n, sx1, sx2, sy,
+                   round(b0, 6) AS beta0,
+                   round(b1, 6) AS beta1,
+                   round(b2, 6) AS beta2,
+                   round(1.0 - (ayy - (b0 * ay + b1 * a1y + b2 * a2y))
+                             / (ayy - (ay * ay) / nd), 6) AS r2
+            FROM b
         """,
         "j_bloom_semijoin": _bloom_semijoin_oracle_sql(),
         # HLL contract twin: the oracle computes the exact side and

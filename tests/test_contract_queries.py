@@ -341,3 +341,34 @@ def test_bucket_join_plan_is_colocated(spark):
     # and the join result matches the plain (shuffled) join
     plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
     assert joined.count() == plain and plain > 0
+
+
+def test_ols_normal_eq_matches_numpy_lstsq(spark):
+    """The distributed Gram-matrix fit equals numpy's QR-based lstsq on
+    the identical features (independent linear-algebra oracle, not a
+    SQL replay) and the fit is sane: R^2 in (0, 1], beta2 > 0 (price
+    grows with quantity)."""
+    import numpy as np
+
+    pdf = entrymod.queries()["a_ols_normal_eq"](spark, SF_DIR).toPandas()
+    assert len(pdf) == 1
+    row = pdf.iloc[0]
+    assert 0.0 < row.r2 <= 1.0
+    assert row.beta2 > 0
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").toPandas()
+    g = li.groupby("l_orderkey").agg(
+        x1=("l_quantity", "size"), x2=("l_quantity", "sum")
+    )
+    m = o.join(g, on="o_orderkey", how="inner") if "o_orderkey" in o.columns else None
+    m = o.merge(g, left_on="o_orderkey", right_index=True)
+    X = np.column_stack(
+        [np.ones(len(m)), m.x1.to_numpy(float), m.x2.to_numpy(float)]
+    )
+    y = np.round(m.o_totalprice.to_numpy() * 100)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row.beta0 - beta[0]) < 1e-3 * max(1, abs(beta[0]))
+    assert abs(row.beta1 - beta[1]) < 1e-3 * max(1, abs(beta[1]))
+    assert abs(row.beta2 - beta[2]) < 1e-3 * max(1, abs(beta[2]))
+    assert int(row.n) == len(m)
