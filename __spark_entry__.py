@@ -4841,6 +4841,221 @@ def d_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name")
 
 
+def a_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): distributed skyline (Pareto
+    frontier) — parts that are not dominated on (maximize p_size,
+    minimize price) by any other part. The multi-objective shortlist
+    query (Börzsönyi et al., "The Skyline Operator", ICDE 2001) that
+    a plain ORDER BY cannot express.
+
+    Spark shape — two-phase local/global skyline: phase 1 computes a
+    LOCAL skyline inside each of 64 hash buckets (dominance is
+    transitive, so a locally-dominated row is globally dominated —
+    dropping it early is always safe); phase 2 re-runs the identical
+    dominance test over the union of local survivors. For 2-D the
+    dominance test is pure window algebra, no pair join at all: a row
+    survives iff (a) no STRICTLY-cheaper row in its partition has
+    size ≥ its size (max(size) over a rangeBetween(-inf, -1) frame on
+    price) and (b) no SAME-price row has size > its size (max(size)
+    over the price peer group). Phase 1 windows are per-bucket
+    parallel; phase 2 runs over only ~64 × |local frontier| rows
+    (frontier of random data is O(log n) per bucket), so the single-
+    partition global window is bounded and documented, never the raw
+    table. All comparisons are exact integers (price in cents).
+
+    Oracle: the textbook NOT EXISTS dominance predicate over the same
+    integer columns — O(n²) in DuckDB, which is exactly why the
+    Spark side exists."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+
+    def skyline(df: DataFrame, *bucket_cols: str) -> DataFrame:
+        w_cheaper = (
+            Window.partitionBy(*bucket_cols)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_peer = Window.partitionBy(*bucket_cols, "price_cents")
+        return (
+            df.withColumn("best_cheaper", F.max("size").over(w_cheaper))
+            .withColumn("best_peer", F.max("size").over(w_peer))
+            .filter(
+                (
+                    F.col("best_cheaper").isNull()
+                    | (F.col("best_cheaper") < F.col("size"))
+                )
+                & (F.col("best_peer") == F.col("size"))
+            )
+            .drop("best_cheaper", "best_peer")
+        )
+
+    local = skyline(p.withColumn("b", F.col("p_partkey") % 64), "b").drop("b")
+    return skyline(local).orderBy("price_cents", "p_partkey")
+
+
+def a_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): one-pass column profiling
+    (Deequ/Great-Expectations style) — per-column row count, null
+    count, exact distinct count, min and max over four orders columns,
+    emitted in long format. The data-quality gate every ingestion
+    pipeline runs before publishing a table.
+
+    Spark shape: ONE aggregation job computes all 4×4 statistics —
+    the multi-column exact count(DISTINCT ...) makes Catalyst plan an
+    Expand (4× the input stream, one replica per distinct column),
+    which is the standard exact plan; at 100 TB you either accept the
+    4× expand, swap in approx_count_distinct (HLL — the a_hll_rollup
+    entry is the sketch sibling), or profile per-column in separate
+    passes. Everything else (nulls, min/max, count) rides the same
+    partial-aggregate pass, map-side combined, O(1) output rows.
+    min/max are emitted as strings so heterogeneous column types share
+    one schema; numeric columns are profiled on exact integer cents.
+    Oracle: UNION ALL of four per-column aggregate selects."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "o_total_cents"
+        ),
+    )
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_total_cents"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null__{c}"),
+            F.countDistinct(c).cast("long").alias(f"dist__{c}"),
+            F.min(c).cast("string").alias(f"min__{c}"),
+            F.max(c).cast("string").alias(f"max__{c}"),
+        ]
+    stats = o.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"null__{c}").alias("n_null"),
+            F.col(f"dist__{c}").alias("n_distinct"),
+            F.col(f"min__{c}").alias("min_val"),
+            F.col(f"max__{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return (
+        stats.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )
+
+
+def d_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): weighted bottom-k priority
+    sampling (Duffield, Lund & Thorup, JACM 2007) over documents with
+    weight = n_chars — the size-biased corpus subsample a training-
+    data pipeline draws when long documents should be proportionally
+    more likely to be picked, with per-item inclusion reproducible
+    under any repartitioning.
+
+    Priority sampling draws u_i ~ Uniform and keeps the k items with
+    the LARGEST w_i/u_i — equivalently the smallest u_i/w_i, which is
+    how it is computed here in pure 64-bit integers: u_i is the
+    content-keyed 32-bit md5 integer (the repo's portable-hash idiom,
+    identical in DuckDB), and the sort key is (u_i · 10⁶) DIV w_i
+    (u ≤ 2³², ×10⁶ ≈ 4·10¹⁵ — no overflow). The DLT estimator
+    ŵ_i = max(w_i, τ) with τ the (k+1)-th priority is noted for
+    consumers; this entry materializes the sample itself.
+
+    Scale shape: no shuffle of the corpus at all — the bottom-k by an
+    embarrassingly-parallel integer key compiles to
+    TakeOrderedAndProject (per-partition top-k heaps, driver merges
+    k·n_partitions rows). Determinism is content-keyed, so the sample
+    is stable across partitioning, retries, and cluster sizes."""
+    k = 200
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":psample"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long").alias("u"),
+    ).filter(F.col("w") > 0)
+    return (
+        d.withColumn("priority", F.expr("(u * 1000000) DIV w"))
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )
+
+
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (late wave): top user journeys — the 20 most
+    frequent ordered event-type paths over (user, day) sessions with
+    2–8 events, the product-analytics "top paths" report (Sankey /
+    funnel-discovery input).
+
+    Scale shape: collect_list state must be BOUNDED before it is
+    built, not after — a one-pass group-then-filter would still
+    assemble a 10⁶-event bot-day into one array before discarding it.
+    So phase 1 computes per-(user, day) counts (map-side combinable,
+    tiny output) and keeps only 2–8-event days; phase 2 joins events
+    back to the eligible keys — the join leaves the stream hash-
+    partitioned on (user_id, day), so the path-assembly groupBy that
+    follows is SHUFFLE-FREE (reuses the join's partitioning), and its
+    per-group state is ≤8 structs by construction. Path assembly is
+    array_sort over (ts, event_id, type) structs — deterministic total
+    order, matching the oracle's string_agg(... ORDER BY ts,
+    event_id). Final top-20 is a TakeOrdered over the path histogram
+    with a path-asc tiebreak so rank-20 ties are deterministic."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    eligible = (
+        e.groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_ev"))
+        .filter((F.col("n_ev") >= 2) & (F.col("n_ev") <= 8))
+        .select("user_id", "day")
+    )
+    paths = (
+        e.join(eligible, ["user_id", "day"])
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4998,6 +5213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_corpus_diff": d_corpus_diff,
         "ev_time_weighted_avg": ev_time_weighted_avg,
         "s_boolean_query": s_boolean_query,
+        "a_pareto_frontier": a_pareto_frontier,
+        "a_profile_columns": a_profile_columns,
+        "d_priority_sample": d_priority_sample,
+        "ev_top_paths": ev_top_paths,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -8041,5 +8260,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_purged AS BIGINT) AS n_purged,
                    CAST(n_total - n_purged AS BIGINT) AS n_kept
             FROM t ORDER BY table_name
+        """,
+        # a_pareto_frontier: textbook O(n²) NOT EXISTS dominance — the
+        # Spark side's two-phase local/global window skyline must land
+        # on the identical undominated set.
+        "a_pareto_frontier": """
+            WITH p AS (
+              SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+                     CAST(round(p_retailprice * 100) AS BIGINT)
+                       AS price_cents
+              FROM part
+            )
+            SELECT p_partkey, size, price_cents
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.size >= a.size AND b.price_cents <= a.price_cents
+                AND (b.size > a.size OR b.price_cents < a.price_cents)
+            )
+            ORDER BY price_cents, p_partkey
+        """,
+        "a_profile_columns": """
+            WITH o AS (
+              SELECT o_custkey, o_orderstatus, o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS o_total_cents
+              FROM orders
+            )
+            SELECT 'o_custkey' AS col_name,
+                   count(*) AS n_rows,
+                   count(*) - count(o_custkey) AS n_null,
+                   count(DISTINCT o_custkey) AS n_distinct,
+                   CAST(min(o_custkey) AS VARCHAR) AS min_val,
+                   CAST(max(o_custkey) AS VARCHAR) AS max_val
+            FROM o
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'o_total_cents', count(*),
+                   count(*) - count(o_total_cents),
+                   count(DISTINCT o_total_cents),
+                   CAST(min(o_total_cents) AS VARCHAR),
+                   CAST(max(o_total_cents) AS VARCHAR)
+            FROM o
+            ORDER BY col_name
+        """,
+        # d_priority_sample: identical 32-bit md5 integer + integer
+        # division — the bottom-200 set is bit-reproducible.
+        "d_priority_sample": """
+            WITH s AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                     CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':psample'), 1, 8)
+                       AS BIGINT) AS u
+              FROM documents
+              WHERE n_chars > 0
+            )
+            SELECT doc_id, w, u, (u * 1000000) // w AS priority
+            FROM s ORDER BY priority, doc_id LIMIT 200
+        """,
+        "ev_top_paths": """
+            WITH c AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ev
+              FROM events GROUP BY 1, 2
+              HAVING count(*) BETWEEN 2 AND 8
+            ),
+            p AS (
+              SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+                     string_agg(e.event_type, '>'
+                                ORDER BY e.ts, e.event_id) AS path
+              FROM events e
+              JOIN c ON e.user_id = c.user_id
+                    AND CAST(e.ts AS DATE) = c.day
+              GROUP BY 1, 2
+            )
+            SELECT path, count(*) AS n_sessions,
+                   count(DISTINCT user_id) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 20
         """,
     }

@@ -1523,3 +1523,121 @@ def test_bloom_semijoin_soundness_under_forced_collisions(spark, tmp_path):
     fp = [x for x, h in zip(probe_keys, expect) if x not in member and h]
     assert fn == []            # soundness: never drops a member
     assert len(fp) > 0         # undersized filter really collides
+
+
+# --- final-wave entries: skyline, profiling, priority sample, top paths ---
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The two-phase local/global window skyline equals the O(n²)
+    dominance definition exactly (local pruning is safe because
+    dominance is transitive)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_pareto_frontier"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    p = pd.read_parquet("/root/testdata/sf0.001/part.parquet")
+    p["size"] = p.p_size.astype("int64")
+    p["price_cents"] = (p.p_retailprice * 100).round().astype("int64")
+    keep = []
+    for _, a in p.iterrows():
+        dominated = (
+            (p["size"] >= a["size"])
+            & (p.price_cents <= a.price_cents)
+            & ((p["size"] > a["size"]) | (p.price_cents < a.price_cents))
+        ).any()
+        if not dominated:
+            keep.append((a.p_partkey, a["size"], a.price_cents))
+    expect = (
+        pd.DataFrame(keep, columns=["p_partkey", "size", "price_cents"])
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(expect.astype("int64"))
+
+
+def test_priority_sample_plan_and_bias(spark):
+    """Bottom-k by an embarrassingly-parallel key must compile to
+    TakeOrderedAndProject (per-partition heaps, no full sort shuffle),
+    and weight-biased sampling must actually bias: the sampled docs'
+    mean n_chars exceeds the corpus mean."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["d_priority_sample"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = df.toPandas()
+    assert len(got) == 200
+    # deterministic: re-running yields the identical sample
+    again = (
+        entrymod.queries()["d_priority_sample"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    assert got.doc_id.tolist() == again.doc_id.tolist()
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    assert got.w.mean() > docs.n_chars.mean()
+
+
+def test_top_paths_bounded_and_shuffle_reuse(spark):
+    """Every surfaced path has 2–8 hops (state bounded BEFORE
+    assembly), counts are non-increasing, and with broadcast disabled
+    the path-assembly groupBy reuses the join's (user_id, day)
+    partitioning — exactly 4 hash exchanges end to end: day counts,
+    join probe side, and the histogram's two-phase exact
+    count(distinct user_id) (partial by (path, user) then by path).
+    Crucially there is NO exchange between the join and the
+    collect_list assembly — that reuse is the scale claim."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["ev_top_paths"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan_str = plan
+        assert plan_str.count("Exchange hashpartitioning") == 4, plan_str
+        # the scale claim: join output feeds collect_list directly —
+        # no exchange between SortMergeJoin and the path assembly
+        join_to_agg = plan_str.split("SortMergeJoin")[0]
+        assert "collect_list" in join_to_agg
+        assert "Exchange" not in join_to_agg.split("ObjectHashAggregate")[-1]
+        got = df.toPandas()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert len(got) > 0
+    hops = got.path.str.count(">") + 1
+    assert hops.between(2, 8).all()
+    assert (got.n_sessions.values[:-1] >= got.n_sessions.values[1:]).all()
+    assert (got.n_users <= got.n_sessions).all()
+
+
+def test_profile_columns_matches_pandas(spark):
+    """The one-pass long-format profile equals a pandas profile of the
+    same four columns."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_profile_columns"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("col_name")
+    )
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    o["o_total_cents"] = (o.o_totalprice * 100).round().astype("int64")
+    for c in ["o_custkey", "o_orderstatus", "o_orderpriority", "o_total_cents"]:
+        row = got.loc[c]
+        assert row.n_rows == len(o)
+        assert row.n_null == int(o[c].isna().sum())
+        assert row.n_distinct == o[c].nunique()
+        assert row.min_val == str(o[c].min())
+        assert row.max_val == str(o[c].max())
