@@ -5056,6 +5056,133 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_halfsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): uncertainty quantification by
+    deterministic half-sample replication (the random-group / balanced
+    half-samples variance estimator, McCarthy 1969; the
+    non-parametric CI companion to the parametric tests in this
+    family — Welch/MW/KS/χ² test a hypothesis, this MEASURES the
+    sampling spread of a point estimate without any distributional
+    assumption).
+
+    32 replicates from ONE hash per row: h is the row's 48-bit md5
+    integer and replicate b contains the row iff bit b of h is set —
+    so each replicate is an independent-ish p=1/2 subsample, and no
+    row ever stores 32 hashes (explode(sequence(0,31)) + one bit test
+    per copy). The replicate statistic is mean purchase value in
+    exact integer millicents: (1000 · Σcents) DIV n. The spread of
+    the 32 replicate means IS the CI material (SE ≈ stddev of
+    replicate means for half samples); replicates ship as rows so the
+    consumer picks the quantile flavor. frac_millis (1000·n_b DIV N)
+    is a self-check contract column: every replicate must sit near
+    500 (a bad hash or a bit-bias bug shows up as drift).
+
+    Scale: the 32× row expansion happens AFTER the purchase filter
+    and is absorbed by map-side partial aggregation — network traffic
+    is 32 rows per partition, never 32× the data. One wide shuffle-
+    free pass, one tiny shuffle of ≤32·n_partitions partials."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"),
+                                   F.lit(":hs"))),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("long").alias("h"),
+        )
+    )
+    n_total = e.groupBy().agg(F.count("*").cast("long").alias("n_all"))
+    reps = (
+        e.select("cents", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+        .filter(F.expr("((h >> b) & 1) = 1"))
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    return (
+        reps.crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("b").cast("int").alias("replicate"),
+            "n",
+            "sum_cents",
+            F.expr("(1000 * sum_cents) DIV n").alias("mean_millicents"),
+            F.expr("(1000 * n) DIV n_all").alias("frac_millis"),
+        )
+        .orderBy("replicate")
+    )
+
+
+def d_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): vocabulary-growth (Heaps' law)
+    curve — cumulative distinct tokens vs cumulative token volume as
+    the corpus is consumed in doc_id order. The training-data
+    diagnostic for "is more data still buying new vocabulary, or has
+    the corpus saturated" (Heaps: V(n) ≈ K·n^β; a β collapse flags
+    duplicated or templated data).
+
+    A naive cumulative-distinct is order-dependent and looks
+    inherently sequential; the distributed identity that makes it
+    parallel: a token is NEW in bucket k iff its FIRST occurrence
+    (min doc_id — one map-side-combinable groupBy over the token
+    stream) lands in bucket k. So vocab_cum(k) = prefix-sum of
+    first-seen counts, and tokens_cum(k) = prefix-sum of per-bucket
+    occurrence counts — both prefix sums run over exactly 10 rows.
+    Every heavy stage is key-parallel (token groupBy); the window
+    touches only the 10-row bucket table. Deciles are arithmetic on
+    doc_id against the broadcast max (LEAST(9, (10·id) DIV (max+1))),
+    not an ntile global sort."""
+    d = _t(spark, sf_dir, "documents")
+    maxid = d.groupBy().agg(F.max("doc_id").alias("max_id"))
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col("text")), "[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .crossJoin(F.broadcast(maxid))
+        .withColumn(
+            "bucket", F.expr("LEAST(9, (10 * doc_id) DIV (max_id + 1))")
+        )
+    )
+    occ = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    first_seen = (
+        toks.groupBy("t")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(first_seen, "bucket", "full")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+        )
+        .withColumn("tokens_cum", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("vocab_cum", F.sum("n_new_types").over(w).cast("long"))
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5217,6 +5344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_profile_columns": a_profile_columns,
         "d_priority_sample": d_priority_sample,
         "ev_top_paths": ev_top_paths,
+        "ev_halfsample_ci": ev_halfsample_ci,
+        "d_vocab_growth": d_vocab_growth,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -8350,5 +8479,64 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM p GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        # ev_halfsample_ci: identical 48-bit md5 + bit test + integer
+        # division — all 32 replicate statistics are bit-reproducible.
+        "ev_halfsample_ci": """
+            WITH e AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST('0x' || substr(
+                       md5(CAST(event_id AS VARCHAR) || ':hs'), 1, 12)
+                       AS BIGINT) AS h
+              FROM events WHERE event_type = 'purchase'
+            ),
+            n_total AS (SELECT count(*) AS n_all FROM e),
+            reps AS (
+              SELECT b, count(*) AS n, sum(cents) AS sum_cents
+              FROM e, (SELECT unnest(range(0, 32)) AS b)
+              WHERE ((h >> b) & 1) = 1
+              GROUP BY b
+            )
+            SELECT CAST(b AS INT) AS replicate,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(sum_cents AS BIGINT) AS sum_cents,
+                   CAST((1000 * sum_cents) // n AS BIGINT)
+                     AS mean_millicents,
+                   CAST((1000 * n) // n_all AS BIGINT) AS frac_millis
+            FROM reps, n_total
+            ORDER BY replicate
+        """,
+        "d_vocab_growth": """
+            WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     LEAST(9, (10 * doc_id) // (max_id + 1)) AS bucket,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t != '')) AS t
+              FROM documents, m
+            ),
+            occ AS (
+              SELECT bucket, count(*) AS n_tokens
+              FROM toks GROUP BY bucket
+            ),
+            fs AS (
+              SELECT bucket, count(*) AS n_new_types FROM (
+                SELECT t, min(bucket) AS bucket FROM toks GROUP BY t
+              ) GROUP BY bucket
+            )
+            SELECT CAST(b.bucket AS INT) AS bucket,
+                   CAST(coalesce(occ.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(fs.n_new_types, 0) AS BIGINT)
+                     AS n_new_types,
+                   CAST(sum(coalesce(occ.n_tokens, 0)) OVER
+                     (ORDER BY b.bucket) AS BIGINT) AS tokens_cum,
+                   CAST(sum(coalesce(fs.n_new_types, 0)) OVER
+                     (ORDER BY b.bucket) AS BIGINT) AS vocab_cum
+            FROM (SELECT DISTINCT bucket FROM toks) b
+            LEFT JOIN occ ON b.bucket = occ.bucket
+            LEFT JOIN fs ON b.bucket = fs.bucket
+            ORDER BY bucket
         """,
     }

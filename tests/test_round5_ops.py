@@ -1641,3 +1641,63 @@ def test_profile_columns_matches_pandas(spark):
         assert row.n_distinct == o[c].nunique()
         assert row.min_val == str(o[c].min())
         assert row.max_val == str(o[c].max())
+
+
+def test_halfsample_ci_replicate_properties(spark):
+    """32 replicates, each holding ~half the rows (frac_millis near
+    500), total membership ~16N (each row joins popcount(h)≈16
+    replicates), and the replicate means actually spread (nonzero
+    variance — the CI material exists)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["ev_halfsample_ci"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    assert len(got) == 32
+    assert got.frac_millis.between(400, 600).all()
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    n_purch = int((ev.event_type == "purchase").sum())
+    assert abs(got.n.sum() - 16 * n_purch) < 0.05 * 16 * n_purch
+    assert got.mean_millicents.nunique() > 1
+    # replicate means bracket the full-sample mean (half samples are
+    # centered on the full estimate)
+    full_mean = (ev[ev.event_type == "purchase"].value * 100).round().sum()
+    full_milli = int(1000 * full_mean) // n_purch
+    assert got.mean_millicents.min() <= full_milli <= got.mean_millicents.max()
+
+
+def test_vocab_growth_matches_pandas_cumulative(spark):
+    """The parallel first-seen identity equals a literal sequential
+    scan: vocab_cum(k) == |distinct tokens among docs in buckets
+    0..k|, tokens_cum is monotone, bucket 0 mints the most types."""
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["d_vocab_growth"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    max_id = docs.doc_id.max()
+    docs["bucket"] = (10 * docs.doc_id // (max_id + 1)).clip(upper=9)
+
+    def toks(s):
+        return [t for t in re.sub(r"[^a-z0-9]+", " ", s.lower()).split() if t]
+
+    seen, expect_vocab, expect_tokens, tok_cum = set(), [], [], 0
+    for k in sorted(docs.bucket.unique()):
+        for s in docs[docs.bucket == k].text:
+            tt = toks(s)
+            tok_cum += len(tt)
+            seen.update(tt)
+        expect_vocab.append(len(seen))
+        expect_tokens.append(tok_cum)
+    assert got.vocab_cum.tolist() == expect_vocab
+    assert got.tokens_cum.tolist() == expect_tokens
+    assert got.n_new_types.iloc[0] == got.n_new_types.max()
