@@ -5183,6 +5183,162 @@ def d_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): Benford first-digit conformance
+    test over order totals — the classic forensic data-quality screen
+    (fabricated or unit-mangled numeric columns drift from Benford's
+    log distribution; naturally-grown multiplicative ones follow it).
+    Completes the testing family: χ²-vs-fixed-shape (hour uniformity),
+    KS (two empirical CDFs), MW (rank location), Welch (means),
+    half-sample (CI) — this one tests against a LOG-LAW shape.
+
+    Exact-integer doctrine: the first significant digit comes from the
+    decimal STRING of the cent amount (substr(cast ... ,1,1) — no
+    float log10 anywhere), expected counts are milli-probabilities
+    p_milli = round(1000·log10(1+1/d)) as a 9-row literal dim that
+    sums to exactly 1000, and each χ² term is
+    (1000·n_obs − N·p_milli)² DIV (N·p_milli) — BIGINT-safe to
+    N ≈ 3·10⁹ rows (diff ≤ 1000·N, squared ≤ 9.2·10¹⁸), DECIMAL(38)
+    beyond. The α=0.01 rejection for 8 df (χ² ≥ 20.09 → 20090 in
+    milli units) ships as an in-plan contract column.
+
+    Scale: one map-side-combinable digit histogram (9 output rows),
+    one broadcast scalar N, one 9-row broadcast dim — nothing about
+    this plan changes between 10⁵ and 10¹² rows."""
+    benford = spark.createDataFrame(
+        [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+         (6, 67), (7, 58), (8, 51), (9, 46)],
+        "digit int, p_milli long",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") >= 1)
+    hist = o.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias(
+            "digit"
+        )
+    ).groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    n = o.groupBy().agg(F.count("*").cast("long").alias("n_all"))
+    per_digit = (
+        benford
+        .join(F.broadcast(hist), "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("n_all * p_milli").alias("expected_milli"),
+            F.expr(
+                "((1000 * coalesce(n_obs, 0) - n_all * p_milli)"
+                " * (1000 * coalesce(n_obs, 0) - n_all * p_milli))"
+                " DIV (n_all * p_milli)"
+            ).alias("term_milli"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_digit.withColumn(
+            "chi2_milli", F.sum("term_milli").over(w_all).cast("long")
+        )
+        .withColumn("reject_1pct", F.col("chi2_milli") >= 20090)
+        .orderBy("digit")
+    )
+
+
+def a_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): Gini coefficient of per-customer
+    revenue — the inequality/concentration metric (how skewed is spend
+    across the customer base; the same statistic profiles token-
+    frequency or contributor concentration in a training corpus).
+
+    Gini needs every item's GLOBAL ascending rank — the classically
+    "sequential" piece. Distributed identity: group revenues by
+    distinct value v (m_v items, v·m_v mass); the m_v items occupy the
+    contiguous rank block (C_<v, C_<v + m_v], so their rank-weighted
+    mass is v·(m_v·C_<v + m_v·(m_v+1)/2) — and C_<v (items strictly
+    below v) comes from the SAME two-phase distributed prefix sum as
+    the KS/MW entries (per-bucket partials, a bucket-count-sized
+    broadcast offset dim, within-bucket windows). Ties cost nothing:
+    equal values have equal r, so any within-block order gives the
+    same sum — the identity is exact, not a tie approximation.
+
+    Exact integers end to end: T = Σ v·(rank block), S = Σ v·m_v,
+    G = (2T − (n+1)·S) / (n·S) emitted as gini_milli =
+    (1000·(2T − (n+1)S)) DIV (nS) plus the raw BIGINT moments so the
+    division is auditable. Magnitudes at sf0.1: T ≈ 3·10¹⁵, 1000·
+    numerator ≈ 3·10¹⁸ — inside int64; DECIMAL(38) widening needed
+    past ~10⁷ customers (documented, Spark widens natively)."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    per_val = (
+        rev.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("m"))
+        .withColumn("b", F.expr("cents DIV 1048576"))
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_val.groupBy("b")
+        .agg(F.sum("m").alias("mb"))
+        .select(
+            "b", F.coalesce(F.sum("mb").over(wb), F.lit(0)).alias("off")
+        )
+    )
+    wc = (
+        Window.partitionBy("b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = per_val.join(F.broadcast(offsets), "b").select(
+        "cents",
+        "m",
+        (F.col("off") + F.coalesce(F.sum("m").over(wc), F.lit(0))).alias(
+            "c_below"
+        ),
+    )
+    return (
+        blocks.groupBy()
+        .agg(
+            F.sum("m").cast("long").alias("n_customers"),
+            F.sum(F.col("cents") * F.col("m")).cast("long").alias("sum_cents"),
+            F.sum(
+                F.col("cents")
+                * (
+                    F.col("m") * F.col("c_below")
+                    + F.expr("(m * (m + 1)) DIV 2")
+                )
+            ).cast("long").alias("t_rank_weighted"),
+        )
+        .withColumn(
+            "gini_milli",
+            # the ×1000 pushes the (positive) numerator past int64 at
+            # sf0.1 (≈3·10¹⁹), so THIS one expression runs in
+            # DECIMAL(38,0) — the documented widening; every stored
+            # moment stays BIGINT. floor == integer division for the
+            # nonnegative quotient, matching DuckDB's HUGEINT `//`.
+            F.floor(
+                F.expr(
+                    "CAST(1000 AS DECIMAL(38,0))"
+                    " * (2 * CAST(t_rank_weighted AS DECIMAL(38,0))"
+                    "    - CAST(n_customers + 1 AS DECIMAL(38,0))"
+                    "      * CAST(sum_cents AS DECIMAL(38,0)))"
+                )
+                / F.expr(
+                    "CAST(n_customers AS DECIMAL(38,0))"
+                    " * CAST(sum_cents AS DECIMAL(38,0))"
+                )
+            ).cast("long"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5346,6 +5502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_top_paths": ev_top_paths,
         "ev_halfsample_ci": ev_halfsample_ci,
         "d_vocab_growth": d_vocab_growth,
+        "ev_benford": ev_benford,
+        "a_gini_revenue": a_gini_revenue,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -8538,5 +8696,68 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN occ ON b.bucket = occ.bucket
             LEFT JOIN fs ON b.bucket = fs.bucket
             ORDER BY bucket
+        """,
+        # ev_benford: identical string-first-digit + milli-probability
+        # integer algebra — χ² terms are exact BIGINTs in both engines.
+        "ev_benford": """
+            WITH dim(digit, p_milli) AS (VALUES
+              (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+              (6, 67), (7, 58), (8, 51), (9, 46)),
+            o AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE round(o_totalprice * 100) >= 1
+            ),
+            hist AS (
+              SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                       AS digit,
+                     count(*) AS n_obs
+              FROM o GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n_all FROM o),
+            per AS (
+              SELECT dim.digit,
+                     CAST(coalesce(hist.n_obs, 0) AS BIGINT) AS n_obs,
+                     CAST(n_all * p_milli AS BIGINT) AS expected_milli,
+                     CAST(((1000 * coalesce(hist.n_obs, 0)
+                            - n_all * p_milli)
+                           * (1000 * coalesce(hist.n_obs, 0)
+                              - n_all * p_milli))
+                          // (n_all * p_milli) AS BIGINT) AS term_milli
+              FROM dim LEFT JOIN hist ON dim.digit = hist.digit, n
+            )
+            SELECT digit, n_obs, expected_milli, term_milli,
+                   CAST(sum(term_milli) OVER () AS BIGINT) AS chi2_milli,
+                   sum(term_milli) OVER () >= 20090 AS reject_1pct
+            FROM per ORDER BY digit
+        """,
+        # a_gini_revenue: the twin uses a literal row_number global
+        # sort — the tie-block identity makes both formulations equal.
+        "a_gini_revenue": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT cents,
+                     row_number() OVER (ORDER BY cents, o_custkey) AS i
+              FROM rev
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents,
+                     CAST(sum(i * cents) AS BIGINT) AS t_rank_weighted
+              FROM ranked
+            )
+            SELECT n_customers, sum_cents, t_rank_weighted,
+                   CAST((CAST(1000 AS HUGEINT)
+                         * (2 * CAST(t_rank_weighted AS HUGEINT)
+                            - CAST(n_customers + 1 AS HUGEINT)
+                              * CAST(sum_cents AS HUGEINT)))
+                        // (CAST(n_customers AS HUGEINT)
+                            * CAST(sum_cents AS HUGEINT)) AS BIGINT)
+                     AS gini_milli
+            FROM agg
         """,
     }

@@ -1701,3 +1701,57 @@ def test_vocab_growth_matches_pandas_cumulative(spark):
     assert got.vocab_cum.tolist() == expect_vocab
     assert got.tokens_cum.tolist() == expect_tokens
     assert got.n_new_types.iloc[0] == got.n_new_types.max()
+
+
+def test_benford_terms_match_scipy_free_reference(spark):
+    """χ² milli-terms equal a pure-Python replay of the same integer
+    algebra, probabilities sum to exactly 1000, and the chi2 total is
+    the term sum."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["ev_benford"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    assert len(got) == 9
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    cents = cents[cents >= 1]
+    digits = cents.astype(str).str[0].astype(int)
+    n_all = len(cents)
+    p = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+    assert sum(p.values()) == 1000
+    for _, row in got.iterrows():
+        n_obs = int((digits == row.digit).sum())
+        e_milli = n_all * p[row.digit]
+        term = (1000 * n_obs - e_milli) ** 2 // e_milli
+        assert row.n_obs == n_obs
+        assert row.expected_milli == e_milli
+        assert row.term_milli == term
+    assert (got.chi2_milli == got.term_milli.sum()).all()
+
+
+def test_gini_matches_sequential_formula(spark):
+    """The distributed tie-block rank identity equals the literal
+    sorted-scan Gini, and the value sits in (0, 1000)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_gini_revenue"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .iloc[0]
+    )
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    rev = o.groupby("o_custkey").cents.sum().sort_values().reset_index(drop=True)
+    n, s = len(rev), int(rev.sum())
+    t = int(sum((i + 1) * int(v) for i, v in enumerate(rev)))
+    assert got.n_customers == n
+    assert got.sum_cents == s
+    assert got.t_rank_weighted == t
+    assert got.gini_milli == (1000 * (2 * t - (n + 1) * s)) // (n * s)
+    assert 0 < got.gini_milli < 1000
