@@ -5339,6 +5339,113 @@ def a_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_sliding_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): per-user peak sliding-window
+    rate — the maximum number of events any user fired inside ANY
+    60-second window, and when. The rate-limiter / abuse-detection
+    audit query (and the batch twin of a streaming sliding-window
+    count).
+
+    Shape: the naive formulation is a time-band SELF-JOIN (events ×
+    events on |Δt| ≤ 60 s — quadratic per hot user); the right one is
+    a RANGE window frame: per user, ordered by epoch micros, frame
+    [−60 000 000, 0] — one count per row, computed by Spark's sliding
+    frame in a single per-user-parallel pass with state = one 60-s
+    buffer. The peak row per user is row_number over (count DESC,
+    epoch ASC, event_id ASC) — fully tie-broken, so both engines pick
+    the identical peak even when counts tie. Output is one row per
+    user (bounded by the user dimension, not the event volume).
+
+    RANGE (value-based) beats ROWS here semantically AND for
+    determinism: the frame depends only on timestamp VALUES, so
+    duplicate timestamps cannot make the answer order-dependent."""
+    w_rate = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_us")
+        .rangeBetween(-60_000_000, 0)
+    )
+    w_peak = Window.partitionBy("user_id").orderBy(
+        F.desc("n_in_window"), F.asc("epoch_us"), F.asc("event_id")
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # ts is TIMESTAMP_NTZ — diff from the NTZ epoch literal gives
+        # exact micros with no session-timezone involvement (matches
+        # DuckDB's epoch_us over the same naive timestamps)
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).cast("long").alias("epoch_us"),
+    )
+    return (
+        e.withColumn(
+            "n_in_window", F.count("*").over(w_rate).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w_peak))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_in_window").alias("peak_60s_events"),
+            F.col("epoch_us").alias("peak_window_end_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def a_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): HdrHistogram-style log₂-bucketed
+    value histogram with an in-plan p99 locator — the fixed-state
+    latency/value profile (bucket = floor(log₂(cents)), so state is
+    ≤ ~40 buckets regardless of data volume, mergeable across
+    partitions/shards by plain addition — the deterministic-bucket
+    sibling of the GK sketch entry, which trades buckets for a rank
+    guarantee).
+
+    Portability doctrine: the bucket index is the LENGTH OF THE
+    BINARY STRING of the integer cent amount (Spark `bin()`, DuckDB
+    `printf('%b')`) — floor(log₂)+1 with zero float involvement, so
+    no libm boundary case (e.g. log2(2^k − 1)) can ever split a value
+    across engines. Bucket bounds are exact BIGINT shifts; the p99
+    locator marks the bucket where the cumulative count first reaches
+    ceil(0.99·N) — rank algebra over ≤40 rows. The histogram bounds
+    the true p99 within one power of two (the documented HdrHistogram
+    trade: O(1) state for ≤2× relative error; tighter = sub-bucket
+    digits, same plan shape)."""
+    o = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") >= 1)
+    hist = o.select(
+        F.length(F.expr("bin(cents)")).cast("int").alias("bucket")
+    ).groupBy("bucket").agg(F.count("*").cast("long").alias("n"))
+    n_all = o.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.crossJoin(F.broadcast(n_all))
+        .withColumn("lo_cents", F.expr("CAST(1 AS BIGINT) << (bucket - 1)"))
+        .withColumn(
+            "hi_cents", F.expr("(CAST(1 AS BIGINT) << bucket) - 1")
+        )
+        .withColumn("cum", F.sum("n").over(w_cum).cast("long"))
+        .withColumn(
+            "contains_p99",
+            # rank = ceil(0.99·N) = (99N + 99) DIV 100 (positive-int
+            # ceiling — floor and truncate agree, both engines match)
+            F.expr(
+                "cum - n < (99 * n_total + 99) DIV 100"
+                " AND cum >= (99 * n_total + 99) DIV 100"
+            ),
+        )
+        .select(
+            "bucket", "n", "lo_cents", "hi_cents", "cum",
+            "n_total", "contains_p99",
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5504,6 +5611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_vocab_growth": d_vocab_growth,
         "ev_benford": ev_benford,
         "a_gini_revenue": a_gini_revenue,
+        "ev_sliding_window_max": ev_sliding_window_max,
+        "a_log_histogram": a_log_histogram,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -8759,5 +8868,61 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(sum_cents AS HUGEINT)) AS BIGINT)
                      AS gini_milli
             FROM agg
+        """,
+        # ev_sliding_window_max: identical value-based RANGE frame +
+        # fully-tie-broken peak selection — both engines pick the same
+        # row even under duplicate timestamps.
+        "ev_sliding_window_max": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS epoch_us
+              FROM events
+            ),
+            counted AS (
+              SELECT user_id, event_id, epoch_us,
+                     count(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us
+                       RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW
+                     ) AS n_in_window
+              FROM e
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY n_in_window DESC, epoch_us, event_id
+                     ) AS rn
+              FROM counted
+            )
+            SELECT user_id,
+                   CAST(n_in_window AS BIGINT) AS peak_60s_events,
+                   epoch_us AS peak_window_end_us
+            FROM ranked WHERE rn = 1 ORDER BY user_id
+        """,
+        # a_log_histogram: bucket = binary-string length (floor(log2)+1
+        # with no float), bounds as exact shifts, rank algebra on the
+        # tiny cumulative table.
+        "a_log_histogram": """
+            WITH o AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE round(value * 100) >= 1
+            ),
+            hist AS (
+              SELECT CAST(length(printf('%b', cents)) AS INT) AS bucket,
+                     count(*) AS n
+              FROM o GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n_total FROM o),
+            cumul AS (
+              SELECT bucket, CAST(n AS BIGINT) AS n,
+                     CAST(1::BIGINT << (bucket - 1) AS BIGINT) AS lo_cents,
+                     CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS hi_cents,
+                     CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+                     CAST(n_total AS BIGINT) AS n_total
+              FROM hist, n
+            )
+            SELECT bucket, n, lo_cents, hi_cents, cum, n_total,
+                   (cum - n < (99 * n_total + 99) // 100
+                    AND cum >= (99 * n_total + 99) // 100) AS contains_p99
+            FROM cumul ORDER BY bucket
         """,
     }

@@ -1755,3 +1755,63 @@ def test_gini_matches_sequential_formula(spark):
     assert got.t_rank_weighted == t
     assert got.gini_milli == (1000 * (2 * t - (n + 1) * s)) // (n * s)
     assert 0 < got.gini_milli < 1000
+
+
+def test_sliding_window_max_matches_bruteforce(spark):
+    """The RANGE-frame sliding count equals a literal per-user O(n²)
+    window scan, and the peak row is the tie-broken argmax."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["ev_sliding_window_max"](
+            spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["epoch_us"] = ev.ts.values.astype("datetime64[us]").astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["epoch_us", "event_id"]).reset_index(drop=True)
+        best = None
+        for _, row in g.iterrows():
+            cnt = int(
+                (
+                    (g.epoch_us >= row.epoch_us - 60_000_000)
+                    & (g.epoch_us <= row.epoch_us)
+                ).sum()
+            )
+            key = (-cnt, row.epoch_us, row.event_id)
+            if best is None or key < best[0]:
+                best = (key, cnt, row.epoch_us)
+        assert got.loc[uid].peak_60s_events == best[1], uid
+        assert got.loc[uid].peak_window_end_us == best[2], uid
+
+
+def test_log_histogram_buckets_and_p99(spark):
+    """Bucket = floor(log2)+1 exactly, bounds are the power-of-two
+    interval, cumulative is monotone, and exactly one bucket contains
+    the ceil(0.99 N) rank — and the true p99 lies inside its bounds."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_log_histogram"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev.value * 100).round().astype("int64")
+    cents = cents[cents >= 1]
+    for _, row in got.iterrows():
+        assert row.lo_cents == 1 << (row.bucket - 1)
+        assert row.hi_cents == (1 << row.bucket) - 1
+        assert row.n == int(
+            ((cents >= row.lo_cents) & (cents <= row.hi_cents)).sum()
+        )
+    assert (got.cum.values[1:] > got.cum.values[:-1]).all()
+    assert got.contains_p99.sum() == 1
+    p99 = int(cents.sort_values().iloc[(99 * len(cents) + 99) // 100 - 1])
+    b = got[got.contains_p99].iloc[0]
+    assert b.lo_cents <= p99 <= b.hi_cents
