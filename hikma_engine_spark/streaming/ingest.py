@@ -73,6 +73,46 @@ def streaming_mention_counts(
     return mentions
 
 
+def streaming_rate_alerts(
+    events: DataFrame,
+    window: str = "60 seconds",
+    slide: str = "15 seconds",
+    threshold: int = 5,
+    watermark: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sliding-window rate alerting — the live sibling of the
+    batch ``ev_sliding_window_max`` audit: per (user, sliding window)
+    event counts with only the windows at/over ``threshold`` emitted.
+    ``F.window(ts, window, slide)`` is the native sliding-window
+    operator (each event lands in window/slide overlapping panes);
+    the watermark bounds pane state exactly like the other streaming
+    aggs — at stream scale an unwatermarked sliding agg accumulates
+    one pane per user per slide forever.
+
+    Semantics note (pinned by the batch-parity test): pane boundaries
+    are FIXED (aligned to the epoch grid), so this flags "≥ threshold
+    events in some aligned 60-s pane" — the streamable approximation
+    of the batch entry's exact "any 60-s window ending at an event"
+    RANGE frame. A burst that straddles two panes can need up to 2×
+    the events to alarm; the slide narrows that gap (pane grid every
+    15 s), which is the standard latency/recall trade for streaming
+    rate limits."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= threshold)
+        .select(
+            user_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     docs: DataFrame,
     text_col: str = "text",

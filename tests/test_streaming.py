@@ -362,3 +362,55 @@ def test_streaming_enrich_mentions_matches_batch(spark, stream_dir, tiny_df):
         map(tuple, want[key].fillna("∅").values.tolist())
     )
     assert (got.canonical_id.notna()).any() and (got.canonical_id.isna()).any()
+
+
+def test_streaming_rate_alerts_matches_batch(spark, tmp_path):
+    """Sliding-window rate alerts: streaming == the identical window()
+    agg run in batch, and every alert really has >= threshold events
+    inside its pane (replayed in pandas). Burst users alarm; slow
+    users never appear."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    for u in range(4):
+        if u % 2 == 0:  # burst user: 8 events in 30 s, twice
+            for burst in range(2):
+                t0 = base + pd.Timedelta(minutes=10 * burst + u)
+                rows += [(u, t0 + pd.Timedelta(seconds=3 * i), len(rows))
+                         for i in range(8)]
+        else:  # slow user: one event per 5 minutes
+            rows += [(u, base + pd.Timedelta(minutes=5 * i), len(rows))
+                     for i in range(8)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "seq"])
+    src = str(tmp_path / "rate_events")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    agg = ingest.streaming_rate_alerts(stream, threshold=5)
+    ingest.run_available_now(agg, "rate_stream", output_mode="complete")
+    got = (
+        spark.sql("SELECT * FROM rate_stream")
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        ingest.streaming_rate_alerts(batch_df, threshold=5)
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(batch.astype(str))
+    assert set(got.user_id) == {0, 2}  # bursts alarm, slow users don't
+    # every alert pane really contains n_events rows
+    for _, a in got.iterrows():
+        inside = pdf[
+            (pdf.user_id == a.user_id)
+            & (pdf.ts >= a.window_start)
+            & (pdf.ts < a.window_end)
+        ]
+        assert len(inside) == a.n_events
+        assert a.n_events >= 5
