@@ -5446,6 +5446,102 @@ def a_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_entity_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): per-entity mention lifespan —
+    first and last appearance of each gazetteer entity in corpus
+    order, mention count and conversation spread. The temporal-KG
+    primitive (when did an entity enter the graph, is it still live)
+    that feeds entity-retirement and trend surfacing in a KG built
+    from an append-only transcript stream.
+
+    Corpus order = (conv_id, turn_idx) lexicographic; first/last are
+    min/max over a struct, so the whole lifespan table is ONE map-
+    side-combinable aggregation over the extractor's mention stream —
+    the same Arrow-batched mapInPandas scanner the pipeline's extract
+    stage runs (extraction.make_extractor; ref: hikma-engine
+    ast-parser entity extraction), no second scan of the text. Output
+    is entity-dimension-sized."""
+    m = _doc_mentions(spark, sf_dir).filter(F.col("kind") == "gazetteer")
+    return (
+        m.groupBy("surface_norm")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("first_at"),
+            F.max(F.struct("conv_id", "turn_idx")).alias("last_at"),
+        )
+        .select(
+            "surface_norm",
+            "n_mentions",
+            "n_convs",
+            F.col("first_at.conv_id").alias("first_conv"),
+            F.col("first_at.turn_idx").cast("int").alias("first_turn"),
+            F.col("last_at.conv_id").alias("last_conv"),
+            F.col("last_at.turn_idx").cast("int").alias("last_turn"),
+        )
+        .orderBy("surface_norm")
+    )
+
+
+def s_query_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): prefix → top-k completion table —
+    the materialized autocomplete index under a search box: for every
+    1-4-char prefix of every corpus token, the 5 most frequent
+    completions (freq DESC, token ASC — fully tie-broken).
+
+    Scale shape: token frequencies are ONE map-side-combinable groupBy
+    (hot tokens absorbed by partials); prefixes explode from the
+    VOCABULARY (≤4 rows per distinct token), never from the corpus —
+    the 4× blowup applies to the type dimension, not the token
+    stream. Top-5-per-prefix is a rank-window over the prefix
+    partition, which Spark executes as WindowGroupLimit (per-partition
+    top-k heaps before the shuffle) — the same partial-rank shape the
+    kNN join pins. Output ≤ 5 rows per live prefix, bounded by the
+    vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col("text")), "[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("tok")
+        )
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    prefixes = freq.select(
+        "tok",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.length("tok"), F.lit(4))
+                ),
+                lambda i: F.col("tok").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        prefixes.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "prefix",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("tok").alias("completion"),
+            "freq",
+        )
+        .orderBy("prefix", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5613,6 +5709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_gini_revenue": a_gini_revenue,
         "ev_sliding_window_max": ev_sliding_window_max,
         "a_log_histogram": a_log_histogram,
+        "kg_entity_lifespan": kg_entity_lifespan,
+        "s_query_autocomplete": s_query_autocomplete,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -8924,5 +9022,72 @@ def oracle_sql() -> dict[str, str]:
                    (cum - n < (99 * n_total + 99) // 100
                     AND cum >= (99 * n_total + 99) // 100) AS contains_p99
             FROM cumul ORDER BY bucket
+        """,
+        # kg_entity_lifespan: same gazetteer scan as the other kg_*
+        # twins; first/last by (conv_id, turn_idx) via arg_min/arg_max
+        # over a composite sort key — ties impossible (one struct per
+        # mention position, min/max well-defined on the row set).
+        "kg_entity_lifespan": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            agg AS (
+              SELECT s, count(*) AS n_mentions,
+                     count(DISTINCT conv_id) AS n_convs
+              FROM m GROUP BY s
+            ),
+            ranked AS (
+              -- ORDER BY conv_id, turn_idx mirrors Spark's
+              -- struct(conv_id, turn_idx) comparison column-wise
+              -- (a string concat key would NOT: 'src1' is a prefix
+              -- of 'src10')
+              SELECT s, conv_id, turn_idx,
+                     row_number() OVER (
+                       PARTITION BY s ORDER BY conv_id, turn_idx
+                     ) AS rf,
+                     row_number() OVER (
+                       PARTITION BY s ORDER BY conv_id DESC,
+                                            turn_idx DESC
+                     ) AS rl
+              FROM m
+            )
+            SELECT a.s AS surface_norm, a.n_mentions, a.n_convs,
+                   f.conv_id AS first_conv,
+                   CAST(f.turn_idx AS INT) AS first_turn,
+                   l.conv_id AS last_conv,
+                   CAST(l.turn_idx AS INT) AS last_turn
+            FROM agg a
+            JOIN ranked f ON f.s = a.s AND f.rf = 1
+            JOIN ranked l ON l.s = a.s AND l.rl = 1
+            ORDER BY surface_norm
+        """,
+        "s_query_autocomplete": """
+            WITH freq AS (
+              SELECT t AS tok, count(*) AS freq FROM (
+                SELECT unnest(list_filter(
+                  string_split(trim(regexp_replace(
+                    lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x != '')) AS t
+                FROM documents
+              ) WHERE length(t) >= 2 GROUP BY t
+            ),
+            pfx AS (
+              SELECT substr(tok, 1, i) AS prefix, tok, freq
+              FROM freq, (SELECT unnest(range(1, 5)) AS i)
+              WHERE i <= length(tok)
+            ),
+            ranked AS (
+              SELECT prefix, tok, freq,
+                     row_number() OVER (
+                       PARTITION BY prefix ORDER BY freq DESC, tok
+                     ) AS rnk
+              FROM pfx
+            )
+            SELECT prefix, CAST(rnk AS INT) AS rnk, tok AS completion,
+                   CAST(freq AS BIGINT) AS freq
+            FROM ranked WHERE rnk <= 5 ORDER BY prefix, rnk
         """,
     }

