@@ -5542,6 +5542,198 @@ def s_query_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_pareto8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): 80/20 contribution analysis —
+    revenue share by nation, descending, with cumulative share and
+    the "80% club" flag (the smallest prefix of nations covering 80%
+    of revenue). The ranked complement of the Gini entry: Gini says
+    HOW concentrated, this says WHO makes up the concentration.
+
+    Exact integers: per-nation revenue cents from one join+agg pass
+    (customer→orders equi-join, nation dim broadcast), shares in
+    millis via BIGINT division against the broadcast total, the
+    cumulative window running over exactly |nations| rows (a fixed
+    25-row dim — the single-partition window is dimension-sized, the
+    fact volume never reaches it). in_80club = cumulative share of
+    the PREVIOUS rows < 800‰ (so the row that crosses 800 is the last
+    member — the standard inclusive Pareto cut), tie-broken by
+    revenue DESC then name."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rev = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    total = rev.groupBy().agg(
+        F.sum("revenue_cents").cast("long").alias("total_cents")
+    )
+    w_cum = Window.orderBy(
+        F.desc("revenue_cents"), F.asc("n_name")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy(
+        F.desc("revenue_cents"), F.asc("n_name")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_millis",
+            F.expr("(1000 * revenue_cents) DIV total_cents"),
+        )
+        .withColumn(
+            "cum_millis",
+            F.expr(
+                "(1000 * sum(revenue_cents) OVER ("
+                "ORDER BY revenue_cents DESC, n_name "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                " DIV total_cents"
+            ),
+        )
+        .withColumn(
+            "in_80club",
+            F.coalesce(
+                (
+                    F.expr(
+                        "(1000 * sum(revenue_cents) OVER ("
+                        "ORDER BY revenue_cents DESC, n_name "
+                        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+                        " DIV total_cents"
+                    )
+                    < 800
+                ),
+                F.lit(True),
+            ),
+        )
+        .select(
+            "n_name", "revenue_cents", "share_millis",
+            "cum_millis", "in_80club",
+        )
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+def ev_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): DAU / WAU / stickiness — daily
+    active users, 7-day rolling active users, and the DAU/WAU ratio
+    per day. The engagement KPI whose naive form (count DISTINCT over
+    a rolling window) has no algebraic partial.
+
+    Distributed identity: reduce events to the (user, day) ACTIVITY
+    dim first (one map-side-combinable distinct — the only pass over
+    the fact table), then explode each activity into the ≤7 window
+    days it supports (day .. day+6) and count DISTINCT user per
+    window day. The 7× expansion applies to the activity dim (users ×
+    active days), never the raw event stream — the same
+    vocabulary-not-corpus principle as the autocomplete entry. Days
+    with zero activity simply don't appear (documented; a calendar
+    dim left-join adds them without changing the heavy passes).
+    stickiness_millis = 1000·DAU DIV WAU, exact integers."""
+    act = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    dau = act.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    wau = (
+        act.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 6)
+                )
+            ).alias("wday"),
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            # ISO string: DATE pandas dtypes differ across engines
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(1000 * dau) DIV wau").alias("stickiness_millis"),
+        )
+        .orderBy("day")
+    )
+
+
+def a_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): Pearson correlation matrix over
+    lineitem measures (quantity, extendedprice, discount) from exact
+    integer co-moments — the multi-column sibling of the Welch/OLS
+    moment machinery: ONE map-side-combinable pass computes n, Σx,
+    Σx², Σxy for all pairs; r enters floating point exactly once per
+    pair, as the same literal expression in both engines over
+    identical BIGINTs.
+
+    Units are chosen so every STORED moment stays BIGINT at sf0.1 and
+    far beyond: quantity in centi-units (≤5·10³), price in whole
+    dollars (≤~5.5·10⁴ — cents would push Σp² past int64 at 6·10⁵
+    rows), discount in millis (≤10²); worst moment Σp² ≈ 1.8·10¹⁵ at
+    sf0.1, BIGINT-safe to ~10⁹ rows (DECIMAL(38) beyond, Spark widens
+    natively). r enters floating point once per pair with every
+    operand cast to double BEFORE multiplying — the identical
+    expression text in the twin, so both engines run the same IEEE
+    ops in the same order; r_micro = round(10⁶·r) absorbs last-ulp
+    drift."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("d"),
+    )
+    pairs = [("q", "p"), ("q", "d"), ("p", "d")]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in ("q", "p", "d"):
+        aggs += [
+            F.sum(c).cast("long").alias(f"s_{c}"),
+            F.sum(F.col(c) * F.col(c)).cast("long").alias(f"ss_{c}"),
+        ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum(F.col(x) * F.col(y)).cast("long").alias(f"sp_{x}{y}")
+        )
+    m = li.agg(*aggs)
+    def _r_micro(x: str, y: str):
+        # operands → double BEFORE any multiply (n·Σxy exceeds int64);
+        # expression text mirrored verbatim in the DuckDB twin
+        return F.expr(
+            f"CAST(round(("
+            f"CAST(n AS DOUBLE) * CAST(sp_{x}{y} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            f" / sqrt(CAST(n AS DOUBLE) * CAST(ss_{x} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+            f" / sqrt(CAST(n AS DOUBLE) * CAST(ss_{y} AS DOUBLE)"
+            f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            f" * 1000000) AS BIGINT)"
+        )
+
+    rows = [
+        F.struct(
+            F.lit(f"{x}~{y}").alias("pair"),
+            F.col("n").alias("n"),
+            F.col(f"sp_{x}{y}").alias("sum_xy"),
+            F.col(f"s_{x}").alias("sum_x"),
+            F.col(f"s_{y}").alias("sum_y"),
+            _r_micro(x, y).alias("r_micro"),
+        )
+        for x, y in pairs
+    ]
+    return (
+        m.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("pair")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5711,6 +5903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_log_histogram": a_log_histogram,
         "kg_entity_lifespan": kg_entity_lifespan,
         "s_query_autocomplete": s_query_autocomplete,
+        "a_pareto8020": a_pareto8020,
+        "ev_dau_wau": ev_dau_wau,
+        "a_corr_lineitem": a_corr_lineitem,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -9089,5 +9284,117 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, CAST(rnk AS INT) AS rnk, tok AS completion,
                    CAST(freq AS BIGINT) AS freq
             FROM ranked WHERE rnk <= 5 ORDER BY prefix, rnk
+        """,
+        "a_pareto8020": """
+            WITH rev AS (
+              SELECT n.n_name,
+                     sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS revenue_cents
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n.n_name
+            ),
+            t AS (SELECT sum(revenue_cents) AS total_cents FROM rev),
+            cum AS (
+              SELECT rev.n_name, rev.revenue_cents, t.total_cents,
+                     sum(rev.revenue_cents) OVER (
+                       ORDER BY rev.revenue_cents DESC, rev.n_name
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS run,
+                     sum(rev.revenue_cents) OVER (
+                       ORDER BY rev.revenue_cents DESC, rev.n_name
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS run_prev
+              FROM rev, t
+            )
+            SELECT n_name,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST((1000 * revenue_cents) // total_cents AS BIGINT)
+                     AS share_millis,
+                   CAST((1000 * run) // total_cents AS BIGINT)
+                     AS cum_millis,
+                   coalesce(
+                     (1000 * run_prev) // total_cents < 800, TRUE)
+                     AS in_80club
+            FROM cum ORDER BY revenue_cents DESC, n_name
+        """,
+        "ev_dau_wau": """
+            WITH act AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events
+            ),
+            dau AS (
+              SELECT day, count(DISTINCT user_id) AS dau
+              FROM act GROUP BY day
+            ),
+            wau AS (
+              SELECT day + CAST(i AS INT) AS wday,
+                     count(DISTINCT user_id) AS wau
+              FROM act, (SELECT unnest(range(0, 7)) AS i)
+              GROUP BY 1
+            )
+            SELECT CAST(d.day AS VARCHAR) AS day,
+                   CAST(d.dau AS BIGINT) AS dau,
+                   CAST(w.wau AS BIGINT) AS wau,
+                   CAST((1000 * d.dau) // w.wau AS BIGINT)
+                     AS stickiness_millis
+            FROM dau d JOIN wau w ON d.day = w.wday
+            ORDER BY day
+        """,
+        # a_corr_lineitem: identical BIGINT moments; the one float
+        # expression is mirrored verbatim (operands → double before
+        # multiply, same op order, round to 1e-6).
+        "a_corr_lineitem": """
+            WITH li AS (
+              SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                     CAST(round(l_extendedprice) AS BIGINT) AS p,
+                     CAST(round(l_discount * 1000) AS BIGINT) AS d
+              FROM lineitem
+            ),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS s_q,
+                     CAST(sum(q * q) AS BIGINT) AS ss_q,
+                     CAST(sum(p) AS BIGINT) AS s_p,
+                     CAST(sum(p * p) AS BIGINT) AS ss_p,
+                     CAST(sum(d) AS BIGINT) AS s_d,
+                     CAST(sum(d * d) AS BIGINT) AS ss_d,
+                     CAST(sum(q * p) AS BIGINT) AS sp_qp,
+                     CAST(sum(q * d) AS BIGINT) AS sp_qd,
+                     CAST(sum(p * d) AS BIGINT) AS sp_pd
+              FROM li
+            )
+            SELECT 'p~d' AS pair, n, sp_pd AS sum_xy,
+                   s_p AS sum_x, s_d AS sum_y,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sp_pd AS DOUBLE)
+                     - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                     - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                     - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     * 1000000) AS BIGINT) AS r_micro
+            FROM m
+            UNION ALL
+            SELECT 'q~d', n, sp_qd, s_q, s_d,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sp_qd AS DOUBLE)
+                     - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                     - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                     - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     * 1000000) AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT 'q~p', n, sp_qp, s_q, s_p,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sp_qp AS DOUBLE)
+                     - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                     - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                     - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                     * 1000000) AS BIGINT)
+            FROM m
+            ORDER BY pair
         """,
     }

@@ -1867,3 +1867,76 @@ def test_autocomplete_prefix_table_properties(spark):
         best = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         row1 = got[(got.prefix == p) & (got.rnk == 1)].iloc[0]
         assert (row1.completion, row1.freq) == best
+
+
+def test_pareto8020_club_is_smallest_covering_prefix(spark):
+    """The 80% club is exactly the smallest descending-revenue prefix
+    reaching 800 millis, shares sum to ~1000, cum is monotone."""
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_pareto8020"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    assert (got.cum_millis.values[1:] >= got.cum_millis.values[:-1]).all()
+    club = got[got.in_80club]
+    rest = got[~got.in_80club]
+    # club rows are a prefix (all before any non-club row)
+    assert club.index.max() < (rest.index.min() if len(rest) else 1 << 30)
+    # the club covers >= 800 millis, and dropping its last member doesn't
+    assert club.cum_millis.iloc[-1] >= 800
+    if len(club) > 1:
+        assert club.cum_millis.iloc[-2] < 800
+    assert abs(got.share_millis.sum() - 1000) <= len(got)  # floor slack
+
+
+def test_dau_wau_matches_pandas(spark):
+    """DAU/WAU equal a literal pandas replay; stickiness ≤ 1000 and
+    WAU ≥ DAU always."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["ev_dau_wau"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("day")
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    act = ev.assign(day=ev.ts.dt.date).groupby(["user_id", "day"]).size()
+    act = act.reset_index()[["user_id", "day"]]
+    for day_str, row in got.iterrows():
+        day = pd.Timestamp(day_str).date()
+        dau = act[act.day == day].user_id.nunique()
+        lo = day - pd.Timedelta(days=6)
+        wau = act[(act.day >= lo) & (act.day <= day)].user_id.nunique()
+        assert (row.dau, row.wau) == (dau, wau), day_str
+        assert row.wau >= row.dau
+        assert row.stickiness_millis == 1000 * dau // wau
+
+
+def test_corr_lineitem_matches_numpy(spark):
+    """r_micro equals numpy's corrcoef on the same quantized columns
+    to 1e-6 (the synthetic lineitem draws price independently of
+    quantity, so all three pairs hover near zero — the test pins the
+    MOMENT algebra, not a domain story)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_corr_lineitem"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("pair")
+    )
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = (li.l_quantity * 100).round().astype("int64")
+    p = li.l_extendedprice.round().astype("int64")
+    d = (li.l_discount * 1000).round().astype("int64")
+    cols = {"q": q, "p": p, "d": d}
+    for pair in ["p~d", "q~d", "q~p"]:
+        x, y = pair.split("~")
+        r = np.corrcoef(cols[x], cols[y])[0, 1]
+        assert abs(got.loc[pair].r_micro - round(r * 1e6)) <= 1, pair
+        assert abs(got.loc[pair].r_micro) <= 1_000_000
