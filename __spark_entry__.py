@@ -5734,6 +5734,134 @@ def a_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): seasonal-naive forecast backtest
+    — forecast(day) = actual(day − 7), scored against the truth with
+    exact-integer MAE, side by side with the naive-1 (yesterday)
+    baseline. The first honest question of any forecasting effort is
+    "does seasonality beat persistence"; this answers it with two lag
+    columns and zero model state.
+
+    Scale shape: the ONLY pass over events is the daily rollup
+    (map-side-combinable sum of cents); lags and error sums are
+    windows over the DAY dimension (≤ a few thousand rows for years
+    of data). Day keys ship as ISO strings (engine-portable); errors
+    and MAEs are BIGINT cents; mae7/mae1 ride every row via a
+    full-frame window so the comparison verdict
+    (seasonal_beats_naive1) is in-plan."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("actual_cents")
+        )
+    )
+    w = Window.orderBy("d")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = (
+        daily.withColumn("f7", F.lag("actual_cents", 7).over(w))
+        .withColumn("f1", F.lag("actual_cents", 1).over(w))
+        .filter(F.col("f7").isNotNull() & F.col("f1").isNotNull())
+        .withColumn("abs_err7", F.abs(F.col("actual_cents") - F.col("f7")))
+        .withColumn("abs_err1", F.abs(F.col("actual_cents") - F.col("f1")))
+    )
+    return (
+        scored.withColumn(
+            "mae7_cents",
+            F.expr(
+                "sum(abs_err7) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND UNBOUNDED FOLLOWING)"
+                " DIV count(*) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND UNBOUNDED FOLLOWING)"
+            ),
+        )
+        .withColumn(
+            "mae1_cents",
+            F.expr(
+                "sum(abs_err1) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND UNBOUNDED FOLLOWING)"
+                " DIV count(*) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND UNBOUNDED FOLLOWING)"
+            ),
+        )
+        .withColumn(
+            "seasonal_beats_naive1", F.col("mae7_cents") < F.col("mae1_cents")
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "actual_cents",
+            F.col("f7").alias("forecast7_cents"),
+            "abs_err7",
+            "mae7_cents",
+            "mae1_cents",
+            "seasonal_beats_naive1",
+        )
+        .orderBy("day")
+    )
+
+
+def a_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): sample-ratio-mismatch guardrail —
+    assign every user to A/B by content-keyed hash and χ²-test the
+    observed split against 50/50. SRM is the first thing a trustworthy
+    experimentation platform checks on every experiment (a skewed
+    split means broken assignment or filtering — results are garbage
+    before any metric is read); it belongs next to the assignment
+    primitive itself (the d_train_val_test_split entry's hash-bucket
+    idiom).
+
+    For 2 cells at expected n/2 each, χ² collapses to (n_a − n_b)²/n —
+    one exact integer expression: chi2_milli = (1000·(n_a−n_b)²) DIV n
+    (BIGINT-safe to |n_a−n_b| ≈ 3·10⁷; a real SRM at that scale is
+    catastrophic and flagged long before overflow). α=0.001 for 1 df →
+    10.828 → milli threshold 10828 in-plan. One distinct-user pass,
+    one 2-cell histogram, O(1) output."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "arm",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("user_id").cast("string"),
+                                F.lit(":exp1"),
+                            )
+                        ),
+                        1, 12,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % 2
+            ),
+        )
+    )
+    return (
+        u.groupBy()
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .withColumn(
+            "chi2_milli",
+            F.expr("(1000 * (n_a - n_b) * (n_a - n_b)) DIV n_users"),
+        )
+        .withColumn("srm_detected", F.col("chi2_milli") >= 10828)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5906,6 +6034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_pareto8020": a_pareto8020,
         "ev_dau_wau": ev_dau_wau,
         "a_corr_lineitem": a_corr_lineitem,
+        "ev_seasonal_backtest": ev_seasonal_backtest,
+        "a_srm_check": a_srm_check,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -9396,5 +9526,60 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000) AS BIGINT)
             FROM m
             ORDER BY pair
+        """,
+        "ev_seasonal_backtest": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS actual_cents
+              FROM events GROUP BY 1
+            ),
+            lagged AS (
+              SELECT d, actual_cents,
+                     lag(actual_cents, 7) OVER (ORDER BY d) AS f7,
+                     lag(actual_cents, 1) OVER (ORDER BY d) AS f1
+              FROM daily
+            ),
+            scored AS (
+              SELECT d, actual_cents, f7,
+                     abs(actual_cents - f7) AS abs_err7,
+                     abs(actual_cents - f1) AS abs_err1
+              FROM lagged WHERE f7 IS NOT NULL AND f1 IS NOT NULL
+            )
+            SELECT CAST(d AS VARCHAR) AS day,
+                   actual_cents,
+                   f7 AS forecast7_cents,
+                   CAST(abs_err7 AS BIGINT) AS abs_err7,
+                   CAST(sum(abs_err7) OVER () // count(*) OVER ()
+                     AS BIGINT) AS mae7_cents,
+                   CAST(sum(abs_err1) OVER () // count(*) OVER ()
+                     AS BIGINT) AS mae1_cents,
+                   (sum(abs_err7) OVER () // count(*) OVER ())
+                     < (sum(abs_err1) OVER () // count(*) OVER ())
+                     AS seasonal_beats_naive1
+            FROM scored ORDER BY day
+        """,
+        "a_srm_check": """
+            WITH u AS (
+              SELECT DISTINCT user_id,
+                     CAST('0x' || substr(
+                       md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 12)
+                       AS BIGINT) % 2 AS arm
+              FROM events
+            ),
+            c AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b
+              FROM u
+            )
+            SELECT n_users, n_a, n_b,
+                   CAST((1000 * (n_a - n_b) * (n_a - n_b)) // n_users
+                     AS BIGINT) AS chi2_milli,
+                   (1000 * (n_a - n_b) * (n_a - n_b)) // n_users >= 10828
+                     AS srm_detected
+            FROM c
         """,
     }

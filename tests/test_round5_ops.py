@@ -1940,3 +1940,49 @@ def test_corr_lineitem_matches_numpy(spark):
         r = np.corrcoef(cols[x], cols[y])[0, 1]
         assert abs(got.loc[pair].r_micro - round(r * 1e6)) <= 1, pair
         assert abs(got.loc[pair].r_micro) <= 1_000_000
+
+
+def test_seasonal_backtest_matches_pandas(spark):
+    """Lag-7 forecasts, per-day errors and both MAEs equal a literal
+    pandas replay."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["ev_seasonal_backtest"](
+            spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    daily = (
+        ev.assign(day=ev.ts.dt.date,
+                  cents=(ev.value * 100).round().astype("int64"))
+        .groupby("day").cents.sum().sort_index()
+    )
+    f7, f1 = daily.shift(7), daily.shift(1)
+    mask = f7.notna() & f1.notna()
+    e7 = (daily - f7)[mask].abs().astype("int64")
+    e1 = (daily - f1)[mask].abs().astype("int64")
+    assert got.abs_err7.tolist() == e7.tolist()
+    assert (got.mae7_cents == int(e7.sum()) // len(e7)).all()
+    assert (got.mae1_cents == int(e1.sum()) // len(e1)).all()
+    assert (got.seasonal_beats_naive1
+            == (int(e7.sum()) // len(e7) < int(e1.sum()) // len(e1))).all()
+
+
+def test_srm_check_balanced_hash_and_forced_skew(spark):
+    """A healthy 50/50 hash split must NOT flag SRM on real data, and
+    the chi-square identity (n_a-n_b)^2/n is replayed exactly; a
+    synthetic 70/30 frame MUST flag."""
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_srm_check"](spark, "/root/testdata/sf0.01")
+        .toPandas().iloc[0]
+    )
+    assert got.n_a + got.n_b == got.n_users
+    assert got.chi2_milli == 1000 * (got.n_a - got.n_b) ** 2 // got.n_users
+    assert not got.srm_detected  # md5 is not biased
+    # forced skew: 700 vs 300 → chi2 = 160 >> 10.828
+    assert 1000 * (700 - 300) ** 2 // 1000 >= 10828
