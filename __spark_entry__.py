@@ -5862,6 +5862,50 @@ def a_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_turn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): turn → entity fan-out
+    distribution — how many distinct entities each turn mentions,
+    as a histogram over ALL turns including the zero-mention ones.
+    This is the distribution that sizes the extract stage's triple
+    explode (a fan-out of k emits k MENTIONS + k REFERS_TO edges), so
+    it is the capacity-planning query for the KG build itself — and
+    the k=0 share is a data-quality signal (a corpus whose turns
+    mostly mention nothing yields a disconnected graph).
+
+    Scale shape: distinct (turn, entity) pairs from the extractor's
+    mention stream (map-side combinable), per-turn counts, a LEFT
+    join from the transcripts dim so silent turns land in the k=0
+    bucket (anti-join-free: coalesce over the left join), then a
+    k-histogram — output is max-fan-out-sized (≤ gazetteer size),
+    shares in exact BIGINT millis against the broadcast turn total."""
+    t = _doc_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    per_turn = m.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    turns = t.join(per_turn, ["conv_id", "turn_idx"], "left").select(
+        F.coalesce("k", F.lit(0)).cast("long").alias("k")
+    )
+    n_total = turns.groupBy().agg(
+        F.count("*").cast("long").alias("n_turns_total")
+    )
+    return (
+        turns.groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_turns"))
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "share_millis", F.expr("(1000 * n_turns) DIV n_turns_total")
+        )
+        .select("k", "n_turns", "share_millis")
+        .orderBy("k")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6036,6 +6080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_corr_lineitem": a_corr_lineitem,
         "ev_seasonal_backtest": ev_seasonal_backtest,
         "a_srm_check": a_srm_check,
+        "kg_turn_fanout": kg_turn_fanout,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -9581,5 +9626,31 @@ def oracle_sql() -> dict[str, str]:
                    (1000 * (n_a - n_b) * (n_a - n_b)) // n_users >= 10828
                      AS srm_detected
             FROM c
+        """,
+        "kg_turn_fanout": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx, s FROM (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(lower(text), '{gaz}'))
+                         AS s
+                FROM t
+              )
+            ),
+            per_turn AS (
+              SELECT conv_id, turn_idx, count(*) AS k
+              FROM m GROUP BY 1, 2
+            ),
+            turns AS (
+              SELECT coalesce(p.k, 0) AS k
+              FROM t LEFT JOIN per_turn p
+                ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+            ),
+            n AS (SELECT count(*) AS n_turns_total FROM turns)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST((1000 * count(*)) // n_turns_total AS BIGINT)
+                     AS share_millis
+            FROM turns, n GROUP BY k, n_turns_total ORDER BY k
         """,
     }

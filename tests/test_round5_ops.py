@@ -1986,3 +1986,33 @@ def test_srm_check_balanced_hash_and_forced_skew(spark):
     assert not got.srm_detected  # md5 is not biased
     # forced skew: 700 vs 300 → chi2 = 160 >> 10.828
     assert 1000 * (700 - 300) ** 2 // 1000 >= 10828
+
+
+def test_turn_fanout_accounts_every_turn(spark):
+    """Histogram covers ALL turns (Σ n_turns == corpus turn count,
+    including silent turns in the k=0 bucket) and shares are floor
+    millis of that total."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["kg_turn_fanout"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    assert got.n_turns.sum() == len(docs)  # one turn per document row
+    # silent turns land in the k=0 bucket IFF the corpus has any
+    # (this corpus is entity-dense; the accounting identity above is
+    # what proves no turn was dropped either way)
+    import re
+    gaz = ("sort merge", "table scan", "hash join", "filter", "stream",
+           "vector", "window", "batch", "query", "spark")
+    pat = re.compile(r"\b(?:" + "|".join(gaz) + r")\b")
+    n_silent = int((~docs.text.str.lower().str.contains(pat)).sum())
+    if n_silent:
+        assert int(got[got.k == 0].n_turns.iloc[0]) == n_silent
+    else:
+        assert 0 not in got.k.values
+    total = int(got.n_turns.sum())
+    assert (got.share_millis == 1000 * got.n_turns // total).all()
