@@ -5906,6 +5906,72 @@ def kg_turn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): CUPED variance reduction (Deng,
+    Xu, Kohavi & Walker, WSDM 2013) — the pre-experiment-covariate
+    adjustment every mature experimentation platform applies before
+    reading a metric: ŷ = y − θ·(x − x̄) with θ = cov(x,y)/var(x),
+    where x is the user's PRE-period value and y the experiment-period
+    value. Completes the experimentation trio: SRM (is the assignment
+    sound), Welch (is the difference significant), CUPED (shrink the
+    variance so smaller effects become detectable).
+
+    Distributed shape: ONE pass over events builds the per-user
+    (pre_cents, post_cents) covariate table (conditional sums split
+    at mid-month — map-side combinable), ONE moment aggregation
+    yields n, Σx, Σy, Σx², Σxy as exact BIGINTs (magnitudes ≤ ~10¹⁷
+    at sf0.1 per the per-user cent bounds; DECIMAL(38) beyond).
+    θ and the variance-reduction factor 1 − corr²(x,y) enter floating
+    point once, as mirrored double expressions: theta_micro =
+    round(10⁶·θ), var_reduction_micro = round(10⁶·corr²) — the
+    fraction of metric variance CUPED removes."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.dayofmonth("ts") <= 15).alias("is_pre"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("is_pre"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(~F.col("is_pre"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s_x"),
+        F.sum("y").cast("long").alias("s_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss_x"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sp_xy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss_y"),
+    )
+    return m.select(
+        "n",
+        "s_x",
+        "s_y",
+        "sp_xy",
+        F.expr(
+            "CAST(round((CAST(n AS DOUBLE) * CAST(sp_xy AS DOUBLE)"
+            " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(ss_x AS DOUBLE)"
+            " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            "CAST(round((CAST(n AS DOUBLE) * CAST(sp_xy AS DOUBLE)"
+            " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(sp_xy AS DOUBLE)"
+            " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(ss_x AS DOUBLE)"
+            " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(ss_y AS DOUBLE)"
+            " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("var_reduction_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6081,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_seasonal_backtest": ev_seasonal_backtest,
         "a_srm_check": a_srm_check,
         "kg_turn_fanout": kg_turn_fanout,
+        "ev_cuped": ev_cuped,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -9652,5 +9719,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000 * count(*)) // n_turns_total AS BIGINT)
                      AS share_millis
             FROM turns, n GROUP BY k, n_turns_total ORDER BY k
+        """,
+        # ev_cuped: identical BIGINT moments; theta and corr² are the
+        # mirrored double expressions (operands cast before multiply).
+        "ev_cuped": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     extract(day FROM ts) <= 15 AS is_pre
+              FROM events
+            ),
+            per_user AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN is_pre THEN cents ELSE 0 END)
+                       AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN NOT is_pre THEN cents ELSE 0 END)
+                       AS BIGINT) AS y
+              FROM e GROUP BY user_id
+            ),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s_x,
+                     CAST(sum(y) AS BIGINT) AS s_y,
+                     CAST(sum(x * x) AS BIGINT) AS ss_x,
+                     CAST(sum(x * y) AS BIGINT) AS sp_xy,
+                     CAST(sum(y * y) AS BIGINT) AS ss_y
+              FROM per_user
+            )
+            SELECT n, s_x, s_y, sp_xy,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sp_xy AS DOUBLE)
+                     - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(ss_x AS DOUBLE)
+                     - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                     * 1000000) AS BIGINT) AS theta_micro,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sp_xy AS DOUBLE)
+                     - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sp_xy AS DOUBLE)
+                     - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(ss_x AS DOUBLE)
+                     - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(ss_y AS DOUBLE)
+                     - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))
+                     * 1000000) AS BIGINT) AS var_reduction_micro
+            FROM m
         """,
     }

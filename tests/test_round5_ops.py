@@ -2016,3 +2016,39 @@ def test_turn_fanout_accounts_every_turn(spark):
         assert 0 not in got.k.values
     total = int(got.n_turns.sum())
     assert (got.share_millis == 1000 * got.n_turns // total).all()
+
+
+def test_cuped_matches_numpy(spark):
+    """theta and the variance-reduction factor equal numpy's
+    cov/var and corr² on the same per-user covariates (≤1 micro),
+    and 0 ≤ var_reduction ≤ 1e6."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["ev_cuped"](spark, "/root/testdata/sf0.001")
+        .toPandas().iloc[0]
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    ev["is_pre"] = ev.ts.dt.day <= 15
+    pu = ev.groupby("user_id").apply(
+        lambda g: pd.Series({
+            "x": int(g.cents[g.is_pre].sum()),
+            "y": int(g.cents[~g.is_pre].sum()),
+        }),
+        include_groups=False,
+    )
+    x, y = pu.x.values.astype(float), pu.y.values.astype(float)
+    n = len(pu)
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    varx = n * (x * x).sum() - x.sum() ** 2
+    vary = n * (y * y).sum() - y.sum() ** 2
+    theta = cov / varx
+    corr2 = cov * cov / varx / vary
+    assert got.n == n
+    assert abs(got.theta_micro - round(theta * 1e6)) <= 1
+    assert abs(got.var_reduction_micro - round(corr2 * 1e6)) <= 1
+    assert 0 <= got.var_reduction_micro <= 1_000_000
