@@ -5972,6 +5972,134 @@ def ev_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): the complete A/B readout in ONE
+    plan — the composition the SRM / Welch / CUPED entries exist for:
+    hash-assign users to arms, pool both arms for the CUPED θ, then
+    compare arms with Welch's t on BOTH the raw and the
+    CUPED-adjusted metric side by side (the var_reduction the
+    adjustment buys is visible as |t_adj| ≥ |t_raw| when pre-period
+    covariance is real). Because assignment is a content-keyed hash
+    of a non-causal id, the true effect is zero — a calibrated
+    readout should NOT reject, which doubles as an A/A-test contract.
+
+    Distributed shape: one pass to per-user (arm, pre, post); one
+    moment aggregation per arm + one pooled (six BIGINTs each, map-
+    side combinable); the readout row assembles via broadcast of
+    three one-row frames. Adjusted variance needs no per-user second
+    pass: Σ(y−θx)² = Σy² − 2θΣxy + θ²Σx² — pure moment algebra.
+    Floats enter once, in ONE mirrored expression chain (θ, the two
+    adjusted variances, the two t statistics), emitted in milli/micro
+    integer units."""
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.dayofmonth("ts") <= 15).alias("is_pre"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_pre"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(~F.col("is_pre"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn(
+            "arm",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("user_id").cast("string"),
+                                F.lit(":exp1"),
+                            )
+                        ),
+                        1, 12,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % 2
+            ),
+        )
+    )
+
+    def moments(df, prefix):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}n"),
+            F.sum("x").cast("long").alias(f"{prefix}sx"),
+            F.sum("y").cast("long").alias(f"{prefix}sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias(f"{prefix}sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias(f"{prefix}sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias(f"{prefix}syy"),
+        )
+
+    a = moments(per_user.filter(F.col("arm") == 0), "a_")
+    b = moments(per_user.filter(F.col("arm") == 1), "b_")
+    g = moments(per_user, "g_")
+    row = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(g))
+    theta = (
+        "((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE)"
+        " - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE))"
+        " / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE)"
+        " - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE)))"
+    )
+
+    def mean(p, adj):
+        raw = f"(CAST({p}sy AS DOUBLE) / CAST({p}n AS DOUBLE))"
+        if not adj:
+            return raw
+        return (
+            f"((CAST({p}sy AS DOUBLE) - {theta} * CAST({p}sx AS DOUBLE))"
+            f" / CAST({p}n AS DOUBLE))"
+        )
+
+    def var(p, adj):
+        if not adj:
+            ss = f"CAST({p}syy AS DOUBLE)"
+            s = f"CAST({p}sy AS DOUBLE)"
+        else:
+            ss = (
+                f"(CAST({p}syy AS DOUBLE)"
+                f" - 2.0 * {theta} * CAST({p}sxy AS DOUBLE)"
+                f" + {theta} * {theta} * CAST({p}sxx AS DOUBLE))"
+            )
+            s = (
+                f"(CAST({p}sy AS DOUBLE)"
+                f" - {theta} * CAST({p}sx AS DOUBLE))"
+            )
+        return (
+            f"(({ss} - {s} * {s} / CAST({p}n AS DOUBLE))"
+            f" / (CAST({p}n AS DOUBLE) - 1.0))"
+        )
+
+    def t_stat(adj):
+        return (
+            f"(({mean('a_', adj)} - {mean('b_', adj)})"
+            f" / sqrt({var('a_', adj)} / CAST(a_n AS DOUBLE)"
+            f" + {var('b_', adj)} / CAST(b_n AS DOUBLE)))"
+        )
+
+    return row.select(
+        "a_n", "b_n", "a_sy", "b_sy",
+        F.expr(f"CAST(round({theta} * 1000000) AS BIGINT)").alias(
+            "theta_micro"
+        ),
+        F.expr(f"CAST(round({t_stat(False)} * 1000) AS BIGINT)").alias(
+            "t_raw_milli"
+        ),
+        F.expr(f"CAST(round({t_stat(True)} * 1000) AS BIGINT)").alias(
+            "t_adj_milli"
+        ),
+        F.expr(
+            f"abs({t_stat(True)}) >= 2.576 OR abs({t_stat(False)}) >= 2.576"
+        ).alias("any_reject_1pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6148,6 +6276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_srm_check": a_srm_check,
         "kg_turn_fanout": kg_turn_fanout,
         "ev_cuped": ev_cuped,
+        "ev_experiment_readout": ev_experiment_readout,
         "d_right_to_erasure": d_right_to_erasure,
         "l_minmax_prune": l_minmax_prune,
         "j_bloom_semijoin": j_bloom_semijoin,
@@ -9762,5 +9891,58 @@ def oracle_sql() -> dict[str, str]:
                      - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))
                      * 1000000) AS BIGINT) AS var_reduction_micro
             FROM m
+        """,
+        # ev_experiment_readout: the mirrored expression chain is
+        # GENERATED from the same builders as the Spark side (see the
+        # entry) so the IEEE op sequence matches token for token.
+        "ev_experiment_readout": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     extract(day FROM ts) <= 15 AS is_pre
+              FROM events
+            ),
+            per_user AS (
+              SELECT user_id,
+                     CAST('0x' || substr(
+                       md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 12)
+                       AS BIGINT) % 2 AS arm,
+                     CAST(sum(CASE WHEN is_pre THEN cents ELSE 0 END)
+                       AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN NOT is_pre THEN cents ELSE 0 END)
+                       AS BIGINT) AS y
+              FROM e GROUP BY user_id
+            ),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS a_n,
+                         CAST(sum(x) AS BIGINT) AS a_sx,
+                         CAST(sum(y) AS BIGINT) AS a_sy,
+                         CAST(sum(x*x) AS BIGINT) AS a_sxx,
+                         CAST(sum(x*y) AS BIGINT) AS a_sxy,
+                         CAST(sum(y*y) AS BIGINT) AS a_syy
+                  FROM per_user WHERE arm = 0),
+            b AS (SELECT CAST(count(*) AS BIGINT) AS b_n,
+                         CAST(sum(x) AS BIGINT) AS b_sx,
+                         CAST(sum(y) AS BIGINT) AS b_sy,
+                         CAST(sum(x*x) AS BIGINT) AS b_sxx,
+                         CAST(sum(x*y) AS BIGINT) AS b_sxy,
+                         CAST(sum(y*y) AS BIGINT) AS b_syy
+                  FROM per_user WHERE arm = 1),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS g_n,
+                         CAST(sum(x) AS BIGINT) AS g_sx,
+                         CAST(sum(y) AS BIGINT) AS g_sy,
+                         CAST(sum(x*x) AS BIGINT) AS g_sxx,
+                         CAST(sum(x*y) AS BIGINT) AS g_sxy,
+                         CAST(sum(y*y) AS BIGINT) AS g_syy
+                  FROM per_user)
+            SELECT a_n, b_n, a_sy, b_sy,
+                   CAST(round(((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * 1000000) AS BIGINT)
+                     AS theta_micro,
+                   CAST(round((((CAST(a_sy AS DOUBLE) / CAST(a_n AS DOUBLE)) - (CAST(b_sy AS DOUBLE) / CAST(b_n AS DOUBLE))) / sqrt(((CAST(a_syy AS DOUBLE) - CAST(a_sy AS DOUBLE) * CAST(a_sy AS DOUBLE) / CAST(a_n AS DOUBLE)) / (CAST(a_n AS DOUBLE) - 1.0)) / CAST(a_n AS DOUBLE) + ((CAST(b_syy AS DOUBLE) - CAST(b_sy AS DOUBLE) * CAST(b_sy AS DOUBLE) / CAST(b_n AS DOUBLE)) / (CAST(b_n AS DOUBLE) - 1.0)) / CAST(b_n AS DOUBLE))) * 1000) AS BIGINT)
+                     AS t_raw_milli,
+                   CAST(round(((((CAST(a_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sx AS DOUBLE)) / CAST(a_n AS DOUBLE)) - ((CAST(b_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sx AS DOUBLE)) / CAST(b_n AS DOUBLE))) / sqrt((((CAST(a_syy AS DOUBLE) - 2.0 * ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sxy AS DOUBLE) + ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sxx AS DOUBLE)) - (CAST(a_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sx AS DOUBLE)) * (CAST(a_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sx AS DOUBLE)) / CAST(a_n AS DOUBLE)) / (CAST(a_n AS DOUBLE) - 1.0)) / CAST(a_n AS DOUBLE) + (((CAST(b_syy AS DOUBLE) - 2.0 * ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sxy AS DOUBLE) + ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sxx AS DOUBLE)) - (CAST(b_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sx AS DOUBLE)) * (CAST(b_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sx AS DOUBLE)) / CAST(b_n AS DOUBLE)) / (CAST(b_n AS DOUBLE) - 1.0)) / CAST(b_n AS DOUBLE))) * 1000) AS BIGINT)
+                     AS t_adj_milli,
+                   abs(((((CAST(a_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sx AS DOUBLE)) / CAST(a_n AS DOUBLE)) - ((CAST(b_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sx AS DOUBLE)) / CAST(b_n AS DOUBLE))) / sqrt((((CAST(a_syy AS DOUBLE) - 2.0 * ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sxy AS DOUBLE) + ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sxx AS DOUBLE)) - (CAST(a_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sx AS DOUBLE)) * (CAST(a_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(a_sx AS DOUBLE)) / CAST(a_n AS DOUBLE)) / (CAST(a_n AS DOUBLE) - 1.0)) / CAST(a_n AS DOUBLE) + (((CAST(b_syy AS DOUBLE) - 2.0 * ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sxy AS DOUBLE) + ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sxx AS DOUBLE)) - (CAST(b_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sx AS DOUBLE)) * (CAST(b_sy AS DOUBLE) - ((CAST(g_n AS DOUBLE) * CAST(g_sxy AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sy AS DOUBLE)) / (CAST(g_n AS DOUBLE) * CAST(g_sxx AS DOUBLE) - CAST(g_sx AS DOUBLE) * CAST(g_sx AS DOUBLE))) * CAST(b_sx AS DOUBLE)) / CAST(b_n AS DOUBLE)) / (CAST(b_n AS DOUBLE) - 1.0)) / CAST(b_n AS DOUBLE)))) >= 2.576
+                     OR abs((((CAST(a_sy AS DOUBLE) / CAST(a_n AS DOUBLE)) - (CAST(b_sy AS DOUBLE) / CAST(b_n AS DOUBLE))) / sqrt(((CAST(a_syy AS DOUBLE) - CAST(a_sy AS DOUBLE) * CAST(a_sy AS DOUBLE) / CAST(a_n AS DOUBLE)) / (CAST(a_n AS DOUBLE) - 1.0)) / CAST(a_n AS DOUBLE) + ((CAST(b_syy AS DOUBLE) - CAST(b_sy AS DOUBLE) * CAST(b_sy AS DOUBLE) / CAST(b_n AS DOUBLE)) / (CAST(b_n AS DOUBLE) - 1.0)) / CAST(b_n AS DOUBLE)))) >= 2.576 AS any_reject_1pct
+            FROM a, b, g
         """,
     }

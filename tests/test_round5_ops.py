@@ -2052,3 +2052,56 @@ def test_cuped_matches_numpy(spark):
     assert abs(got.theta_micro - round(theta * 1e6)) <= 1
     assert abs(got.var_reduction_micro - round(corr2 * 1e6)) <= 1
     assert 0 <= got.var_reduction_micro <= 1_000_000
+
+
+def test_experiment_readout_matches_numpy(spark):
+    """theta and both Welch t statistics equal a numpy replay of the
+    same moment algebra (≤1 milli/micro), and the A/A design holds:
+    hash assignment of a non-causal id must not reject at 1%."""
+    import numpy as np
+    import pandas as pd
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["ev_experiment_readout"](
+            spark, "/root/testdata/sf0.01")
+        .toPandas().iloc[0]
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    ev["is_pre"] = ev.ts.dt.day <= 15
+    pu = ev.groupby("user_id").apply(
+        lambda g: pd.Series({
+            "x": int(g.cents[g.is_pre].sum()),
+            "y": int(g.cents[~g.is_pre].sum()),
+        }),
+        include_groups=False,
+    ).reset_index()
+    pu["arm"] = pu.user_id.map(
+        lambda u: int(hashlib.md5(f"{u}:exp1".encode()).hexdigest()[:12], 16)
+        % 2
+    )
+    x, y = pu.x.values.astype(float), pu.y.values.astype(float)
+    n = len(pu)
+    theta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    assert abs(got.theta_micro - round(theta * 1e6)) <= 1
+
+    def welch(vals_a, vals_b):
+        ma, mb = vals_a.mean(), vals_b.mean()
+        va = vals_a.var(ddof=1)
+        vb = vals_b.var(ddof=1)
+        return (ma - mb) / np.sqrt(va / len(vals_a) + vb / len(vals_b))
+
+    ya, yb = y[pu.arm == 0], y[pu.arm == 1]
+    adj = y - theta * x
+    assert abs(got.t_raw_milli - round(welch(ya, yb) * 1000)) <= 1
+    assert abs(
+        got.t_adj_milli
+        - round(welch(adj[pu.arm == 0], adj[pu.arm == 1]) * 1000)
+    ) <= 1
+    assert got.a_n + got.b_n == n
+    assert not got.any_reject_1pct  # A/A calibration
