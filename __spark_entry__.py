@@ -6100,6 +6100,241 @@ def ev_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): full CUBE lattice over
+    (event_type, iso-weekday) with GROUPING_ID — the multi-dimensional
+    subtotal surface (GROUP BY CUBE / grouping-sets family) that
+    a_rollup_orders' linear ROLLUP hierarchy cannot express: all four
+    grouping sets {(t,d), (t), (d), ()} in ONE logical agg.
+
+    Scale shape: Catalyst's Expand operator replicates each input row
+    once per grouping set BEFORE the shuffle, and partial aggregation
+    (map-side combine) applies per set, so the shuffle carries at most
+    4 × |distinct keys| rows, never 4 × |input|; output is
+    lattice-sized (|types|·7 + |types| + 7 + 1). Weekday is computed
+    Monday=0 in both engines (Spark `weekday`, DuckDB isodow−1);
+    value enters as exact integer CENTS so the subtotal sums are
+    associativity-free."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.weekday("ts").cast("long").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        base.cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            "grp_id",
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).cast("long").alias("dow"),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("grp_id", "event_type", "dow")
+    )
+
+
+def ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): CEP-style sequence-pattern
+    detection (the batch analog of Flink CEP / SQL MATCH_RECOGNIZE,
+    which Spark lacks as a native operator): each user's event stream
+    becomes an ordered 1-char-per-event code string, and the
+    conversion pattern view→click*→purchase (`vc*p`) is counted
+    non-overlapping left-to-right via regexp_count. Output is the
+    bounded matches-per-user histogram — the funnel generalization
+    where the pattern is a REGEX over the event alphabet rather than
+    ev_funnel's fixed stage chain.
+
+    Scale shape: one shuffle on user_id (the natural partition key for
+    any per-user sequence op); per-user state is the code string,
+    CAPPED at 10,000 events via slice-after-sort (each code is exactly
+    one char, so the Spark array slice and the oracle's left(seq, n)
+    are the same guard — the hot-user bound that keeps a 10⁹-event
+    user from materializing a GB-sized string). Ordering is total
+    ((ts, event_id) — array_sort on the struct compares fields
+    left-to-right), so the result is repartition-invariant. The regex
+    `vc*p` backtracks nowhere, so Java regex and DuckDB RE2 agree on
+    match count."""
+    e = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), code.alias("code")).alias(
+                "st"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("st")), 1, 10000),
+                    lambda s: s.getField("code"),
+                ),
+            ).alias("seq")
+        )
+    )
+    per_user = seqs.select(
+        "user_id",
+        F.regexp_count(F.col("seq"), F.lit(r"vc*p")).cast("long").alias(
+            "n_matches"
+        ),
+    )
+    return (
+        per_user.groupBy("n_matches")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.col("n_matches") * F.lit(1)).cast("long").alias(
+                "total_matches"
+            ),
+        )
+        .orderBy("n_matches")
+    )
+
+
+def d_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): PMI collocation mining (Church &
+    Hanks, CL 1990) — the phrase-mining primitive over the corpus
+    bigram stream: pmi(w₁,w₂) = ln(c₁₂·N / (c₁·c₂)), ranked to find
+    the token pairs that co-occur far above independence. The
+    association-strength complement to d_bpe_merges' raw-frequency
+    merges and kg_cooccur_lift's entity-level lift.
+
+    Hash-safety: each ln enters as the repo's micro-integer idiom
+    L(x) = round(10⁶·ln x) computed on exact BIGINT counts, and
+    pmi_micro = L(c₁₂) + L(N) − L(c₁) − L(c₂) is pure integer
+    arithmetic after that — no float sum ever crosses engines.
+    Scale shape: bigrams minted narrow (slice + arrays_zip, no
+    self-join); ONE groupBy builds the bigram model dim, the unigram
+    dim joins in twice (vocabulary-sized — broadcast under the
+    threshold, AQE-skew-handled above: 'the'-class hubs are the
+    classic hot keys); N is a one-row broadcast, never a driver
+    scalar. Count floor c₁₂ ≥ 5 is the standard PMI noise guard
+    (rare-pair PMI explodes); top-40 by (pmi_micro, w1, w2) is a
+    TakeOrderedAndProject, ties broken lexically so the cut is
+    deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = d.select("doc_id", arr.alias("toks")).filter(F.size("toks") >= 2)
+    big = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    uni = big.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    # right-token marginal over the SAME bigram stream so the two
+    # marginals and N are one consistent probability space
+    uni2 = big.groupBy("w2").agg(F.count("*").cast("long").alias("c2"))
+    ntot = big.groupBy().agg(F.count("*").cast("long").alias("n_big"))
+
+    def L(col):  # noqa: N802 — micro-integer ln, the repo idiom
+        return F.round(F.log(col.cast("double")) * 1e6).cast("long")
+
+    scored = (
+        c12.filter(F.col("c12") >= 5)
+        .join(F.broadcast(uni), "w1")
+        .join(F.broadcast(uni2), "w2")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                L(F.col("c12")) + L(F.col("n_big"))
+                - L(F.col("c1")) - L(F.col("c2"))
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), "w1", "w2"
+    ).limit(40)
+
+
+def ev_user_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): per-user KL divergence from the
+    global event-type mix — KL(pᵤ ‖ p) = Σ_t pᵤ(t)·ln(pᵤ(t)/p(t)),
+    the information-theoretic anomaly score for "whose behavior
+    distribution deviates most from the population" (the
+    distribution-shaped complement to ev_anomaly_mad's scalar outliers
+    and ev_ks_value_drift's two-sample drift).
+
+    Exact integer arithmetic throughout: with nᵤₜ, nᵤ, nₜ, N all
+    BIGINT counts, each term is nᵤₜ·(L(nᵤₜ)+L(N)−L(nᵤ)−L(nₜ)) with
+    L(x)=round(10⁶·ln x); the per-user sum of those BIGINTs DIV nᵤ is
+    kl_micro — no float ever crosses engines, and absent types
+    contribute exactly 0 (the 0·ln0 limit), which the inner-join shape
+    encodes for free. Scale: one groupBy (user, type) — map-side
+    combinable; the type dim and N are tiny broadcasts; per-user
+    reduce is |types|-wide. Top-20 by (kl_micro DESC, user_id)."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n_ut")
+    )
+    u = ut.groupBy("user_id").agg(F.sum("n_ut").alias("n_u"))
+    t = ut.groupBy("event_type").agg(F.sum("n_ut").alias("n_t"))
+    n = ut.groupBy().agg(F.sum("n_ut").alias("n_all"))
+
+    def L(col):  # noqa: N802
+        return F.round(F.log(col.cast("double")) * 1e6).cast("long")
+
+    terms = (
+        ut.join(F.broadcast(t), "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            (
+                F.col("n_ut")
+                * (
+                    L(F.col("n_ut")) + L(F.col("n_all"))
+                    - L(F.col("n_t"))
+                )
+            ).alias("contrib"),
+            "n_ut",
+        )
+    )
+    # L(n_u) enters once per user (not per term): Σ n_ut·L(n_u) = n_u·L(n_u)
+    return (
+        terms.groupBy("user_id")
+        .agg(F.sum("contrib").alias("c"), F.sum("n_ut").alias("n_u"))
+        .select(
+            "user_id",
+            # greatest(·,0): KL ≥ 0 by Gibbs' inequality, but micro-
+            # rounding can leave a tiny negative residue — clamping
+            # also sidesteps Spark-DIV (truncate) vs DuckDB-// (floor)
+            # divergence on negative numerators
+            F.expr(
+                "greatest(c - n_u * CAST(round(ln(CAST(n_u AS DOUBLE)) * 1e6)"
+                " AS BIGINT), CAST(0 AS BIGINT)) DIV n_u"
+            ).alias("kl_micro"),
+            F.col("n_u").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("kl_micro"), "user_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6109,20 +6344,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict order is deliberate (round-3 verdict item 1, rotated each
-    round per round-4 verdict item 1): the driver's correctness
-    artifact captures the FIRST 50 entries, so the head holds the
-    entries with the THINNEST driver-artifact history — this round's
-    26 brand-new entries first, then the 24 whose last driver capture
-    was r03 (they sat past the 50-entry window in r04): together they
-    fill the window exactly, then the multi-round-green middle.
-    The tail holds the 17 entries freshly
-    captured in r04 (their history is one round old — the youngest
-    possible). Net effect: every entry keeps a driver row ≤2 rounds
-    old. All entries remain verifiable at any sf via
-    tools/verify_entry.py."""
+    """Dict order is deliberate (rotated every round per the verdict's
+    standing ask): the driver's correctness artifact captures the FIRST
+    50 entries, so the head holds the entries with the THINNEST
+    evidence history. Round 5 added 76 new entries — more than the
+    window — so for this FINAL round the head-50 is chosen to maximise
+    never-driver-captured coverage: the 4 session-2 additions, then 42
+    late-wave additions (newest first — they also have the fewest
+    local verify sweeps), then the 4 riskiest earlier round-5 entries
+    (d_substring_dups and a_topk_sketch were explicit round-4 verdict
+    asks #3/#5; g_cc_incremental and e_int8_topk are the most
+    drift-prone of the wave). The 26 round-5 entries past the window have been
+    green in every full tools/verify_entry.py sweep since they landed;
+    the 24 r03-captured and 50 r04-captured entries carry prior driver
+    rows. Every entry remains verifiable at any sf via
+    tools/verify_entry.py (full-sweep artifact committed as
+    VERIFY_LOCAL_r5.json)."""
     return {
-        # -- brand-new round-5 entries (no driver history yet) --
+        # -- never driver-captured: session-2 additions (newest of all) --
+        "a_cube_events": a_cube_events,
+        "ev_pattern_match": ev_pattern_match,
+        "d_collocations": d_collocations,
+        "ev_user_kl": ev_user_kl,
+        # -- never driver-captured: late-wave round-5 additions, newest first --
+        "j_bloom_semijoin": j_bloom_semijoin,
+        "l_minmax_prune": l_minmax_prune,
+        "d_right_to_erasure": d_right_to_erasure,
+        "ev_experiment_readout": ev_experiment_readout,
+        "ev_cuped": ev_cuped,
+        "kg_turn_fanout": kg_turn_fanout,
+        "a_srm_check": a_srm_check,
+        "ev_seasonal_backtest": ev_seasonal_backtest,
+        "a_corr_lineitem": a_corr_lineitem,
+        "s_query_autocomplete": s_query_autocomplete,
+        "kg_entity_lifespan": kg_entity_lifespan,
+        "ev_sliding_window_max": ev_sliding_window_max,
+        "a_gini_revenue": a_gini_revenue,
+        "ev_benford": ev_benford,
+        "d_vocab_growth": d_vocab_growth,
+        "ev_halfsample_ci": ev_halfsample_ci,
+        "ev_top_paths": ev_top_paths,
+        "d_priority_sample": d_priority_sample,
+        "a_profile_columns": a_profile_columns,
+        "a_pareto_frontier": a_pareto_frontier,
+        "s_boolean_query": s_boolean_query,
+        "d_corpus_diff": d_corpus_diff,
+        "ev_attribution": ev_attribution,
+        "ev_welch_ttest": ev_welch_ttest,
+        "ev_cusum_alarm": ev_cusum_alarm,
+        "d_dsir_weights": d_dsir_weights,
+        "g_scc_pointer": g_scc_pointer,
+        "s_tfidf_pairs": s_tfidf_pairs,
+        "ev_mannwhitney": ev_mannwhitney,
+        "ev_ks_value_drift": ev_ks_value_drift,
+        "d_sft_release": d_sft_release,
+        "ev_hour_chi2": ev_hour_chi2,
+        "ev_temporal_reach": ev_temporal_reach,
+        "g_reach_hyperball": g_reach_hyperball,
+        "ev_anomaly_mad": ev_anomaly_mad,
+        "d_bigram_logprob": d_bigram_logprob,
+        "g_negative_samples": g_negative_samples,
+        "d_dialog_pairs": d_dialog_pairs,
+        "g_shortest_paths": g_shortest_paths,
+        "s_phrase_query": s_phrase_query,
+        "l_bucket_join": l_bucket_join,
+        "a_ols_normal_eq": a_ols_normal_eq,
+        # -- never driver-captured: riskiest of the earlier round-5 wave --
+        "d_substring_dups": d_substring_dups,
+        "a_topk_sketch": a_topk_sketch,
+        "g_cc_incremental": g_cc_incremental,
+        "e_int8_topk": e_int8_topk,
+        # four simplest late-wave entries moved past the window to make
+        # room above (pure groupBy/window algebra, many green sweeps):
+        "ev_dau_wau": ev_dau_wau,
+        "a_pareto8020": a_pareto8020,
+        "a_log_histogram": a_log_histogram,
+        "ev_time_weighted_avg": ev_time_weighted_avg,
+        # -- never driver-captured, past the window: oldest round-5 additions,
+        # green in every full local verify sweep since landing --
         "d_filter_cascade": d_filter_cascade,
         "ev_state_intervals": ev_state_intervals,
         "d_bpe_merges": d_bpe_merges,
@@ -6133,23 +6432,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_link_predict": g_link_predict,
         "kg_cooccur_lift": kg_cooccur_lift,
         "s_rrf_fusion": s_rrf_fusion,
-        "g_cc_incremental": g_cc_incremental,
         "ev_trend_slope": ev_trend_slope,
         "d_containment_pairs": d_containment_pairs,
         "g_ppr_related": g_ppr_related,
         "ev_bursts": ev_bursts,
         "a_hll_rollup": a_hll_rollup,
-        "e_int8_topk": e_int8_topk,
         "g_lpa_communities": g_lpa_communities,
         "d_chunked_docs": d_chunked_docs,
         "g_walks_custpart": g_walks_custpart,
         "g_kcore_custpart": g_kcore_custpart,
         "ev_retention_cohorts": ev_retention_cohorts,
         "a_kmv_overlap": a_kmv_overlap,
-        "d_substring_dups": d_substring_dups,
-        "a_topk_sketch": a_topk_sketch,
         "d_quota_sample": d_quota_sample,
-        # -- last driver capture r03 (aged out of the r04 window) --
+        # -- last driver capture r03 (judge re-verified green in the r04 session) --
         "e_cosine_pairs": e_cosine_pairs,
         "e_ann_lsh_topk": e_ann_lsh_topk,
         "e_ann_ivf_topk": e_ann_ivf_topk,
@@ -6174,12 +6469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "q10_returned_revenue": q10_returned_revenue,
         "q18_large_orders": q18_large_orders,
-        # --- new this session: never-driver-captured, local gate green;
-        # placed PAST the 50-entry window so the 24 r03-tail entries
-        # above keep their promised CORRECTNESS_r05 rows ---
-        "l_bucket_join": l_bucket_join,
-        "a_ols_normal_eq": a_ols_normal_eq,
-        # -- multi-round green (r02 and/or r03 + r04) --
+        # -- multi-round driver green --
         "kg_entity_adjacency": kg_entity_adjacency,
         "g_neighbors_spark": g_neighbors_spark,
         "g_k_hop_spark": g_k_hop_spark,
@@ -6213,7 +6503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lang_guess": d_lang_guess,
         "d_quality": d_quality,
         "e_cosine_topk": e_cosine_topk,
-        # -- freshly captured in r04 (youngest history → tail) --
+        # -- freshly captured green in r04 --
         "kg_full_pipeline": kg_full_pipeline,
         "g_depth_entities": g_depth_entities,
         "g_pagerank_entities": g_pagerank_entities,
@@ -6231,55 +6521,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_bm25_rank": s_bm25_rank,
         "a_approx_quantile": a_approx_quantile,
         "ev_funnel": ev_funnel,
-        # -- round-5 LATE wave (added after the r05 window plan was
-        # fixed; kept past position 50 so the 24 r03-aged entries keep
-        # their promised driver capture — these are verified locally
-        # via tools/verify_entry.py + pytest and rotate into the r06
-        # head as the thinnest-history entries) --
-        "s_phrase_query": s_phrase_query,
-        "g_shortest_paths": g_shortest_paths,
-        "d_dialog_pairs": d_dialog_pairs,
-        "g_negative_samples": g_negative_samples,
-        "d_bigram_logprob": d_bigram_logprob,
-        "ev_anomaly_mad": ev_anomaly_mad,
-        "g_reach_hyperball": g_reach_hyperball,
-        "ev_temporal_reach": ev_temporal_reach,
-        "ev_hour_chi2": ev_hour_chi2,
-        "d_sft_release": d_sft_release,
-        "ev_ks_value_drift": ev_ks_value_drift,
-        "ev_mannwhitney": ev_mannwhitney,
-        "s_tfidf_pairs": s_tfidf_pairs,
-        "g_scc_pointer": g_scc_pointer,
-        "d_dsir_weights": d_dsir_weights,
-        "ev_cusum_alarm": ev_cusum_alarm,
-        "ev_welch_ttest": ev_welch_ttest,
-        "ev_attribution": ev_attribution,
-        "d_corpus_diff": d_corpus_diff,
-        "ev_time_weighted_avg": ev_time_weighted_avg,
-        "s_boolean_query": s_boolean_query,
-        "a_pareto_frontier": a_pareto_frontier,
-        "a_profile_columns": a_profile_columns,
-        "d_priority_sample": d_priority_sample,
-        "ev_top_paths": ev_top_paths,
-        "ev_halfsample_ci": ev_halfsample_ci,
-        "d_vocab_growth": d_vocab_growth,
-        "ev_benford": ev_benford,
-        "a_gini_revenue": a_gini_revenue,
-        "ev_sliding_window_max": ev_sliding_window_max,
-        "a_log_histogram": a_log_histogram,
-        "kg_entity_lifespan": kg_entity_lifespan,
-        "s_query_autocomplete": s_query_autocomplete,
-        "a_pareto8020": a_pareto8020,
-        "ev_dau_wau": ev_dau_wau,
-        "a_corr_lineitem": a_corr_lineitem,
-        "ev_seasonal_backtest": ev_seasonal_backtest,
-        "a_srm_check": a_srm_check,
-        "kg_turn_fanout": kg_turn_fanout,
-        "ev_cuped": ev_cuped,
-        "ev_experiment_readout": ev_experiment_readout,
-        "d_right_to_erasure": d_right_to_erasure,
-        "l_minmax_prune": l_minmax_prune,
-        "j_bloom_semijoin": j_bloom_semijoin,
     }
 
 
@@ -6675,6 +6916,109 @@ def _knn_exact_sql(extra_cols: str = "") -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "a_cube_events": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT CAST(grouping(event_type, dow) AS BIGINT) AS grp_id,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM base
+            GROUP BY CUBE(event_type, dow)
+            ORDER BY grp_id, event_type, dow
+        """,
+        "ev_pattern_match": """
+            WITH codes AS (
+              SELECT user_id, ts, event_id,
+                     CASE event_type
+                       WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                       WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                       ELSE 'e' END AS code
+              FROM events
+            ),
+            seqs AS (
+              SELECT user_id,
+                     left(string_agg(code, '' ORDER BY ts, event_id),
+                          10000) AS seq
+              FROM codes GROUP BY user_id
+            ),
+            pu AS (
+              SELECT user_id,
+                     CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+                       AS n_matches
+              FROM seqs
+            )
+            SELECT n_matches,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n_matches) AS BIGINT) AS total_matches
+            FROM pu GROUP BY n_matches ORDER BY n_matches
+        """,
+        "d_collocations": """
+            WITH t AS (
+              SELECT list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS toks
+              FROM documents
+            ),
+            d2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+            bg AS MATERIALIZED (
+              SELECT bg[1] AS w1, bg[2] AS w2
+              FROM (SELECT unnest(list_zip(toks, toks[2:])) AS bg FROM d2)
+              WHERE bg[2] IS NOT NULL
+            ),
+            c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                    FROM bg GROUP BY w1, w2),
+            u1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                   FROM bg GROUP BY w1),
+            u2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2
+                   FROM bg GROUP BY w2),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg)
+            SELECT w1, w2, c12,
+                   (CAST(round(ln(CAST(c12 AS DOUBLE)) * 1e6) AS BIGINT)
+                    + CAST(round(ln(CAST(n_big AS DOUBLE)) * 1e6) AS BIGINT)
+                    - CAST(round(ln(CAST(c1 AS DOUBLE)) * 1e6) AS BIGINT)
+                    - CAST(round(ln(CAST(c2 AS DOUBLE)) * 1e6) AS BIGINT))
+                     AS pmi_micro
+            FROM c12 JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN nt
+            WHERE c12 >= 5
+            ORDER BY pmi_micro DESC, w1, w2
+            LIMIT 40
+        """,
+        "ev_user_kl": """
+            WITH ut AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_ut
+              FROM events GROUP BY user_id, event_type
+            ),
+            ty AS (SELECT event_type, CAST(sum(n_ut) AS BIGINT) AS n_t
+                   FROM ut GROUP BY event_type),
+            n AS (SELECT CAST(sum(n_ut) AS BIGINT) AS n_all FROM ut),
+            terms AS (
+              SELECT user_id,
+                     n_ut * (CAST(round(ln(CAST(n_ut AS DOUBLE)) * 1e6)
+                               AS BIGINT)
+                             + CAST(round(ln(CAST(n_all AS DOUBLE)) * 1e6)
+                               AS BIGINT)
+                             - CAST(round(ln(CAST(n_t AS DOUBLE)) * 1e6)
+                               AS BIGINT)) AS contrib,
+                     n_ut
+              FROM ut JOIN ty USING (event_type) CROSS JOIN n
+            )
+            SELECT user_id,
+                   CAST(greatest(sum(contrib)
+                                 - sum(n_ut) * CAST(round(
+                                     ln(CAST(sum(n_ut) AS DOUBLE)) * 1e6)
+                                     AS BIGINT),
+                                 0) // sum(n_ut) AS BIGINT) AS kl_micro,
+                   CAST(sum(n_ut) AS BIGINT) AS n_events
+            FROM terms GROUP BY user_id
+            ORDER BY kl_micro DESC, user_id
+            LIMIT 20
+        """,
         "d_filter_cascade": """
             WITH f AS (
               SELECT CASE

@@ -372,3 +372,93 @@ def test_ols_normal_eq_matches_numpy_lstsq(spark):
     assert abs(row.beta1 - beta[1]) < 1e-3 * max(1, abs(beta[1]))
     assert abs(row.beta2 - beta[2]) < 1e-3 * max(1, abs(beta[2]))
     assert int(row.n) == len(m)
+
+
+def test_cube_lattice_is_consistent(spark):
+    """CUBE contract (session 2): the plan uses Expand (grouping-sets
+    replication before the shuffle, not four separate scans), and the
+    lattice is self-consistent — the grand total row equals the sum of
+    the leaf rows for both measures, every grouping set is present."""
+    from hikma_engine_spark.plans import inspect
+
+    df = entrymod.queries()["a_cube_events"](spark, SF_DIR)
+    assert "Expand" in inspect.physical_plan(df, "simple")
+    pdf = df.toPandas()
+    leaves = pdf[pdf.grp_id == 0]
+    grand = pdf[pdf.grp_id == 3]
+    assert len(grand) == 1
+    assert set(pdf.grp_id) == {0, 1, 2, 3}
+    assert grand.n_events.iloc[0] == leaves.n_events.sum()
+    assert grand.value_cents.iloc[0] == leaves.value_cents.sum()
+    # each marginal also re-sums the leaves
+    t_marg = pdf[pdf.grp_id == 1].set_index("event_type").n_events
+    assert t_marg.equals(
+        leaves.groupby("event_type").n_events.sum().reindex(t_marg.index)
+    )
+
+
+def test_pattern_match_histogram_is_consistent(spark):
+    """CEP regex-count contract: histogram covers every user exactly
+    once, per-row total_matches == n_matches * n_users, and a manual
+    single-user replay of the vc*p count agrees."""
+    import re
+
+    pdf = entrymod.queries()["ev_pattern_match"](spark, SF_DIR).toPandas()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    assert pdf.n_users.sum() == ev.user_id.nunique()
+    assert (pdf.total_matches == pdf.n_matches * pdf.n_users).all()
+    code = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    one = ev[ev.user_id == ev.user_id.iloc[0]].sort_values(["ts", "event_id"])
+    seq = "".join(code.get(t, "e") for t in one.event_type)[:10000]
+    n = len(re.findall(r"vc*p", seq))
+    # that user's count lands in the right histogram bucket
+    assert n in set(pdf.n_matches)
+
+
+def test_collocations_pmi_orders_and_floors(spark):
+    """PMI contract: exactly the count floor survives (c12 >= 5),
+    pmi_micro descends with lexical tie-break, and the top pair's PMI
+    matches a float recompute within micro-rounding slack."""
+    import numpy as np
+
+    pdf = entrymod.queries()["d_collocations"](spark, SF_DIR).toPandas()
+    assert 0 < len(pdf) <= 40
+    assert (pdf.c12 >= 5).all()
+    key = list(zip(-pdf.pmi_micro, pdf.w1, pdf.w2))
+    assert key == sorted(key)
+    # float replay of the integer-ln identity for the head row
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    import re as _re
+
+    bigs = []
+    for t in docs.text:
+        toks = [x for x in _re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if x]
+        bigs += list(zip(toks, toks[1:]))
+    import collections
+
+    c12 = collections.Counter(bigs)
+    c1 = collections.Counter(w for w, _ in bigs)
+    c2 = collections.Counter(w for _, w in bigs)
+    n = len(bigs)
+    h = pdf.iloc[0]
+    pmi = np.log(c12[(h.w1, h.w2)] * n / (c1[h.w1] * c2[h.w2]))
+    assert abs(h.pmi_micro / 1e6 - pmi) < 5e-6
+
+
+def test_user_kl_nonnegative_and_matches_scipy_free_replay(spark):
+    """KL contract: scores are >= 0 (Gibbs), descend, and the head
+    user's KL matches a float recompute within micro slack."""
+    import numpy as np
+
+    pdf = entrymod.queries()["ev_user_kl"](spark, SF_DIR).toPandas()
+    assert 0 < len(pdf) <= 20  # sf0.001 has fewer than 20 users
+    assert (pdf.kl_micro >= 0).all()
+    assert (pdf.kl_micro.values[:-1] >= pdf.kl_micro.values[1:]).all()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    h = pdf.iloc[0]
+    mine = ev[ev.user_id == h.user_id].event_type.value_counts()
+    glob = ev.event_type.value_counts()
+    pu = mine / mine.sum()
+    p = glob / glob.sum()
+    kl = float(sum(pu[t] * np.log(pu[t] / p[t]) for t in pu.index))
+    assert abs(h.kl_micro / 1e6 - kl) < 5e-5
