@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hikma_engine_spark.functions import text as tx
-from hikma_engine_spark.operators import dedup, export, similarity_search
+from hikma_engine_spark.operators import dedup, export, ranking, similarity_search
 from hikma_engine_spark.stages import discover, extract, link, materialize
 
 # ---------------------------------------------------------------------------
@@ -6335,6 +6335,244 @@ def ev_user_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): exponentially-decayed per-user
+    spend (EWMA with a 1-day half-life) — the recency-weighted metric
+    every engagement score / fraud model keeps per entity, computed
+    EXACTLY: with half-life = 1 day the weight 2^(−gap) is a power of
+    two, so weighting day-sum cents by 2^(25−gap) keeps the whole
+    score in BIGINT (gap ≤ 25 days window — a >25-day-old day would
+    contribute < 3·10⁻⁸ of the score; overflow budget: max day-cents
+    86k at sf0.1 → 1000·Σ ≈ 6·10¹⁵, three decimal orders of headroom
+    under 2⁶³) and
+    ewma_permille = 1000·num DIV den needs no float, ever — the trick
+    that turns the usually-approximate decayed aggregate into an
+    oracle-exact one.
+
+    Scale shape: ONE groupBy (user, day) with map-side combine, the
+    as-of day is a one-row broadcast max (never a driver scalar), the
+    window filter (gap ≤ 39) prunes before the per-user reduce, and
+    the per-user state is ≤ 40 (day, cents) pairs regardless of event
+    count — the bounded-state property that makes this run at 10¹²
+    events. Top-20 by (ewma, user_id). Weights are NONNEGATIVE
+    throughout (value ≥ 0 in this corpus), so Spark's truncating DIV
+    and DuckDB's flooring // agree."""
+    e = _t(spark, sf_dir, "events")
+    per_day = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    asof = per_day.groupBy().agg(F.max("day").alias("asof_day"))
+    w = per_day.crossJoin(F.broadcast(asof)).select(
+        "user_id",
+        "day_cents",
+        F.datediff("asof_day", "day").alias("gap"),
+    ).filter(F.col("gap") <= 25)
+    pow2 = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - gap AS INT))")
+    return (
+        w.select(
+            "user_id",
+            (F.col("day_cents") * pow2).alias("num"),
+            pow2.alias("den"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("num").alias("num"),
+            F.sum("den").alias("den"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+        .select(
+            "user_id",
+            F.expr("(1000 * num) DIV den").alias("ewma_permille_cents"),
+            "n_days",
+        )
+        .orderBy(F.desc("ewma_permille_cents"), "user_id")
+        .limit(20)
+    )
+
+
+def d_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): marginal-novelty curve — for each
+    ingestion-order decile of the corpus, what share of a doc's
+    distinct bigrams had NEVER appeared in any earlier doc. The
+    curation metric behind "is this crawl still adding information":
+    a corpus whose tail deciles contribute near-zero novel n-grams is
+    saturated, and this is the aggregate the dedup family's
+    doc-vs-doc view cannot see (novelty is vs ALL history, not a
+    pairwise match).
+
+    Scale shape: first-occurrence = ONE min(doc_id) groupBy over the
+    distinct (bigram, doc) stream (map-side combinable — no window
+    over history, no self-join); a doc's novel count is an equi-join
+    of its distinct bigrams against that first-occurrence dim on
+    (bigram, first_doc==doc). Deciles by ntile(10) over doc_id (total
+    order), shares in exact BIGINT millis."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = d.select("doc_id", arr.alias("toks")).filter(F.size("toks") >= 2)
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.concat_ws(" ", "b.w1", "b.w2").alias("g"))
+        .distinct()
+    )
+    first = bg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        bg.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    # distributed exact NTILE (operators.ranking) — an unpartitioned
+    # window ntile would funnel the doc dim through ONE task
+    decile = ranking.exact_ntile(per_doc, ["doc_id"], 10, "decile")
+    return (
+        decile.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.expr("(1000 * n_novel) DIV n_bigrams").alias("novelty_millis"),
+        )
+        .orderBy("decile")
+    )
+
+
+def s_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): term-proximity ranking — the
+    positional-index IR feature (min token distance between two query
+    terms per doc) that BM25's bag-of-words scoring cannot express and
+    s_phrase_query's exact-adjacency is the limit case of. Docs
+    containing BOTH 'spark' and 'window' ranked by how close the terms
+    get (then doc_id).
+
+    Scale shape: the token stream is filtered to THE TWO QUERY TERMS
+    before any shuffle (same pre-shuffle |Q|-filter doctrine as BM25),
+    so the positions join is per-doc tiny: |positions(t1)|·|positions
+    (t2)| bounded by per-doc term frequency, never corpus-sized. Min
+    distance via the equi-join on doc_id + abs-diff agg; top-20
+    TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(arr).alias("pos", "tok")
+    ).filter(F.col("tok").isin("spark", "window"))
+    p1 = toks.filter(F.col("tok") == "spark").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    p2 = toks.filter(F.col("tok") == "window").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        p1.join(p2, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("p1") - F.col("p2"))).cast("long").alias(
+                "min_dist"
+            ),
+            F.countDistinct("p1").cast("long").alias("tf_spark"),
+            F.countDistinct("p2").cast("long").alias("tf_window"),
+        )
+        .orderBy("min_dist", "doc_id")
+        .limit(20)
+    )
+
+
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): RFM segmentation — the classic
+    customer-value grid: per user Recency (days since last purchase,
+    vs the corpus as-of day), Frequency (purchase count), Monetary
+    (purchase cents), each cut into quintiles by ntile(5) over a TOTAL
+    order (metric, user_id — the tie-break that makes the cut
+    repartition-invariant and engine-identical), composed into the
+    three-digit segment code r·100 + f·10 + m. Output is the bounded
+    ≤125-row segment histogram with per-segment monetary sums.
+
+    Scale shape: one groupBy(user) builds the RFM table; the three
+    ntiles are three sorts of the USER-sized table (not the event
+    table) — at 10¹² events the heavy pass is the first agg, map-side
+    combinable; the as-of day is a one-row broadcast. Recency quintile
+    1 = most recent (ascending days-since), f/m quintile 5 = highest
+    (ascending count/cents)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    asof = p.groupBy().agg(F.max(F.to_date("ts")).alias("asof_day"))
+    rfm = (
+        p.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("cents").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "user_id",
+            F.datediff("asof_day", "last_day").cast("long").alias("recency"),
+            "freq",
+            "monetary",
+        )
+    )
+    # three distributed exact NTILEs (operators.ranking): each is a
+    # range-partitioned sort of the USER-sized table — an unpartitioned
+    # window ntile would collapse it into ONE task
+    seg = ranking.exact_ntile(rfm, ["recency", "user_id"], 5, "r")
+    seg = ranking.exact_ntile(seg, ["freq", "user_id"], 5, "f")
+    seg = ranking.exact_ntile(seg, ["monetary", "user_id"], 5, "m")
+    return (
+        seg.select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("long")
+            .alias("segment"),
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("monetary").cast("long").alias("monetary_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6349,12 +6587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 entries, so the head holds the entries with the THINNEST
     evidence history. Round 5 added 76 new entries — more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 4 session-2 additions, then 42
+    never-driver-captured coverage: the 8 session-2 additions, then 38
     late-wave additions (newest first — they also have the fewest
     local verify sweeps), then the 4 riskiest earlier round-5 entries
     (d_substring_dups and a_topk_sketch were explicit round-4 verdict
     asks #3/#5; g_cc_incremental and e_int8_topk are the most
-    drift-prone of the wave). The 26 round-5 entries past the window have been
+    drift-prone of the wave). The 30 round-5 entries past the window have been
     green in every full tools/verify_entry.py sweep since they landed;
     the 24 r03-captured and 50 r04-captured entries carry prior driver
     rows. Every entry remains verifiable at any sf via
@@ -6362,6 +6600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-2 additions (newest of all) --
+        "ev_ewma_halflife": ev_ewma_halflife,
+        "d_novelty_curve": d_novelty_curve,
+        "s_term_proximity": s_term_proximity,
+        "ev_rfm_segments": ev_rfm_segments,
         "a_cube_events": a_cube_events,
         "ev_pattern_match": ev_pattern_match,
         "d_collocations": d_collocations,
@@ -6376,11 +6618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_srm_check": a_srm_check,
         "ev_seasonal_backtest": ev_seasonal_backtest,
         "a_corr_lineitem": a_corr_lineitem,
-        "s_query_autocomplete": s_query_autocomplete,
         "kg_entity_lifespan": kg_entity_lifespan,
-        "ev_sliding_window_max": ev_sliding_window_max,
-        "a_gini_revenue": a_gini_revenue,
-        "ev_benford": ev_benford,
         "d_vocab_growth": d_vocab_growth,
         "ev_halfsample_ci": ev_halfsample_ci,
         "ev_top_paths": ev_top_paths,
@@ -6414,8 +6652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_topk_sketch": a_topk_sketch,
         "g_cc_incremental": g_cc_incremental,
         "e_int8_topk": e_int8_topk,
-        # four simplest late-wave entries moved past the window to make
+        # eight simplest late-wave entries moved past the window to make
         # room above (pure groupBy/window algebra, many green sweeps):
+        "ev_benford": ev_benford,
+        "a_gini_revenue": a_gini_revenue,
+        "ev_sliding_window_max": ev_sliding_window_max,
+        "s_query_autocomplete": s_query_autocomplete,
         "ev_dau_wau": ev_dau_wau,
         "a_pareto8020": a_pareto8020,
         "a_log_histogram": a_log_histogram,
@@ -6916,6 +7158,123 @@ def _knn_exact_sql(extra_cols: str = "") -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "ev_ewma_halflife": """
+            WITH pd AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS day_cents
+              FROM events GROUP BY user_id, CAST(ts AS DATE)
+            ),
+            a AS (SELECT max(day) AS asof_day FROM pd),
+            w AS (
+              SELECT user_id, day_cents,
+                     date_diff('day', day, asof_day) AS gap
+              FROM pd CROSS JOIN a
+              WHERE date_diff('day', day, asof_day) <= 25
+            )
+            SELECT user_id,
+                   CAST((1000 * sum(day_cents
+                                    * (CAST(1 AS BIGINT)
+                                       << CAST(25 - gap AS INT))))
+                        // sum(CAST(1 AS BIGINT)
+                               << CAST(25 - gap AS INT)) AS BIGINT)
+                     AS ewma_permille_cents,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM w GROUP BY user_id
+            ORDER BY ewma_permille_cents DESC, user_id
+            LIMIT 20
+        """,
+        "d_novelty_curve": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS toks
+              FROM documents
+            ),
+            d2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+            bg AS MATERIALIZED (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest([toks[i] || ' ' || toks[i + 1]
+                               for i in range(1, len(toks))]) AS g
+                FROM d2
+              )
+            ),
+            fo AS (SELECT g, min(doc_id) AS first_doc FROM bg GROUP BY g),
+            per_doc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_novel
+              FROM bg JOIN fo USING (g) GROUP BY doc_id
+            ),
+            dec AS (
+              SELECT *, CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT)
+                          AS decile
+              FROM per_doc
+            )
+            SELECT decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+                   CAST(sum(n_novel) AS BIGINT) AS n_novel,
+                   CAST((1000 * sum(n_novel)) // sum(n_bigrams) AS BIGINT)
+                     AS novelty_millis
+            FROM dec GROUP BY decile ORDER BY decile
+        """,
+        "s_term_proximity": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS toks
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id,
+                     unnest(toks) AS token,
+                     unnest(range(0, len(toks))) AS pos
+              FROM tk
+            ),
+            p1 AS (SELECT doc_id, pos FROM occ WHERE token = 'spark'),
+            p2 AS (SELECT doc_id, pos FROM occ WHERE token = 'window')
+            SELECT p1.doc_id,
+                   CAST(min(abs(p1.pos - p2.pos)) AS BIGINT) AS min_dist,
+                   CAST(count(DISTINCT p1.pos) AS BIGINT) AS tf_spark,
+                   CAST(count(DISTINCT p2.pos) AS BIGINT) AS tf_window
+            FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+            GROUP BY p1.doc_id
+            ORDER BY min_dist, p1.doc_id
+            LIMIT 20
+        """,
+        "ev_rfm_segments": """
+            WITH p AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'
+            ),
+            a AS (SELECT max(day) AS asof_day FROM p),
+            rfm AS (
+              SELECT user_id,
+                     CAST(date_diff('day', max(day),
+                                    (SELECT asof_day FROM a)) AS BIGINT)
+                       AS recency,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(cents) AS BIGINT) AS monetary
+              FROM p GROUP BY user_id
+            ),
+            seg AS (
+              SELECT user_id, monetary,
+                     ntile(5) OVER (ORDER BY recency, user_id) AS r,
+                     ntile(5) OVER (ORDER BY freq, user_id) AS f,
+                     ntile(5) OVER (ORDER BY monetary, user_id) AS m
+              FROM rfm
+            )
+            SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(monetary) AS BIGINT) AS monetary_cents
+            FROM seg GROUP BY segment ORDER BY segment
+        """,
         "a_cube_events": """
             WITH base AS (
               SELECT event_type,

@@ -1,0 +1,101 @@
+"""Distributed exact global ranking / ntile.
+
+Spark's window functions with an UNPARTITIONED ``Window.orderBy`` spill
+every row into ONE task — the classic hidden scale cliff: correct at
+test scale, a single-executor sort of the full table at 10⁹ rows. These
+helpers compute the SAME exact answer distributed:
+
+  1. ``repartitionByRange`` on the (total) order key — Spark's sampled
+     range partitioner; boundaries may vary run to run, but the OUTPUT
+     is boundary-invariant because ranges are ordered and disjoint and
+     the order key is total (no ties split across partitions).
+  2. ``row_number`` WITHIN each range partition (a partitioned window —
+     parallel, bounded by the range-partition size).
+  3. add the prefix-sum of per-partition row counts: a
+     #partitions-sized dim (the only single-task step — bounded by the
+     partition count, never the row count) broadcast back.
+
+``exact_ntile`` then maps the exact 1-based rank to the standard SQL
+NTILE bucket arithmetically (first ``n mod k`` buckets take
+``n div k + 1`` rows), so the result is bit-identical to
+``NTILE(k) OVER (ORDER BY ...)`` in Spark or DuckDB while scaling as a
+range-partitioned sort.
+
+No reference analog (the reference ranks in SQLite, which is
+single-node by construction — src/modules/search-service.ts ORDER BY);
+this is the scale path for any exact quantile-bucket assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_gr_pid"
+_LOCAL = "_gr_local"
+_OFF = "_gr_off"
+_N = "_gr_n"
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact 1-based global row_number under a TOTAL order (the caller
+    must make ``order_cols`` tie-free, e.g. by appending a key column),
+    computed without a single-task sort."""
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    counts = ranged.groupBy(_PID).agg(F.count("*").alias("_c"))
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    # the offsets window runs over ≤ num_partitions rows — bounded state
+    offsets = counts.select(
+        _PID,
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("long").alias(_OFF),
+    )
+    local = ranged.withColumn(
+        _LOCAL,
+        F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols)),
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, _OFF)
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    out_col: str = "ntile",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed exact NTILE(k) OVER (ORDER BY order_cols): standard
+    SQL semantics (first n%k buckets hold n//k+1 rows), bit-identical
+    to the window ntile, scaling as a range-partitioned sort."""
+    ranked = global_rank(df, order_cols, out_col="_gr_rank",
+                         num_partitions=num_partitions)
+    total = ranked.groupBy().agg(F.count("*").cast("long").alias(_N))
+    # integer arithmetic throughout (DIV, never float division):
+    # q = n DIV k, m = n MOD k, first m buckets hold q+1 rows
+    out = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("_q", F.expr(f"{_N} DIV {k}"))
+        .withColumn("_m", F.expr(f"{_N} % {k}"))
+        .withColumn("_thr", F.expr("_m * (_q + 1)"))
+        .withColumn(
+            out_col,
+            F.expr(
+                "CAST(CASE WHEN _gr_rank <= _thr"
+                "  THEN (_gr_rank - 1) DIV (_q + 1)"
+                "  ELSE _m + (_gr_rank - _thr - 1) DIV _q"
+                " END + 1 AS BIGINT)"
+            ),
+        )
+        .drop("_gr_rank", _N, "_q", "_m", "_thr")
+    )
+    return out

@@ -462,3 +462,90 @@ def test_user_kl_nonnegative_and_matches_scipy_free_replay(spark):
     p = glob / glob.sum()
     kl = float(sum(pu[t] * np.log(pu[t] / p[t]) for t in pu.index))
     assert abs(h.kl_micro / 1e6 - kl) < 5e-5
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """operators.ranking parity: the distributed range-partitioned
+    rank/ntile is bit-identical to the single-task window ntile for
+    several (n, k) shapes, including n < k and uneven buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hikma_engine_spark.operators import ranking
+
+    for n, k in [(97, 5), (3, 5), (100, 10), (17, 4)]:
+        df = spark.range(n).select(
+            (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("uid")
+        )
+        got = (
+            ranking.exact_ntile(df, ["v", "uid"], k, "b", num_partitions=7)
+            .select("v", "uid", "b")
+            .toPandas()
+            .sort_values(["v", "uid"])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.select(
+                "v",
+                "uid",
+                F.ntile(k).over(Window.orderBy("v", "uid")).cast("long").alias("b"),
+            )
+            .toPandas()
+            .sort_values(["v", "uid"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), (n, k)
+
+
+def test_ewma_halflife_is_exact_power_decay(spark):
+    """EWMA contract: the head user's score equals a pandas replay of
+    the 2^-gap weighting exactly (integer arithmetic, no tolerance)."""
+    pdf = entrymod.queries()["ev_ewma_halflife"](spark, SF_DIR).toPandas()
+    assert (pdf.ewma_permille_cents >= 0).all()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    ev["day"] = ev.ts.dt.normalize()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    pd_day = ev.groupby(["user_id", "day"], as_index=False).cents.sum()
+    asof = pd_day.day.max()
+    pd_day["gap"] = (asof - pd_day.day).dt.days
+    w = pd_day[pd_day.gap <= 25]
+    h = pdf.iloc[0]
+    mine = w[w.user_id == h.user_id]
+    num = int((mine.cents * (2 ** (25 - mine.gap))).sum())
+    den = int((2 ** (25 - mine.gap)).sum())
+    assert h.ewma_permille_cents == (1000 * num) // den
+    assert h.n_days == len(mine)
+
+
+def test_novelty_curve_decreases_and_accounts(spark):
+    """Novelty contract: deciles partition the >=2-token docs, shares
+    are valid millis, and the first decile is more novel than the
+    last (a corpus ingested in order saturates)."""
+    import re
+
+    pdf = entrymod.queries()["d_novelty_curve"](spark, SF_DIR).toPandas()
+    assert list(pdf.decile) == list(range(1, len(pdf) + 1))
+    assert pdf.novelty_millis.between(0, 1000).all()
+    assert pdf.novelty_millis.iloc[0] > pdf.novelty_millis.iloc[-1]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    n_eligible = sum(
+        len([x for x in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if x]) >= 2
+        for t in docs.text
+    )
+    assert pdf.n_docs.sum() == n_eligible
+    assert (pdf.n_novel <= pdf.n_bigrams).all()
+
+
+def test_rfm_segments_cover_all_purchasers(spark):
+    """RFM contract: every purchasing user lands in exactly one
+    segment, digits are quintiles 1-5, monetary totals reconcile."""
+    pdf = entrymod.queries()["ev_rfm_segments"](spark, SF_DIR).toPandas()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    buyers = ev[ev.event_type == "purchase"]
+    assert pdf.n_users.sum() == buyers.user_id.nunique()
+    digits = pdf.segment.astype(int)
+    assert ((digits // 100).between(1, 5)).all()
+    assert ((digits // 10 % 10).between(1, 5)).all()
+    assert ((digits % 10).between(1, 5)).all()
+    total_cents = int(buyers.value.mul(100).round().sum())
+    assert pdf.monetary_cents.sum() == total_cents
