@@ -6573,6 +6573,166 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): HITS hubs & authorities (Kleinberg,
+    JACM 1999) on the DIRECTED customer→part purchase graph — hubs =
+    customers whose baskets concentrate on authoritative parts,
+    authorities = parts bought by strong hubs. The mutually-recursive
+    eigenvector pair PageRank (a single-score random walk) cannot
+    express; 4 unrolled power iterations.
+
+    ORACLE-EXACT iteration, no floats ever: HITS converges under ANY
+    per-step scaling, so the usual L2 normalization is replaced by L∞
+    (divide by the max) in integer micro units — score' = (10⁶·Σ) DIV
+    max(Σ) — making every iteration pure BIGINT arithmetic that DuckDB
+    replays bit-for-bit (overflow budget: scores ≤ 10⁶, so a raw sum ≤
+    10⁶·max-degree ≈ 10¹⁰ and the 10⁶-scaled numerator ≤ 10¹⁶ ≪ 2⁶³).
+
+    Scale shape: the edge list is built ONCE (distinct (cust, part)
+    from the orders⋈lineitem join) and cached — it feeds all 8
+    join+agg rounds (production would persist it to parquet; the
+    .cache() is the session analog). Each half-iteration is one
+    shuffle on the receiving side's key with map-side combine; the
+    normalization max is a one-row broadcast, never a driver scalar.
+    Hot parts are AQE-skew territory, noted — degree caps are NOT
+    applied because HITS' answer is exactly about the hubs."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    ed = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .cache()  # reused by all 8 join+agg rounds (see docstring)
+    )
+    h = ed.select("cust").distinct().withColumn(
+        "h", F.lit(1_000_000).cast("long")
+    )
+    a = None
+    for _ in range(4):
+        # localCheckpoint per half-iteration (the repo's iterative-
+        # algorithm doctrine, operators/graph.py pagerank/k-core):
+        # persist alone is NOT a planning barrier — the logical tree
+        # still deepens every round and re-plans superlinearly
+        # (measured ~3x per half-iteration); the eager checkpoint
+        # truncates lineage so every round plans against a flat
+        # materialized relation. On a real cluster this is
+        # reliableCheckpoint/parquet; localCheckpoint is the
+        # single-node analog.
+        a_raw = (
+            ed.join(h, "cust")
+            .groupBy("part")
+            .agg(F.sum("h").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        amax = a_raw.groupBy().agg(F.max("raw").alias("mx"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "part", F.expr("(1000000 * raw) DIV mx").alias("a")
+        )
+        h_raw = (
+            ed.join(a, "part")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        hmax = h_raw.groupBy().agg(F.max("raw").alias("mx"))
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "cust", F.expr("(1000000 * raw) DIV mx").alias("h")
+        )
+    top_auth = (
+        a.orderBy(F.desc("a"), "part")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("part").cast("long").alias("node_id"),
+            F.col("a").cast("long").alias("score_micro"),
+        )
+    )
+    top_hub = (
+        h.orderBy(F.desc("h"), "cust")
+        .limit(10)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("cust").cast("long").alias("node_id"),
+            F.col("h").cast("long").alias("score_micro"),
+        )
+    )
+    return top_auth.unionByName(top_hub).orderBy(
+        "side", F.desc("score_micro"), "node_id"
+    )
+
+
+def e_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): k-means assignment step over the
+    embedding table with DETERMINISTIC centroid seeding — the per-batch
+    E-step every embedding-clustering pipeline (SemDeDup, IVF coarse
+    quantizer training, topic bucketing) runs at scale. Centroids are
+    the K=8 vectors with the smallest portable 48-bit-md5 hash of
+    vec_id (the repo's cross-engine sampling idiom — a seeded draw
+    both engines replay); every vector is assigned to its nearest
+    centroid by squared L2 distance computed in EXACT integer MILLI
+    units (components quantized once via round(x·1000): diff² ≤ 6.4·10⁷
+    per dim, ×64 dims ≈ 4·10⁹ per pair — WCSS sums stay far under
+    2⁶³), ties broken by centroid id.
+
+    Scale shape: the K-row centroid dim is a broadcast (the ONLY
+    replication is K per vector — never a vector-vector join); the
+    distance is a JVM-side zip_with/aggregate column expression (no
+    Python, no UDF); assignment is a per-vector window over the K
+    candidates. Output is the K-row cluster profile: size, WCSS, and
+    mean distance (DIV — exact)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vm = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("vm"),
+    )
+    cent = (
+        vm.withColumn(
+            "hk",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .orderBy("hk", "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("vm").alias("cm"))
+    )
+    dist = vm.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("vm", "cm", lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    assigned = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.sum("dist2").cast("long").alias("wcss"),
+        )
+        .select(
+            F.col("cid").cast("long").alias("centroid_id"),
+            "n_assigned",
+            "wcss",
+            F.expr("wcss DIV n_assigned").alias("mean_dist2"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6587,12 +6747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 entries, so the head holds the entries with the THINNEST
     evidence history. Round 5 added 76 new entries — more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 8 session-2 additions, then 38
+    never-driver-captured coverage: the 10 session-2 additions, then 36
     late-wave additions (newest first — they also have the fewest
     local verify sweeps), then the 4 riskiest earlier round-5 entries
     (d_substring_dups and a_topk_sketch were explicit round-4 verdict
     asks #3/#5; g_cc_incremental and e_int8_topk are the most
-    drift-prone of the wave). The 30 round-5 entries past the window have been
+    drift-prone of the wave). The 32 round-5 entries past the window have been
     green in every full tools/verify_entry.py sweep since they landed;
     the 24 r03-captured and 50 r04-captured entries carry prior driver
     rows. Every entry remains verifiable at any sf via
@@ -6600,6 +6760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-2 additions (newest of all) --
+        "g_hits_bipartite": g_hits_bipartite,
+        "e_kmeans_assign": e_kmeans_assign,
         "ev_ewma_halflife": ev_ewma_halflife,
         "d_novelty_curve": d_novelty_curve,
         "s_term_proximity": s_term_proximity,
@@ -6618,10 +6780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_srm_check": a_srm_check,
         "ev_seasonal_backtest": ev_seasonal_backtest,
         "a_corr_lineitem": a_corr_lineitem,
-        "kg_entity_lifespan": kg_entity_lifespan,
         "d_vocab_growth": d_vocab_growth,
         "ev_halfsample_ci": ev_halfsample_ci,
-        "ev_top_paths": ev_top_paths,
         "d_priority_sample": d_priority_sample,
         "a_profile_columns": a_profile_columns,
         "a_pareto_frontier": a_pareto_frontier,
@@ -6652,8 +6812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_topk_sketch": a_topk_sketch,
         "g_cc_incremental": g_cc_incremental,
         "e_int8_topk": e_int8_topk,
-        # eight simplest late-wave entries moved past the window to make
+        # ten simplest late-wave entries moved past the window to make
         # room above (pure groupBy/window algebra, many green sweeps):
+        "ev_top_paths": ev_top_paths,
+        "kg_entity_lifespan": kg_entity_lifespan,
         "ev_benford": ev_benford,
         "a_gini_revenue": a_gini_revenue,
         "ev_sliding_window_max": ev_sliding_window_max,
@@ -7155,9 +7317,100 @@ def _knn_exact_sql(extra_cols: str = "") -> str:
     """
 
 
+
+def _hits_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled integer-L∞ HITS twin of ``g_hits_bipartite`` — every
+    iteration is BIGINT arithmetic (see the entry docstring), so the
+    replay is exact, not approximate."""
+    parts = [
+        """WITH ed AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            )""",
+        "h0 AS MATERIALIZED (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM ed)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+              SELECT part, CAST(sum(h) AS BIGINT) AS raw
+              FROM ed JOIN h{i - 1} USING (cust) GROUP BY part
+            )"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+              SELECT part,
+                     CAST((1000000 * raw) // (SELECT max(raw) FROM ar{i})
+                          AS BIGINT) AS a
+              FROM ar{i}
+            )"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+              SELECT cust, CAST(sum(a) AS BIGINT) AS raw
+              FROM ed JOIN a{i} USING (part) GROUP BY cust
+            )"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+              SELECT cust,
+                     CAST((1000000 * raw) // (SELECT max(raw) FROM hr{i})
+                          AS BIGINT) AS h
+              FROM hr{i}
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+            SELECT * FROM (
+              (SELECT 'authority' AS side, CAST(part AS BIGINT) AS node_id,
+                      a AS score_micro
+               FROM a{n_iter} ORDER BY a DESC, part LIMIT 10)
+              UNION ALL
+              (SELECT 'hub' AS side, CAST(cust AS BIGINT) AS node_id,
+                      h AS score_micro
+               FROM h{n_iter} ORDER BY h DESC, cust LIMIT 10)
+            )
+            ORDER BY side, score_micro DESC, node_id
+        """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "g_hits_bipartite": _hits_oracle_sql(),
+        "e_kmeans_assign": """
+            WITH e AS (
+              SELECT vec_id,
+                     [CAST(round(x * 1000) AS BIGINT)
+                      for x in embedding::DOUBLE[]] AS vm
+              FROM embeddings
+            ),
+            c AS (
+              SELECT vec_id AS cid, vm AS cm
+              FROM e
+              ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)
+                            AS BIGINT), vec_id
+              LIMIT 8
+            ),
+            d AS (
+              SELECT e.vec_id, c.cid,
+                     CAST(list_sum(list_transform(list_zip(e.vm, c.cm),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])))
+                          AS BIGINT) AS dist2
+              FROM e CROSS JOIN c
+            ),
+            a AS (
+              SELECT vec_id, cid, dist2 FROM d
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, cid) = 1
+            )
+            SELECT CAST(cid AS BIGINT) AS centroid_id,
+                   CAST(count(*) AS BIGINT) AS n_assigned,
+                   CAST(sum(dist2) AS BIGINT) AS wcss,
+                   CAST(sum(dist2) // count(*) AS BIGINT) AS mean_dist2
+            FROM a GROUP BY cid ORDER BY centroid_id
+        """,
         "ev_ewma_halflife": """
             WITH pd AS (
               SELECT user_id, CAST(ts AS DATE) AS day,

@@ -549,3 +549,30 @@ def test_rfm_segments_cover_all_purchasers(spark):
     assert ((digits % 10).between(1, 5)).all()
     total_cents = int(buyers.value.mul(100).round().sum())
     assert pdf.monetary_cents.sum() == total_cents
+
+
+def test_hits_linf_normalization_invariants(spark):
+    """HITS contract: both sides are L-inf normalized (the max score is
+    exactly 10^6 and in the top-10 by construction), scores are in
+    (0, 10^6], and the two sides partition the output."""
+    pdf = entrymod.queries()["g_hits_bipartite"](spark, SF_DIR).toPandas()
+    for side in ("authority", "hub"):
+        s = pdf[pdf.side == side]
+        assert 0 < len(s) <= 10
+        assert s.score_micro.max() == 1_000_000
+        assert (s.score_micro > 0).all()
+    assert set(pdf.side) == {"authority", "hub"}
+
+
+def test_kmeans_assignment_partitions_and_self_assigns(spark):
+    """k-means E-step contract: every vector lands in exactly one
+    cluster, every centroid cluster is non-empty (a centroid is at
+    distance 0 from itself), and mean_dist2 is the exact integer
+    quotient."""
+    pdf = entrymod.queries()["e_kmeans_assign"](spark, SF_DIR).toPandas()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert pdf.n_assigned.sum() == emb.count()
+    assert (pdf.n_assigned >= 1).all()
+    assert (pdf.mean_dist2 == pdf.wcss // pdf.n_assigned).all()
+    vec_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert set(pdf.centroid_id).issubset(vec_ids)
