@@ -6733,6 +6733,88 @@ def e_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 2): Kaplan-Meier survival curve for
+    time-to-first-purchase — the right-censoring-aware estimator
+    (Kaplan & Meier, JASA 1958) that a naive conversion-rate-by-day
+    query gets WRONG whenever observation windows differ per user:
+    users who never purchase are censored at the observation horizon,
+    not dropped, so they contribute to the at-risk denominator exactly
+    as long as they were watched. Opens the survival-analysis family
+    next to the location (MAD), rank (KS/MWU) and parametric (Welch)
+    corners.
+
+    Exact arithmetic: the survival product S(t) = Π (1 − dᵢ/nᵢ) is
+    carried in LOG domain as the running BIGINT sum of
+    round(10⁶·ln((nᵢ−dᵢ)/nᵢ)) — the micro-integer ln idiom — so the
+    curve is hash-exact; once nᵢ == dᵢ the curve is absorbed at S=0
+    (ln undefined) and s_lnmicro goes NULL under an explicit absorbed
+    flag (a cumulative max), never silently skipped.
+
+    Scale shape: the ONLY full pass is two conditional min/max aggs
+    over events (map-side combinable) building the per-user
+    (duration, event?) table; everything after runs on the
+    duration-DIM (observation-window-sized, ≤ a few hundred rows —
+    same bounded-dim doctrine as the seasonal/CUSUM entries), where
+    the at-risk tail sum and the running log-product are windows over
+    that dim. The asof horizon is a one-row broadcast."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("fp"),
+    )
+    asof = per_user.groupBy().agg(F.max("fd").alias("a0"), F.max("fp").alias("a1"))
+    asof = asof.select(F.greatest("a0", "a1").alias("asof_day"))
+    durs = per_user.crossJoin(F.broadcast(asof)).select(
+        F.datediff(F.coalesce("fp", "asof_day"), "fd").cast("long").alias(
+            "dur"
+        ),
+        F.col("fp").isNotNull().alias("event"),
+    )
+    dim = durs.groupBy("dur").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("event"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    w_tail = Window.orderBy("dur").rowsBetween(0, Window.unboundedFollowing)
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        dim.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_tail))
+        .withColumn(
+            "term_micro",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.round(
+                    F.log(
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    )
+                    * 1e6
+                ).cast("long"),
+            ),
+        )
+        .withColumn(
+            "absorbed",
+            F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_run)
+            == 1,
+        )
+        .withColumn(
+            "s_lnmicro",
+            F.when(~F.col("absorbed"), F.sum("term_micro").over(w_run)),
+        )
+    )
+    return km.select(
+        "dur",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "absorbed",
+        "s_lnmicro",
+    ).orderBy("dur")
+
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6747,12 +6829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 entries, so the head holds the entries with the THINNEST
     evidence history. Round 5 added 76 new entries — more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 10 session-2 additions, then 36
+    never-driver-captured coverage: the 11 session-2 additions, then 35
     late-wave additions (newest first — they also have the fewest
     local verify sweeps), then the 4 riskiest earlier round-5 entries
     (d_substring_dups and a_topk_sketch were explicit round-4 verdict
     asks #3/#5; g_cc_incremental and e_int8_topk are the most
-    drift-prone of the wave). The 32 round-5 entries past the window have been
+    drift-prone of the wave). The 33 round-5 entries past the window have been
     green in every full tools/verify_entry.py sweep since they landed;
     the 24 r03-captured and 50 r04-captured entries carry prior driver
     rows. Every entry remains verifiable at any sf via
@@ -6760,6 +6842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-2 additions (newest of all) --
+        "ev_survival_km": ev_survival_km,
         "g_hits_bipartite": g_hits_bipartite,
         "e_kmeans_assign": e_kmeans_assign,
         "ev_ewma_halflife": ev_ewma_halflife,
@@ -6783,7 +6866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_vocab_growth": d_vocab_growth,
         "ev_halfsample_ci": ev_halfsample_ci,
         "d_priority_sample": d_priority_sample,
-        "a_profile_columns": a_profile_columns,
         "a_pareto_frontier": a_pareto_frontier,
         "s_boolean_query": s_boolean_query,
         "d_corpus_diff": d_corpus_diff,
@@ -6812,8 +6894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_topk_sketch": a_topk_sketch,
         "g_cc_incremental": g_cc_incremental,
         "e_int8_topk": e_int8_topk,
-        # ten simplest late-wave entries moved past the window to make
+        # eleven simplest late-wave entries moved past the window to make
         # room above (pure groupBy/window algebra, many green sweeps):
+        "a_profile_columns": a_profile_columns,
         "ev_top_paths": ev_top_paths,
         "kg_entity_lifespan": kg_entity_lifespan,
         "ev_benford": ev_benford,
@@ -7378,6 +7461,56 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "ev_survival_km": """
+            WITH pu AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+                     min(CASE WHEN event_type = 'purchase'
+                              THEN CAST(ts AS DATE) END) AS fp
+              FROM events GROUP BY user_id
+            ),
+            a AS (SELECT greatest(max(fd), max(fp)) AS asof_day FROM pu),
+            durs AS (
+              SELECT CAST(date_diff('day', fd,
+                            coalesce(fp, (SELECT asof_day FROM a)))
+                          AS BIGINT) AS dur,
+                     fp IS NOT NULL AS event
+              FROM pu
+            ),
+            dim AS (
+              SELECT dur,
+                     CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d,
+                     CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT)
+                       AS c
+              FROM durs GROUP BY dur
+            ),
+            km AS (
+              SELECT dur, d, c,
+                     CAST(sum(d + c) OVER (ORDER BY dur
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS BIGINT) AS n_risk
+              FROM dim
+            ),
+            t AS (
+              SELECT *,
+                     CASE WHEN d < n_risk THEN
+                       CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE)) * 1e6)
+                            AS BIGINT)
+                     END AS term_micro,
+                     max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) = 1 AS absorbed
+              FROM km
+            )
+            SELECT dur, n_risk, d AS n_events, c AS n_censored, absorbed,
+                   CASE WHEN NOT absorbed THEN
+                     CAST(sum(term_micro) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT)
+                   END AS s_lnmicro
+            FROM t ORDER BY dur
+        """,
         "g_hits_bipartite": _hits_oracle_sql(),
         "e_kmeans_assign": """
             WITH e AS (

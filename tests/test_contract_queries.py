@@ -576,3 +576,32 @@ def test_kmeans_assignment_partitions_and_self_assigns(spark):
     assert (pdf.mean_dist2 == pdf.wcss // pdf.n_assigned).all()
     vec_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert set(pdf.centroid_id).issubset(vec_ids)
+
+
+def test_survival_km_telescopes_and_matches_replay(spark):
+    """KM contract: the at-risk counts telescope (n_risk(t+1) =
+    n_risk(t) - d - c), the log-survival curve is nonincreasing, and
+    the head rows match an exact integer pandas replay of the
+    product-limit estimator."""
+    import numpy as np
+
+    pdf = entrymod.queries()["ev_survival_km"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    nr = pdf.n_risk.to_numpy()
+    d = pdf.n_events.to_numpy()
+    c = pdf.n_censored.to_numpy()
+    assert (nr[1:] == nr[:-1] - d[:-1] - c[:-1]).all()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    ev["day"] = ev.ts.dt.normalize()
+    fd = ev.groupby("user_id").day.min()
+    fp = ev[ev.event_type == "purchase"].groupby("user_id").day.min()
+    assert nr[0] == len(fd)
+    s = pdf[~pdf.absorbed].s_lnmicro.to_numpy()
+    assert (np.diff(s) <= 0).all()
+    # exact replay of the first event time's term
+    t0 = pdf.iloc[0]
+    if t0.n_events < t0.n_risk:
+        term = round(
+            np.log((t0.n_risk - t0.n_events) / t0.n_risk) * 1e6
+        )
+        assert t0.s_lnmicro == term
