@@ -605,3 +605,55 @@ def test_survival_km_telescopes_and_matches_replay(spark):
             np.log((t0.n_risk - t0.n_events) / t0.n_risk) * 1e6
         )
         assert t0.s_lnmicro == term
+
+
+def test_semdedup_ledger_accounts_and_cliques(spark):
+    """SemDeDup contract: the per-cluster ledger partitions the vector
+    set, kept >= 1 per non-empty cluster, and on the planted fixture
+    the pairwise drop rule equals the transitive one (same-group pairs
+    form cliques under the tau margin — the docstring's claim)."""
+    pdf = entrymod.queries()["d_semdedup"](spark, SF_DIR).toPandas()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert pdf.n_vectors.sum() == emb.count()
+    assert (pdf.n_kept + pdf.n_dropped == pdf.n_vectors).all()
+    assert (pdf.n_kept >= 1).all()
+    # clique check: within each cluster the planted near-dup groups are
+    # label groups; dropping all-but-min-id per (cluster, label) must
+    # reproduce the ledger exactly
+    import pandas as pd
+
+    e = entrymod._clustered_embeddings(emb).toPandas()
+    vm = e.embedding.apply(
+        lambda a: tuple(int(round(x * 1000)) for x in a)
+    )
+    import hashlib
+
+    hk = e.vec_id.apply(
+        lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+    )
+    cent = e.assign(hk=hk).sort_values(["hk", "vec_id"]).head(8)
+    cvm = {r.vec_id: vm[r.Index] for r in cent.itertuples()}
+
+    def assign(row_vm):
+        best = min(
+            (sum((x - c) ** 2 for x, c in zip(row_vm, cv)), cid)
+            for cid, cv in cvm.items()
+        )
+        return best[1]
+
+    cids = vm.apply(assign)
+    df = pd.DataFrame({"vec_id": e.vec_id, "label": e.label, "cid": cids})
+    ledger = (
+        df.assign(
+            keep=df.groupby(["cid", "label"]).vec_id.transform("min")
+            == df.vec_id
+        )
+        .groupby("cid")
+        .agg(n_vectors=("vec_id", "size"), n_kept=("keep", "sum"))
+        .reset_index()
+        .sort_values("cid")
+    )
+    got = pdf.sort_values("centroid_id")
+    assert list(got.centroid_id) == list(ledger.cid)
+    assert list(got.n_vectors) == list(ledger.n_vectors)
+    assert list(got.n_kept) == list(ledger.n_kept)
