@@ -6924,6 +6924,251 @@ def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): EXACT distributed weighted median
+    — per return flag, the price point at which half the shipped
+    QUANTITY (not half the rows) lies at-or-below. The inventory /
+    pricing metric percentile_disc cannot give you (it weights rows
+    equally), computed with zero floats: the half-mass test is
+    `2*cum_weight >= total_weight` in BIGINT, so no 0.5 multiplier
+    ever exists.
+
+    Scale shape: the stream first collapses to (flag, price) grain via
+    ONE map-side-combinable groupBy — the window then sorts the
+    collapsed dim (|distinct prices| rows, not |lineitem| rows), the
+    same trick a 100 TB run needs since a per-row window would sort
+    the full fact table. Both windows share one partitioning
+    (l_returnflag) so the sort is paid once. For the
+    too-many-distinct-values regime the GK sketch entry
+    (a_approx_quantile) is the documented approximate sibling."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+        .groupBy("l_returnflag", "price_cents")
+        .agg(F.sum("qty").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = base.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wtot).alias("totw"),
+    )
+    return (
+        cum.filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.min("totw").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def a_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): 3-sigma outlier detection with
+    ZERO floating point — the |x - mean| > 3*stddev test rewritten as
+    the integer inequality (n*x - S1)^2 > 9*(n*S2 - S1^2), which is
+    the original test multiplied through by n^2 (sigma^2 =
+    (n*S2 - S1^2)/n^2). No sqrt, no division, no float drift between
+    engines — the reason this twins exactly while the usual
+    stddev-based scan cannot. Intermediates can exceed 2^63 at scale,
+    so they ride DECIMAL(38,0) on Spark / HUGEINT on DuckDB; only the
+    boolean verdict and the final counts leave the wide domain.
+
+    Scale shape: two passes over the fact stream — an algebraic
+    (n, S1, S2) groupBy with map-side combine (per-type state is three
+    numbers, skew-immune), then the per-type stats re-joined as a
+    BROADCAST dim (|event types| rows) for the per-row verdict. No
+    window, no shuffle of the fact table at all."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    stats = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lhs = d("n") * d("cents") - d("s1")
+    rhs = F.lit(9).cast("decimal(38,0)") * (d("n") * d("s2") - d("s1") * d("s1"))
+    return (
+        x.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.when(lhs * lhs > rhs, F.lit(1)).otherwise(F.lit(0)).alias("o"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.sum("o").cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.expr("(1000 * n_outliers) DIV n").alias("outlier_permille"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): peak-concurrency sweep — per day,
+    the maximum number of simultaneously-active user sessions and the
+    instant the peak is first reached. The classic interval-overlap
+    counting problem (capacity planning / rate limiting / licence
+    audit), solved with the +1/-1 boundary sweep: each (user, day)
+    activity interval [min ts, max ts] emits a start(+1) and an
+    end(-1) event; a running sum over the merged boundary stream IS
+    the live concurrency. Tie order (ts, delta DESC, user) processes
+    starts before ends at the same instant, so touching intervals
+    count as concurrent — deterministic on both engines.
+
+    Scale shape: intervals come from ONE (user, day) groupBy
+    (map-side min/max); the sweep window partitions by DAY, so every
+    day sorts independently — there is no global ordered sweep, which
+    is the scale trap of the naive formulation. Peak instant leaves
+    the plan as exact MICROS since a fixed epoch literal (the
+    ev_state_intervals idiom)."""
+    e = _t(spark, sf_dir, "events")
+    iv = (
+        e.select("user_id", F.to_date("ts").alias("day"), "ts")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    bounds = iv.select(
+        "day", "user_id", F.col("t0").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "day", "user_id", F.col("t1").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    wsweep = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = bounds.select(
+        "day", "ts", "delta", F.sum("delta").over(wsweep).alias("live")
+    )
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    peaks = run.groupBy("day").agg(F.max("live").cast("long").alias("peak"))
+    return (
+        run.join(peaks, "day")
+        .filter(F.col("live") == F.col("peak"))
+        .groupBy("day")
+        .agg(
+            F.min("peak").alias("peak_concurrent"),
+            F.min(F.expr(us)).alias("first_peak_us"),
+        )
+        .join(
+            iv.groupBy("day").agg(F.count("*").cast("long").alias("n_sessions")),
+            "day",
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrent",
+            "first_peak_us",
+            "n_sessions",
+        )
+        .orderBy("day")
+    )
+
+
+def d_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): winnowing fingerprint dedup — the
+    MOSS algorithm (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    k-gram (k=3 tokens), keep the MINIMUM hash of each window of w=4
+    consecutive k-grams, and two documents sharing >=2 selected
+    fingerprints are candidate partial-copies. Winnowing guarantees
+    any shared run of >= w+k-1 tokens yields at least one shared
+    fingerprint while keeping the per-doc signature ~2/(w+1) of the
+    gram count — the position-robust middle ground between full-doc
+    hashing (d_fingerprint_dups) and the suffix-style span index
+    (d_substring_dups). Tie-breaking inside a window is irrelevant
+    here because only the fingerprint VALUE set per doc survives the
+    DISTINCT.
+
+    Scale shape: gram hashing is narrow per-doc work (window
+    lead/min partitioned by doc_id — each doc sorts its own token
+    stream, no cross-doc shuffle until the fingerprint join);
+    candidate generation is the dedup-family bucketed join with the
+    standard hot-bucket cap (fingerprints shared by > 50 docs are
+    boilerplate — dropped on BOTH engines, the d_minhash_pairs
+    discipline). Pairs never materialize beyond capped buckets.
+    48-bit md5 hashes are the repo's portable cross-engine idiom."""
+    dcs = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = dcs.select("doc_id", arr.alias("toks")).filter(F.size("toks") >= 6)
+    t = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        t.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(wdoc),
+                F.lead("tok", 2).over(wdoc),
+            ).alias("gram"),
+            F.lead("tok", 2).over(wdoc).alias("_t3"),
+        )
+        .filter(F.col("_t3").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    wwin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = (
+        grams.select(
+            "doc_id",
+            F.min("h").over(wwin).alias("fp"),
+            F.count("h").over(wwin).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") == 4)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    hot = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= 50)
+    kept = fp.join(hot.select("fp"), "fp")
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6950,7 +7195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py (full-sweep artifact committed as
     VERIFY_LOCAL_r5.json)."""
     return {
-        # -- never driver-captured: session-2 additions (newest of all) --
+        # -- never driver-captured: session-3 additions (newest of all) --
+        "a_weighted_median": a_weighted_median,
+        "a_zscore_outliers": a_zscore_outliers,
+        "ev_peak_concurrency": ev_peak_concurrency,
+        "d_winnowing_pairs": d_winnowing_pairs,
+        # -- never driver-captured: session-2 additions --
         "d_semdedup": d_semdedup,
         "ev_survival_km": ev_survival_km,
         "g_hits_bipartite": g_hits_bipartite,
@@ -7571,6 +7821,141 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "a_weighted_median": """
+            WITH base AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                     CAST(round(l_quantity) AS BIGINT) AS qty
+              FROM lineitem
+            ),
+            g AS (
+              SELECT l_returnflag, price_cents,
+                     CAST(sum(qty) AS BIGINT) AS w
+              FROM base GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT l_returnflag, price_cents,
+                     sum(w) OVER (PARTITION BY l_returnflag
+                                  ORDER BY price_cents
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cumw,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS totw
+              FROM g
+            )
+            SELECT l_returnflag,
+                   CAST(min(price_cents) AS BIGINT) AS weighted_median_cents,
+                   CAST(min(totw) AS BIGINT) AS total_weight
+            FROM c WHERE cumw * 2 >= totw
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "a_zscore_outliers": """
+            WITH x AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            st AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS s1,
+                     CAST(sum(cents * cents) AS BIGINT) AS s2
+              FROM x GROUP BY event_type
+            ),
+            v AS (
+              SELECT x.event_type, st.n,
+                     CASE WHEN (CAST(st.n AS HUGEINT) * x.cents - st.s1)
+                               * (CAST(st.n AS HUGEINT) * x.cents - st.s1)
+                               > 9 * (CAST(st.n AS HUGEINT) * st.s2
+                                      - CAST(st.s1 AS HUGEINT) * st.s1)
+                          THEN 1 ELSE 0 END AS o
+              FROM x JOIN st USING (event_type)
+            )
+            SELECT event_type,
+                   CAST(min(n) AS BIGINT) AS n,
+                   CAST(sum(o) AS BIGINT) AS n_outliers,
+                   CAST((1000 * CAST(sum(o) AS BIGINT)) // min(n) AS BIGINT)
+                     AS outlier_permille
+            FROM v GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "ev_peak_concurrency": """
+            WITH iv AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     min(ts) AS t0, max(ts) AS t1
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+              SELECT day, user_id, t0 AS ts, 1 AS delta FROM iv
+              UNION ALL
+              SELECT day, user_id, t1 AS ts, -1 AS delta FROM iv
+            ),
+            run AS (
+              SELECT day, ts, delta,
+                     sum(delta) OVER (PARTITION BY day
+                                      ORDER BY ts, delta DESC, user_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS live
+              FROM bounds
+            ),
+            pk AS (
+              SELECT day, CAST(max(live) AS BIGINT) AS peak FROM run
+              GROUP BY day
+            ),
+            first_peak AS (
+              SELECT r.day, min(pk.peak) AS peak_concurrent,
+                     min(date_diff('microsecond',
+                                   TIMESTAMP '2024-01-01 00:00:00', r.ts))
+                       AS first_peak_us
+              FROM run r JOIN pk USING (day)
+              WHERE r.live = pk.peak
+              GROUP BY r.day
+            ),
+            ns AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n_sessions FROM iv
+              GROUP BY day
+            )
+            SELECT strftime(f.day, '%Y-%m-%d') AS day,
+                   CAST(f.peak_concurrent AS BIGINT) AS peak_concurrent,
+                   CAST(f.first_peak_us AS BIGINT) AS first_peak_us,
+                   ns.n_sessions
+            FROM first_peak f JOIN ns USING (day)
+            ORDER BY day
+        """,
+        "d_winnowing_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     [CAST('0x' || substr(md5(t[i] || ' ' || t[i + 1]
+                                          || ' ' || t[i + 2]), 1, 12)
+                           AS BIGINT)
+                      for i in range(1, len(t) - 1)] AS hs
+              FROM toks WHERE len(t) >= 6
+            ),
+            fp AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     unnest([list_min(hs[i:i + 3])
+                             for i in range(1, len(hs) - 2)]) AS fp
+              FROM g
+            ),
+            hot AS (
+              SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50
+            ),
+            kept AS (SELECT doc_id, fp FROM fp JOIN hot USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY n_shared DESC, doc_a, doc_b
+            LIMIT 20
+        """,
         "d_semdedup": """
             WITH e AS (
               SELECT vec_id,
