@@ -7169,6 +7169,233 @@ def d_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
 
 
+def kg_assoc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): DIRECTED association-rule
+    confidence P(b|a) = c_ab/c_a over co-mention turn units — the
+    asymmetric counterpart of kg_cooccur_lift (lift is symmetric and
+    says "surprising together"; confidence says "a implies b", which
+    is what a KG linker uses to ORIENT an edge: postgres→database is
+    strong, database→postgres is weak). Emitted in exact integer
+    permille ((1000·c_ab) DIV c_a — pure integer division, zero libm,
+    the kg_cooccur_lift hash-safety doctrine).
+
+    Scale shape: one distinct per turn unit, one self-join on the
+    (conv, turn) unit key for ordered-pair counts, margins are a
+    vocabulary-sized dim broadcast back onto the pair table. Ordered
+    pairs are 2× the unordered count but the join itself is the same
+    wedge work; at 100 TB the unit key is high-cardinality so the
+    shuffle spreads, and the margin dim stays tiny (|vocab|)."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    marg = m.groupBy(F.col("surface_norm").alias("e1")).agg(
+        F.count("*").alias("n_a")
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    pairs = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") != F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").alias("n_co"))
+    )
+    return (
+        pairs.join(F.broadcast(marg), "e1")
+        .select(
+            "e1",
+            "e2",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.expr("(1000 * n_co) div n_a").cast("long").alias("conf_permille"),
+        )
+        .orderBy("e1", "e2")
+    )
+
+
+def g_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): Resource-Allocation link
+    prediction (Zhou/Lü/Zhang 2007) over the customer–part bipartite
+    graph: score(c1,c2) = Σ_{p shared} 1/deg(p) — common neighbors
+    weighted by RARITY, the index that beats raw common-neighbor and
+    Jaccard counts on recommendation benchmarks because a part bought
+    by 3 customers is strong evidence and a part bought by 40 is
+    noise. The exact-integer form is Σ (1000000 DIV deg) — floor
+    division on non-negative values agrees between Spark's `div` and
+    DuckDB's `//`, so the score is a BIGINT with no float sum.
+
+    Distinct from g_link_predict (Jaccard = overlap/union, a set-size
+    ratio): RA weights EACH common neighbor individually, so the two
+    rank pairs differently whenever shared parts differ in popularity.
+
+    Scale shape: same doctrine as g_link_predict — distinct bipartite
+    edges, per-part degree dim with the HOT-ITEM CAP deg ≤ 40 (an
+    uncapped hub part alone contributes O(n²) wedges; capped, wedge
+    work is Σ min(d,40)² — and deg-1 parts are dropped too, they
+    cannot form a pair), degree dim re-attached via broadcast, pair
+    scores via one groupBy, TakeOrderedAndProject top-50 with
+    deterministic (score desc, c1, c2) tie-break."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cp = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = (
+        cp.groupBy("p")
+        .agg(F.count("*").alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= 40))
+    )
+    kept = cp.join(F.broadcast(deg), "p")
+    a = kept.select("p", F.col("c").alias("c1"), "d")
+    b = kept.select("p", F.col("c").alias("c2"))
+    return (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("ra_micro"),
+        )
+        .orderBy(F.desc("ra_micro"), "c1", "c2")
+        .limit(50)
+    )
+
+
+def d_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): per-document TOP TF-IDF keyword
+    census — the keyword-extraction primitive a KG pipeline runs to
+    propose candidate entity surface forms beyond the gazetteer: each
+    doc nominates its single most characteristic term (tf·idf, the
+    RAKE/TextRank-lite baseline), then the census counts how many
+    docs each keyword represents. Distinct from s_tfidf_pairs (which
+    consumes the same weights into doc-PAIR cosines): this is the
+    per-doc argmax + vocabulary-grain rollup.
+
+    Integer doctrine: idf_milli = round(1000·log2(N/df)) quantized
+    once per term (the d_ccnet_buckets libm-quant precedent), weight
+    w = tf·idf_milli is a BIGINT, argmax tie-break is (w desc, token
+    asc) — fully deterministic on both engines.
+
+    Scale shape: tokenize/explode is narrow per-doc work; tf is one
+    map-side-combinable groupBy; the df dim is vocabulary-sized and
+    BROADCAST; the stopword cap (df ≤ 90% of corpus — terms in nearly
+    every doc carry ≈0 idf and only bloat the sort) keeps ubiquitous
+    tokens out of the window input at 100 TB; the per-doc argmax is a
+    (doc_id)-partitioned row_number — each doc sorts only its own
+    kept terms; the census is a vocabulary-grain groupBy. No
+    self-join anywhere. (The cap is 90% rather than s_tfidf_pairs'
+    N/10 because argmax only needs RELATIVE weights within a doc —
+    the synthetic corpus draws from a ~31-term vocabulary where an
+    N/10 cut would leave a single term corpus-wide.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    nd = d.groupBy().agg(F.count("*").alias("n_docs"))
+    kept = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
+        .select(
+            "token",
+            F.round(
+                1000 * F.log2(F.col("n_docs").cast("double") / F.col("df"))
+            )
+            .cast("long")
+            .alias("idf_milli"),
+        )
+    )
+    w = tf.join(F.broadcast(kept), "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf_milli")).alias("w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("token"))
+    top1 = (
+        w.withColumn("rk", F.row_number().over(wdoc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("token").alias("keyword"), "w")
+    )
+    return (
+        top1.groupBy("keyword")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_top1"),
+            F.max("w").cast("long").alias("max_w"),
+        )
+        .orderBy(F.desc("n_docs_top1"), "keyword")
+    )
+
+
+def ev_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): daily Shannon entropy of the
+    event-type mix — the distribution-drift guardrail next to
+    ev_ks_value_drift (values) and ev_user_kl (per-user divergence):
+    a day whose traffic collapses into one event type (entropy → 0)
+    or spreads unusually flat (entropy → log2 k) is the first symptom
+    of an instrumentation break or a bot flood.
+
+    Exact-integer form: H = Σ c_e·log2(t/c_e) / t. Quantize
+    q_e = round(1000·log2(t/c_e)) ONCE per (c,t) pair (the libm-quant
+    precedent — one rounded double per distinct ratio, identical in
+    both engines), then entropy_milli = (Σ c_e·q_e) DIV t is pure
+    BIGINT arithmetic. Numerator ≤ t·1000·log2(t) — ~2^40 at a
+    trillion rows/day, fifty bits of headroom.
+
+    Scale shape: ONE map-side-combinable groupBy to (day, type) grain
+    — the widest shuffle is |days|·|types| rows — then a days-grain
+    re-agg. The only window (the per-day total) runs on the already-
+    collapsed grain, never on raw events; no join anywhere. This is
+    the cheapest possible drift probe and stays so at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    wday = Window.partitionBy("day")
+    q = per.select(
+        "day",
+        "c",
+        F.sum("c").over(wday).alias("t"),
+    ).select(
+        "day",
+        "c",
+        "t",
+        F.round(
+            1000 * F.log2(F.col("t").cast("double") / F.col("c").cast("double"))
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        q.groupBy("day")
+        .agg(
+            F.min("t").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.expr("sum(c * q) div min(t)").cast("long").alias("entropy_milli"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_types",
+            "entropy_milli",
+        )
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7200,6 +7427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_zscore_outliers": a_zscore_outliers,
         "ev_peak_concurrency": ev_peak_concurrency,
         "d_winnowing_pairs": d_winnowing_pairs,
+        "kg_assoc_confidence": kg_assoc_confidence,
+        "g_resource_alloc": g_resource_alloc,
+        "d_keyphrases": d_keyphrases,
+        "ev_entropy_mix": ev_entropy_mix,
         # -- never driver-captured: session-2 additions --
         "d_semdedup": d_semdedup,
         "ev_survival_km": ev_survival_km,
@@ -7821,6 +8052,111 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "kg_assoc_confidence": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            marg AS (
+              SELECT e AS e1, CAST(count(*) AS BIGINT) AS n_a
+              FROM m GROUP BY e
+            ),
+            pairs AS (
+              SELECT a.e AS e1, b.e AS e2, CAST(count(*) AS BIGINT) AS n_co
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.e != b.e
+              GROUP BY 1, 2
+            )
+            SELECT e1, e2, n_co, n_a,
+                   CAST((1000 * n_co) // n_a AS BIGINT) AS conf_permille
+            FROM pairs JOIN marg USING (e1)
+            ORDER BY e1, e2
+        """,
+        "g_resource_alloc": """
+            WITH cp AS (
+              SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            deg AS (
+              SELECT p, CAST(count(*) AS BIGINT) AS d
+              FROM cp GROUP BY p
+              HAVING count(*) BETWEEN 2 AND 40
+            ),
+            kept AS (SELECT cp.c, cp.p, deg.d FROM cp JOIN deg USING (p))
+            SELECT a.c AS c1, b.c AS c2,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(1000000 // a.d) AS BIGINT) AS ra_micro
+            FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2
+            ORDER BY ra_micro DESC, c1, c2
+            LIMIT 50
+        """,
+        "d_keyphrases": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            kept AS (
+              SELECT token,
+                     CAST(round(1000 * log2(CAST(n_docs AS DOUBLE) / df))
+                          AS BIGINT) AS idf_milli
+              FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), nd
+              WHERE df * 10 <= n_docs * 9
+            ),
+            w AS (
+              SELECT doc_id, token, CAST(tf * idf_milli AS BIGINT) AS w
+              FROM tf JOIN kept USING (token)
+            ),
+            top1 AS (
+              SELECT doc_id, token AS keyword, w
+              FROM (
+                SELECT doc_id, token, w,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY w DESC, token ASC) AS rk
+                FROM w
+              ) WHERE rk = 1
+            )
+            SELECT keyword,
+                   CAST(count(*) AS BIGINT) AS n_docs_top1,
+                   CAST(max(w) AS BIGINT) AS max_w
+            FROM top1 GROUP BY keyword
+            ORDER BY n_docs_top1 DESC, keyword
+        """,
+        "ev_entropy_mix": """
+            WITH per AS (
+              SELECT CAST(ts AS DATE) AS day, event_type,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            q AS (
+              SELECT day, c,
+                     sum(c) OVER (PARTITION BY day) AS t
+              FROM per
+            ),
+            q2 AS (
+              SELECT day, c, t,
+                     CAST(round(1000 * log2(CAST(t AS DOUBLE)
+                                            / CAST(c AS DOUBLE)))
+                          AS BIGINT) AS q
+              FROM q
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(min(t) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c * q) // min(t) AS BIGINT) AS entropy_milli
+            FROM q2 GROUP BY day
+            ORDER BY day
+        """,
         "a_weighted_median": """
             WITH base AS (
               SELECT l_returnflag,
