@@ -7408,14 +7408,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 76 new entries — more than the
+    evidence history. Round 5 added 92 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 12 session-2 additions, then 34
-    late-wave additions (newest first — they also have the fewest
-    local verify sweeps), then the 4 riskiest earlier round-5 entries
-    (d_substring_dups and a_topk_sketch were explicit round-4 verdict
-    asks #3/#5; g_cc_incremental and e_int8_topk are the most
-    drift-prone of the wave). The 34 round-5 entries past the window have been
+    never-driver-captured coverage: the 8 session-3 additions, then the
+    12 session-2 additions, then 26 late-wave additions (newest first —
+    they also have the fewest local verify sweeps), then the 4 riskiest
+    earlier round-5 entries (d_substring_dups and a_topk_sketch were
+    explicit round-4 verdict asks #3/#5; g_cc_incremental and
+    e_int8_topk are the most drift-prone of the wave). The 42 round-5
+    entries past the window have been
     green in every full tools/verify_entry.py sweep since they landed;
     the 24 r03-captured and 50 r04-captured entries carry prior driver
     rows. Every entry remains verifiable at any sf via
@@ -7453,14 +7454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_fanout": kg_turn_fanout,
         "a_srm_check": a_srm_check,
         "ev_seasonal_backtest": ev_seasonal_backtest,
-        "a_corr_lineitem": a_corr_lineitem,
-        "d_vocab_growth": d_vocab_growth,
-        "ev_halfsample_ci": ev_halfsample_ci,
         "d_priority_sample": d_priority_sample,
-        "s_boolean_query": s_boolean_query,
         "d_corpus_diff": d_corpus_diff,
         "ev_attribution": ev_attribution,
-        "ev_welch_ttest": ev_welch_ttest,
         "ev_cusum_alarm": ev_cusum_alarm,
         "d_dsir_weights": d_dsir_weights,
         "g_scc_pointer": g_scc_pointer,
@@ -7468,15 +7464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_mannwhitney": ev_mannwhitney,
         "ev_ks_value_drift": ev_ks_value_drift,
         "d_sft_release": d_sft_release,
-        "ev_hour_chi2": ev_hour_chi2,
         "ev_temporal_reach": ev_temporal_reach,
         "g_reach_hyperball": g_reach_hyperball,
-        "ev_anomaly_mad": ev_anomaly_mad,
         "d_bigram_logprob": d_bigram_logprob,
         "g_negative_samples": g_negative_samples,
         "d_dialog_pairs": d_dialog_pairs,
         "g_shortest_paths": g_shortest_paths,
-        "s_phrase_query": s_phrase_query,
         "l_bucket_join": l_bucket_join,
         "a_ols_normal_eq": a_ols_normal_eq,
         # -- never driver-captured: riskiest of the earlier round-5 wave --
@@ -7484,8 +7477,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_topk_sketch": a_topk_sketch,
         "g_cc_incremental": g_cc_incremental,
         "e_int8_topk": e_int8_topk,
-        # twelve simplest late-wave entries moved past the window to make
-        # room above (pure groupBy/window algebra, many green sweeps):
+        # twenty simplest late-wave entries moved past the window to make
+        # room above (pure groupBy/window algebra, many green sweeps; the
+        # last eight made way for the session-3 additions):
+        "s_phrase_query": s_phrase_query,
+        "a_corr_lineitem": a_corr_lineitem,
+        "d_vocab_growth": d_vocab_growth,
+        "ev_halfsample_ci": ev_halfsample_ci,
+        "s_boolean_query": s_boolean_query,
+        "ev_welch_ttest": ev_welch_ttest,
+        "ev_hour_chi2": ev_hour_chi2,
+        "ev_anomaly_mad": ev_anomaly_mad,
         "a_pareto_frontier": a_pareto_frontier,
         "a_profile_columns": a_profile_columns,
         "ev_top_paths": ev_top_paths,
