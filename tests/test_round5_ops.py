@@ -2105,3 +2105,293 @@ def test_experiment_readout_matches_numpy(spark):
     ) <= 1
     assert got.a_n + got.b_n == n
     assert not got.any_reject_1pct  # A/A calibration
+
+
+# ---------------------------------------------------------------------------
+# session-3 entries
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_halfmass_replay(spark):
+    """Exact pandas replay of the quantity-weighted price median per
+    return flag: the reported price must be the SMALLEST price whose
+    cumulative quantity reaches half the flag's total (2*cum >= total
+    in integers), and total_weight must equal the flag's quantity sum."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_weighted_median"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li = li.assign(
+        price_cents=(li.l_extendedprice * 100).round().astype("int64"),
+        qty=li.l_quantity.round().astype("int64"),
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.groupby("price_cents").qty.sum().sort_index()
+        tot = int(g.sum())
+        cum = g.cumsum()
+        expect = int(cum[2 * cum >= tot].index[0])
+        assert int(got.loc[flag, "weighted_median_cents"]) == expect
+        assert int(got.loc[flag, "total_weight"]) == tot
+
+
+def test_zscore_outliers_matches_numpy(spark):
+    """The division-free 3-sigma predicate (n*x - s1)^2 > 9*(n*s2 - s1^2)
+    replayed with arbitrary-precision Python ints per event type."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["a_zscore_outliers"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev.value * 100).round().astype("int64")
+    for et, grp in cents.groupby(ev.event_type):
+        n = int(len(grp))
+        s1 = int(grp.sum())
+        s2 = int((grp.astype(object) ** 2).sum())
+        n_out = sum(
+            1 for x in grp if (n * int(x) - s1) ** 2 > 9 * (n * s2 - s1 * s1)
+        )
+        assert int(got.loc[et, "n"]) == n
+        assert int(got.loc[et, "n_outliers"]) == n_out
+        assert int(got.loc[et, "outlier_permille"]) == 1000 * n_out // n
+
+
+def test_peak_concurrency_inclusive_boundary(spark, tmp_path):
+    """Hand-built intervals pin the sweep semantics: at an exactly-shared
+    timestamp the +1 is applied before the -1 (delta DESC tie-break), so
+    a session starting the instant another ends counts as concurrent."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    d = datetime(2024, 1, 1)
+    rows = []
+    # u1 active [1s, 10s]; u2 [5s, 12s]; u3 starts exactly at u1's end
+    for uid, (a, b) in {1: (1, 10), 2: (5, 12), 3: (10, 20)}.items():
+        for sec in (a, b):
+            rows.append(
+                {
+                    "event_id": len(rows),
+                    "ts": d.replace(second=sec % 60, minute=sec // 60),
+                    "user_id": uid,
+                    "event_type": "x",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+    pd.DataFrame(rows).to_parquet(
+        str(tmp_path / "events.parquet"), coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    got = (
+        entrymod.queries()["ev_peak_concurrency"](spark, str(tmp_path))
+        .toPandas()
+        .iloc[0]
+    )
+    # at t=10s: u1 still live (+1 before -1), u2 live, u3 starts -> 3
+    assert int(got.peak_concurrent) == 3
+    assert int(got.first_peak_us) == 10_000_000
+    assert int(got.n_sessions) == 3
+
+
+def test_winnowing_detects_long_shared_run(spark, tmp_path):
+    """The winnowing guarantee: documents sharing a token run of length
+    >= w+k-1 share at least one selected fingerprint — a 30-token shared
+    run across different contexts must surface the pair; a disjoint doc
+    must not pair with anything."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    shared = " ".join(f"tok{i}" for i in range(30))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma " + shared + " delta epsilon",
+                "one two three four five " + shared,
+                " ".join(f"zzz{i}" for i in range(40)),
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    got = entrymod.queries()["d_winnowing_pairs"](spark, str(tmp_path)).toPandas()
+    pairs = set(zip(got.doc_a, got.doc_b))
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_assoc_confidence_replay_and_asymmetry(spark):
+    """Full pandas replay of the directed confidence table via the same
+    gazetteer regex over the documents-as-turns view; also asserts the
+    operator's point: conf(a->b) != conf(b->a) somewhere on this corpus."""
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = entrymod.queries()["kg_assoc_confidence"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    gaz = sorted(set(entrymod.DOC_SURFACES), key=lambda x: (-len(x), x))
+    pat = re.compile(r"\b(" + "|".join(gaz) + r")\b")
+    units = [set(pat.findall(t.lower())) for t in docs.text]
+    from collections import Counter
+
+    marg: Counter = Counter()
+    co: Counter = Counter()
+    for s in units:
+        for a in s:
+            marg[a] += 1
+            for b in s:
+                if a != b:
+                    co[(a, b)] += 1
+    expect = {
+        k: (v, marg[k[0]], 1000 * v // marg[k[0]]) for k, v in co.items()
+    }
+    got_map = {
+        (r.e1, r.e2): (r.n_co, r.n_a, r.conf_permille)
+        for r in got.itertuples(index=False)
+    }
+    assert got_map == expect
+    assert any(
+        got_map[(a, b)][2] != got_map[(b, a)][2]
+        for (a, b) in got_map
+        if (b, a) in got_map
+    )
+
+
+def test_resource_alloc_matches_bruteforce(spark):
+    """RA index replayed exactly: distinct customer-part edges, degree
+    band [2, 40], score = sum(1000000 // deg) over shared parts, top-50
+    with (score desc, c1, c2) tie-break."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = entrymod.queries()["g_resource_alloc"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    li = pd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    )
+    o = pd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+    )
+    cp = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+        .itertuples(index=False)
+    )
+    by_part = defaultdict(list)
+    for c, p in cp:
+        by_part[p].append(c)
+    score: Counter = Counter()
+    ncom: Counter = Counter()
+    for p, cs in by_part.items():
+        d = len(cs)
+        if not (2 <= d <= 40):
+            continue
+        cs = sorted(cs)
+        for i in range(d):
+            for j in range(i + 1, d):
+                key = (cs[i], cs[j])
+                score[key] += 1_000_000 // d
+                ncom[key] += 1
+    top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    expect = [(c1, c2, ncom[(c1, c2)], s) for (c1, c2), s in top]
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
+
+
+def test_keyphrases_argmax_tiebreak_and_stopword_cap(spark, tmp_path):
+    """A token present in EVERY doc is excluded by the 90% df cap; a
+    within-doc weight tie resolves alphabetically."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    # 10 docs all containing 'common'; doc0 has alpha+beta once each
+    # (equal tf, equal df -> equal w -> 'alpha' wins the tie);
+    # docs 1-9 each have a unique token twice.
+    texts = ["common alpha beta"] + [
+        f"common uniq{i} uniq{i}" for i in range(1, 10)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": texts,
+            "lang": ["en"] * 10,
+            "source": ["s"] * 10,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = entrymod.queries()["d_keyphrases"](spark, str(tmp_path)).toPandas()
+    assert "common" not in set(got.keyword)
+    top1 = dict(zip(got.keyword, got.n_docs_top1))
+    assert top1.get("alpha") == 1 and "beta" not in top1
+    assert all(top1.get(f"uniq{i}") == 1 for i in range(1, 10))
+
+
+def test_entropy_mix_hand_distributions(spark, tmp_path):
+    """Uniform 2-type day = exactly 1000 milli-bits; single-type day =
+    0; uniform 3-type day = round(1000*log2(3)) = 1585."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    rows = []
+    days = {
+        1: ["a", "a", "b", "b"],
+        2: ["a", "a", "a"],
+        3: ["a", "b", "c"],
+    }
+    for day, types in days.items():
+        for t in types:
+            rows.append(
+                {
+                    "event_id": len(rows),
+                    "ts": datetime(2024, 1, day, 12, 0, len(rows) % 60),
+                    "user_id": 1,
+                    "event_type": t,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+    pd.DataFrame(rows).to_parquet(
+        str(tmp_path / "events.parquet"), coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    got = (
+        entrymod.queries()["ev_entropy_mix"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("day")
+    )
+    assert int(got.loc["2024-01-01", "entropy_milli"]) == 1000
+    assert int(got.loc["2024-01-02", "entropy_milli"]) == 0
+    assert int(got.loc["2024-01-03", "entropy_milli"]) == 1585
+    assert int(got.loc["2024-01-03", "n_types"]) == 3
