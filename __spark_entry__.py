@@ -7396,6 +7396,129 @@ def ev_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_busy_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): interval-union coverage — per
+    day, how many microseconds had AT LEAST ONE user active, how many
+    were dead air, and how many maximal busy blocks the union merges
+    into. The measure-of-union complement to ev_peak_concurrency's
+    max-live: peak says how HIGH the overlap stacks, coverage says how
+    WIDE it spreads — together they are the classic utilization pair.
+
+    Same endpoint-sweep shape as the peak entry (±1 deltas over the
+    per-user-day [min ts, max ts] intervals — 2 rows per interval,
+    never a time-grid expansion): a segment between consecutive
+    endpoints is covered iff the running sum is > 0, segment lengths
+    come from lead(ts) over the SAME day-partitioned ordering (one
+    sort serves both window passes), block count = endpoints where a
+    +1 lifts the sweep from 0 to 1. All outputs are exact BIGINT
+    micros via timestampdiff from a fixed epoch literal (the
+    ev_state_intervals idiom — tz-free on both engines). Touching
+    intervals merge (delta DESC tie-break: +1 before −1), matching
+    the inclusive-boundary semantics the peak entry pins."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    bounds = iv.select(
+        "day", "user_id", F.col("t0").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "day", "user_id", F.col("t1").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    order = [F.col("ts"), F.col("delta").desc(), F.col("user_id")]
+    wrun = (
+        Window.partitionBy("day")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlead = Window.partitionBy("day").orderBy(*order)
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    seg = bounds.select(
+        "day",
+        "delta",
+        F.sum("delta").over(wrun).alias("live"),
+        (F.lead(F.expr(us)).over(wlead) - F.expr(us)).alias("seg_us"),
+    )
+    return (
+        seg.groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("live") > 0, F.col("seg_us")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered_us"),
+            F.sum(
+                F.when(
+                    (F.col("live") == 0) & F.col("seg_us").isNotNull(),
+                    F.col("seg_us"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("gap_us"),
+            F.sum(
+                F.when((F.col("delta") == 1) & (F.col("live") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_blocks"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "covered_us",
+            "gap_us",
+            "n_blocks",
+        )
+        .orderBy("day")
+    )
+
+
+def s_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): KWIC (keyword-in-context) snippet
+    extraction — the search-results DISPLAY layer the reference's
+    search service returns with every hit (content preview around the
+    match; src/api/services/search-service.ts result shaping): for
+    every doc containing the query term, the first-occurrence
+    position, the total hit count, and an 80-char window centred on
+    the first hit, ranked by (hits desc, doc_id) top-20.
+
+    Everything is deterministic string algebra available identically
+    in both engines: position = instr on the lowercased text (1-based
+    in both), hit count = length delta under replace() divided by the
+    term length (counts non-overlapping occurrences without a regex
+    engine), snippet = substring(lower(text), max(pos−40, 1), 80) —
+    lowercased on BOTH sides so the value hash is byte-stable.
+
+    Scale shape: narrow per-row string expressions (whole-stage
+    codegen, no UDF, no explode — the token-index entries pay the
+    explode; a display layer must not), then TakeOrderedAndProject
+    top-20. The only shuffle is the top-k merge."""
+    term = "window"
+    d = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    hit = d.select(
+        "doc_id",
+        F.instr(lt, term).alias("pos"),
+        (
+            (F.length(lt) - F.length(F.replace(lt, F.lit(term), F.lit(""))))
+            / F.lit(len(term))
+        )
+        .cast("long")
+        .alias("n_hits"),
+        lt.alias("lt"),
+    ).filter(F.col("pos") > 0)
+    return (
+        hit.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            "n_hits",
+            F.expr("substring(lt, greatest(pos - 40, 1), 80)").alias("snippet"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7432,6 +7555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_resource_alloc": g_resource_alloc,
         "d_keyphrases": d_keyphrases,
         "ev_entropy_mix": ev_entropy_mix,
+        "ev_busy_time": ev_busy_time,
+        "s_snippets": s_snippets,
         # -- never driver-captured: session-2 additions --
         "d_semdedup": d_semdedup,
         "ev_survival_km": ev_survival_km,
@@ -7451,8 +7576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_right_to_erasure": d_right_to_erasure,
         "ev_experiment_readout": ev_experiment_readout,
         "ev_cuped": ev_cuped,
-        "kg_turn_fanout": kg_turn_fanout,
-        "a_srm_check": a_srm_check,
         "ev_seasonal_backtest": ev_seasonal_backtest,
         "d_priority_sample": d_priority_sample,
         "d_corpus_diff": d_corpus_diff,
@@ -7477,9 +7600,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_topk_sketch": a_topk_sketch,
         "g_cc_incremental": g_cc_incremental,
         "e_int8_topk": e_int8_topk,
-        # twenty simplest late-wave entries moved past the window to make
-        # room above (pure groupBy/window algebra, many green sweeps; the
-        # last eight made way for the session-3 additions):
+        # twenty-two simplest late-wave entries moved past the window to
+        # make room above (pure groupBy/window algebra, many green sweeps;
+        # the last ten made way for the session-3 additions):
+        "kg_turn_fanout": kg_turn_fanout,
+        "a_srm_check": a_srm_check,
         "s_phrase_query": s_phrase_query,
         "a_corr_lineitem": a_corr_lineitem,
         "d_vocab_growth": d_vocab_growth,
@@ -8054,6 +8179,62 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "ev_busy_time": """
+            WITH iv AS (
+              SELECT CAST(ts AS DATE) AS day, user_id,
+                     min(ts) AS t0, max(ts) AS t1
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+              SELECT day, user_id, t0 AS ts, 1 AS delta FROM iv
+              UNION ALL
+              SELECT day, user_id, t1 AS ts, -1 AS delta FROM iv
+            ),
+            seg AS (
+              SELECT day, delta,
+                     sum(delta) OVER w AS live,
+                     lead(date_diff('microsecond',
+                                    TIMESTAMP '2024-01-01 00:00:00', ts))
+                       OVER w
+                     - date_diff('microsecond',
+                                 TIMESTAMP '2024-01-01 00:00:00', ts)
+                       AS seg_us
+              FROM bounds
+              WINDOW w AS (PARTITION BY day
+                           ORDER BY ts, delta DESC, user_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(sum(CASE WHEN live > 0 THEN seg_us ELSE 0 END)
+                        AS BIGINT) AS covered_us,
+                   CAST(sum(CASE WHEN live = 0 AND seg_us IS NOT NULL
+                                 THEN seg_us ELSE 0 END)
+                        AS BIGINT) AS gap_us,
+                   CAST(sum(CASE WHEN delta = 1 AND live = 1
+                                 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_blocks
+            FROM seg GROUP BY 1
+            ORDER BY day
+        """,
+        "s_snippets": """
+            WITH hit AS (
+              SELECT doc_id,
+                     CAST(strpos(lower(text), 'window') AS BIGINT) AS pos,
+                     CAST((length(lower(text))
+                           - length(replace(lower(text), 'window', '')))
+                          // 6 AS BIGINT) AS n_hits,
+                     lower(text) AS lt
+              FROM documents
+              WHERE strpos(lower(text), 'window') > 0
+            )
+            SELECT doc_id, pos, n_hits,
+                   substring(lt, CAST(greatest(pos - 40, 1) AS INT), 80)
+                     AS snippet
+            FROM hit
+            ORDER BY n_hits DESC, doc_id
+            LIMIT 20
+        """,
         "kg_assoc_confidence": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
             m AS (

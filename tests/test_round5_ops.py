@@ -2395,3 +2395,93 @@ def test_entropy_mix_hand_distributions(spark, tmp_path):
     assert int(got.loc["2024-01-02", "entropy_milli"]) == 0
     assert int(got.loc["2024-01-03", "entropy_milli"]) == 1585
     assert int(got.loc["2024-01-03", "n_types"]) == 3
+
+
+def test_busy_time_hand_intervals(spark, tmp_path):
+    """Union-coverage replay on hand intervals: overlapping+touching
+    sessions merge into one block (inclusive boundary), disjoint ones
+    count the gap between them."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    rows = []
+    # day 1: u1 [1,10], u2 [5,12], u3 [10,20] -> one block [1,20]
+    for uid, (a, b) in {1: (1, 10), 2: (5, 12), 3: (10, 20)}.items():
+        for sec in (a, b):
+            rows.append(
+                {
+                    "event_id": len(rows),
+                    "ts": datetime(2024, 1, 1, 0, 0, sec),
+                    "user_id": uid,
+                    "event_type": "x",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+    # day 2: u1 [0,5], u2 [10,15] -> two blocks, 5s gap
+    for uid, (a, b) in {1: (0, 5), 2: (10, 15)}.items():
+        for sec in (a, b):
+            rows.append(
+                {
+                    "event_id": len(rows),
+                    "ts": datetime(2024, 1, 2, 0, 0, sec),
+                    "user_id": uid,
+                    "event_type": "x",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+    pd.DataFrame(rows).to_parquet(
+        str(tmp_path / "events.parquet"), coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    got = (
+        entrymod.queries()["ev_busy_time"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("day")
+    )
+    d1 = got.loc["2024-01-01"]
+    assert (int(d1.covered_us), int(d1.gap_us), int(d1.n_blocks)) == (
+        19_000_000, 0, 1,
+    )
+    d2 = got.loc["2024-01-02"]
+    assert (int(d2.covered_us), int(d2.gap_us), int(d2.n_blocks)) == (
+        10_000_000, 5_000_000, 2,
+    )
+
+
+def test_snippets_positions_and_counts(spark, tmp_path):
+    """KWIC algebra on hand docs: 1-based first position, non-overlapping
+    hit count via the replace-length identity, 80-char window clamped at
+    the string start."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    texts = [
+        "xx Window yy window zz",  # pos 4 (case-folded), 2 hits
+        "no match here",
+        "window leads",  # pos 1 -> clamp
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        entrymod.queries()["s_snippets"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert 1 not in got.index
+    assert (int(got.loc[0, "pos"]), int(got.loc[0, "n_hits"])) == (4, 2)
+    assert got.loc[0, "snippet"] == texts[0].lower()
+    assert (int(got.loc[2, "pos"]), int(got.loc[2, "n_hits"])) == (1, 1)
+    assert got.loc[2, "snippet"] == texts[2].lower()[:80]
