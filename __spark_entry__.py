@@ -7519,6 +7519,151 @@ def s_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_two_hop_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): path-based relation inference —
+    the KG-completion rule "if a implies b and b implies c, infer a
+    implies c with confidence min(conf_ab, conf_bc)", scored as the
+    BEST intermediate (max over b of the min — the fuzzy-logic
+    composition classic path-ranking algorithms use), then compared
+    side-by-side with the OBSERVED direct confidence. A linker uses
+    exactly this gap: inferred >> direct flags a missing edge;
+    direct >> inferred flags a relation no path explains (a primary
+    association, not a transitive artifact).
+
+    All integers: confidences are the kg_assoc_confidence permilles,
+    min/max compose without arithmetic, the via tie-break is
+    (score desc, name asc). Scale shape: the confidence table is
+    vocabulary²-BOUNDED (it derives from the capped unit self-join,
+    never corpus-sized), so the two-hop self-join is a dim×dim join a
+    broadcast absorbs at any corpus size; the argmax is one
+    (a,c)-partitioned row_number over the bounded composition."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    marg = m.groupBy(F.col("surface_norm").alias("e1")).agg(
+        F.count("*").alias("n_a")
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    conf = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") != F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").alias("n_co"))
+        .join(F.broadcast(marg), "e1")
+        .select(
+            "e1",
+            "e2",
+            F.expr("(1000 * n_co) div n_a").cast("long").alias("conf"),
+        )
+    )
+    ab = conf.select(
+        F.col("e1").alias("a"), F.col("e2").alias("via"), F.col("conf").alias("c_ab")
+    )
+    bc = conf.select(
+        F.col("e1").alias("via"), F.col("e2").alias("c"), F.col("conf").alias("c_bc")
+    )
+    hops = (
+        ab.join(bc, "via")
+        .filter(F.col("a") != F.col("c"))
+        .select("a", "c", "via", F.least("c_ab", "c_bc").alias("s"))
+    )
+    wbest = Window.partitionBy("a", "c").orderBy(F.desc("s"), F.asc("via"))
+    best = (
+        hops.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("a", "c", "via", F.col("s").alias("inferred_permille"))
+    )
+    direct = conf.select(
+        F.col("e1").alias("a"),
+        F.col("e2").alias("c"),
+        F.col("conf").alias("direct_permille"),
+    )
+    return (
+        best.join(direct, ["a", "c"], "left")
+        .select(
+            "a",
+            "c",
+            "via",
+            "inferred_permille",
+            F.coalesce("direct_permille", F.lit(0))
+            .cast("long")
+            .alias("direct_permille"),
+        )
+        .orderBy("a", "c")
+    )
+
+
+def kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 3): the per-entity PROFILE CARD a KG
+    API serves on get-node-details (reference analog: the node-details
+    endpoint's adjacency summary, src/api/services/graph-service.ts)
+    — one row per entity: how many turn units mention it, its share of
+    all mention-bearing units (integer permille), its co-mention
+    degree, and its top-3 co-entities as a deterministic CSV (ranked
+    by co-count desc, name asc — assembled ORDER-SAFELY via
+    array_sort over (rank, name) structs, never a bare collect_list,
+    whose order is partition-nondeterministic).
+
+    Scale shape: units collapse once (distinct), margins/degree/co
+    counts are vocabulary-grain aggregates off the SAME capped unit
+    self-join every kg_* entry shares; the corpus-sized scalar (total
+    units) is a one-row broadcast; the top-3 pick is a row_number over
+    the vocabulary²-bounded co table. Nothing here scales with corpus
+    size except the two initial combinable aggregations."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    marg = m.groupBy(F.col("surface_norm").alias("entity")).agg(
+        F.count("*").alias("n_units")
+    )
+    total = m.select("conv_id", "turn_idx").distinct().groupBy().agg(
+        F.count("*").alias("n_total")
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("entity"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("co"))
+    cot = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("entity") != F.col("co"))
+        .groupBy("entity", "co")
+        .agg(F.count("*").alias("n_co"))
+    )
+    deg = cot.groupBy("entity").agg(F.count("*").alias("degree"))
+    wtop = Window.partitionBy("entity").orderBy(F.desc("n_co"), F.asc("co"))
+    top3 = (
+        cot.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 3)
+        .groupBy("entity")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(rk, co)))"
+                ", x -> x.co), ',')"
+            ).alias("top_co")
+        )
+    )
+    return (
+        marg.join(deg, "entity", "left")
+        .join(top3, "entity", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "entity",
+            F.col("n_units").cast("long").alias("n_units"),
+            F.expr("(1000 * n_units) div n_total")
+            .cast("long")
+            .alias("share_permille"),
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("top_co", F.lit("")).alias("top_co"),
+        )
+        .orderBy("entity")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7557,6 +7702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_entropy_mix": ev_entropy_mix,
         "ev_busy_time": ev_busy_time,
         "s_snippets": s_snippets,
+        "kg_two_hop_inference": kg_two_hop_inference,
+        "kg_entity_cards": kg_entity_cards,
         # -- never driver-captured: session-2 additions --
         "d_semdedup": d_semdedup,
         "ev_survival_km": ev_survival_km,
@@ -7576,8 +7723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_right_to_erasure": d_right_to_erasure,
         "ev_experiment_readout": ev_experiment_readout,
         "ev_cuped": ev_cuped,
-        "ev_seasonal_backtest": ev_seasonal_backtest,
-        "d_priority_sample": d_priority_sample,
         "d_corpus_diff": d_corpus_diff,
         "ev_attribution": ev_attribution,
         "ev_cusum_alarm": ev_cusum_alarm,
@@ -7600,9 +7745,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_topk_sketch": a_topk_sketch,
         "g_cc_incremental": g_cc_incremental,
         "e_int8_topk": e_int8_topk,
-        # twenty-two simplest late-wave entries moved past the window to
+        # twenty-four simplest late-wave entries moved past the window to
         # make room above (pure groupBy/window algebra, many green sweeps;
-        # the last ten made way for the session-3 additions):
+        # the last twelve made way for the session-3 additions):
+        "d_priority_sample": d_priority_sample,
+        "ev_seasonal_backtest": ev_seasonal_backtest,
         "kg_turn_fanout": kg_turn_fanout,
         "a_srm_check": a_srm_check,
         "s_phrase_query": s_phrase_query,
@@ -8179,6 +8326,95 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "kg_two_hop_inference": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            marg AS (
+              SELECT e AS e1, CAST(count(*) AS BIGINT) AS n_a
+              FROM m GROUP BY e
+            ),
+            conf AS (
+              SELECT p.e1, p.e2,
+                     CAST((1000 * p.n_co) // marg.n_a AS BIGINT) AS conf
+              FROM (
+                SELECT a.e AS e1, b.e AS e2, count(*) AS n_co
+                FROM m a JOIN m b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.e != b.e
+                GROUP BY 1, 2
+              ) p JOIN marg USING (e1)
+            ),
+            hops AS (
+              SELECT ab.e1 AS a, bc.e2 AS c, ab.e2 AS via,
+                     least(ab.conf, bc.conf) AS s
+              FROM conf ab JOIN conf bc ON ab.e2 = bc.e1
+              WHERE ab.e1 != bc.e2
+            ),
+            best AS (
+              SELECT a, c, via, s AS inferred_permille FROM (
+                SELECT a, c, via, s,
+                       row_number() OVER (PARTITION BY a, c
+                                          ORDER BY s DESC, via ASC) AS rk
+                FROM hops
+              ) WHERE rk = 1
+            )
+            SELECT b.a, b.c, b.via,
+                   CAST(b.inferred_permille AS BIGINT) AS inferred_permille,
+                   CAST(coalesce(d.conf, 0) AS BIGINT) AS direct_permille
+            FROM best b
+            LEFT JOIN conf d ON d.e1 = b.a AND d.e2 = b.c
+            ORDER BY b.a, b.c
+        """,
+        "kg_entity_cards": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            marg AS (
+              SELECT e AS entity, CAST(count(*) AS BIGINT) AS n_units
+              FROM m GROUP BY e
+            ),
+            total AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_total
+              FROM (SELECT DISTINCT conv_id, turn_idx FROM m)
+            ),
+            cot AS (
+              SELECT a.e AS entity, b.e AS co, count(*) AS n_co
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.e != b.e
+              GROUP BY 1, 2
+            ),
+            deg AS (
+              SELECT entity, CAST(count(*) AS BIGINT) AS degree
+              FROM cot GROUP BY entity
+            ),
+            top3 AS (
+              SELECT entity, string_agg(co, ',' ORDER BY rk) AS top_co
+              FROM (
+                SELECT entity, co,
+                       row_number() OVER (PARTITION BY entity
+                                          ORDER BY n_co DESC, co ASC) AS rk
+                FROM cot
+              ) WHERE rk <= 3
+              GROUP BY entity
+            )
+            SELECT marg.entity, marg.n_units,
+                   CAST((1000 * marg.n_units) // total.n_total AS BIGINT)
+                     AS share_permille,
+                   CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+                   coalesce(top3.top_co, '') AS top_co
+            FROM marg
+            LEFT JOIN deg USING (entity)
+            LEFT JOIN top3 USING (entity), total
+            ORDER BY marg.entity
+        """,
         "ev_busy_time": """
             WITH iv AS (
               SELECT CAST(ts AS DATE) AS day, user_id,

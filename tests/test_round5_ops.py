@@ -2485,3 +2485,90 @@ def test_snippets_positions_and_counts(spark, tmp_path):
     assert got.loc[0, "snippet"] == texts[0].lower()
     assert (int(got.loc[2, "pos"]), int(got.loc[2, "n_hits"])) == (1, 1)
     assert got.loc[2, "snippet"] == texts[2].lower()[:80]
+
+
+def _mention_units(docs, surfaces):
+    import re
+
+    gaz = sorted(set(surfaces), key=lambda x: (-len(x), x))
+    pat = re.compile(r"\b(" + "|".join(gaz) + r")\b")
+    return [set(pat.findall(t.lower())) for t in docs.text]
+
+
+def test_two_hop_inference_maxmin_replay(spark):
+    """Full replay: inferred = max over intermediates of min(conf_ab,
+    conf_bc) with (score desc, via asc) tie-break; direct column equals
+    the assoc-confidence table (0 when the pair never co-occurs)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = entrymod.queries()["kg_two_hop_inference"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    units = _mention_units(docs, entrymod.DOC_SURFACES)
+    marg: Counter = Counter()
+    co: Counter = Counter()
+    for s in units:
+        for x in s:
+            marg[x] += 1
+            for y in s:
+                if x != y:
+                    co[(x, y)] += 1
+    conf = {k: 1000 * v // marg[k[0]] for k, v in co.items()}
+    best = {}
+    for (x, via), c1 in conf.items():
+        for (v2, y), c2 in conf.items():
+            if v2 != via or y == x:
+                continue
+            s = min(c1, c2)
+            cur = best.get((x, y))
+            if cur is None or (-s, via) < (-cur[0], cur[1]):
+                best[(x, y)] = (s, via)
+    expect = {
+        (x, y): (via, s, conf.get((x, y), 0))
+        for (x, y), (s, via) in best.items()
+    }
+    got_map = {
+        (r.a, r.c): (r.via, r.inferred_permille, r.direct_permille)
+        for r in got.itertuples(index=False)
+    }
+    assert got_map == expect
+
+
+def test_entity_cards_replay(spark):
+    """Card columns replayed: unit share permille, co-mention degree,
+    deterministic top-3 CSV."""
+    from collections import Counter
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["kg_entity_cards"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("entity")
+    )
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    units = [u for u in _mention_units(docs, entrymod.DOC_SURFACES) if u]
+    n_total = len(units)
+    marg: Counter = Counter()
+    co: Counter = Counter()
+    for s in units:
+        for x in s:
+            marg[x] += 1
+            for y in s:
+                if x != y:
+                    co[(x, y)] += 1
+    for ent, n in marg.items():
+        row = got.loc[ent]
+        assert int(row.n_units) == n
+        assert int(row.share_permille) == 1000 * n // n_total
+        cos = [(c, y) for (x, y), c in co.items() if x == ent]
+        assert int(row.degree) == len(cos)
+        top = [y for c, y in sorted(cos, key=lambda t: (-t[0], t[1]))[:3]]
+        assert row.top_co == ",".join(top)
