@@ -7672,6 +7672,335 @@ def entry(spark: SparkSession) -> DataFrame:
     return kg_full_pipeline(spark, "/root/testdata/sf0.001")
 
 
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): time-series gap filling — the
+    hourly per-type event-count series densified over the full hour
+    spine, with the two canonical imputations side by side: LOCF
+    (last-observation-carried-forward, TimescaleDB's locf()) and exact
+    linear interpolation between the bracketing observations
+    (interpolate()/lerp). Missing hours are the GAPS a downstream
+    charting/forecast layer must not silently skip; the reference's
+    stats endpoints bucket by hour the same way
+    (src/api/services/...Stats aggregation) but leave densification to
+    the client — here it is an engine operator.
+
+    Exactness: counts are BIGINT; the lerp enters integer division
+    exactly once as (1000·prev·(nᵢ−i) + 1000·next·(i−pᵢ)) DIV
+    (nᵢ−pᵢ) — every term non-negative (counts ≥ 0 and pᵢ < i < nᵢ
+    inside the interpolation branch), so Spark's truncating DIV and
+    DuckDB's flooring // agree (the repo's negative-residue doctrine).
+    Leading/trailing edges fall back flat to the nearest observation
+    (NOCB / LOCF respectively), stated in-column, never extrapolated.
+
+    Scale shape: the spine is |hours|×|types| — bounded by the TIME
+    WINDOW, not by data volume (720×5 here; a year of 100 TB telemetry
+    is still only 8,760 rows per type), so it broadcast-joins onto the
+    aggregated counts. The count agg is map-side combinable; the two
+    imputation passes are window scans over the SAME
+    (type, hour-index) ordering, so Spark plans ONE sort for both
+    directions' cumulative last() via idx and idx DESC within the tiny
+    spine partition."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").cast("long").alias("observed"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    idx = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP_NTZ'2024-01-01 00:00:00', hour)"
+    )
+    ser = spine.join(cnt, ["hour", "event_type"], "left").select(
+        "event_type", "hour", idx.cast("long").alias("idx"), "observed"
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    known_idx = F.when(F.col("observed").isNotNull(), F.col("idx"))
+    st = ser.select(
+        "event_type",
+        "hour",
+        "idx",
+        "observed",
+        F.last("observed", ignorenulls=True).over(wf).alias("prev_v"),
+        F.last(known_idx, ignorenulls=True).over(wf).alias("prev_i"),
+        F.last("observed", ignorenulls=True).over(wb).alias("next_v"),
+        F.last(known_idx, ignorenulls=True).over(wb).alias("next_i"),
+    )
+    lerp = (
+        F.when(F.col("observed").isNotNull(), F.lit(1000) * F.col("observed"))
+        .when(F.col("prev_v").isNull(), F.lit(1000) * F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.lit(1000) * F.col("prev_v"))
+        .otherwise(
+            F.expr(
+                "(1000 * prev_v * (next_i - idx)"
+                " + 1000 * next_v * (idx - prev_i))"
+                " div (next_i - prev_i)"
+            )
+        )
+    )
+    return st.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("observed").cast("long").alias("observed"),
+        F.coalesce("prev_v", "next_v").cast("long").alias("locf"),
+        lerp.cast("long").alias("lerp_milli"),
+    ).orderBy("event_type", "hour")
+
+
+def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): sample autocorrelation of the
+    zero-filled hourly total event-count series at lags
+    k ∈ {1,2,3,6,12,24} — the diagnostic that tells a forecasting
+    layer WHICH seasonality exists before it commits to one
+    (ev_seasonal_backtest assumes lag-7-days; this measures the
+    evidence; a strong k=24 spike is daily rhythm). Pearson over the
+    (xₜ, xₜ₊ₖ) pair set, the a_corr_lineitem doctrine verbatim: ONE
+    pass accumulates BIGINT co-moments (n, Σx, Σy, Σx², Σy², Σxy);
+    r enters floating point once per lag as the same literal
+    expression text in both engines over identical BIGINTs;
+    r_micro = round(10⁶·r) absorbs last-ulp drift, with a mirrored
+    zero-variance CASE guard.
+
+    Gaps fill with 0, not NULL — absence of events IS a zero count
+    (the ev_gap_fill entry handles the NULL-imputation reading).
+
+    Scale shape: the series is time-bounded (720 points for the
+    30-day corpus; 8,760/year) — AGGREGATION compresses 100 TB of raw
+    events into it map-side-combinably, and everything after is
+    constant-size work: the six lead() columns share one sort of the
+    tiny series, the lag-pair explode is 6×|series| rows, and the
+    final moment agg is algebraic. At a finer grain (minutes, per
+    key) the same plan holds with the series partitioned by key."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    idx = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP_NTZ'2024-01-01 00:00:00', hour)"
+    )
+    ser = hours.join(cnt, "hour", "left").select(
+        idx.cast("long").alias("idx"),
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    lags = [1, 2, 3, 6, 12, 24]
+    w = Window.orderBy("idx")  # single tiny series: one-reducer sort is
+    # over |hours| rows, never over raw events
+    led = ser.select(
+        "x", *[F.lead("x", k).over(w).alias(f"y{k}") for k in lags]
+    )
+    rows = [
+        F.struct(
+            F.lit(k).cast("long").alias("k"),
+            F.col("x").alias("x"),
+            F.col(f"y{k}").alias("y"),
+        )
+        for k in lags
+    ]
+    pairs = (
+        led.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .filter(F.col("y").isNotNull())
+    )
+    m = pairs.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("s_x"),
+        F.sum("y").cast("long").alias("s_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss_x"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sp_xy"),
+    )
+    # expression text mirrored verbatim in the DuckDB twin
+    r_micro = F.expr(
+        "CASE WHEN n_pairs * ss_x - s_x * s_x > 0"
+        " AND n_pairs * ss_y - s_y * s_y > 0 THEN"
+        " CAST(round((CAST(n_pairs AS DOUBLE) * CAST(sp_xy AS DOUBLE)"
+        " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+        " / sqrt(CAST(n_pairs AS DOUBLE) * CAST(ss_x AS DOUBLE)"
+        " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+        " / sqrt(CAST(n_pairs AS DOUBLE) * CAST(ss_y AS DOUBLE)"
+        " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))"
+        " * 1000000) AS BIGINT) END"
+    )
+    return m.select(
+        "k", "n_pairs", "s_x", "s_y", "sp_xy", r_micro.alias("r_micro")
+    ).orderBy("k")
+
+
+def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): winsorized mean — the robust
+    location estimate that CLAMPS the tails to the exact [p10, p90]
+    rank cutoffs instead of dropping them (the trimmed mean's
+    bias-friendlier sibling; standard for metric aggregation over
+    heavy-tailed `value` distributions before an experiment readout).
+    Cutoffs are percentile_disc semantics pinned deterministically:
+    rank by (cents, event_id) and take ranks ceil(n/10) and
+    ceil(9n/10) computed in pure integer arithmetic ((n+9) DIV 10 —
+    non-negative, so DIV == // across engines). Values enter the
+    exact-integer cents domain via the repo-wide round(value·100)
+    idiom; the mean re-enters floating point exactly once as
+    round(Σ/n) in mirrored expression text.
+
+    Scale shape: the rank pass is a per-type row_number — documented
+    single-reducer-per-type here (5 types); at 10⁹ rows/type swap in
+    the repo's distributed exact_ntile (operators/ranking.py, the
+    ev_rfm_segments machinery) which computes the same exact cutoff
+    ranks via partition-histogram offsets. The cutoff dim is 5 rows —
+    broadcast back; the clamp+mean is one map-side-combinable agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    r = ev.select("event_type", "c", F.row_number().over(w).alias("rn"))
+    nn = r.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    rks = nn.select(
+        "event_type",
+        "n",
+        F.expr("(n + 9) div 10").alias("lo_rk"),
+        F.expr("(9 * n + 9) div 10").alias("hi_rk"),
+    )
+    cuts = (
+        r.join(F.broadcast(rks), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("rn") == F.col("lo_rk"), F.col("c")))
+            .cast("long")
+            .alias("lo_cents"),
+            F.max(F.when(F.col("rn") == F.col("hi_rk"), F.col("c")))
+            .cast("long")
+            .alias("hi_cents"),
+        )
+    )
+    out = (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo_cents").alias("lo_cents"),
+            F.max("hi_cents").alias("hi_cents"),
+            F.sum(
+                F.least(F.greatest(F.col("c"), F.col("lo_cents")), F.col("hi_cents"))
+            )
+            .cast("long")
+            .alias("s_win"),
+            F.sum("c").cast("long").alias("s_raw"),
+        )
+    )
+    # mirrored final-division expression (cents, rounded once)
+    mean = "CAST(round(CAST({s} AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"
+    return out.select(
+        "event_type",
+        "n",
+        "lo_cents",
+        "hi_cents",
+        F.expr(mean.format(s="s_win")).alias("win_mean_cents"),
+        F.expr(mean.format(s="s_raw")).alias("raw_mean_cents"),
+    ).orderBy("event_type")
+
+
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): degree assortativity (Newman
+    2002) of the entity co-occurrence graph — the Pearson correlation
+    of endpoint degrees over the DIRECTED edge list (each undirected
+    edge contributes both orientations, the standard convention).
+    r > 0 means hubs link to hubs (assortative mixing), r < 0 the
+    hub-and-spoke shape that tells the KG linker its candidate blocks
+    will be skew-heavy — the one-scalar graph-shape diagnostic next
+    to g_triangles' clustering coefficient.
+
+    Exactness: degrees are BIGINT distinct-neighbor counts; the
+    co-moments (n, Σd, Σd², Σdᵤdᵥ) accumulate in BIGINT (degree ≤
+    |vocab| here; at web scale Σd² widens to DECIMAL(38) natively);
+    r enters floating point once via the a_corr_lineitem mirrored
+    expression with a zero-variance CASE guard.
+
+    Scale shape: mention extraction is the session-memoized shared
+    pass; the unordered-pair self-join is the kg_cooccurrence wedge
+    (unit-keyed, spreads at high conv×turn cardinality); the degree
+    dim is |vocab| rows, broadcast onto both endpoints; the moment agg
+    is algebraic. Nothing in the plan holds more than the vocabulary
+    dim in one place."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    und = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .select("e1", "e2")
+        .distinct()
+    )
+    edges = und.unionByName(
+        und.select(F.col("e2").alias("e1"), F.col("e1").alias("e2"))
+    )
+    deg = edges.groupBy(F.col("e1").alias("e")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    j = (
+        edges.join(
+            F.broadcast(deg.select(F.col("e").alias("e1"), F.col("deg").alias("du"))),
+            "e1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("e").alias("e2"), F.col("deg").alias("dv"))),
+            "e2",
+        )
+    )
+    mo = j.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("du").cast("long").alias("s_x"),
+        F.sum("dv").cast("long").alias("s_y"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("ss_x"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("ss_y"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sp_xy"),
+    )
+    r_micro = F.expr(
+        "CASE WHEN n_edges * ss_x - s_x * s_x > 0"
+        " AND n_edges * ss_y - s_y * s_y > 0 THEN"
+        " CAST(round((CAST(n_edges AS DOUBLE) * CAST(sp_xy AS DOUBLE)"
+        " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+        " / sqrt(CAST(n_edges AS DOUBLE) * CAST(ss_x AS DOUBLE)"
+        " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+        " / sqrt(CAST(n_edges AS DOUBLE) * CAST(ss_y AS DOUBLE)"
+        " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))"
+        " * 1000000) AS BIGINT) END"
+    )
+    return mo.select(
+        "n_edges", "s_x", "ss_x", "sp_xy", r_micro.alias("r_micro")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -7691,7 +8020,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_entry.py (full-sweep artifact committed as
     VERIFY_LOCAL_r5.json)."""
     return {
-        # -- never driver-captured: session-3 additions (newest of all) --
+        # -- never driver-captured: session-4 additions (newest of all) --
+        "ev_gap_fill": ev_gap_fill,
+        "ev_autocorr": ev_autocorr,
+        "a_winsorized_mean": a_winsorized_mean,
+        "g_degree_assortativity": g_degree_assortativity,
+        # -- never driver-captured: session-3 additions --
         "a_weighted_median": a_weighted_median,
         "a_zscore_outliers": a_zscore_outliers,
         "ev_peak_concurrency": ev_peak_concurrency,
@@ -7736,18 +8070,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_reach_hyperball": g_reach_hyperball,
         "d_bigram_logprob": d_bigram_logprob,
         "g_negative_samples": g_negative_samples,
-        "d_dialog_pairs": d_dialog_pairs,
-        "g_shortest_paths": g_shortest_paths,
-        "l_bucket_join": l_bucket_join,
-        "a_ols_normal_eq": a_ols_normal_eq,
         # -- never driver-captured: riskiest of the earlier round-5 wave --
         "d_substring_dups": d_substring_dups,
         "a_topk_sketch": a_topk_sketch,
         "g_cc_incremental": g_cc_incremental,
         "e_int8_topk": e_int8_topk,
-        # twenty-four simplest late-wave entries moved past the window to
+        # twenty-eight simplest late-wave entries moved past the window to
         # make room above (pure groupBy/window algebra, many green sweeps;
-        # the last twelve made way for the session-3 additions):
+        # twelve made way for the session-3 additions, four more for the
+        # session-4 additions):
+        "d_dialog_pairs": d_dialog_pairs,
+        "g_shortest_paths": g_shortest_paths,
+        "l_bucket_join": l_bucket_join,
+        "a_ols_normal_eq": a_ols_normal_eq,
         "d_priority_sample": d_priority_sample,
         "ev_seasonal_backtest": ev_seasonal_backtest,
         "kg_turn_fanout": kg_turn_fanout,
@@ -8326,6 +8661,202 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        "ev_gap_fill": """
+            WITH b AS (
+              SELECT date_trunc('hour', min(ts)) AS h0,
+                     date_trunc('hour', max(ts)) AS h1
+              FROM events
+            ),
+            hours AS (
+              SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b
+            ),
+            types AS (SELECT DISTINCT event_type FROM events),
+            cnt AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     CAST(count(*) AS BIGINT) AS observed
+              FROM events GROUP BY 1, 2
+            ),
+            ser AS (
+              SELECT t.event_type, h.hour,
+                     CAST(date_diff('hour',
+                                    TIMESTAMP '2024-01-01 00:00:00',
+                                    h.hour) AS BIGINT) AS idx,
+                     c.observed
+              FROM hours h
+              CROSS JOIN types t
+              LEFT JOIN cnt c
+                ON c.hour = h.hour AND c.event_type = t.event_type
+            ),
+            st AS (
+              SELECT event_type, hour, idx, observed,
+                     last_value(observed IGNORE NULLS) OVER wf AS prev_v,
+                     last_value(CASE WHEN observed IS NOT NULL THEN idx END
+                                IGNORE NULLS) OVER wf AS prev_i,
+                     last_value(observed IGNORE NULLS) OVER wb AS next_v,
+                     last_value(CASE WHEN observed IS NOT NULL THEN idx END
+                                IGNORE NULLS) OVER wb AS next_i
+              FROM ser
+              WINDOW wf AS (PARTITION BY event_type ORDER BY idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW),
+                     wb AS (PARTITION BY event_type ORDER BY idx DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+            )
+            SELECT event_type,
+                   strftime(hour, '%Y-%m-%d %H:00') AS hour,
+                   CAST(observed AS BIGINT) AS observed,
+                   CAST(coalesce(prev_v, next_v) AS BIGINT) AS locf,
+                   CAST(CASE
+                          WHEN observed IS NOT NULL THEN 1000 * observed
+                          WHEN prev_v IS NULL THEN 1000 * next_v
+                          WHEN next_v IS NULL THEN 1000 * prev_v
+                          ELSE (1000 * prev_v * (next_i - idx)
+                                + 1000 * next_v * (idx - prev_i))
+                               // (next_i - prev_i)
+                        END AS BIGINT) AS lerp_milli
+            FROM st
+            ORDER BY event_type, hour
+        """,
+        "ev_autocorr": """
+            WITH b AS (
+              SELECT date_trunc('hour', min(ts)) AS h0,
+                     date_trunc('hour', max(ts)) AS h1
+              FROM events
+            ),
+            hours AS (
+              SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b
+            ),
+            cnt AS (
+              SELECT date_trunc('hour', ts) AS hour,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1
+            ),
+            ser AS (
+              SELECT CAST(date_diff('hour',
+                                    TIMESTAMP '2024-01-01 00:00:00',
+                                    h.hour) AS BIGINT) AS idx,
+                     CAST(coalesce(c.x, 0) AS BIGINT) AS x
+              FROM hours h LEFT JOIN cnt c ON c.hour = h.hour
+            ),
+            ks AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS k),
+            pairs AS (
+              SELECT CAST(ks.k AS BIGINT) AS k, a.x AS x, b2.x AS y
+              FROM ks
+              CROSS JOIN ser a
+              JOIN ser b2 ON b2.idx = a.idx + ks.k
+            ),
+            m AS (
+              SELECT k,
+                     CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(x) AS BIGINT) AS s_x,
+                     CAST(sum(y) AS BIGINT) AS s_y,
+                     CAST(sum(x * x) AS BIGINT) AS ss_x,
+                     CAST(sum(y * y) AS BIGINT) AS ss_y,
+                     CAST(sum(x * y) AS BIGINT) AS sp_xy
+              FROM pairs GROUP BY k
+            )
+            SELECT k, n_pairs, s_x, s_y, sp_xy,
+                   CASE WHEN n_pairs * ss_x - s_x * s_x > 0
+                         AND n_pairs * ss_y - s_y * s_y > 0 THEN
+                     CAST(round((CAST(n_pairs AS DOUBLE) * CAST(sp_xy AS DOUBLE)
+                       - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+                       / sqrt(CAST(n_pairs AS DOUBLE) * CAST(ss_x AS DOUBLE)
+                       - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                       / sqrt(CAST(n_pairs AS DOUBLE) * CAST(ss_y AS DOUBLE)
+                       - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))
+                       * 1000000) AS BIGINT) END AS r_micro
+            FROM m
+            ORDER BY k
+        """,
+        "a_winsorized_mean": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY c, event_id) AS rn
+              FROM ev
+            ),
+            rks AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     (count(*) + 9) // 10 AS lo_rk,
+                     (9 * count(*) + 9) // 10 AS hi_rk
+              FROM r GROUP BY event_type
+            ),
+            cuts AS (
+              SELECT r.event_type, max(rks.n) AS n,
+                     CAST(max(CASE WHEN r.rn = rks.lo_rk THEN r.c END)
+                          AS BIGINT) AS lo_cents,
+                     CAST(max(CASE WHEN r.rn = rks.hi_rk THEN r.c END)
+                          AS BIGINT) AS hi_cents
+              FROM r JOIN rks USING (event_type)
+              GROUP BY r.event_type
+            )
+            SELECT ev.event_type, max(cuts.n) AS n,
+                   max(cuts.lo_cents) AS lo_cents,
+                   max(cuts.hi_cents) AS hi_cents,
+                   CAST(round(CAST(sum(least(greatest(ev.c, cuts.lo_cents),
+                                             cuts.hi_cents)) AS DOUBLE)
+                              / CAST(max(cuts.n) AS DOUBLE)) AS BIGINT)
+                     AS win_mean_cents,
+                   CAST(round(CAST(sum(ev.c) AS DOUBLE)
+                              / CAST(max(cuts.n) AS DOUBLE)) AS BIGINT)
+                     AS raw_mean_cents
+            FROM ev JOIN cuts USING (event_type)
+            GROUP BY ev.event_type
+            ORDER BY ev.event_type
+        """,
+        "g_degree_assortativity": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            und AS (
+              SELECT DISTINCT a.e AS e1, b.e AS e2
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.e < b.e
+            ),
+            edges AS (
+              SELECT e1, e2 FROM und
+              UNION ALL
+              SELECT e2 AS e1, e1 AS e2 FROM und
+            ),
+            deg AS (
+              SELECT e1 AS e, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY e1
+            ),
+            mo AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                     CAST(sum(du.deg) AS BIGINT) AS s_x,
+                     CAST(sum(dv.deg) AS BIGINT) AS s_y,
+                     CAST(sum(du.deg * du.deg) AS BIGINT) AS ss_x,
+                     CAST(sum(dv.deg * dv.deg) AS BIGINT) AS ss_y,
+                     CAST(sum(du.deg * dv.deg) AS BIGINT) AS sp_xy
+              FROM edges
+              JOIN deg du ON du.e = edges.e1
+              JOIN deg dv ON dv.e = edges.e2
+            )
+            SELECT n_edges, s_x, ss_x, sp_xy,
+                   CASE WHEN n_edges * ss_x - s_x * s_x > 0
+                         AND n_edges * ss_y - s_y * s_y > 0 THEN
+                     CAST(round((CAST(n_edges AS DOUBLE) * CAST(sp_xy AS DOUBLE)
+                       - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+                       / sqrt(CAST(n_edges AS DOUBLE) * CAST(ss_x AS DOUBLE)
+                       - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                       / sqrt(CAST(n_edges AS DOUBLE) * CAST(ss_y AS DOUBLE)
+                       - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))
+                       * 1000000) AS BIGINT) END AS r_micro
+            FROM mo
+        """,
         "kg_two_hop_inference": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
             m AS (

@@ -2572,3 +2572,119 @@ def test_entity_cards_replay(spark):
         assert int(row.degree) == len(cos)
         top = [y for c, y in sorted(cos, key=lambda t: (-t[0], t[1]))[:3]]
         assert row.top_co == ",".join(top)
+
+
+def _round_away(x: float) -> int:
+    """round-half-away-from-zero, matching Spark/DuckDB round()."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def test_gap_fill_locf_and_lerp(spark, tmp_path):
+    """Hand spine: type A observed at hours 0,1,4 -> hours 2,3 are gaps
+    (LOCF carries 3; lerp walks 3->9 exactly); type B observed only at
+    hour 3 -> leading hours fall back flat to the next observation
+    (NOCB), trailing hours carry it forward."""
+    rows = []
+    for h, n in [(0, 2), (1, 3), (4, 9)]:
+        rows += [
+            {"ts": datetime(2024, 1, 1, h, 30), "event_type": "A"}
+        ] * n
+    rows += [{"ts": datetime(2024, 1, 1, 3, 30), "event_type": "B"}] * 4
+    ev = pd.DataFrame(rows)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    got = entrymod.queries()["ev_gap_fill"](spark, sf).toPandas()
+    a = got[got.event_type == "A"].reset_index(drop=True)
+    assert list(a.hour) == [f"2024-01-01 0{h}:00" for h in range(5)]
+    assert [None if pd.isna(v) else int(v) for v in a.observed] == [
+        2, 3, None, None, 9,
+    ]
+    assert [int(v) for v in a.locf] == [2, 3, 3, 3, 9]
+    # idx2: (1000*3*2 + 1000*9*1) // 3 ; idx3: (1000*3*1 + 1000*9*2) // 3
+    assert [int(v) for v in a.lerp_milli] == [2000, 3000, 5000, 7000, 9000]
+    b = got[got.event_type == "B"].reset_index(drop=True)
+    assert [int(v) for v in b.locf] == [4] * 5
+    assert [int(v) for v in b.lerp_milli] == [4000] * 5
+
+
+def test_autocorr_matches_numpy(spark, tmp_path):
+    """Known 8-hour count series replayed against a numpy Pearson over
+    the (x_t, x_{t+k}) pair sets; lags with no pairs are absent."""
+    import numpy as np
+
+    counts = [5, 1, 4, 2, 8, 3, 7, 2]
+    rows = []
+    for h, n in enumerate(counts):
+        rows += [{"ts": datetime(2024, 1, 1, h, 15)}] * n
+    ev = pd.DataFrame(rows)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    got = entrymod.queries()["ev_autocorr"](spark, sf).toPandas()
+    x = np.array(counts, dtype=float)
+    exp = {}
+    for k in [1, 2, 3, 6, 12, 24]:
+        if k >= len(counts):
+            continue
+        a, b = x[:-k], x[k:]
+        n = float(len(a))
+        denx = n * np.sum(a * a) - np.sum(a) ** 2
+        deny = n * np.sum(b * b) - np.sum(b) ** 2
+        if denx <= 0 or deny <= 0:
+            exp[k] = None
+        else:
+            r = (
+                (n * np.sum(a * b) - np.sum(a) * np.sum(b))
+                / np.sqrt(denx)
+                / np.sqrt(deny)
+            )
+            exp[k] = _round_away(r * 1e6)
+    got_map = {
+        int(r.k): (None if pd.isna(r.r_micro) else int(r.r_micro))
+        for r in got.itertuples(index=False)
+    }
+    assert got_map == exp
+
+
+def test_winsorized_mean_matches_python(spark, tmp_path):
+    """Values 1.00..20.00: exact disc cutoffs are ranks 2 and 18 ->
+    [200, 1800] cents; the clamped mean is hand-computable."""
+    vals = [float(i) for i in range(1, 21)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, 21),
+            "event_type": ["A"] * 20,
+            "value": vals,
+        }
+    )
+    sf = _write(tmp_path, "events", pdf)
+    got = entrymod.queries()["a_winsorized_mean"](spark, sf).toPandas()
+    row = got.iloc[0]
+    assert (int(row.n), int(row.lo_cents), int(row.hi_cents)) == (
+        20, 200, 1800,
+    )
+    # clamp: 100->200; 1900,2000->1800; middle unchanged
+    assert int(row.win_mean_cents) == (200 + sum(range(200, 1900, 100)) + 2 * 1800) // 20
+    assert int(row.raw_mean_cents) == sum(range(100, 2100, 100)) // 20
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_path):
+    """K_{1,3} star (hub 'spark', leaves window/filter/stream): the
+    directed edge list is 6 rows with endpoint degrees (3,1)x3 and
+    (1,3)x3 -> Pearson exactly -1."""
+    texts = ["spark window", "spark filter", "spark stream"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s1"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["g_degree_assortativity"](spark, sf).toPandas()
+    row = got.iloc[0]
+    assert int(row.n_edges) == 6
+    assert int(row.r_micro) == -1000000
