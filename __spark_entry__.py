@@ -8001,6 +8001,193 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): B-cubed precision/recall/F1
+    (Bagga & Baldwin 1998; the standard extrinsic metric for entity
+    linking / coreference clustering) of a deliberately-lossy linker
+    against the alias-canonical gold — the evaluation operator the
+    north rule's "P/R ≥ 0.95 vs reference triples" criterion needs as
+    a first-class distributed primitive rather than a driver script.
+    Items are distinct (conv, turn, surface) gazetteer mention slots;
+    gold clusters = DOC_ALIASES canonicalization (the same map the
+    linking twins use); predicted clusters = first-character blocking
+    keys, a plausible cheap linker that BOTH over-merges (spark / sort
+    merge / stream all share 's') and under-merges (hash join vs sort
+    merge split across 'h'/'s' against the single gold 'join') — so
+    precision AND recall are exercised below 1.
+
+    Exactness: B³ P = (1/N)·Σ_items |pred∩gold|/|pred|, which over the
+    (pred, gold) contingency cells is Σ_cells n²/|pred| / N. Every
+    per-cell term is computed as n·n·10⁶ DIV size in BIGINT — integer
+    floor division, identical in both engines, no float sum anywhere —
+    then the two micro-sums divide by N and combine into F1 in the same
+    integer domain. (The ~1e-6 floor bias per cell is the documented
+    price of cross-engine bit-exactness, same convention as
+    kg_assoc_confidence's permille.)
+
+    Scale shape: mention extraction is the session-memoized shared
+    pass; cells = one algebraic groupBy on (pred, gold); both size
+    dims are ≤|clusters| rows and broadcast back onto the cells; the
+    final reduce is a single-row agg. Nothing holds more than the
+    cluster dims in one place — at 10^12 mentions the contingency
+    table is |pred|×|gold| bounded, not corpus bounded.
+
+    Reference analog: hikma-engine validates its unified indexer by
+    comparing emitted node sets in integration tests
+    (src/__tests__/integration/unified-indexer.test.ts); this is that
+    comparison as a scalable operator."""
+    alias_pairs: list = []
+    for s, c in sorted(DOC_ALIASES.items()):
+        alias_pairs.extend([F.lit(s), F.lit(c)])
+    amap = F.create_map(*alias_pairs)
+    items = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+        .select(
+            F.coalesce(
+                amap[F.col("surface_norm")], F.col("surface_norm")
+            ).alias("gold"),
+            F.substring("surface_norm", 1, 1).alias("pred"),
+        )
+    )
+    cells = items.groupBy("pred", "gold").agg(
+        F.count("*").cast("long").alias("n_cell")
+    )
+    sp = cells.groupBy("pred").agg(F.sum("n_cell").alias("p_sz"))
+    sg = cells.groupBy("gold").agg(F.sum("n_cell").alias("g_sz"))
+    terms = (
+        cells.join(F.broadcast(sp), "pred")
+        .join(F.broadcast(sg), "gold")
+        .select(
+            "n_cell",
+            F.expr("n_cell * n_cell * 1000000 DIV p_sz").alias("p_term"),
+            F.expr("n_cell * n_cell * 1000000 DIV g_sz").alias("r_term"),
+            "pred",
+            "gold",
+        )
+    )
+    agg = terms.agg(
+        F.sum("n_cell").cast("long").alias("n_items"),
+        F.countDistinct("pred").cast("long").alias("n_pred_clusters"),
+        F.countDistinct("gold").cast("long").alias("n_gold_clusters"),
+        F.sum("p_term").cast("long").alias("sp_sum"),
+        F.sum("r_term").cast("long").alias("sr_sum"),
+    )
+    return agg.select(
+        "n_items",
+        "n_pred_clusters",
+        "n_gold_clusters",
+        F.expr("sp_sum DIV n_items").alias("p_micro"),
+        F.expr("sr_sum DIV n_items").alias("r_micro"),
+        F.expr(
+            "CASE WHEN sp_sum DIV n_items + sr_sum DIV n_items > 0 THEN"
+            " (2 * (sp_sum DIV n_items) * (sr_sum DIV n_items))"
+            " DIV (sp_sum DIV n_items + sr_sum DIV n_items)"
+            " ELSE 0 END"
+        ).alias("f1_micro"),
+    )
+
+
+def kg_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): blocking-scheme quality audit —
+    Pairs Completeness (PC = covered gold pairs / all gold pairs) and
+    Reduction Ratio (RR = 1 − candidates/C(N,2)), the two standard
+    entity-resolution blocking metrics (Christen 2012). At 10^12 rows
+    the blocking key IS the linker's scalability decision: PC bounds
+    achievable recall, RR is the cost saving vs all-pairs — this entry
+    measures both in one plan, never enumerating the candidate pairs.
+
+    Gold = EXACT word-3-gram Jaccard ≥ 0.5 pairs from the PPJoin
+    operator (a LOWER bar than the 0.8 dedup entries, so the cheap
+    block genuinely misses some gold pairs and PC < 1 is informative).
+    Block key = (first token, token-count DIV 8) — first-token equality
+    plus a length band, the classic cheap scheme.
+
+    Exactness: candidate count = Σ_blocks n(n−1)/2 computed
+    algebraically from per-block counts (the pairs themselves are
+    never materialized — the count is exact whether the block holds
+    10 rows or 10^9); PC/RR enter integers once via ·10⁶ DIV. The
+    0.5 threshold is exact: J ≥ 1/2 ⟺ 2·|∩| ≥ |∪| in the operator's
+    rational filter, and the twin's float compare against 0.5 is
+    exact for the same integers.
+
+    Scale shape: gold reuses the prefix-filtered PPJoin (never
+    all-pairs); block sizes are one algebraic groupBy; coverage is two
+    broadcast-sized joins of the gold pair list against the per-doc
+    block dim; three one-row aggregates combine via broadcast-scalar
+    crossJoins (the accepted one-row contract-scalar pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " "
+        ).alias("t"),
+    )
+    bt = toks.filter(
+        F.col("t").isNotNull()
+        & (F.size("t") >= 1)
+        & (F.col("t")[0] != "")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("t")[0],
+            F.lit("#"),
+            F.expr("CAST(size(t) DIV 8 AS STRING)"),
+        ).alias("blk"),
+    )
+    cand = (
+        bt.groupBy("blk")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0))
+            .cast("long")
+            .alias("n_cand_pairs")
+        )
+    )
+    nd = bt.agg(F.count("*").cast("long").alias("n_docs"))
+    gold = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5
+    ).select("a", "b")
+    ba = bt.select(F.col("doc_id").alias("a"), F.col("blk").alias("blk_a"))
+    bb = bt.select(F.col("doc_id").alias("b"), F.col("blk").alias("blk_b"))
+    g = (
+        gold.join(ba, "a")
+        .join(bb, "b")
+        .agg(
+            F.count("*").cast("long").alias("n_gold_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("blk_a") == F.col("blk_b"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tp"),
+        )
+    )
+    return (
+        nd.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_docs",
+            "n_gold_pairs",
+            "n_cand_pairs",
+            "tp",
+            F.expr(
+                "CASE WHEN n_gold_pairs > 0 THEN"
+                " tp * 1000000 DIV n_gold_pairs END"
+            ).alias("pc_micro"),
+            F.expr(
+                "CASE WHEN n_docs >= 2 THEN 1000000 -"
+                " n_cand_pairs * 1000000 DIV (n_docs * (n_docs - 1) DIV 2)"
+                " END"
+            ).alias("rr_micro"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -8021,6 +8208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "kg_bcubed_eval": kg_bcubed_eval,
+        "kg_blocking_quality": kg_blocking_quality,
         "ev_gap_fill": ev_gap_fill,
         "ev_autocorr": ev_autocorr,
         "a_winsorized_mean": a_winsorized_mean,
@@ -8661,6 +8850,93 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
     return {
+        # B³ over (pred, gold) contingency cells: every ratio is
+        # n·n·10⁶ // size in BIGINT — the same floor-division
+        # convention as the Spark side, so the hash is bit-exact
+        "kg_bcubed_eval": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            am(surface, canon) AS (VALUES {_SQL_ALIAS_VALUES}),
+            items AS (
+              SELECT coalesce(am.canon, m.s) AS gold,
+                     substr(m.s, 1, 1) AS pred
+              FROM m LEFT JOIN am ON am.surface = m.s
+            ),
+            cells AS (
+              SELECT pred, gold, CAST(count(*) AS BIGINT) AS n_cell
+              FROM items GROUP BY 1, 2
+            ),
+            sp AS (
+              SELECT pred, CAST(sum(n_cell) AS BIGINT) AS p_sz
+              FROM cells GROUP BY 1
+            ),
+            sg AS (
+              SELECT gold, CAST(sum(n_cell) AS BIGINT) AS g_sz
+              FROM cells GROUP BY 1
+            ),
+            terms AS (
+              SELECT c.n_cell,
+                     (c.n_cell * c.n_cell * 1000000) // sp.p_sz AS p_term,
+                     (c.n_cell * c.n_cell * 1000000) // sg.g_sz AS r_term,
+                     c.pred, c.gold
+              FROM cells c JOIN sp USING (pred) JOIN sg USING (gold)
+            ),
+            agg AS (
+              SELECT CAST(sum(n_cell) AS BIGINT) AS n_items,
+                     CAST(count(DISTINCT pred) AS BIGINT) AS n_pred_clusters,
+                     CAST(count(DISTINCT gold) AS BIGINT) AS n_gold_clusters,
+                     CAST(sum(p_term) AS BIGINT) AS sp_sum,
+                     CAST(sum(r_term) AS BIGINT) AS sr_sum
+              FROM terms
+            )
+            SELECT n_items, n_pred_clusters, n_gold_clusters,
+                   sp_sum // n_items AS p_micro,
+                   sr_sum // n_items AS r_micro,
+                   CASE WHEN sp_sum // n_items + sr_sum // n_items > 0
+                        THEN (2 * (sp_sum // n_items) * (sr_sum // n_items))
+                             // (sp_sum // n_items + sr_sum // n_items)
+                        ELSE 0 END AS f1_micro
+            FROM agg
+        """,
+        # blocking audit: candidates counted algebraically per block
+        # (Σ n(n−1)/2), gold = exact Jaccard ≥ 0.5 from the shared
+        # shingle CTE (2·|∩| ≥ |∪| — exact at this threshold)
+        "kg_blocking_quality": f"""
+            WITH {_SHINGLE_CTE},
+            gold AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+            bt AS (
+              SELECT doc_id,
+                     t[1] || '#' || CAST(len(t) // 8 AS VARCHAR) AS blk
+              FROM toks
+              WHERE t IS NOT NULL AND len(t) >= 1 AND t[1] != ''
+            ),
+            cand AS (
+              SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+                     AS n_cand_pairs
+              FROM (SELECT count(*) AS n FROM bt GROUP BY blk)
+            ),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM bt),
+            g AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_gold_pairs,
+                     CAST(coalesce(sum(CASE WHEN ba.blk = bb.blk
+                                            THEN 1 ELSE 0 END), 0)
+                          AS BIGINT) AS tp
+              FROM gold
+              JOIN bt ba ON ba.doc_id = gold.a
+              JOIN bt bb ON bb.doc_id = gold.b
+            )
+            SELECT n_docs, n_gold_pairs, n_cand_pairs, tp,
+                   CASE WHEN n_gold_pairs > 0
+                        THEN (tp * 1000000) // n_gold_pairs END AS pc_micro,
+                   CASE WHEN n_docs >= 2
+                        THEN 1000000 - (n_cand_pairs * 1000000)
+                             // (n_docs * (n_docs - 1) // 2) END AS rr_micro
+            FROM nd, cand, g
+        """,
         "ev_gap_fill": """
             WITH b AS (
               SELECT date_trunc('hour', min(ts)) AS h0,

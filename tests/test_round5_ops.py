@@ -2688,3 +2688,85 @@ def test_assortativity_star_is_minus_one(spark, tmp_path):
     row = got.iloc[0]
     assert int(row.n_edges) == 6
     assert int(row.r_micro) == -1000000
+
+
+def test_bcubed_hand_clustering(spark, tmp_path):
+    """Hand-checkable B³: corpus with mentions {spark x2, stream x1,
+    hash join x1, sort merge x1}. Gold (alias-canonical): {spark,
+    spark}, {stream}, {join=hash join, join=sort merge}. Pred
+    (first char): 's'={spark, spark, stream, sort merge}, 'h'={hash
+    join}. Items N=5 (distinct (conv,turn,surface) slots).
+
+    Cells: (s,spark)=2 (s,stream)=1 (s,join)=1 (h,join)=1.
+    P = (4/4 + 1/4 + 1/4 + 1/1)/5 = (1 + .25 + .25 + 1)/5 = 0.5
+    R = (4/2 + 1/1 + 1/2 + 1/2)/5 = (2 + 1 + .5 + .5)/5 = 0.8
+    F1 = 2*.5*.8/1.3 = 0.615384...
+    """
+    texts = [
+        "spark here",       # turn 0: spark
+        "spark again",      # turn 1: spark (distinct slot: new turn)
+        "stream of data",   # turn 2: stream
+        "hash join now",    # turn 3: hash join (NOT join/hash singles)
+        "sort merge done",  # turn 4: sort merge
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["c1"] * 5,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["kg_bcubed_eval"](spark, sf).toPandas()
+    row = got.iloc[0]
+    assert int(row.n_items) == 5
+    assert int(row.n_pred_clusters) == 2
+    assert int(row.n_gold_clusters) == 3
+    # floor-division micro terms: P = (1000000 + 250000*2 + 1000000)//?
+    # per-cell: (4*1e6//4=1e6) + (1*1e6//4=250000)*2 + (1*1e6//1=1e6)
+    # = 2500000; // N=5 -> 500000
+    assert int(row.p_micro) == 500000
+    # R: (4*1e6//2=2e6) + (1e6//1=1e6) + (1e6//2=5e5)*2 = 4000000
+    # // 5 -> 800000
+    assert int(row.r_micro) == 800000
+    # F1 = 2*500000*800000 // 1300000 = 615384
+    assert int(row.f1_micro) == 615384
+
+
+def test_blocking_quality_hand_blocks(spark, tmp_path):
+    """Three near-identical docs (gold pairs under Jaccard>=0.5) where
+    one pair is split across blocks by a DIFFERENT FIRST TOKEN: PC
+    counts exactly the within-block gold pairs; candidates = algebraic
+    sum n(n-1)/2 over block sizes."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        base + " one",          # doc 0: block ('alpha', 9//8=1)
+        base + " two",          # doc 1: same block -> covered pair
+        "omega " + base,        # doc 2: block ('omega', 1) -> missed
+        "solo words here",      # doc 3: block ('solo', 0), no gold
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["c1"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["kg_blocking_quality"](spark, sf).toPandas()
+    row = got.iloc[0]
+    assert int(row.n_docs) == 4
+    # gold: (0,1) J=7/11>0.5; (0,2),(1,2): shingles shift — verify the
+    # operator's own gold count instead of hand-deriving all three,
+    # but (0,1) is certainly gold and (x,3) certainly not:
+    assert int(row.n_gold_pairs) >= 1
+    # blocks: {alpha#1: docs 0,1}, {omega#1: doc 2}, {solo#0: doc 3}
+    # candidates = C(2,2->1) + 0 + 0 = 1
+    assert int(row.n_cand_pairs) == 1
+    assert int(row.tp) == 1  # only (0,1) shares a block
+    # RR = 1 - 1/C(4,2)=1-1/6 -> 833334 micro (floor: 1e6 - 1e6//6)
+    assert int(row.rr_micro) == 1000000 - 1000000 // 6
