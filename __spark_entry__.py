@@ -8188,6 +8188,171 @@ def kg_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_extractor_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): per-surface mention-level
+    precision/recall of a DEGRADED extractor against the gold
+    gazetteer extraction — the north rule's "P/R ≥ 0.95 vs reference"
+    acceptance check expressed as a first-class distributed operator
+    at the mention grain (kg_bcubed_eval covers the cluster grain).
+    A pipeline that swaps extractor versions runs exactly this query
+    before promoting one.
+
+    Gold = the real extraction pass (mapInPandas gazetteer scan,
+    distinct (conv, turn, surface) slots). Degraded = single-word
+    surfaces only, matched with NO TRAILING word boundary — the
+    classic tokenizer-drift failure: it misses every multiword surface
+    (recall loss) and fires inside longer words ("filtering" →
+    spurious "filter" — precision loss). Per surface: slot counts,
+    true positives (slot-set intersection), and exact integer
+    P/R permilles (tp·1000 DIV n; NULL when the denominator is 0,
+    i.e. a multiword surface the degraded extractor can never emit).
+
+    Scale shape: both mention streams are distinct-collapsed at the
+    (conv, turn, surface) grain (combinable); the TP intersection is
+    ONE equi-join on that three-part key — both sides shuffle on the
+    same key, no skew beyond a hot surface which AQE splits; the final
+    stats are vocabulary-grain (≤|gazetteer| rows). Nothing driver-side.
+
+    Reference analog: hikma-engine's integration tests assert emitted
+    node-set equality per document (src/__tests__/integration/
+    unified-indexer.test.ts); this generalizes that assert to a
+    measurable P/R surface."""
+    gold = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    single = sorted(s for s in DOC_SURFACES if " " not in s)
+    pat = r"\b(" + "|".join(single) + r")"
+    pred = (
+        _doc_transcripts(spark, sf_dir)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(1))
+            ).alias("surface_norm"),
+        )
+        .distinct()
+    )
+    g = gold.groupBy("surface_norm").agg(
+        F.count("*").cast("long").alias("n_gold")
+    )
+    p = pred.groupBy("surface_norm").agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    t = (
+        gold.join(pred, ["conv_id", "turn_idx", "surface_norm"])
+        .groupBy("surface_norm")
+        .agg(F.count("*").cast("long").alias("n_tp"))
+    )
+    return (
+        g.join(p, "surface_norm", "full_outer")
+        .join(t, "surface_norm", "left")
+        .select(
+            "surface_norm",
+            F.coalesce("n_gold", F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_tp", F.lit(0)).cast("long").alias("n_tp"),
+        )
+        .select(
+            "surface_norm",
+            "n_gold",
+            "n_pred",
+            "n_tp",
+            F.expr(
+                "CASE WHEN n_pred > 0 THEN n_tp * 1000 DIV n_pred END"
+            ).alias("p_permille"),
+            F.expr(
+                "CASE WHEN n_gold > 0 THEN n_tp * 1000 DIV n_gold END"
+            ).alias("r_permille"),
+        )
+        .orderBy("surface_norm")
+    )
+
+
+def kg_pred_functionality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): per-predicate FUNCTIONALITY and
+    inverse functionality (Suchanek/Abiteboul/Senellart, PARIS,
+    VLDB 2012) over the materialized edge vocabulary — fun(p) =
+    #distinct subjects / #distinct (s,o) pairs, ifun(p) the mirror.
+    This is the schema-induction statistic an ontology-aware linker
+    keys on: a near-1.0 functional predicate with a subject holding
+    two objects is a CONTRADICTION candidate; a low-ifun predicate is
+    useless for inverse lookups. Expected shape here: IN_CONV is
+    perfectly functional (every turn in exactly one conversation) but
+    far from inverse-functional (many turns per conv); SAME_AS is
+    functional (alias → one canon) with ifun 500 at the 'join' canon
+    (two aliases map into it); MENTIONS is neither.
+
+    Exactness: permilles are n·1000 DIV n_pairs in BIGINT. Scale
+    shape: the edge union is assembled exactly as the materialize
+    twin builds it (distinct turn-grain MENTIONS, structural IN_CONV,
+    broadcast-alias SAME_AS); the triple-distinct agg runs as ONE
+    groupBy(edge_type) with three count-distincts (Spark plans an
+    Expand ×3 — each stream map-side combinable, the grouped key space
+    is |predicates|-bounded, so the expansion never amplifies the
+    shuffle beyond 3× the already-distinct edge set).
+
+    Reference analog: EdgeTypes vocabulary src/types/index.ts:18-29;
+    the reference never computes per-type cardinality contracts —
+    this is the QA layer a 10^12-edge build needs."""
+    alias_pairs: list = []
+    for s, c in sorted(DOC_ALIASES.items()):
+        alias_pairs.extend([F.lit(s), F.lit(c)])
+    amap = F.create_map(*alias_pairs)
+    men = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    turn = F.concat(F.lit("turn:"), F.col("conv_id"), F.lit("#"), F.col("turn_idx"))
+    me = men.select(
+        turn.alias("src"),
+        F.lit("MENTIONS").alias("edge_type"),
+        F.concat(F.lit("entity:"), F.col("surface_norm")).alias("dst"),
+    )
+    ce = _doc_transcripts(spark, sf_dir).select(
+        turn.alias("src"),
+        F.lit("IN_CONV").alias("edge_type"),
+        F.concat(F.lit("conv:"), F.col("conv_id")).alias("dst"),
+    )
+    sa = (
+        men.select("surface_norm")
+        .distinct()
+        .select(
+            F.col("surface_norm").alias("s"),
+            amap[F.col("surface_norm")].alias("c"),
+        )
+        .filter(F.col("c").isNotNull() & (F.col("c") != F.col("s")))
+        .select(
+            F.concat(F.lit("entity:"), F.col("s")).alias("src"),
+            F.lit("SAME_AS").alias("edge_type"),
+            F.concat(F.lit("entity:"), F.col("c")).alias("dst"),
+        )
+    )
+    edges = me.unionByName(ce).unionByName(sa)
+    return (
+        edges.groupBy("edge_type")
+        .agg(
+            F.countDistinct("src", "dst").cast("long").alias("n_pairs"),
+            F.countDistinct("src").cast("long").alias("n_subj"),
+            F.countDistinct("dst").cast("long").alias("n_obj"),
+        )
+        .select(
+            "edge_type",
+            "n_pairs",
+            "n_subj",
+            "n_obj",
+            F.expr("n_subj * 1000 DIV n_pairs").alias("fun_permille"),
+            F.expr("n_obj * 1000 DIV n_pairs").alias("ifun_permille"),
+        )
+        .orderBy("edge_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -8208,6 +8373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "kg_extractor_pr": kg_extractor_pr,
+        "kg_pred_functionality": kg_pred_functionality,
         "kg_bcubed_eval": kg_bcubed_eval,
         "kg_blocking_quality": kg_blocking_quality,
         "ev_gap_fill": ev_gap_fill,
@@ -8849,7 +9016,87 @@ def _hits_oracle_sql(n_iter: int = 4) -> str:
 
 def oracle_sql() -> dict[str, str]:
     gaz = _SQL_GAZ
+    single_pat = r"\b(" + "|".join(
+        sorted(s for s in DOC_SURFACES if " " not in s)
+    ) + ")"
     return {
+        # degraded-extractor P/R: both mention streams are distinct
+        # (conv, turn, surface) slots; permilles are tp·1000 // n
+        "kg_extractor_pr": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            gold AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            pred AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{single_pat}'))
+                       AS s
+              FROM t
+            ),
+            g AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS n_gold
+              FROM gold GROUP BY s
+            ),
+            p AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS n_pred
+              FROM pred GROUP BY s
+            ),
+            tp AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS n_tp
+              FROM gold JOIN pred USING (conv_id, turn_idx, s)
+              GROUP BY s
+            )
+            SELECT coalesce(g.s, p.s) AS surface_norm,
+                   coalesce(n_gold, 0) AS n_gold,
+                   coalesce(n_pred, 0) AS n_pred,
+                   coalesce(n_tp, 0) AS n_tp,
+                   CASE WHEN coalesce(n_pred, 0) > 0
+                        THEN (coalesce(n_tp, 0) * 1000) // n_pred
+                   END AS p_permille,
+                   CASE WHEN coalesce(n_gold, 0) > 0
+                        THEN (coalesce(n_tp, 0) * 1000) // n_gold
+                   END AS r_permille
+            FROM g FULL OUTER JOIN p USING (s)
+            LEFT JOIN tp ON tp.s = coalesce(g.s, p.s)
+            ORDER BY surface_norm
+        """,
+        # PARIS functionality per predicate over the same edge algebra
+        # as the kg_pipeline_alias_only twin
+        "kg_pred_functionality": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            men AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS m
+              FROM t
+            ),
+            al(s, c) AS (VALUES {_SQL_ALIAS_VALUES}),
+            edges AS (
+              SELECT 'turn:' || conv_id || '#' || turn_idx AS src,
+                     'MENTIONS' AS edge_type, 'entity:' || m AS dst
+              FROM men
+              UNION ALL
+              SELECT 'turn:' || conv_id || '#' || turn_idx,
+                     'IN_CONV', 'conv:' || conv_id
+              FROM t
+              UNION ALL
+              SELECT DISTINCT 'entity:' || m, 'SAME_AS', 'entity:' || c
+              FROM men JOIN al ON men.m = al.s WHERE m != c
+            ),
+            agg AS (
+              SELECT edge_type,
+                     CAST(count(DISTINCT src || chr(31) || dst) AS BIGINT)
+                       AS n_pairs,
+                     CAST(count(DISTINCT src) AS BIGINT) AS n_subj,
+                     CAST(count(DISTINCT dst) AS BIGINT) AS n_obj
+              FROM edges GROUP BY edge_type
+            )
+            SELECT edge_type, n_pairs, n_subj, n_obj,
+                   (n_subj * 1000) // n_pairs AS fun_permille,
+                   (n_obj * 1000) // n_pairs AS ifun_permille
+            FROM agg ORDER BY edge_type
+        """,
         # B³ over (pred, gold) contingency cells: every ratio is
         # n·n·10⁶ // size in BIGINT — the same floor-division
         # convention as the Spark side, so the hash is bit-exact

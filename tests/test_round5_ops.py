@@ -2770,3 +2770,74 @@ def test_blocking_quality_hand_blocks(spark, tmp_path):
     assert int(row.tp) == 1  # only (0,1) shares a block
     # RR = 1 - 1/C(4,2)=1-1/6 -> 833334 micro (floor: 1e6 - 1e6//6)
     assert int(row.rr_micro) == 1000000 - 1000000 // 6
+
+
+def test_extractor_pr_prefix_firing_and_multiword_miss(spark, tmp_path):
+    """The degraded extractor fires inside 'filtering' (spurious slot:
+    precision < 1 for 'filter') and can never emit 'hash join'
+    (n_pred = 0, p_permille NULL, recall 0 denominator n_gold)."""
+    texts = [
+        "filtering the stream",   # pred: filter (spurious), stream (tp)
+        "filter it now",          # both find filter -> tp
+        "hash join wins",         # gold-only multiword
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(3)),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["c1"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = (
+        entrymod.queries()["kg_extractor_pr"](spark, sf)
+        .toPandas()
+        .set_index("surface_norm")
+    )
+    f = got.loc["filter"]
+    assert (int(f.n_gold), int(f.n_pred), int(f.n_tp)) == (1, 2, 1)
+    assert int(f.p_permille) == 500 and int(f.r_permille) == 1000
+    hj = got.loc["hash join"]
+    assert (int(hj.n_gold), int(hj.n_pred), int(hj.n_tp)) == (1, 0, 0)
+    assert pd.isna(hj.p_permille) and int(hj.r_permille) == 0
+    s = got.loc["stream"]
+    assert int(s.p_permille) == 1000 and int(s.r_permille) == 1000
+
+
+def test_pred_functionality_hand_graph(spark, tmp_path):
+    """One conv, three turns: IN_CONV is functional (1000) with ifun
+    1000//3=333; SAME_AS from {hash join, sort merge} -> join is
+    functional with ifun 500; MENTIONS counts distinct turn-entity
+    pairs."""
+    texts = [
+        "hash join and sort merge",  # turn 0: 2 entities
+        "hash join again",           # turn 1: 1 entity
+        "spark here",                # turn 2: 1 entity
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(3)),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["c1"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = (
+        entrymod.queries()["kg_pred_functionality"](spark, sf)
+        .toPandas()
+        .set_index("edge_type")
+    )
+    ic = got.loc["IN_CONV"]
+    assert (int(ic.n_pairs), int(ic.n_subj), int(ic.n_obj)) == (3, 3, 1)
+    assert int(ic.fun_permille) == 1000 and int(ic.ifun_permille) == 333
+    sa = got.loc["SAME_AS"]
+    assert (int(sa.n_pairs), int(sa.n_subj), int(sa.n_obj)) == (2, 2, 1)
+    assert int(sa.fun_permille) == 1000 and int(sa.ifun_permille) == 500
+    me = got.loc["MENTIONS"]
+    # turn0 -> {hash join, sort merge}, turn1 -> {hash join}, turn2 -> {spark}
+    assert (int(me.n_pairs), int(me.n_subj), int(me.n_obj)) == (4, 3, 3)
+    assert int(me.fun_permille) == 750 and int(me.ifun_permille) == 750
