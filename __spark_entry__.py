@@ -8353,6 +8353,79 @@ def kg_pred_functionality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): hard-negative mining — for every
+    vector, its top-3 nearest CROSS-LABEL neighbors (the closest
+    points outside its own class), the standard candidate generator
+    for contrastive/triplet training data. A plain kNN + post-filter
+    is unsound (the nearest cross-label neighbor can hide at any
+    same-label rank — with the clustered view it usually does), so
+    the label mask lives INSIDE the GEMM partial-top-k
+    (similarity_search.hard_negative_join): same two-strategy shape
+    as knn_join_exact (broadcast under 100k rows; distributed
+    block-pair-grid shuffle above, output O(n·k·n_blocks) rows, never
+    O(n²)). Ranked on the rounded cosine with id tie-break, so the
+    DuckDB twin replays it as an anti-label window join."""
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    return similarity_search.hard_negative_join(emb, k=3).orderBy("a", "rank")
+
+
+def e_cluster_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): per-cluster embedding COHERENCE —
+    the mean pairwise cosine among each label's unit-normalized
+    vectors — via the CENTROID IDENTITY: with u_i = v_i/||v_i|| and
+    S = Σu_i, mean pairwise cosine = (||S||² − n) / (n(n−1)). The
+    identity turns an O(n²)-pair statistic into ONE aggregation of
+    n·d numbers: this is the linker QA signal for the SPLIT decision
+    (kg_bcubed_eval scores merges; an entity/cluster whose member
+    embeddings are incoherent is an over-merged surface that should
+    split) and the SemDeDup cluster-quality gate, at any corpus size.
+
+    Plan: JVM-side normalization (F.aggregate norm² + F.transform —
+    no UDF), posexplode to (label, pos, val) — d=64 fan-out whose
+    partial sums combine map-side down to |labels|·64 rows — then two
+    label-grain reduces. The only float is the final (S²−n)/(n(n−1)),
+    rounded to micros; summing unit-vector components keeps absolute
+    FP error ~1e-12, far below the 1e-6 grid."""
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings")).withColumn(
+        "n2",
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        ),
+    )
+    unit = emb.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            / F.sqrt(F.when(F.col("n2") == 0.0, 1.0).otherwise(F.col("n2"))),
+        ).alias("u"),
+    )
+    sums = (
+        unit.select("label", F.posexplode("u").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    s2 = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("snorm2"))
+    nn = unit.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    return (
+        nn.join(s2, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.when(
+                F.col("n_vecs") >= 2,
+                F.round(
+                    1e6
+                    * (F.col("snorm2") - F.col("n_vecs"))
+                    / (F.col("n_vecs") * (F.col("n_vecs") - 1))
+                ).cast("long"),
+            ).alias("coherence_micro"),
+        )
+        .orderBy("label")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -8373,6 +8446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "e_hard_negatives": e_hard_negatives,
+        "e_cluster_coherence": e_cluster_coherence,
         "kg_extractor_pr": kg_extractor_pr,
         "kg_pred_functionality": kg_pred_functionality,
         "kg_bcubed_eval": kg_bcubed_eval,
@@ -9020,6 +9095,68 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # cross-label kNN: the label mask is part of the join predicate
+        # (x.label != y.label), ranking replays rounded-cosine + id
+        "e_hard_negatives": f"""
+            WITH ce AS (
+              SELECT vec_id, label,
+                     list_transform(range(64), i ->
+                       embedding[i+1]::DOUBLE
+                       + CASE WHEN i = label THEN {_ANN_BOOST}
+                         ELSE 0.0 END) AS emb
+              FROM embeddings
+            ),
+            sims AS (
+              SELECT x.vec_id AS a, x.label AS a_label,
+                     y.vec_id AS b, y.label AS b_label,
+                     round(list_dot_product(x.emb, y.emb)
+                           / (sqrt(list_dot_product(x.emb, x.emb))
+                              * sqrt(list_dot_product(y.emb, y.emb))),
+                           6) AS cosine
+              FROM ce x JOIN ce y
+                ON x.vec_id != y.vec_id AND x.label != y.label
+            ),
+            ranked AS (
+              SELECT a, a_label, b, b_label, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY a ORDER BY cosine DESC, b) AS int) AS rank
+              FROM sims
+            )
+            SELECT a, a_label, b, b_label, cosine, rank
+            FROM ranked WHERE rank <= 3 ORDER BY a, rank
+        """,
+        # centroid identity: mean pairwise cosine = (||Σu||²−n)/(n(n−1))
+        "e_cluster_coherence": f"""
+            WITH ce AS (
+              SELECT label,
+                     list_transform(range(64), i ->
+                       embedding[i+1]::DOUBLE
+                       + CASE WHEN i = label THEN {_ANN_BOOST}
+                         ELSE 0.0 END) AS emb
+              FROM embeddings
+            ),
+            un AS (
+              SELECT label,
+                     list_transform(emb, x -> x / sqrt(
+                       CASE WHEN list_dot_product(emb, emb) = 0 THEN 1.0
+                            ELSE list_dot_product(emb, emb) END)) AS u
+              FROM ce
+            ),
+            sums AS (
+              SELECT label, t.i, sum(u[t.i + 1]) AS s
+              FROM un, range(64) t(i) GROUP BY 1, 2
+            ),
+            s2 AS (SELECT label, sum(s * s) AS snorm2 FROM sums GROUP BY 1),
+            nn AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM un GROUP BY 1
+            )
+            SELECT nn.label, n_vecs,
+                   CASE WHEN n_vecs >= 2 THEN CAST(round(
+                     1e6 * (snorm2 - n_vecs) / (n_vecs * (n_vecs - 1)))
+                     AS BIGINT) END AS coherence_micro
+            FROM nn JOIN s2 USING (label) ORDER BY label
+        """,
         # degraded-extractor P/R: both mention streams are distinct
         # (conv, turn, surface) slots; permilles are tp·1000 // n
         "kg_extractor_pr": f"""

@@ -841,3 +841,178 @@ def pq_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def hard_negative_join(
+    df: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+    broadcast_limit: int = 100_000,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Cross-label kNN self-join — HARD-NEGATIVE MINING for contrastive
+    training: for every row, the k nearest neighbors whose ``label``
+    DIFFERS (the closest points outside the row's own class are the
+    most informative negatives; in-batch random negatives are trivially
+    easy once the encoder separates classes at all).
+
+    A plain ``knn_join_exact`` + post-filter is UNSOUND here: the true
+    nearest cross-label neighbor can sit at any same-label rank, so no
+    fixed over-fetch k' bounds it. The mask must live inside the GEMM —
+    same-label candidates are excluded before the partial top-k, which
+    keeps the output bound at O(n·k·n_blocks) rows exactly like the
+    unconstrained join.
+
+    Strategies mirror knn_join_exact: under ``broadcast_limit`` rows
+    the normalized matrix + label vector broadcast and each Arrow
+    batch masks then GEMMs; above it, the unordered block-pair grid
+    shuffle (distributed grid — never a driver-side list) with the
+    label mask applied per block pair. Ranking is on the ROUNDED
+    cosine with id tie-break (deterministic, SQL-replayable).
+
+    Returns (a, a_label, b, b_label, cosine, rank), rank 1..k per a.
+    """
+    df = df.filter(F.col(emb_col).isNotNull())
+    small = df.limit(broadcast_limit + 1).count() <= broadcast_limit
+    if small:
+        partials = _hardneg_partials_broadcast(
+            df, k, id_col, emb_col, label_col, round_digits
+        )
+    else:
+        n = df.count()
+        n_blocks = _n_gemm_blocks(n, block_size)
+        partials = _hardneg_partials_blocked(
+            df, k, id_col, emb_col, label_col, round_digits, n_blocks
+        )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a", "a_label", "b", "b_label", "cosine", "rank")
+    )
+
+
+_HARDNEG_SCHEMA = (
+    "a long, a_label int, b long, b_label int, cosine double"
+)
+
+
+def _hardneg_topk(qids, qlabels, qm, cids, clabels, cm, k, round_digits):
+    """Mask-then-GEMM partial top-k: rows of (q) vs candidates (c),
+    same-label and self pairs excluded BEFORE ranking."""
+    out: list[tuple] = []
+    for s in range(0, len(qids), 1024):
+        sims = np.round(qm[s : s + 1024] @ cm.T, round_digits)
+        for i in range(sims.shape[0]):
+            qi, ql = qids[s + i], qlabels[s + i]
+            mask = (clabels != ql) & (cids != qi)
+            cand_ids, cand_lab, cand_s = cids[mask], clabels[mask], sims[i][mask]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            for j in order:
+                out.append((qi, ql, cand_ids[j], cand_lab[j], cand_s[j]))
+    return out
+
+
+def _hardneg_partials_broadcast(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+    label_col: str,
+    round_digits: int,
+) -> DataFrame:
+    rows = df.select(id_col, label_col, emb_col).collect()
+    ids = np.array([r[0] for r in rows])
+    labels = np.array([r[1] for r in rows])
+    mat = np.array([list(r[2]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_labels = spark.sparkContext.broadcast(labels)
+    b_mat = spark.sparkContext.broadcast(matn)
+
+    def body(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        all_ids, all_lab, allm = b_ids.value, b_labels.value, b_mat.value
+        for pdf in batches:
+            out: list[tuple] = []
+            if len(pdf):
+                q = np.array([list(v) for v in pdf[emb_col]], dtype=np.float64)
+                qn = np.linalg.norm(q, axis=1)
+                qn[qn == 0] = 1.0
+                out = _hardneg_topk(
+                    pdf[id_col].to_numpy(),
+                    pdf[label_col].to_numpy(),
+                    q / qn[:, None],
+                    all_ids,
+                    all_lab,
+                    allm,
+                    k,
+                    round_digits,
+                )
+            yield pd.DataFrame(
+                out, columns=["a", "a_label", "b", "b_label", "cosine"]
+            )
+
+    return df.select(id_col, label_col, emb_col).mapInPandas(
+        body, _HARDNEG_SCHEMA
+    )
+
+
+def _hardneg_partials_blocked(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+    label_col: str,
+    round_digits: int,
+    n_blocks: int,
+) -> DataFrame:
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lab"),
+        F.col(emb_col).alias("emb"),
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    pairs = _block_pair_grid(spark, n_blocks)
+    left = base.join(F.broadcast(pairs), base.blk == pairs.ba).select(
+        "ba", "bb", "id", "lab", "emb", F.lit(0).alias("side")
+    )
+    right = base.join(F.broadcast(pairs), base.blk == pairs.bb).select(
+        "ba", "bb", "id", "lab", "emb", F.lit(1).alias("side")
+    )
+    both = left.unionByName(right)
+
+    def gemm_topk(key, pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        ba, bb = key
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = a_rows if ba == bb else pdf[pdf["side"] == 1]
+        cols = ["a", "a_label", "b", "b_label", "cosine"]
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame(columns=cols)
+
+        def norm_mat(rows):
+            m = np.array([list(v) for v in rows["emb"]], dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return m / nrm[:, None]
+
+        am, bm = norm_mat(a_rows), norm_mat(b_rows)
+        aids, alab = a_rows["id"].to_numpy(), a_rows["lab"].to_numpy()
+        bids, blab = b_rows["id"].to_numpy(), b_rows["lab"].to_numpy()
+        out = _hardneg_topk(aids, alab, am, bids, blab, bm, k, round_digits)
+        if ba != bb:
+            out += _hardneg_topk(bids, blab, bm, aids, alab, am, k, round_digits)
+        return pd.DataFrame(out, columns=cols)
+
+    return both.groupBy("ba", "bb").applyInPandas(gemm_topk, _HARDNEG_SCHEMA)

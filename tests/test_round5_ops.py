@@ -2841,3 +2841,85 @@ def test_pred_functionality_hand_graph(spark, tmp_path):
     # turn0 -> {hash join, sort merge}, turn1 -> {hash join}, turn2 -> {spark}
     assert (int(me.n_pairs), int(me.n_subj), int(me.n_obj)) == (4, 3, 3)
     assert int(me.fun_permille) == 750 and int(me.ifun_permille) == 750
+
+
+def test_hard_negatives_mask_inside_topk(spark):
+    """The nearest SAME-label vector must never appear, even when it
+    outranks every cross-label candidate — the failure a kNN+filter
+    composition would hit."""
+    from hikma_engine_spark.operators.similarity_search import (
+        hard_negative_join,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.999, 0.01]),   # same-label near-twin of 1
+        (3, 1, [0.7, 0.7]),      # true hard negative for 1 and 2
+        (4, 1, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = (
+        hard_negative_join(df, k=1)
+        .toPandas()
+        .set_index("a")
+    )
+    assert int(got.loc[1].b) == 3 and int(got.loc[1].b_label) == 1
+    assert int(got.loc[2].b) == 3
+    # labels of the pair always differ
+    assert (got.a_label != got.b_label).all()
+
+
+def test_hard_negatives_blocked_equals_broadcast(spark):
+    """Forcing the block-pair-grid path yields the identical result
+    set as the broadcast GEMM on the same input."""
+    import numpy as np
+
+    from hikma_engine_spark.operators.similarity_search import (
+        hard_negative_join,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, int(i % 3), rng.randn(8).tolist()) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    wide = hard_negative_join(df, k=2).toPandas()
+    blocked = hard_negative_join(
+        df, k=2, broadcast_limit=0, block_size=16
+    ).toPandas()
+    key = ["a", "rank"]
+    assert (
+        wide.sort_values(key).reset_index(drop=True)[
+            ["a", "b", "cosine", "rank"]
+        ].equals(
+            blocked.sort_values(key).reset_index(drop=True)[
+                ["a", "b", "cosine", "rank"]
+            ]
+        )
+    )
+
+
+def test_cluster_coherence_hand_values(spark, tmp_path):
+    """Identical vectors -> 1e6; orthogonal pair (after the boost is
+    cancelled by using zero-label rows whose dim-0 boost is shared)
+    -> computed via the same centroid identity; singleton -> NULL."""
+    # label 0: two IDENTICAL vectors (boost lands identically): coherence = 1.0
+    # label 1: single vector: NULL
+    rows = [
+        (1, 0, [0.3, 0.4, 0.0, 0.0]),
+        (2, 0, [0.3, 0.4, 0.0, 0.0]),
+        (3, 1, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["label"] = pdf["label"].astype("int32")
+    sf = _write(tmp_path, "embeddings", pdf)
+    got = (
+        entrymod.queries()["e_cluster_coherence"](spark, sf)
+        .toPandas()
+        .set_index("label")
+    )
+    assert int(got.loc[0].n_vecs) == 2
+    assert int(got.loc[0].coherence_micro) == 1000000
+    assert int(got.loc[1].n_vecs) == 1
+    assert pd.isna(got.loc[1].coherence_micro)
