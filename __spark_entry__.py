@@ -8426,6 +8426,112 @@ def e_cluster_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_struct_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): STRUCTURAL-EQUIVALENCE merge
+    candidates — entity-pair Jaccard over their TURN-UNIT neighborhood
+    sets, J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|. This is the structural
+    evidence channel of alias resolution (PARIS-style): two surfaces
+    that appear in largely the same turns behave like one entity even
+    when no string or embedding similarity connects them — the exact
+    complement of kg_fuzzy_match (surface channel) and the embedding
+    linker (semantic channel). Distinct from kg_cooccurrence (raw
+    counts), kg_assoc_confidence (directional P(b|a)) and
+    g_link_predict (customer/part bipartite CF): this is a symmetric
+    SET-overlap ratio on the entity–turn bipartite graph.
+
+    Exactness: |∪| = n1 + n2 − common, jaccard = common·1000 DIV |∪|,
+    all BIGINT. Scale shape: units distinct-collapse once (shared
+    memoized extraction); the pair counts come from the per-turn
+    self-join every kg_* entry shares (per-turn fan-out is gazetteer-
+    bounded); margins are a vocabulary-sized broadcast dim; output is
+    vocabulary²-bounded."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    marg = m.groupBy(F.col("surface_norm").alias("e")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    common = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    m1 = marg.select(F.col("e").alias("e1"), F.col("n").alias("n_1"))
+    m2 = marg.select(F.col("e").alias("e2"), F.col("n").alias("n_2"))
+    return (
+        common.join(F.broadcast(m1), "e1")
+        .join(F.broadcast(m2), "e2")
+        .select(
+            "e1",
+            "e2",
+            "n_1",
+            "n_2",
+            "n_common",
+            F.expr(
+                "n_common * 1000 DIV (n_1 + n_2 - n_common)"
+            ).alias("jaccard_permille"),
+        )
+        .orderBy("e1", "e2")
+    )
+
+
+def kg_conv_signature_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): conversation-level SEMANTIC-
+    SIGNATURE dedup — fingerprint each conversation by the md5 of its
+    sorted distinct CANONICAL entity set (aliases folded first, so
+    'hash join' and 'sort merge' convs collide on 'join'), then group
+    fingerprints with ≥2 conversations: the near-duplicate detector
+    that catches re-ingested / re-phrased conversations the text-hash
+    dedup family misses (same entities, different words). The member
+    list is capped at the first 8 conv ids (array_sort-sliced, the
+    kg_entity_adjacency convention) so a viral duplicate group can
+    never blow up a row.
+
+    Scale shape: (conv, canon) distinct-collapses map-side; the
+    signature is one conv-grain agg (collect_set is gazetteer-bounded
+    per conv, made deterministic by array_sort BEFORE hashing); the
+    group-by-fingerprint agg is output-bounded. All shuffles carry
+    conv-grain or group-grain rows, never mention-grain."""
+    alias_pairs: list = []
+    for s, c in sorted(DOC_ALIASES.items()):
+        alias_pairs.extend([F.lit(s), F.lit(c)])
+    amap = F.create_map(*alias_pairs)
+    ce = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select(
+            "conv_id",
+            F.coalesce(
+                amap[F.col("surface_norm")], F.col("surface_norm")
+            ).alias("canon"),
+        )
+        .distinct()
+    )
+    sig = ce.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_set("canon")), ",")
+        ).alias("fingerprint"),
+        F.count("*").cast("long").alias("n_entities"),
+    )
+    return (
+        sig.groupBy("fingerprint", "n_entities")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("conv_id")), 1, 8), ","
+            ).alias("convs_csv"),
+        )
+        .filter(F.col("n_convs") >= 2)
+        .orderBy("fingerprint")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -8446,6 +8552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "g_struct_equiv": g_struct_equiv,
+        "kg_conv_signature_dups": kg_conv_signature_dups,
         "e_hard_negatives": e_hard_negatives,
         "e_cluster_coherence": e_cluster_coherence,
         "kg_extractor_pr": kg_extractor_pr,
@@ -9156,6 +9264,58 @@ def oracle_sql() -> dict[str, str]:
                      1e6 * (snorm2 - n_vecs) / (n_vecs * (n_vecs - 1)))
                      AS BIGINT) END AS coherence_micro
             FROM nn JOIN s2 USING (label) ORDER BY label
+        """,
+        # symmetric turn-set Jaccard per entity pair; |∪| = n1+n2−common
+        "g_struct_equiv": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            marg AS (
+              SELECT s AS e, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1
+            ),
+            common AS (
+              SELECT x.s AS e1, y.s AS e2, CAST(count(*) AS BIGINT) AS n_common
+              FROM m x JOIN m y
+                ON x.conv_id = y.conv_id AND x.turn_idx = y.turn_idx
+                   AND x.s < y.s
+              GROUP BY 1, 2
+            )
+            SELECT e1, e2, m1.n AS n_1, m2.n AS n_2, n_common,
+                   (n_common * 1000) // (m1.n + m2.n - n_common)
+                     AS jaccard_permille
+            FROM common JOIN marg m1 ON m1.e = e1 JOIN marg m2 ON m2.e = e2
+            ORDER BY e1, e2
+        """,
+        # conv fingerprint = md5 of the sorted canonical entity set;
+        # member list sliced to 8 after sorting (adjacency convention)
+        "kg_conv_signature_dups": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            men AS (
+              SELECT DISTINCT conv_id,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS m
+              FROM t
+            ),
+            al(s, c) AS (VALUES {_SQL_ALIAS_VALUES}),
+            ce AS (
+              SELECT DISTINCT conv_id, coalesce(al.c, men.m) AS canon
+              FROM men LEFT JOIN al ON men.m = al.s
+            ),
+            sig AS (
+              SELECT conv_id,
+                     md5(array_to_string(list_sort(list(canon)), ','))
+                       AS fingerprint,
+                     CAST(count(*) AS BIGINT) AS n_entities
+              FROM ce GROUP BY conv_id
+            )
+            SELECT fingerprint, n_entities,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   array_to_string(list_sort(list(conv_id))[1:8], ',')
+                     AS convs_csv
+            FROM sig GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY fingerprint
         """,
         # degraded-extractor P/R: both mention streams are distinct
         # (conv, turn, surface) slots; permilles are tp·1000 // n

@@ -2923,3 +2923,50 @@ def test_cluster_coherence_hand_values(spark, tmp_path):
     assert int(got.loc[0].coherence_micro) == 1000000
     assert int(got.loc[1].n_vecs) == 1
     assert pd.isna(got.loc[1].coherence_micro)
+
+
+def test_struct_equiv_hand_jaccard(spark, tmp_path):
+    """spark∈{t0,t1,t2}, stream∈{t1,t2,t3}: common=2, union=4 -> 500;
+    disjoint pair (spark, batch@t4) -> no row (common=0 never emitted)."""
+    texts = [
+        "spark a",          # t0
+        "spark stream",     # t1
+        "spark stream",     # t2
+        "stream x",         # t3
+        "batch y",          # t4
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["c1"] * 5,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["g_struct_equiv"](spark, sf).toPandas()
+    row = got.set_index(["e1", "e2"]).loc[("spark", "stream")]
+    assert (int(row.n_1), int(row.n_2), int(row.n_common)) == (3, 3, 2)
+    assert int(row.jaccard_permille) == 500
+    assert ("batch", "spark") not in got.set_index(["e1", "e2"]).index
+
+
+def test_conv_signature_dups_alias_fold(spark, tmp_path):
+    """Convs c1={hash join} and c2={sort merge} FOLD to the same
+    canonical signature {join} -> one dup group; c3={spark} is a
+    singleton fingerprint -> filtered out."""
+    rows = [
+        (0, "hash join here", "c1"),
+        (1, "sort merge there", "c2"),
+        (2, "spark solo", "c3"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["kg_conv_signature_dups"](spark, sf).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert int(row.n_convs) == 2 and int(row.n_entities) == 1
+    assert row.convs_csv == "c1,c2"
