@@ -1323,3 +1323,67 @@ def functional_scc(
         "node", F.col("node").alias("scc_id"), F.lit(False).alias("on_cycle")
     )
     return on_cycle.unionByName(tails)
+
+
+def edge_support(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-EDGE triangle support over an undirected simple graph given
+    as unique (a < b) pairs — support(e) = number of triangles through
+    e, the statistic under k-truss decomposition and Granovetter
+    weak-tie analysis: support-0 edges close no triangle, i.e. they
+    are the bridge candidates BETWEEN communities (and the first peel
+    of any truss).
+
+    Same degree-orientation doctrine as triangle_counts (each triangle
+    enumerated exactly once at its unique wedge apex, O(sqrt(m)) wedge
+    fan-out on any graph); the difference is the credit step — each
+    triangle credits its three EDGES (canonicalized a < b), then a
+    left join back onto the full edge set fills support 0 for the
+    triangle-free edges a corner-credit pass would silently drop.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionByName(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    w1 = oriented.select(F.col("u"), F.col("v"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    canon = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("w"),
+    ).distinct()
+    tri = wedges.join(canon, ["v", "w"], "left_semi")
+    credits = (
+        tri.select(
+            F.least("u", "v").alias("ea"), F.greatest("u", "v").alias("eb")
+        )
+        .unionByName(
+            tri.select(
+                F.least("u", "w").alias("ea"), F.greatest("u", "w").alias("eb")
+            )
+        )
+        .unionByName(tri.select(F.col("v").alias("ea"), F.col("w").alias("eb")))
+    )
+    sup = credits.groupBy("ea", "eb").agg(F.count("*").alias("support"))
+    base = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("ea"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("eb"),
+    ).distinct()
+    return base.join(sup, ["ea", "eb"], "left").select(
+        F.col("ea").alias(a_col),
+        F.col("eb").alias(b_col),
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        (F.coalesce(F.col("support"), F.lit(0)) == 0).alias("weak_tie"),
+    )

@@ -2970,3 +2970,63 @@ def test_conv_signature_dups_alias_fold(spark, tmp_path):
     row = got.iloc[0]
     assert int(row.n_convs) == 2 and int(row.n_entities) == 1
     assert row.convs_csv == "c1,c2"
+
+
+def test_edge_support_weak_tie_bridge(spark):
+    """Two triangles joined by one bridge edge: every triangle edge
+    has support 1; the bridge (c,d) closes no triangle -> support 0,
+    weak_tie true."""
+    from hikma_engine_spark.operators.graph import edge_support
+
+    ed = [
+        ("a", "b"), ("a", "c"), ("b", "c"),   # triangle 1
+        ("d", "e"), ("d", "f"), ("e", "f"),   # triangle 2
+        ("c", "d"),                           # bridge
+    ]
+    df = spark.createDataFrame(ed, "e1 string, e2 string")
+    got = edge_support(df, "e1", "e2").toPandas().set_index(["e1", "e2"])
+    assert int(got.loc[("a", "b")].support) == 1
+    assert int(got.loc[("e", "f")].support) == 1
+    assert int(got.loc[("c", "d")].support) == 0
+    assert bool(got.loc[("c", "d")].weak_tie)
+    assert len(got) == 7 and int(got.support.sum()) == 6
+
+
+def test_edge_support_shared_edge_counts_both_triangles(spark):
+    """An edge shared by two triangles (bowtie on (b,c)) has support 2."""
+    from hikma_engine_spark.operators.graph import edge_support
+
+    ed = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(ed, "e1 string, e2 string")
+    got = edge_support(df, "e1", "e2").toPandas().set_index(["e1", "e2"])
+    assert int(got.loc[("b", "c")].support) == 2
+    assert int(got.loc[("a", "b")].support) == 1
+    assert not bool(got.loc[("b", "c")].weak_tie)
+
+
+def test_dedup_survivors_longest_wins(spark, tmp_path):
+    """Component {0,1,2} (shared shingles): doc 1 is longest -> the
+    sole keeper; unique doc 3 never appears."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                 # 8 shingles
+        base + " extra",      # 9 shingles, J(0,1)=8/9, longest member
+        base + " x",          # 9 shingles, J(0,2)=8/9, J(1,2)=8/10=0.8
+        "completely different text with no overlap at all here",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["c1"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["d_dedup_survivors"](spark, sf).toPandas()
+    assert set(got.doc_id) == {0, 1, 2}
+    assert (got.representative_id == 1).all()
+    assert got.set_index("doc_id").keep.to_dict() == {
+        0: False, 1: True, 2: False
+    }
