@@ -8607,6 +8607,169 @@ def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_link_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): the fuzzy-linker THRESHOLD
+    OPERATING CURVE — for each levenshtein acceptance threshold
+    0..3, how many dirty names match at all and how many match
+    CORRECTLY (kg_fuzzy_match's self-grading contract, swept instead
+    of fixed at ≤2). This is the tuning artifact an ER rollout reads
+    before picking its threshold: match-rate rises with the
+    threshold while precision decays, and the knee is data-dependent.
+
+    One similarity pass serves all thresholds: the best candidate per
+    dirty row (min lev, name tie-break) is computed ONCE, then the
+    row fans out over a 4-element threshold array — matched at thr
+    iff best_lev ≤ thr (the best match never changes with thr, only
+    its admission). Exactness: counts + permilles in BIGINT. Scale:
+    identical candidate economics to kg_fuzzy_match (blocked
+    broadcast join, never n²); the sweep multiplies only the
+    best-row stream (|dirty|·4) feeding a 4-group agg."""
+    p = _t(spark, sf_dir, "part")
+    dirty = p.filter(F.col("p_partkey") % 7 == 3).select(
+        "p_partkey",
+        F.col("p_name").alias("orig"),
+        F.expr(
+            "concat(substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),"
+            "       substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))"
+        ).alias("dirty_name"),
+    )
+    canon = p.select(F.col("p_name").alias("canon")).distinct()
+    cand = (
+        dirty.join(
+            F.broadcast(canon),
+            F.substring("dirty_name", 1, 1) == F.substring("canon", 1, 1),
+        )
+        .filter(F.abs(F.length("dirty_name") - F.length("canon")) <= 1)
+        .select(
+            "p_partkey",
+            "orig",
+            "canon",
+            F.levenshtein("dirty_name", "canon").alias("lev"),
+        )
+        .filter(F.col("lev") <= 3)
+    )
+    w = Window.partitionBy("p_partkey").orderBy("lev", "canon")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "orig", "canon", "lev")
+    )
+    n_dirty = dirty.agg(F.count("*").cast("long").alias("n_dirty"))
+    swept = best.select(
+        "lev",
+        (F.col("canon") == F.col("orig")).alias("correct"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("thr"),
+    )
+    return (
+        swept.groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("lev") <= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.sum(
+                F.when((F.col("lev") <= F.col("thr")) & F.col("correct"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .crossJoin(F.broadcast(n_dirty))
+        .select(
+            "thr",
+            "n_dirty",
+            "n_matched",
+            "n_correct",
+            F.expr(
+                "CASE WHEN n_dirty > 0 THEN n_matched * 1000 DIV n_dirty END"
+            ).alias("match_rate_permille"),
+            F.expr(
+                "CASE WHEN n_matched > 0"
+                " THEN n_correct * 1000 DIV n_matched END"
+            ).alias("precision_permille"),
+        )
+        .orderBy("thr")
+    )
+
+
+def kg_linker_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): LINKER ABLATION READOUT — B³
+    precision/recall/F1 (kg_bcubed_eval's exact integer algebra) for
+    TWO linker configurations side by side in one plan: 'no_linking'
+    (every surface its own entity — under-merges only, so B³
+    precision is 1.0 and recall pays for the unfolded aliases) vs
+    'first_char_blocking' (the cheap over+under-merging blocker).
+    This is the experiment table that justifies shipping a linker
+    change: one row per config, same item universe, same gold.
+
+    Shape: the item stream fans out over a 2-element config array
+    (pred is a CASE on config), then the whole contingency/size/term
+    algebra of kg_bcubed_eval runs keyed by (config, …) — still
+    cluster-dim-bounded per config, one extra grouping column. All
+    ratios are n·n·10⁶ DIV sz / micro-sums DIV N in BIGINT (bit-exact
+    across engines, floor-bias convention documented in
+    kg_bcubed_eval)."""
+    alias_pairs: list = []
+    for s, c in sorted(DOC_ALIASES.items()):
+        alias_pairs.extend([F.lit(s), F.lit(c)])
+    amap = F.create_map(*alias_pairs)
+    items = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+        .select(
+            "surface_norm",
+            F.coalesce(
+                amap[F.col("surface_norm")], F.col("surface_norm")
+            ).alias("gold"),
+            F.explode(
+                F.array(F.lit("first_char_blocking"), F.lit("no_linking"))
+            ).alias("config"),
+        )
+        .select(
+            "config",
+            "gold",
+            F.when(
+                F.col("config") == "no_linking", F.col("surface_norm")
+            )
+            .otherwise(F.substring("surface_norm", 1, 1))
+            .alias("pred"),
+        )
+    )
+    cells = items.groupBy("config", "pred", "gold").agg(
+        F.count("*").cast("long").alias("n_cell")
+    )
+    sp = cells.groupBy("config", "pred").agg(F.sum("n_cell").alias("p_sz"))
+    sg = cells.groupBy("config", "gold").agg(F.sum("n_cell").alias("g_sz"))
+    terms = (
+        cells.join(F.broadcast(sp), ["config", "pred"])
+        .join(F.broadcast(sg), ["config", "gold"])
+        .select(
+            "config",
+            "n_cell",
+            F.expr("n_cell * n_cell * 1000000 DIV p_sz").alias("p_term"),
+            F.expr("n_cell * n_cell * 1000000 DIV g_sz").alias("r_term"),
+        )
+    )
+    agg = terms.groupBy("config").agg(
+        F.sum("n_cell").cast("long").alias("n_items"),
+        F.sum("p_term").cast("long").alias("sp_sum"),
+        F.sum("r_term").cast("long").alias("sr_sum"),
+    )
+    return agg.select(
+        "config",
+        "n_items",
+        F.expr("sp_sum DIV n_items").alias("p_micro"),
+        F.expr("sr_sum DIV n_items").alias("r_micro"),
+        F.expr(
+            "CASE WHEN sp_sum DIV n_items + sr_sum DIV n_items > 0 THEN"
+            " (2 * (sp_sum DIV n_items) * (sr_sum DIV n_items))"
+            " DIV (sp_sum DIV n_items + sr_sum DIV n_items)"
+            " ELSE 0 END"
+        ).alias("f1_micro"),
+    ).orderBy("config")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -8627,6 +8790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "kg_link_threshold_curve": kg_link_threshold_curve,
+        "kg_linker_ablation": kg_linker_ablation,
         "g_edge_support": g_edge_support,
         "d_dedup_survivors": d_dedup_survivors,
         "g_struct_equiv": g_struct_equiv,
@@ -9341,6 +9506,109 @@ def oracle_sql() -> dict[str, str]:
                      1e6 * (snorm2 - n_vecs) / (n_vecs * (n_vecs - 1)))
                      AS BIGINT) END AS coherence_micro
             FROM nn JOIN s2 USING (label) ORDER BY label
+        """,
+        # one best-candidate pass fanned over thresholds 0..3
+        "kg_link_threshold_curve": """
+            WITH dirty AS (
+              SELECT p_partkey, p_name AS orig,
+                     substring(p_name, 1,
+                               CAST(p_partkey % length(p_name) AS INT))
+                     || substring(p_name,
+                                  CAST(p_partkey % length(p_name) AS INT) + 2)
+                       AS dirty_name
+              FROM part WHERE p_partkey % 7 = 3
+            ),
+            canon AS (SELECT DISTINCT p_name AS canon FROM part),
+            cand AS (
+              SELECT d.p_partkey, d.orig, c.canon,
+                     levenshtein(d.dirty_name, c.canon) AS lev
+              FROM dirty d JOIN canon c
+                ON substring(d.dirty_name, 1, 1) = substring(c.canon, 1, 1)
+              WHERE abs(length(d.dirty_name) - length(c.canon)) <= 1
+                AND levenshtein(d.dirty_name, c.canon) <= 3
+            ),
+            best AS (
+              SELECT p_partkey, orig, canon, lev
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY p_partkey ORDER BY lev, canon) AS rn
+                FROM cand
+              ) WHERE rn = 1
+            ),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dirty FROM dirty),
+            thr(thr) AS (VALUES (0), (1), (2), (3)),
+            sw AS (
+              SELECT thr.thr,
+                     CAST(coalesce(sum(CASE WHEN b.lev <= thr.thr
+                                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_matched,
+                     CAST(coalesce(sum(CASE WHEN b.lev <= thr.thr
+                                             AND b.canon = b.orig
+                                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_correct
+              FROM thr LEFT JOIN best b ON true GROUP BY thr.thr
+            )
+            SELECT thr, n_dirty, n_matched, n_correct,
+                   CASE WHEN n_dirty > 0
+                        THEN (n_matched * 1000) // n_dirty
+                   END AS match_rate_permille,
+                   CASE WHEN n_matched > 0
+                        THEN (n_correct * 1000) // n_matched
+                   END AS precision_permille
+            FROM sw, nd ORDER BY thr
+        """,
+        # B³ per linker config: same integer algebra as kg_bcubed_eval
+        # with (config, …) as an extra grouping key everywhere
+        "kg_linker_ablation": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            am(surface, canon) AS (VALUES {_SQL_ALIAS_VALUES}),
+            cfg(config) AS (VALUES ('first_char_blocking'), ('no_linking')),
+            items AS (
+              SELECT cfg.config,
+                     coalesce(am.canon, m.s) AS gold,
+                     CASE WHEN cfg.config = 'no_linking' THEN m.s
+                          ELSE substr(m.s, 1, 1) END AS pred
+              FROM m LEFT JOIN am ON am.surface = m.s, cfg
+            ),
+            cells AS (
+              SELECT config, pred, gold, CAST(count(*) AS BIGINT) AS n_cell
+              FROM items GROUP BY 1, 2, 3
+            ),
+            sp AS (
+              SELECT config, pred, CAST(sum(n_cell) AS BIGINT) AS p_sz
+              FROM cells GROUP BY 1, 2
+            ),
+            sg AS (
+              SELECT config, gold, CAST(sum(n_cell) AS BIGINT) AS g_sz
+              FROM cells GROUP BY 1, 2
+            ),
+            terms AS (
+              SELECT c.config, c.n_cell,
+                     (c.n_cell * c.n_cell * 1000000) // sp.p_sz AS p_term,
+                     (c.n_cell * c.n_cell * 1000000) // sg.g_sz AS r_term
+              FROM cells c
+              JOIN sp USING (config, pred) JOIN sg USING (config, gold)
+            ),
+            agg AS (
+              SELECT config,
+                     CAST(sum(n_cell) AS BIGINT) AS n_items,
+                     CAST(sum(p_term) AS BIGINT) AS sp_sum,
+                     CAST(sum(r_term) AS BIGINT) AS sr_sum
+              FROM terms GROUP BY config
+            )
+            SELECT config, n_items,
+                   sp_sum // n_items AS p_micro,
+                   sr_sum // n_items AS r_micro,
+                   CASE WHEN sp_sum // n_items + sr_sum // n_items > 0
+                        THEN (2 * (sp_sum // n_items) * (sr_sum // n_items))
+                             // (sp_sum // n_items + sr_sum // n_items)
+                        ELSE 0 END AS f1_micro
+            FROM agg ORDER BY config
         """,
         # per-edge triangle support: ordered 3-way self-join enumerates
         # each triangle once; credits union to its three edges; LEFT

@@ -3030,3 +3030,52 @@ def test_dedup_survivors_longest_wins(spark, tmp_path):
     assert got.set_index("doc_id").keep.to_dict() == {
         0: False, 1: True, 2: False
     }
+
+
+def test_linker_ablation_no_linking_perfect_precision(spark, tmp_path):
+    """no_linking never over-merges -> B³ precision exactly 1e6; its
+    recall pays only for unfolded aliases. first_char_blocking on
+    {spark, stream} over-merges -> precision < 1e6."""
+    texts = [
+        "hash join a",      # alias -> join
+        "sort merge b",     # alias -> join (same gold, different pred)
+        "spark c",
+        "stream d",         # same first char as spark -> over-merge
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["c1"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = (
+        entrymod.queries()["kg_linker_ablation"](spark, sf)
+        .toPandas()
+        .set_index("config")
+    )
+    nl = got.loc["no_linking"]
+    assert int(nl.n_items) == 4
+    # P: each pred cluster is a single surface -> every item 1/1
+    assert int(nl.p_micro) == 1000000
+    # R: gold 'join' has 2 items, each covering 1/2 -> (1e6//2)*2 + 2*1e6
+    # = 3000000 // 4 = 750000
+    assert int(nl.r_micro) == 750000
+    fc = got.loc["first_char_blocking"]
+    # pred 's' = {spark, stream, sort merge}: over-merged
+    assert int(fc.p_micro) < 1000000
+
+
+def test_link_threshold_curve_monotone(spark, tmp_path):
+    """Match rate is nondecreasing in the threshold, and thr=3
+    dominates thr=0 on matches; all permilles are in [0, 1000]."""
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["kg_link_threshold_curve"](spark, sf).toPandas()
+    assert list(got.thr) == [0, 1, 2, 3]
+    assert got.n_matched.is_monotonic_increasing
+    assert (got.n_correct <= got.n_matched).all()
+    ok = got.match_rate_permille.dropna()
+    assert ((ok >= 0) & (ok <= 1000)).all()
