@@ -8770,6 +8770,136 @@ def kg_linker_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("config")
 
 
+def d_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): export SHARD-BALANCE AUDIT — the
+    operational check a sharded training export runs before handing
+    shards to a data loader: per-shard row counts from the seeded md5
+    shuffle (export.shuffle_shard, 16 shards), reduced to the
+    straggler metrics that predict loader imbalance: max/min rows,
+    IMBALANCE (max vs ideal = max·k/S, permille) and the GINI
+    coefficient over shard sizes (micro; rank identity
+    (2·Σi·x_(i) − (k+1)·S) / (k·S) — exact BIGINT, i from a window
+    ordered by (size, shard)).
+
+    Scale shape: the only corpus-sized work is the shard groupBy (one
+    combinable agg over the same shuffle the export itself pays); all
+    ranking/reduction runs on the k-row shard dim — the global window
+    sorts 16 rows, not the corpus. Imbalance ≈ 1000 + gini ≈ 0 is the
+    md5-uniformity contract; a hot shard pushes both up."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        export.shuffle_shard(d, "doc_id", n_shards=16, seed="42")
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.orderBy("n", "shard")
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.sum(F.col("i") * F.col("n")).cast("long").alias("wsum"),
+    ).select(
+        "n_shards",
+        "n_rows",
+        "min_rows",
+        "max_rows",
+        F.expr("max_rows * 1000 * n_shards DIV n_rows").alias(
+            "imbalance_permille"
+        ),
+        F.expr(
+            "(2 * wsum - (n_shards + 1) * n_rows) * 1000000"
+            " DIV (n_shards * n_rows)"
+        ).alias("gini_micro"),
+    )
+
+
+def kg_entity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): entity CHURN between conversation
+    epochs — each conversation is split at its midpoint (turn_idx ≤
+    max_turn DIV 2 = 'early'), and every entity's mention-slot share
+    within each epoch is compared: new entities (early = 0), retired
+    entities (late = 0), and the share drift for the stable ones. This
+    is the vocabulary-drift monitor a continuously-ingesting KG build
+    alarms on (an entity surging between epochs usually means an
+    extraction change, a new tool, or topic drift — all worth a look
+    before canonical ids shift).
+
+    Exactness: shares are slot-count·1000 DIV epoch-total (BIGINT);
+    delta is the permille difference. Scale: the per-conv midpoint is
+    one max window on the turn grain (the same conv-partitioned window
+    every sessionize entry uses — no global sort); everything after is
+    entity-grain with the two epoch totals as one-row broadcast
+    scalars."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    # midpoint per conv from the FULL transcript (a tail of mention-free
+    # turns still moves the midpoint): conv-grain dim, broadcast back
+    mx = (
+        _doc_transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("max_t"))
+    )
+    slots = m.join(F.broadcast(mx), "conv_id").withColumn(
+        "epoch",
+        F.when(
+            F.col("turn_idx") <= F.expr("max_t DIV 2"), F.lit("early")
+        ).otherwise(F.lit("late")),
+    )
+    per = slots.groupBy("surface_norm").agg(
+        F.sum(F.when(F.col("epoch") == "early", 1).otherwise(0))
+        .cast("long")
+        .alias("n_early"),
+        F.sum(F.when(F.col("epoch") == "late", 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+    )
+    tot = slots.agg(
+        F.sum(F.when(F.col("epoch") == "early", 1).otherwise(0))
+        .cast("long")
+        .alias("t_early"),
+        F.sum(F.when(F.col("epoch") == "late", 1).otherwise(0))
+        .cast("long")
+        .alias("t_late"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "surface_norm",
+            "n_early",
+            "n_late",
+            F.expr(
+                "CASE WHEN t_early > 0 THEN n_early * 1000 DIV t_early"
+                " ELSE 0 END"
+            ).alias("share_early_permille"),
+            F.expr(
+                "CASE WHEN t_late > 0 THEN n_late * 1000 DIV t_late"
+                " ELSE 0 END"
+            ).alias("share_late_permille"),
+        )
+        .select(
+            "surface_norm",
+            "n_early",
+            "n_late",
+            "share_early_permille",
+            "share_late_permille",
+            (
+                F.col("share_late_permille") - F.col("share_early_permille")
+            ).alias("delta_permille"),
+            F.when(F.col("n_early") == 0, F.lit("new"))
+            .when(F.col("n_late") == 0, F.lit("retired"))
+            .otherwise(F.lit("stable"))
+            .alias("status"),
+        )
+        .orderBy("surface_norm")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -8790,6 +8920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "d_shard_balance": d_shard_balance,
+        "kg_entity_churn": kg_entity_churn,
         "kg_link_threshold_curve": kg_link_threshold_curve,
         "kg_linker_ablation": kg_linker_ablation,
         "g_edge_support": g_edge_support,
@@ -9506,6 +9638,87 @@ def oracle_sql() -> dict[str, str]:
                      1e6 * (snorm2 - n_vecs) / (n_vecs * (n_vecs - 1)))
                      AS BIGINT) END AS coherence_micro
             FROM nn JOIN s2 USING (label) ORDER BY label
+        """,
+        # shard sizes from the same md5 algebra as the d_shuffle_export
+        # twin; gini by the rank identity over the 16-row shard dim
+        "d_shard_balance": """
+            WITH h AS (
+              SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS hkey
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, ('0x' || substr(hkey, 1, 8))::BIGINT % 16 AS shard
+              FROM h
+            ),
+            per AS (
+              SELECT shard, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1
+            ),
+            r AS (
+              SELECT n, CAST(row_number() OVER (ORDER BY n, shard) AS BIGINT)
+                       AS i
+              FROM per
+            ),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(n) AS BIGINT) AS s,
+                     CAST(min(n) AS BIGINT) AS mn,
+                     CAST(max(n) AS BIGINT) AS mx,
+                     CAST(sum(i * n) AS BIGINT) AS w
+              FROM r
+            )
+            SELECT k AS n_shards, s AS n_rows, mn AS min_rows, mx AS max_rows,
+                   (mx * 1000 * k) // s AS imbalance_permille,
+                   ((2 * w - (k + 1) * s) * 1000000) // (k * s) AS gini_micro
+            FROM a
+        """,
+        # per-conv midpoint epochs; shares vs the two epoch totals
+        "kg_entity_churn": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            mx AS (
+              SELECT conv_id, max(turn_idx) AS max_t FROM t GROUP BY 1
+            ),
+            slots AS (
+              SELECT m.s,
+                     CASE WHEN m.turn_idx <= mx.max_t // 2 THEN 'early'
+                          ELSE 'late' END AS epoch
+              FROM m JOIN mx USING (conv_id)
+            ),
+            per AS (
+              SELECT s AS surface_norm,
+                     CAST(sum(CASE WHEN epoch = 'early' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_early,
+                     CAST(sum(CASE WHEN epoch = 'late' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_late
+              FROM slots GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(CASE WHEN epoch = 'early' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS t_early,
+                     CAST(sum(CASE WHEN epoch = 'late' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS t_late
+              FROM slots
+            ),
+            sh AS (
+              SELECT surface_norm, n_early, n_late,
+                     CASE WHEN t_early > 0 THEN (n_early * 1000) // t_early
+                          ELSE 0 END AS share_early_permille,
+                     CASE WHEN t_late > 0 THEN (n_late * 1000) // t_late
+                          ELSE 0 END AS share_late_permille
+              FROM per, tot
+            )
+            SELECT surface_norm, n_early, n_late,
+                   share_early_permille, share_late_permille,
+                   share_late_permille - share_early_permille
+                     AS delta_permille,
+                   CASE WHEN n_early = 0 THEN 'new'
+                        WHEN n_late = 0 THEN 'retired'
+                        ELSE 'stable' END AS status
+            FROM sh ORDER BY surface_norm
         """,
         # one best-candidate pass fanned over thresholds 0..3
         "kg_link_threshold_curve": """

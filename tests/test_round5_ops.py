@@ -3079,3 +3079,58 @@ def test_link_threshold_curve_monotone(spark, tmp_path):
     assert (got.n_correct <= got.n_matched).all()
     ok = got.match_rate_permille.dropna()
     assert ((ok >= 0) & (ok <= 1000)).all()
+
+
+def test_shard_balance_uniform_contract(spark, tmp_path):
+    """64 docs over 16 md5 shards: totals add up, imbalance >= 1000
+    by construction (max >= ideal), gini in [0, 1e6)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(64)),
+            "text": ["t"] * 64,
+            "lang": ["en"] * 64,
+            "source": ["c1"] * 64,
+            "n_chars": [1] * 64,
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["d_shard_balance"](spark, sf).toPandas().iloc[0]
+    assert int(got.n_rows) == 64
+    assert int(got.min_rows) >= 1 and int(got.max_rows) <= 64
+    assert int(got.imbalance_permille) >= 1000
+    assert 0 <= int(got.gini_micro) < 1000000
+
+
+def test_entity_churn_new_and_retired(spark, tmp_path):
+    """One conv, 4 turns (midpoint: early = turns 0-1): 'spark' only
+    early -> retired; 'batch' only late -> new; 'stream' both ->
+    stable with exact shares."""
+    texts = [
+        "spark stream",   # t0 early
+        "stream here",    # t1 early
+        "batch stream",   # t2 late
+        "batch end",      # t3 late
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["c1"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = (
+        entrymod.queries()["kg_entity_churn"](spark, sf)
+        .toPandas()
+        .set_index("surface_norm")
+    )
+    assert got.loc["spark"].status == "retired"
+    assert got.loc["batch"].status == "new"
+    st = got.loc["stream"]
+    assert st.status == "stable"
+    # early slots: spark, stream, stream = 3; late: batch, batch, stream = 3
+    assert int(st.share_early_permille) == 2000 // 3  # 2 of 3 -> 666
+    assert int(st.share_late_permille) == 1000 // 3   # 1 of 3 -> 333
+    assert int(st.delta_permille) == 333 - 666
