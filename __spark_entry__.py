@@ -8900,6 +8900,84 @@ def kg_entity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_canonical_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): CANONICAL-ID STABILITY under
+    corpus growth — the blast-radius metric for incremental
+    canonicalization: build the near-dup canonical map (J≥0.8 pairs →
+    CC, component = min doc_id) over the OLD corpus half (doc_id ≤
+    max DIV 2), build it again over the FULL corpus, and measure how
+    many old documents' canonical assignment the new data disturbed:
+    `n_changed` (clustered in both, different component — a new
+    bridge merged two old clusters) and `n_newly_clustered` (an old
+    singleton pulled into a cluster by a new near-dup). Downstream
+    consumers key caches/exports on canonical ids; this number is the
+    invalidation volume a re-run will cause — g_cc_incremental proves
+    incremental == full, THIS entry prices what full costs you.
+
+    Exactness: counts + permille in BIGINT (denominator = old docs
+    touched by either map). Scale: both CC runs use the distributed
+    large-star/small-star path; old pairs are a FILTER of the same
+    prefix-filtered PPJoin output (pair Jaccard is a pure pair
+    function — old-old pairs are identical in both corpora, so the
+    pair pass is paid once and filtered, never recomputed); the cut
+    is a one-row broadcast scalar; the compare join is dup-member
+    grain."""
+    from hikma_engine_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    cut = d.agg((F.max("doc_id").cast("long") / 2).cast("long").alias("cut"))
+    pairs_all = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8
+    ).cache()  # two CC consumers; production reads a persisted pair table
+    pairs_old = (
+        pairs_all.crossJoin(F.broadcast(cut))
+        .filter((F.col("a") <= F.col("cut")) & (F.col("b") <= F.col("cut")))
+        .select("a", "b")
+    )
+    comp_old = connected_components(
+        pairs_old, src="a", dst="b", driver_threshold=0
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("c_old"),
+    )
+    comp_all = (
+        connected_components(pairs_all, src="a", dst="b", driver_threshold=0)
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("c_all"),
+        )
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .select("doc_id", "c_all")
+    )
+    j = comp_old.join(comp_all, "doc_id", "full_outer")
+    return j.agg(
+        F.count("*").cast("long").alias("n_old_touched"),
+        F.sum(
+            F.when(
+                F.col("c_old").isNotNull()
+                & F.col("c_all").isNotNull()
+                & (F.col("c_old") != F.col("c_all")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("c_old").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_newly_clustered"),
+    ).select(
+        "n_old_touched",
+        "n_changed",
+        "n_newly_clustered",
+        F.expr(
+            "CASE WHEN n_old_touched > 0 THEN"
+            " (n_changed + n_newly_clustered) * 1000 DIV n_old_touched"
+            " ELSE 0 END"
+        ).alias("blast_permille"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -8920,6 +8998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5.json)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "kg_canonical_stability": kg_canonical_stability,
         "d_shard_balance": d_shard_balance,
         "kg_entity_churn": kg_entity_churn,
         "kg_link_threshold_curve": kg_link_threshold_curve,
@@ -9638,6 +9717,70 @@ def oracle_sql() -> dict[str, str]:
                      1e6 * (snorm2 - n_vecs) / (n_vecs * (n_vecs - 1)))
                      AS BIGINT) END AS coherence_micro
             FROM nn JOIN s2 USING (label) ORDER BY label
+        """,
+        # two recursive closures over the SAME pair CTE (old = filtered
+        # old-old pairs — pair Jaccard is a pure pair function)
+        "kg_canonical_stability": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+            cut AS (
+              SELECT CAST(max(doc_id) // 2 AS BIGINT) AS cut FROM documents
+            ),
+            po AS (
+              SELECT a, b FROM pairs, cut
+              WHERE a <= cut.cut AND b <= cut.cut
+            ),
+            symo AS (
+              SELECT a AS u, b AS v FROM po UNION SELECT b, a FROM po
+            ),
+            reacho(u, v) AS (
+              SELECT u, v FROM symo
+              UNION
+              SELECT r.u, s.v FROM reacho r JOIN symo s ON r.v = s.u
+            ),
+            co AS (
+              SELECT u AS doc_id, least(u, min(v)) AS c_old
+              FROM reacho GROUP BY u
+            ),
+            syma AS (
+              SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+            ),
+            reacha(u, v) AS (
+              SELECT u, v FROM syma
+              UNION
+              SELECT r.u, s.v FROM reacha r JOIN syma s ON r.v = s.u
+            ),
+            ca AS (
+              SELECT u AS doc_id, least(u, min(v)) AS c_all
+              FROM reacha GROUP BY u
+            ),
+            caf AS (
+              SELECT ca.doc_id, ca.c_all FROM ca, cut
+              WHERE ca.doc_id <= cut.cut
+            ),
+            j AS (
+              SELECT coalesce(co.doc_id, caf.doc_id) AS doc_id,
+                     co.c_old, caf.c_all
+              FROM co FULL OUTER JOIN caf ON co.doc_id = caf.doc_id
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_old_touched,
+                     CAST(coalesce(sum(CASE WHEN c_old IS NOT NULL
+                                         AND c_all IS NOT NULL
+                                         AND c_old != c_all
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_changed,
+                     CAST(coalesce(sum(CASE WHEN c_old IS NULL
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_newly_clustered
+              FROM j
+            )
+            SELECT n_old_touched, n_changed, n_newly_clustered,
+                   CASE WHEN n_old_touched > 0
+                        THEN ((n_changed + n_newly_clustered) * 1000)
+                             // n_old_touched
+                        ELSE 0 END AS blast_permille
+            FROM agg
         """,
         # shard sizes from the same md5 algebra as the d_shuffle_export
         # twin; gini by the rank identity over the 16-row shard dim

@@ -3134,3 +3134,37 @@ def test_entity_churn_new_and_retired(spark, tmp_path):
     assert int(st.share_early_permille) == 2000 // 3  # 2 of 3 -> 666
     assert int(st.share_late_permille) == 1000 // 3   # 1 of 3 -> 333
     assert int(st.delta_permille) == 333 - 666
+
+
+def test_canonical_stability_chain_bridge(spark, tmp_path):
+    """Old clusters A={0,1} and B={2,3} are 0.8-separated; four NEW
+    docs form a sliding-window chain connecting them -> both B members
+    change canonical id (component 2 -> 0), nothing newly clustered:
+    blast = 2/4 = 500 permille."""
+    toks = [f"t{i:02d}" for i in range(27)]
+
+    def win(i):
+        return " ".join(toks[i : i + 20])
+
+    # ids 0,1 = windows 0,1 (cluster A); ids 2,3 = windows 6,7
+    # (cluster B); ids 4-7 = windows 2-5 (the new bridge chain).
+    # Consecutive windows share 17/19 shingles (0.894 >= 0.8);
+    # win1 vs win6 shares 13/23 (0.565 < 0.8) so A,B are separate
+    # in the old half (cut = 7 DIV 2 = 3).
+    texts = [win(0), win(1), win(6), win(7), win(2), win(3), win(4), win(5)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": texts,
+            "lang": ["en"] * 8,
+            "source": ["c1"] * 8,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["kg_canonical_stability"](spark, sf).toPandas()
+    row = got.iloc[0]
+    assert int(row.n_old_touched) == 4
+    assert int(row.n_changed) == 2
+    assert int(row.n_newly_clustered) == 0
+    assert int(row.blast_permille) == 500
