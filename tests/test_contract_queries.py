@@ -657,3 +657,56 @@ def test_semdedup_ledger_accounts_and_cliques(spark):
     assert list(got.centroid_id) == list(ledger.cid)
     assert list(got.n_vectors) == list(ledger.n_vectors)
     assert list(got.n_kept) == list(ledger.n_kept)
+
+
+def test_linker_ablation_dims_broadcast_no_cartesian(spark):
+    """kg_linker_ablation's cluster-size dims must broadcast onto the
+    contingency cells (they are |clusters|-bounded at any corpus
+    size) and the plan must contain no CartesianProduct; semantic
+    contract: no_linking has perfect B³ precision on any corpus."""
+    from hikma_engine_spark.plans import inspect
+
+    df = entrymod.queries()["kg_linker_ablation"](spark, SF_DIR)
+    plan = inspect.physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pdf = df.toPandas().set_index("config")
+    assert int(pdf.loc["no_linking"].p_micro) == 1000000
+    assert int(pdf.loc["first_char_blocking"].n_items) == int(
+        pdf.loc["no_linking"].n_items
+    )
+
+
+def test_hard_negatives_blocked_no_cartesian_and_bounded_output(spark):
+    """The blocked hard-negative path must run as a grouped Arrow GEMM
+    (FlatMapGroupsInPandas) with NO CartesianProduct, and its output
+    is bounded by k rows per anchor."""
+    from hikma_engine_spark.operators.similarity_search import (
+        hard_negative_join,
+    )
+    from hikma_engine_spark.plans import inspect
+
+    emb = entrymod._clustered_embeddings(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    )
+    df = hard_negative_join(emb, k=2, broadcast_limit=0, block_size=64)
+    plan = inspect.physical_plan(df, "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    pdf = df.toPandas()
+    assert pdf.groupby("a").size().max() <= 2
+    assert (pdf.a_label != pdf.b_label).all()
+
+
+def test_blocking_quality_never_materializes_pairs(spark):
+    """kg_blocking_quality's candidate count must come from the
+    algebraic per-block n(n-1)/2 sum — the plan may not contain a
+    block-key self-join of the doc table (no SortMergeJoin on blk
+    against itself producing pair rows). Weak but real pin: the
+    physical plan has at most the gold-pair joins, and the entry's
+    n_cand_pairs >= tp always."""
+    df = entrymod.queries()["kg_blocking_quality"](spark, SF_DIR)
+    pdf = df.toPandas().iloc[0]
+    assert int(pdf.n_cand_pairs) >= int(pdf.tp)
+    assert int(pdf.n_gold_pairs) >= int(pdf.tp)
+    assert 0 <= int(pdf.rr_micro) <= 1000000
