@@ -3168,3 +3168,43 @@ def test_canonical_stability_chain_bridge(spark, tmp_path):
     assert int(row.n_changed) == 2
     assert int(row.n_newly_clustered) == 0
     assert int(row.blast_permille) == 500
+
+
+def test_modularity_identity_on_hand_graph(spark):
+    """Two 4-cliques joined by one bridge: LPA labels converge to the
+    two cliques (bridge endpoints keep their clique majority), and
+    the modularity identity holds: Σ q_num / 4m² matches the direct
+    Q = Σ [e_c/m - (d_c/2m)²] computed in Python."""
+    from hikma_engine_spark.operators.graph import label_propagation
+
+    def clique(prefix, names):
+        return [
+            (f"{prefix}{x}", f"{prefix}{y}")
+            for i, x in enumerate(names)
+            for y in names[i + 1 :]
+        ]
+
+    ed = clique("a", "1234") + clique("b", "1234") + [("a1", "b1")]
+    df = spark.createDataFrame(ed, "a string, b string")
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    m = len(ed)
+    from collections import Counter, defaultdict
+
+    e_c: Counter = Counter()
+    for x, y in ed:
+        if labels[x] == labels[y]:
+            e_c[labels[x]] += 1
+    d_c: Counter = Counter()
+    for x, y in ed:
+        d_c[labels[x]] += 1
+        d_c[labels[y]] += 1
+    q_direct = sum(
+        e_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c
+    )
+    q_num_sum = sum(4 * m * e_c[c] - d_c[c] ** 2 for c in d_c)
+    assert abs(q_num_sum / (4 * m * m) - q_direct) < 1e-12
+    # the partition is better than chance on this graph
+    assert q_direct > 0.3
