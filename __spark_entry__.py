@@ -9056,6 +9056,109 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_coverage_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): per-conversation EXTRACTION
+    COVERAGE — the per-unit QA report an indexing run publishes next
+    to its lineage manifest: for every conversation, how many turns
+    exist, how many carry ≥1 gazetteer mention, the coverage permille,
+    and the distinct-entity count. A conversation whose coverage
+    collapses between runs localizes an extraction regression to its
+    source before any aggregate metric moves (the per-partition
+    metrics clause of the north rule, at the conv grain).
+
+    Scale: three combinable conv-grain aggs (turn counts from the
+    transcript scan; mention-bearing turns and entity counts from the
+    shared memoized extraction, distinct-collapsed first), one left
+    join on conv_id — every stream shuffles once on the same key.
+    Exact integers throughout."""
+    t = _doc_transcripts(spark, sf_dir)
+    nt = t.groupBy("conv_id").agg(F.count("*").cast("long").alias("n_turns"))
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+    )
+    nw = (
+        m.select("conv_id", "turn_idx")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_turns_with_mentions"))
+    )
+    ne = (
+        m.select("conv_id", "surface_norm")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_entities"))
+    )
+    return (
+        nt.join(nw, "conv_id", "left")
+        .join(ne, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce("n_turns_with_mentions", F.lit(0))
+            .cast("long")
+            .alias("n_turns_with_mentions"),
+            F.coalesce("n_entities", F.lit(0)).cast("long").alias("n_entities"),
+        )
+        .withColumn(
+            "coverage_permille",
+            F.expr("n_turns_with_mentions * 1000 DIV n_turns"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def s_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): MORE-LIKE-THIS retrieval (the
+    Lucene MLT primitive): given a seed document (doc 0), rank the
+    corpus by rarity-weighted shared-vocabulary overlap — score =
+    Σ over shared distinct terms of 10⁶ DIV df(term). Rarity
+    weighting is the whole point (sharing 'the' says nothing; sharing
+    a df=2 term says a lot) — same integer-rarity doctrine as
+    g_resource_alloc, so the score is an exact BIGINT (no ln float).
+    Complements s_bm25_rank (free-text query) and s_tfidf_pairs
+    (all-pairs): MLT is one-seed → corpus, the 'related documents'
+    panel a KG serving layer renders.
+
+    Scale: the seed's term set is a ≤|doc-vocabulary| broadcast dim,
+    so the candidate join touches only postings of the seed's terms
+    (never the full token stream after the semi-join); df is a
+    vocabulary-grain dim broadcast onto it; ranking compiles to
+    TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                )
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    dfreq = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    seed = toks.filter(F.col("doc_id") == 0).select("token").distinct()
+    cand = (
+        toks.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(seed), "token")
+        .join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_terms"),
+            F.sum(F.expr("1000000 DIV df")).cast("long").alias("rarity_micro"),
+        )
+    )
+    return cand.orderBy(
+        F.desc("rarity_micro"), F.asc("doc_id")
+    ).limit(10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -9080,6 +9183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     landed after and passed all three SFs individually)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "kg_coverage_per_conv": kg_coverage_per_conv,
+        "s_more_like_this": s_more_like_this,
         "g_modularity": g_modularity,
         "kg_canonical_stability": kg_canonical_stability,
         "d_shard_balance": d_shard_balance,
@@ -9849,6 +9954,62 @@ def oracle_sql() -> dict[str, str]:
                      1e6 * (snorm2 - n_vecs) / (n_vecs * (n_vecs - 1)))
                      AS BIGINT) END AS coherence_micro
             FROM nn JOIN s2 USING (label) ORDER BY label
+        """,
+        # three conv-grain aggs + one left join; coverage in permille
+        "kg_coverage_per_conv": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            nt AS (
+              SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+              FROM t GROUP BY 1
+            ),
+            m AS (
+              SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            nw AS (
+              SELECT conv_id, CAST(count(*) AS BIGINT)
+                       AS n_turns_with_mentions
+              FROM (SELECT DISTINCT conv_id, turn_idx FROM m) GROUP BY 1
+            ),
+            ne AS (
+              SELECT conv_id, CAST(count(*) AS BIGINT) AS n_entities
+              FROM (SELECT DISTINCT conv_id, s FROM m) GROUP BY 1
+            )
+            SELECT nt.conv_id, nt.n_turns,
+                   coalesce(nw.n_turns_with_mentions, 0)
+                     AS n_turns_with_mentions,
+                   coalesce(ne.n_entities, 0) AS n_entities,
+                   (coalesce(nw.n_turns_with_mentions, 0) * 1000)
+                     // nt.n_turns AS coverage_permille
+            FROM nt
+            LEFT JOIN nw ON nw.conv_id = nt.conv_id
+            LEFT JOIN ne ON ne.conv_id = nt.conv_id
+            ORDER BY nt.conv_id
+        """,
+        # seed-term semi-join then rarity sum; exact 10⁶ // df
+        "s_more_like_this": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, t AS token
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+                FROM documents
+              ) WHERE t != ''
+            ),
+            dfreq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM toks GROUP BY 1
+            ),
+            seed AS (SELECT DISTINCT token FROM toks WHERE doc_id = 0)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_terms,
+                   CAST(sum(1000000 // d.df) AS BIGINT) AS rarity_micro
+            FROM toks t JOIN seed USING (token) JOIN dfreq d USING (token)
+            WHERE t.doc_id != 0
+            GROUP BY t.doc_id
+            ORDER BY rarity_micro DESC, t.doc_id ASC LIMIT 10
         """,
         # unrolled-LPA prefix shared with the g_lpa_communities twin;
         # q_num exact BIGINT, q_micro sign-explicit truncation

@@ -3208,3 +3208,63 @@ def test_modularity_identity_on_hand_graph(spark):
     assert abs(q_num_sum / (4 * m * m) - q_direct) < 1e-12
     # the partition is better than chance on this graph
     assert q_direct > 0.3
+
+
+def test_coverage_per_conv_hand_counts(spark, tmp_path):
+    """Conv c1: 2 of 3 turns carry mentions, 2 distinct entities
+    (coverage 666); conv c2: no mentions at all -> zeros, not a
+    dropped row."""
+    rows = [
+        (0, "spark and stream", "c1"),
+        (1, "nothing here", "c1"),
+        (2, "spark again", "c1"),
+        (3, "still nothing", "c2"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", pdf)
+    got = (
+        entrymod.queries()["kg_coverage_per_conv"](spark, sf)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    c1 = got.loc["c1"]
+    assert (int(c1.n_turns), int(c1.n_turns_with_mentions)) == (3, 2)
+    assert int(c1.n_entities) == 2
+    assert int(c1.coverage_permille) == 666
+    c2 = got.loc["c2"]
+    assert int(c2.n_turns_with_mentions) == 0
+    assert int(c2.coverage_permille) == 0
+
+
+def test_more_like_this_rarity_beats_count(spark, tmp_path):
+    """Doc 1 shares ONE rare term (df=2) with the seed; doc 2 shares
+    TWO common terms (df=4 each) -> rarity ranks doc 1 first
+    (500000 > 250000+250000? no — equal; make doc2's terms df=5).
+    Seed terms: {rare, com1, com2}; fillers push df up."""
+    texts = [
+        "rare com1 com2",          # seed doc 0
+        "rare only here",          # doc 1: shares 'rare' (df=2) -> 500000
+        "com1 com2 words",         # doc 2: shares com1+com2 (df=5) -> 400000
+        "com1 com2 filler a",      # docs 3-5 inflate df of com1/com2
+        "com1 com2 filler b",
+        "com1 com2 filler c",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": texts,
+            "lang": ["en"] * 6,
+            "source": ["c1"] * 6,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = entrymod.queries()["s_more_like_this"](spark, sf).toPandas()
+    # df(rare)=2 -> 500000; df(com1)=df(com2)=5 -> 200000 each = 400000
+    top = got.iloc[0]
+    assert int(top.doc_id) == 1 and int(top.rarity_micro) == 500000
+    second = got.iloc[1]
+    assert int(second.doc_id) == 2 and int(second.rarity_micro) == 400000
+    assert int(second.n_shared_terms) == 2
