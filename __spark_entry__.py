@@ -9159,6 +9159,137 @@ def s_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def kg_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): multi-signal ALIAS-CANDIDATE
+    union — the triage table a human (or an LLM judge) reviews before
+    aliases enter the canonical map, merging the two cheap evidence
+    channels the repo keeps separate: the SURFACE channel (levenshtein
+    ≤ 2 between entity surfaces, the kg_fuzzy_match signal) and the
+    STRUCTURAL channel (turn-set Jaccard ≥ 300‰, the g_struct_equiv
+    signal). A pair flagged by BOTH channels is a high-confidence
+    merge; single-channel pairs route to review. (The third channel —
+    embedding similarity — runs in the pipeline's LSH linker and is
+    deliberately absent here so the twin stays exact.)
+
+    Scale: the surface dim is gazetteer-bounded, so the levenshtein
+    self-join is dim² on a broadcast (at 10⁶ distinct surfaces you'd
+    block it first — kg_fuzzy_match shows that plan); the structural
+    side reuses the capped per-turn self-join. Output is
+    vocabulary²-bounded, exact integers + booleans only."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    surf = m.select("surface_norm").distinct()
+    s1 = surf.select(F.col("surface_norm").alias("e1"))
+    s2 = surf.select(F.col("surface_norm").alias("e2"))
+    fuzzy = (
+        s1.crossJoin(F.broadcast(s2))
+        .filter(F.col("e1") < F.col("e2"))
+        .select(
+            "e1", "e2", F.levenshtein("e1", "e2").alias("lev")
+        )
+        .filter(F.col("lev") <= 2)
+    )
+    marg = m.groupBy(F.col("surface_norm").alias("e")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    jac = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .join(
+            F.broadcast(
+                marg.select(F.col("e").alias("e1"), F.col("n").alias("n_1"))
+            ),
+            "e1",
+        )
+        .join(
+            F.broadcast(
+                marg.select(F.col("e").alias("e2"), F.col("n").alias("n_2"))
+            ),
+            "e2",
+        )
+        .select(
+            "e1",
+            "e2",
+            F.expr("n_common * 1000 DIV (n_1 + n_2 - n_common)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .filter(F.col("jaccard_permille") >= 300)
+    )
+    merged = fuzzy.join(jac, ["e1", "e2"], "full_outer").select(
+        "e1",
+        "e2",
+        F.col("lev").isNotNull().alias("surface_signal"),
+        F.col("jaccard_permille").isNotNull().alias("structural_signal"),
+        F.coalesce("lev", F.lit(-1)).cast("long").alias("lev"),
+        F.coalesce("jaccard_permille", F.lit(0))
+        .cast("long")
+        .alias("jaccard_permille"),
+    )
+    return merged.select(
+        "e1",
+        "e2",
+        "surface_signal",
+        "structural_signal",
+        (F.col("surface_signal") & F.col("structural_signal")).alias(
+            "both_signals"
+        ),
+        "lev",
+        "jaccard_permille",
+    ).orderBy("e1", "e2")
+
+
+def d_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (session 4): cross-source DUPLICATION MATRIX —
+    near-dup pairs (exact J ≥ 0.8, the PPJoin operator) rolled up by
+    UNORDERED source pair: which corpus sources copy which. The
+    contamination triage every multi-source LLM-corpus assembly runs:
+    a hot (src_i, src_j) cell with i≠j means cross-source mirroring
+    (drop one side); a hot diagonal means an internally-redundant
+    source (dedup harder there). Counts + share permille of all dup
+    pairs, exact integers.
+
+    Scale: the pair list is the prefix-filtered PPJoin output (never
+    all-pairs); the doc→source dim joins it twice on doc_id (dup-pair
+    grain, not corpus grain); the rollup is a |sources|²-bounded
+    groupBy with a one-row broadcast total."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("b"), F.col("source").alias("src_b"))
+    cells = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.least("src_a", "src_b").alias("src_1"),
+            F.greatest("src_a", "src_b").alias("src_2"),
+        )
+        .groupBy("src_1", "src_2")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    tot = cells.agg(F.sum("n_pairs").cast("long").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "src_1",
+            "src_2",
+            "n_pairs",
+            (F.col("src_1") == F.col("src_2")).alias("within_source"),
+            F.expr("n_pairs * 1000 DIV n_total").alias("share_permille"),
+        )
+        .orderBy("src_1", "src_2")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -9183,6 +9314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     landed after and passed all three SFs individually)."""
     return {
         # -- never driver-captured: session-4 additions (newest of all) --
+        "kg_alias_candidates": kg_alias_candidates,
+        "d_dup_source_matrix": d_dup_source_matrix,
         "kg_coverage_per_conv": kg_coverage_per_conv,
         "s_more_like_this": s_more_like_this,
         "g_modularity": g_modularity,
@@ -9954,6 +10087,73 @@ def oracle_sql() -> dict[str, str]:
                      1e6 * (snorm2 - n_vecs) / (n_vecs * (n_vecs - 1)))
                      AS BIGINT) END AS coherence_micro
             FROM nn JOIN s2 USING (label) ORDER BY label
+        """,
+        # full outer of the two evidence channels on the surface dim
+        "kg_alias_candidates": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            surf AS (SELECT DISTINCT s FROM m),
+            fz AS (
+              SELECT x.s AS e1, y.s AS e2,
+                     CAST(levenshtein(x.s, y.s) AS BIGINT) AS lev
+              FROM surf x JOIN surf y ON x.s < y.s
+              WHERE levenshtein(x.s, y.s) <= 2
+            ),
+            marg AS (
+              SELECT s AS e, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1
+            ),
+            jc AS (
+              SELECT e1, e2,
+                     (n_common * 1000) // (m1.n + m2.n - n_common)
+                       AS jaccard_permille
+              FROM (
+                SELECT x.s AS e1, y.s AS e2,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM m x JOIN m y
+                  ON x.conv_id = y.conv_id AND x.turn_idx = y.turn_idx
+                     AND x.s < y.s
+                GROUP BY 1, 2
+              ) c
+              JOIN marg m1 ON m1.e = c.e1
+              JOIN marg m2 ON m2.e = c.e2
+              WHERE (n_common * 1000) // (m1.n + m2.n - n_common) >= 300
+            )
+            SELECT coalesce(fz.e1, jc.e1) AS e1,
+                   coalesce(fz.e2, jc.e2) AS e2,
+                   fz.lev IS NOT NULL AS surface_signal,
+                   jc.jaccard_permille IS NOT NULL AS structural_signal,
+                   (fz.lev IS NOT NULL AND jc.jaccard_permille IS NOT NULL)
+                     AS both_signals,
+                   coalesce(fz.lev, -1) AS lev,
+                   coalesce(jc.jaccard_permille, 0) AS jaccard_permille
+            FROM fz FULL OUTER JOIN jc
+              ON fz.e1 = jc.e1 AND fz.e2 = jc.e2
+            ORDER BY e1, e2
+        """,
+        # PPJoin pair list → unordered source-pair rollup
+        "d_dup_source_matrix": f"""
+            WITH {_SHINGLE_CTE},
+            pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+            cells AS (
+              SELECT least(da.source, db.source) AS src_1,
+                     greatest(da.source, db.source) AS src_2,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM pairs
+              JOIN documents da ON da.doc_id = pairs.a
+              JOIN documents db ON db.doc_id = pairs.b
+              GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM cells
+            )
+            SELECT src_1, src_2, n_pairs,
+                   src_1 = src_2 AS within_source,
+                   (n_pairs * 1000) // n_total AS share_permille
+            FROM cells, tot ORDER BY src_1, src_2
         """,
         # three conv-grain aggs + one left join; coverage in permille
         "kg_coverage_per_conv": f"""
