@@ -668,6 +668,35 @@ def e_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_recall_contract(exact, ann, min_hits=8)
 
 
+def e_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): product-quantization ANN
+    (operators.similarity_search.train_pq_codebooks / pq_encode /
+    pq_topk) — the 32×-compression serving path (64 float32 dims →
+    8 one-byte codes at m=8, k=16) that makes billion-vector tables
+    RAM-resident; IVF+PQ is the canonical FAISS recipe and this
+    completes the module's quantization ladder (int8 = 4×, PQ = 32×).
+    Two-stage, the production shape: the ADC scan reads ONLY the
+    m-byte codes (per-row score = Σ_j LUT[j][code_j], a pure JVM
+    zip_with/element_at/aggregate over a plan-literal m×k lookup
+    table — no UDF, no shuffle, TakeOrderedAndProject), then exact
+    cosine re-ranks the k·4 shortlist — full vectors are touched for
+    40 rows, never the table. Same recall-contract surface as the
+    LSH/IVF/int8 entries: exact top-10 rows + ann_recall_ok asserting
+    the PQ path found ≥ 8 of them (measured 10/10 at all SFs;
+    pure-ADC without re-rank measures 5-7/10 — the documented reason
+    serving systems always re-rank)."""
+    from hikma_engine_spark.operators import similarity_search as ss
+
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = ss.brute_force_topk(base, list(qv), k=10)
+    books = ss.train_pq_codebooks(base, m=8, k=16)
+    enc = ss.pq_encode(base, books)
+    ann = ss.pq_topk(enc, books, list(qv), k=10, rerank=4)
+    return _with_recall_contract(exact, ann, min_hits=8)
+
+
 def g_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: synchronous label propagation
     (operators.graph.label_propagation) for 4 rounds over the
@@ -9313,7 +9342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5_sf01.json — 189-entry sf0.1 pass; g_modularity
     landed after and passed all three SFs individually)."""
     return {
-        # -- never driver-captured: session-4 additions (newest of all) --
+        # -- never driver-captured: final-wave additions (newest of all) --
+        "e_pq_topk": e_pq_topk,
+        # -- never driver-captured: session-4 additions --
         "kg_alias_candidates": kg_alias_candidates,
         "d_dup_source_matrix": d_dup_source_matrix,
         "kg_coverage_per_conv": kg_coverage_per_conv,
@@ -13443,6 +13474,7 @@ def oracle_sql() -> dict[str, str]:
         "e_ann_lsh_topk": _ANN_EXACT_CONTRACT_SQL,
         "e_ann_ivf_topk": _ANN_EXACT_CONTRACT_SQL,
         "e_int8_topk": _ANN_EXACT_CONTRACT_SQL,
+        "e_pq_topk": _ANN_EXACT_CONTRACT_SQL,
         "kg_full_pipeline": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
             men AS (
