@@ -8636,6 +8636,90 @@ def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_linker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): threshold-FREE linker-scorer
+    evaluation — ROC-AUC of the fuzzy-match similarity score over the
+    blocked candidate pairs, computed exactly as the midrank
+    Mann-Whitney statistic. Completes the ER-evaluation suite: B³
+    (kg_bcubed_eval) grades a FIXED clustering, the operating curve
+    (kg_link_threshold_curve) sweeps ADMISSION thresholds, AUC grades
+    the SCORER itself independent of any threshold — the number an ER
+    team tracks when swapping similarity functions (P(score ranks a
+    matching pair above a non-matching one), ties at half credit).
+
+    Exact integer algebra throughout: candidates come from the same
+    blocked broadcast join as kg_fuzzy_match (first-char block +
+    length band — never n²; a first-char-deleting corruption makes
+    the true match unreachable for ~1/len of rows, so blocking misses
+    contribute honest negatives-only rows); the score is
+    sim_permille = 1000·(L − lev) DIV L; AUC runs on the SCORE
+    HISTOGRAM (≤1001-row dim — the bounded-dim doctrine), where the
+    per-score midrank arrives as ev_mannwhitney's midrank_x2 =
+    2·before + t + 1 and u_pos_x2 = Σ pos(s)·midrank_x2(s) − n₁(n₁+1)
+    is an exact BIGINT ≤ 2·n₁·n₂ (~7·10⁷ at sf0.1 — 36 bits of
+    headroom before the ×500000 final scaling). auc_permicro =
+    u_pos_x2·500000 DIV (n₁·n₂); beats_random asserts the scorer
+    carries real signal (>0.5) in-plan."""
+    p = _t(spark, sf_dir, "part")
+    dirty = p.filter(F.col("p_partkey") % 7 == 3).select(
+        "p_partkey",
+        F.col("p_name").alias("orig"),
+        F.expr(
+            "concat(substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),"
+            "       substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))"
+        ).alias("dirty_name"),
+    )
+    canon = p.select(F.col("p_name").alias("canon")).distinct()
+    cand = (
+        dirty.join(
+            F.broadcast(canon),
+            F.substring("dirty_name", 1, 1) == F.substring("canon", 1, 1),
+        )
+        .filter(F.abs(F.length("dirty_name") - F.length("canon")) <= 1)
+        .select(
+            (F.col("canon") == F.col("orig")).alias("pos"),
+            F.expr(
+                "(1000 * (greatest(length(dirty_name), length(canon))"
+                "         - levenshtein(dirty_name, canon)))"
+                " DIV greatest(length(dirty_name), length(canon))"
+            ).alias("score"),
+        )
+    )
+    hist = (
+        cand.groupBy("score")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("c2"),
+        )
+        .withColumn("t", F.col("c1") + F.col("c2"))
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "before", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    stats = ranked.groupBy().agg(
+        F.sum(F.col("c1") * (2 * F.col("before") + F.col("t") + 1)).alias(
+            "r1_x2"
+        ),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    return stats.select(
+        (F.col("n1") + F.col("n2")).cast("long").alias("n_pairs"),
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n2").cast("long").alias("n_neg"),
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u_pos_x2"),
+        F.expr(
+            "CAST((r1_x2 - n1*(n1+1)) * 500000 DIV (n1*n2) AS BIGINT)"
+        ).alias("auc_permicro"),
+        F.expr(
+            "(r1_x2 - n1*(n1+1)) * 500000 DIV (n1*n2) > 500000"
+        ).alias("beats_random"),
+    )
+
+
 def kg_link_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (session 4): the fuzzy-linker THRESHOLD
     OPERATING CURVE — for each levenshtein acceptance threshold
@@ -9344,6 +9428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-captured: final-wave additions (newest of all) --
         "e_pq_topk": e_pq_topk,
+        "kg_linker_auc": kg_linker_auc,
         # -- never driver-captured: session-4 additions --
         "kg_alias_candidates": kg_alias_candidates,
         "d_dup_source_matrix": d_dup_source_matrix,
@@ -10391,6 +10476,56 @@ def oracle_sql() -> dict[str, str]:
             FROM sh ORDER BY surface_norm
         """,
         # one best-candidate pass fanned over thresholds 0..3
+        "kg_linker_auc": """
+            WITH dirty AS (
+              SELECT p_partkey, p_name AS orig,
+                     substring(p_name, 1,
+                               CAST(p_partkey % length(p_name) AS INT))
+                     || substring(p_name,
+                                  CAST(p_partkey % length(p_name) AS INT) + 2)
+                       AS dirty_name
+              FROM part WHERE p_partkey % 7 = 3
+            ),
+            canon AS (SELECT DISTINCT p_name AS canon FROM part),
+            cand AS (
+              SELECT (c.canon = d.orig) AS pos,
+                     (1000 * (greatest(length(d.dirty_name), length(c.canon))
+                              - levenshtein(d.dirty_name, c.canon)))
+                       // greatest(length(d.dirty_name), length(c.canon))
+                       AS score
+              FROM dirty d JOIN canon c
+                ON substring(d.dirty_name, 1, 1) = substring(c.canon, 1, 1)
+              WHERE abs(length(d.dirty_name) - length(c.canon)) <= 1
+            ),
+            hist AS (
+              SELECT score,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+                     CAST(count(*) AS BIGINT) AS t
+              FROM cand GROUP BY score
+            ),
+            ranked AS (
+              SELECT c1, c2, t,
+                     coalesce(sum(t) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before
+              FROM hist
+            ),
+            st AS (
+              SELECT CAST(sum(c1 * (2*before + t + 1)) AS BIGINT) AS r1_x2,
+                     CAST(sum(c1) AS BIGINT) AS n1,
+                     CAST(sum(c2) AS BIGINT) AS n2
+              FROM ranked
+            )
+            SELECT CAST(n1 + n2 AS BIGINT) AS n_pairs,
+                   n1 AS n_pos, n2 AS n_neg,
+                   CAST(r1_x2 - n1*(n1+1) AS BIGINT) AS u_pos_x2,
+                   CAST((r1_x2 - n1*(n1+1)) * 500000 // (n1*n2) AS BIGINT)
+                     AS auc_permicro,
+                   (r1_x2 - n1*(n1+1)) * 500000 // (n1*n2) > 500000
+                     AS beats_random
+            FROM st
+        """,
         "kg_link_threshold_curve": """
             WITH dirty AS (
               SELECT p_partkey, p_name AS orig,
