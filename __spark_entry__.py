@@ -8636,6 +8636,98 @@ def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): TextTiling-style TOPIC
+    SEGMENTATION of conversations (Hearst 1997, Computational
+    Linguistics 23(1)) — the transcript-native boundary detector a
+    KG pipeline runs before per-topic summarization/extraction, and a
+    long-context training pipeline runs to split multi-topic
+    transcripts at natural seams instead of mid-thought.
+
+    Semantics: at each gap g (between turn g and g+1), lexical
+    cohesion = |distinct tokens appearing in BOTH the 2-turn block
+    left of g and the 2-turn block right of g| (truncated blocks at
+    conversation edges, per Hearst); a gap is a boundary iff its
+    cohesion is a strict-left / lax-right local minimum with depth
+    (left + right − 2·cohesion) ≥ 4. All counts are exact integers.
+
+    Scale shape — the windowed-set-intersection is re-expressed as
+    PURE relational algebra (no array unions inside window frames,
+    which neither engine vectorizes): a token occurrence at turn_idx
+    SUPPORTS gaps {idx, idx+1} as a left-block member and
+    {idx−1, idx−2} as a right-block member, so cohesion(conv, g) is
+    an equi-join of the two constant-fan-out-2 exploded DISTINCT
+    support streams on (conv, g, token) + a count — map-side
+    combinable end to end, shuffle keys carry the conversation id so
+    a hot token never concentrates (contrast d_collocations' global
+    token keys). Zero-overlap gaps (the strongest boundaries) are
+    restored by a left join from the per-conv gap dim (sequence
+    explode off the turn-count agg); the lag/lead minimum test rides
+    the per-conv window ONE partition pass. Fan-out is a constant ×4
+    of the token stream — at 10^12 turns this is the same economics
+    as the shingle family."""
+    t = _doc_transcripts(spark, sf_dir)
+    tok = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("tk"),
+    )
+    lft = tok.select(
+        "conv_id",
+        "tk",
+        F.explode(
+            F.array(F.col("turn_idx"), F.col("turn_idx") + 1)
+        ).alias("g"),
+    ).distinct()
+    rgt = tok.select(
+        "conv_id",
+        "tk",
+        F.explode(
+            F.array(F.col("turn_idx") - 1, F.col("turn_idx") - 2)
+        ).alias("g"),
+    ).distinct()
+    coh0 = (
+        lft.join(rgt, ["conv_id", "g", "tk"])
+        .groupBy("conv_id", "g")
+        .agg(F.count("*").cast("long").alias("cohesion"))
+    )
+    gaps = (
+        t.groupBy("conv_id")
+        .agg(F.max("turn_idx").cast("int").alias("max_idx"))
+        .select(
+            "conv_id",
+            F.explode(F.sequence(F.lit(0), F.col("max_idx") - 1)).alias("g"),
+        )
+    )
+    coh = gaps.join(coh0, ["conv_id", "g"], "left").select(
+        "conv_id",
+        F.col("g").cast("long").alias("g"),
+        F.coalesce("cohesion", F.lit(0)).cast("long").alias("cohesion"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("g")
+    d = coh.withColumn("lc", F.lag("cohesion").over(w)).withColumn(
+        "rc", F.lead("cohesion").over(w)
+    )
+    return d.select(
+        "conv_id",
+        F.col("g").alias("gap"),
+        "cohesion",
+        (F.col("lc") + F.col("rc") - 2 * F.col("cohesion"))
+        .cast("long")
+        .alias("depth"),
+        F.coalesce(
+            (F.col("cohesion") < F.col("lc"))
+            & (F.col("cohesion") <= F.col("rc"))
+            & (F.col("lc") + F.col("rc") - 2 * F.col("cohesion") >= 4),
+            F.lit(False),
+        ).alias("is_boundary"),
+    ).orderBy("conv_id", "gap")
+
+
 def kg_linker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (final wave): threshold-FREE linker-scorer
     evaluation — ROC-AUC of the fuzzy-match similarity score over the
@@ -9429,6 +9521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-captured: final-wave additions (newest of all) --
         "e_pq_topk": e_pq_topk,
         "kg_linker_auc": kg_linker_auc,
+        "kg_topic_segments": kg_topic_segments,
         # -- never driver-captured: session-4 additions --
         "kg_alias_candidates": kg_alias_candidates,
         "d_dup_source_matrix": d_dup_source_matrix,
@@ -10476,6 +10569,51 @@ def oracle_sql() -> dict[str, str]:
             FROM sh ORDER BY surface_norm
         """,
         # one best-candidate pass fanned over thresholds 0..3
+        "kg_topic_segments": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            tok AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+              FROM t
+            ),
+            lft AS (
+              SELECT DISTINCT conv_id, tk, g
+              FROM tok, unnest([turn_idx, turn_idx + 1]) AS u(g)
+            ),
+            rgt AS (
+              SELECT DISTINCT conv_id, tk, g
+              FROM tok, unnest([turn_idx - 1, turn_idx - 2]) AS u(g)
+            ),
+            coh0 AS (
+              SELECT l.conv_id, l.g, CAST(count(*) AS BIGINT) AS cohesion
+              FROM lft l
+              JOIN rgt r ON l.conv_id = r.conv_id AND l.g = r.g AND l.tk = r.tk
+              GROUP BY l.conv_id, l.g
+            ),
+            gaps AS (
+              SELECT conv_id, unnest(range(0, max_idx)) AS g
+              FROM (SELECT conv_id, CAST(max(turn_idx) AS INT) AS max_idx
+                    FROM t GROUP BY conv_id)
+            ),
+            coh AS (
+              SELECT gaps.conv_id, CAST(gaps.g AS BIGINT) AS g,
+                     coalesce(coh0.cohesion, 0) AS cohesion
+              FROM gaps LEFT JOIN coh0
+                ON gaps.conv_id = coh0.conv_id AND gaps.g = coh0.g
+            ),
+            d AS (
+              SELECT conv_id, g, cohesion,
+                     lag(cohesion) OVER (PARTITION BY conv_id ORDER BY g) AS lc,
+                     lead(cohesion) OVER (PARTITION BY conv_id ORDER BY g) AS rc
+              FROM coh
+            )
+            SELECT conv_id, g AS gap, cohesion,
+                   CAST(lc + rc - 2*cohesion AS BIGINT) AS depth,
+                   coalesce(cohesion < lc AND cohesion <= rc
+                            AND lc + rc - 2*cohesion >= 4, FALSE)
+                     AS is_boundary
+            FROM d ORDER BY conv_id, gap
+        """,
         "kg_linker_auc": """
             WITH dirty AS (
               SELECT p_partkey, p_name AS orig,
