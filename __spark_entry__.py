@@ -8930,6 +8930,88 @@ def kg_linker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): linker-score CALIBRATION readout
+    — the reliability diagram + expected calibration error (ECE,
+    Naeini et al. 2015) over the same blocked candidate pairs as
+    kg_linker_auc. The pair completes the scorer-evaluation corner:
+    AUC grades DISCRIMINATION (ranking pairs correctly), ECE grades
+    whether the score VALUE can be read as a match probability — the
+    property an ER system needs before it treats 'similarity ≥ 0.9'
+    as 'confidence ≥ 0.9'. A raw permille edit-similarity is NOT
+    calibrated, and the entry shows exactly where (per-decile
+    confidence vs observed match rate).
+
+    Exact integers throughout: scores bucket by decile
+    least(score DIV 100, 9); per bucket, confidence = Σscore DIV n
+    and accuracy = 1000·n_pos DIV n (floor-bias convention identical
+    in both engines); ECE_permille = Σ n_b·|acc_b − conf_b| DIV N as
+    a broadcast one-row scalar stamped on every bucket row. Scale:
+    the candidate economics are kg_fuzzy_match's blocked broadcast
+    join; everything after is a 10-row bucket dim."""
+    p = _t(spark, sf_dir, "part")
+    dirty = p.filter(F.col("p_partkey") % 7 == 3).select(
+        "p_partkey",
+        F.col("p_name").alias("orig"),
+        F.expr(
+            "concat(substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),"
+            "       substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))"
+        ).alias("dirty_name"),
+    )
+    canon = p.select(F.col("p_name").alias("canon")).distinct()
+    cand = (
+        dirty.join(
+            F.broadcast(canon),
+            F.substring("dirty_name", 1, 1) == F.substring("canon", 1, 1),
+        )
+        .filter(F.abs(F.length("dirty_name") - F.length("canon")) <= 1)
+        .select(
+            (F.col("canon") == F.col("orig")).alias("pos"),
+            F.expr(
+                "(1000 * (greatest(length(dirty_name), length(canon))"
+                "         - levenshtein(dirty_name, canon)))"
+                " DIV greatest(length(dirty_name), length(canon))"
+            ).alias("score"),
+        )
+    )
+    per = (
+        cand.select(
+            F.least(F.expr("score DIV 100"), F.lit(9)).alias("bucket"),
+            "pos",
+            "score",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n",
+            "n_pos",
+            F.expr("sum_score DIV n").alias("conf_permille"),
+            F.expr("n_pos * 1000 DIV n").alias("acc_permille"),
+        )
+    )
+    ece = per.agg(
+        F.expr(
+            "CAST(sum(n * abs(acc_permille - conf_permille)) DIV sum(n)"
+            " AS BIGINT)"
+        ).alias("ece_permille")
+    )
+    return (
+        per.crossJoin(F.broadcast(ece))
+        .select(
+            "bucket", "n", "n_pos", "conf_permille", "acc_permille",
+            "ece_permille",
+        )
+        .orderBy("bucket")
+    )
+
+
 def kg_link_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (session 4): the fuzzy-linker THRESHOLD
     OPERATING CURVE — for each levenshtein acceptance threshold
@@ -9641,6 +9723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linker_auc": kg_linker_auc,
         "kg_topic_segments": kg_topic_segments,
         "s_ndcg_eval": s_ndcg_eval,
+        "kg_score_calibration": kg_score_calibration,
         # -- never driver-captured: session-4 additions --
         "kg_alias_candidates": kg_alias_candidates,
         "d_dup_source_matrix": d_dup_source_matrix,
@@ -10732,6 +10815,50 @@ def oracle_sql() -> dict[str, str]:
                             AND lc + rc - 2*cohesion >= 4, FALSE)
                      AS is_boundary
             FROM d ORDER BY conv_id, gap
+        """,
+        "kg_score_calibration": """
+            WITH dirty AS (
+              SELECT p_partkey, p_name AS orig,
+                     substring(p_name, 1,
+                               CAST(p_partkey % length(p_name) AS INT))
+                     || substring(p_name,
+                                  CAST(p_partkey % length(p_name) AS INT) + 2)
+                       AS dirty_name
+              FROM part WHERE p_partkey % 7 = 3
+            ),
+            canon AS (SELECT DISTINCT p_name AS canon FROM part),
+            cand AS (
+              SELECT (c.canon = d.orig) AS pos,
+                     (1000 * (greatest(length(d.dirty_name), length(c.canon))
+                              - levenshtein(d.dirty_name, c.canon)))
+                       // greatest(length(d.dirty_name), length(c.canon))
+                       AS score
+              FROM dirty d JOIN canon c
+                ON substring(d.dirty_name, 1, 1) = substring(c.canon, 1, 1)
+              WHERE abs(length(d.dirty_name) - length(c.canon)) <= 1
+            ),
+            per AS (
+              SELECT CAST(least(score // 100, 9) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                     CAST(sum(score) AS BIGINT) AS sum_score
+              FROM cand GROUP BY 1
+            ),
+            per2 AS (
+              SELECT bucket, n, n_pos,
+                     CAST(sum_score // n AS BIGINT) AS conf_permille,
+                     CAST(n_pos * 1000 // n AS BIGINT) AS acc_permille
+              FROM per
+            ),
+            ece AS (
+              SELECT CAST(sum(n * abs(acc_permille - conf_permille)) // sum(n)
+                          AS BIGINT) AS ece_permille
+              FROM per2
+            )
+            SELECT bucket, n, n_pos, conf_permille, acc_permille,
+                   ece.ece_permille
+            FROM per2, ece ORDER BY bucket
         """,
         "kg_linker_auc": """
             WITH dirty AS (
