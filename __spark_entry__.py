@@ -732,6 +732,55 @@ def g_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): source-sampled k-bounded Brandes
+    betweenness (operators.graph.k_betweenness) over the customer–part
+    bipartite graph — the BROKER centrality completing the family:
+    PageRank = endorsement, k-core = embeddedness, HITS = bipartite
+    authority, betweenness = who shortest paths must pass THROUGH
+    (the gatekeeper signal ER pipelines use to find hub entities that
+    over-merge). Exact betweenness is O(nm); the shipped estimator is
+    the published one (Brandes & Pich 2007): dependency accumulation
+    from 4 deterministically-sampled sources (smallest portable
+    48-bit-md5 customer nodes), BFS radius k=4.
+
+    The micro-integer Brandes recurrence (σ(v)·(10⁶+δ(w)) DIV σ(w)
+    per edge term, order-free BIGINT sums) is bit-replayable: the
+    DuckDB twin unrolls all four forward BFS levels (σ path counts
+    via anti-joined level CTEs) and all three backward dependency
+    levels. Operator correctness is independently pinned by a pure-
+    python replica pytest (branching-σ graph, floor genuinely firing)
+    and a star-graph hand case. Scale: per round ONE frontier×edges
+    join + anti-join + algebraic sum, lineage cut per round; per-
+    source fan-out is the |S|=4 constant."""
+    from hikma_engine_spark.operators.graph import k_betweenness
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    srcs = (
+        edges.select("a")
+        .distinct()
+        .orderBy(
+            F.conv(F.substring(F.md5(F.col("a")), 1, 12), 16, 10).cast(
+                "long"
+            ),
+            "a",
+        )
+        .limit(4)
+        .select(F.col("a").alias("node"))
+    )
+    bc = k_betweenness(edges, srcs, k=4)
+    return bc.orderBy(F.desc("bc_micro"), F.asc("node")).limit(20)
+
+
 def d_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator: sliding-window document chunking
     (operators.export.chunk_documents, 32-token chunks, 8-token
@@ -9724,6 +9773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topic_segments": kg_topic_segments,
         "s_ndcg_eval": s_ndcg_eval,
         "kg_score_calibration": kg_score_calibration,
+        "g_betweenness": g_betweenness,
         # -- never driver-captured: session-4 additions --
         "kg_alias_candidates": kg_alias_candidates,
         "d_dup_source_matrix": d_dup_source_matrix,
@@ -10815,6 +10865,101 @@ def oracle_sql() -> dict[str, str]:
                             AND lc + rc - 2*cohesion >= 4, FALSE)
                      AS is_boundary
             FROM d ORDER BY conv_id, gap
+        """,
+        "g_betweenness": """
+            WITH base AS (
+              SELECT DISTINCT 'c' || o_custkey AS u, 'p' || l_partkey AS v
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            und AS (
+              SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base
+            ),
+            srcs AS (
+              SELECT u AS s FROM (SELECT DISTINCT u FROM base)
+              ORDER BY CAST('0x' || substr(md5(u), 1, 12) AS BIGINT), u
+              LIMIT 4
+            ),
+            l0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM srcs),
+            l1 AS (
+              SELECT l0.s, und.v AS node, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+              FROM l0 JOIN und ON l0.node = und.u
+              WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                                WHERE p.s = l0.s AND p.node = und.v)
+              GROUP BY l0.s, und.v
+            ),
+            l2 AS (
+              SELECT l1.s, und.v AS node, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+              FROM l1 JOIN und ON l1.node = und.u
+              WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                                WHERE p.s = l1.s AND p.node = und.v)
+                AND NOT EXISTS (SELECT 1 FROM l1 p
+                                WHERE p.s = l1.s AND p.node = und.v)
+              GROUP BY l1.s, und.v
+            ),
+            l3 AS (
+              SELECT l2.s, und.v AS node, CAST(sum(l2.sigma) AS BIGINT) AS sigma
+              FROM l2 JOIN und ON l2.node = und.u
+              WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                                WHERE p.s = l2.s AND p.node = und.v)
+                AND NOT EXISTS (SELECT 1 FROM l1 p
+                                WHERE p.s = l2.s AND p.node = und.v)
+                AND NOT EXISTS (SELECT 1 FROM l2 p
+                                WHERE p.s = l2.s AND p.node = und.v)
+              GROUP BY l2.s, und.v
+            ),
+            l4 AS (
+              SELECT l3.s, und.v AS node, CAST(sum(l3.sigma) AS BIGINT) AS sigma
+              FROM l3 JOIN und ON l3.node = und.u
+              WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                                WHERE p.s = l3.s AND p.node = und.v)
+                AND NOT EXISTS (SELECT 1 FROM l1 p
+                                WHERE p.s = l3.s AND p.node = und.v)
+                AND NOT EXISTS (SELECT 1 FROM l2 p
+                                WHERE p.s = l3.s AND p.node = und.v)
+                AND NOT EXISTS (SELECT 1 FROM l3 p
+                                WHERE p.s = l3.s AND p.node = und.v)
+              GROUP BY l3.s, und.v
+            ),
+            d3 AS (
+              SELECT l3.s, l3.node,
+                     CAST(coalesce(sum(l3.sigma * 1000000 // l4.sigma), 0)
+                          AS BIGINT) AS delta
+              FROM l3
+              LEFT JOIN und ON l3.node = und.u
+              LEFT JOIN l4 ON l4.s = l3.s AND l4.node = und.v
+              GROUP BY l3.s, l3.node
+            ),
+            d2 AS (
+              SELECT l2.s, l2.node,
+                     CAST(coalesce(sum(l2.sigma * (1000000 + d3.delta)
+                                       // l3.sigma), 0)
+                          AS BIGINT) AS delta
+              FROM l2
+              LEFT JOIN und ON l2.node = und.u
+              LEFT JOIN l3 ON l3.s = l2.s AND l3.node = und.v
+              LEFT JOIN d3 ON d3.s = l2.s AND d3.node = und.v
+              GROUP BY l2.s, l2.node
+            ),
+            d1 AS (
+              SELECT l1.s, l1.node,
+                     CAST(coalesce(sum(l1.sigma * (1000000 + d2.delta)
+                                       // l2.sigma), 0)
+                          AS BIGINT) AS delta
+              FROM l1
+              LEFT JOIN und ON l1.node = und.u
+              LEFT JOIN l2 ON l2.s = l1.s AND l2.node = und.v
+              LEFT JOIN d2 ON d2.s = l1.s AND d2.node = und.v
+              GROUP BY l1.s, l1.node
+            ),
+            bc AS (
+              SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micro
+              FROM (SELECT s, node, delta FROM d1
+                    UNION ALL SELECT s, node, delta FROM d2
+                    UNION ALL SELECT s, node, delta FROM d3)
+              GROUP BY node
+            )
+            SELECT node, bc_micro FROM bc
+            ORDER BY bc_micro DESC, node LIMIT 20
         """,
         "kg_score_calibration": """
             WITH dirty AS (

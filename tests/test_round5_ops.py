@@ -3332,3 +3332,89 @@ def test_dup_source_matrix_cross_vs_within(spark, tmp_path):
     diag = got.loc[("src_c", "src_c")]
     assert int(diag.n_pairs) == 1 and bool(diag.within_source)
     assert int(cross.share_permille) == 500
+
+
+# ---------------------------------------------------------------------------
+# k-bounded Brandes betweenness (operators.graph.k_betweenness)
+# ---------------------------------------------------------------------------
+
+def _py_k_betweenness(pairs, sources, k):
+    """Independent pure-python replica of the micro-integer Brandes
+    recurrence (floor per term, order-free integer sums)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    bc = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        for d in range(1, k + 1):
+            nxt = {}
+            for u in levels[d - 1]:
+                for v in adj[u]:
+                    if v in dist:
+                        continue
+                    nxt[v] = nxt.get(v, 0) + sigma[u]
+            if not nxt:
+                break
+            for v, sg in nxt.items():
+                dist[v] = d
+                sigma[v] = sg
+            levels.append(sorted(nxt))
+        depth = len(levels) - 1
+        if depth < 2:
+            continue
+        delta = {v: 0 for v in levels[depth]}
+        for d in range(depth - 1, 0, -1):
+            nd = {}
+            succ = set(levels[d + 1])
+            for v in levels[d]:
+                t = 0
+                for w in adj[v]:
+                    if w in succ:
+                        t += sigma[v] * (10**6 + delta[w]) // sigma[w]
+                nd[v] = t
+                bc[v] += t
+            delta = nd
+    return {n: x for n, x in bc.items()}
+
+
+def test_k_betweenness_star_hand_case(spark):
+    """Star K1,3, all nodes as sources, k=2: every leaf pair's unique
+    shortest path pivots on the center -> bc(center) = 6 ordered pairs
+    = 6e6 micro; leaves are never interior."""
+    from hikma_engine_spark.operators.graph import k_betweenness
+
+    edges = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], ["a", "b"]
+    )
+    srcs = spark.createDataFrame(
+        [("c",), ("l1",), ("l2",), ("l3",)], ["node"]
+    )
+    got = {r["node"]: r["bc_micro"] for r in k_betweenness(edges, srcs, k=2).collect()}
+    assert got.get("c") == 6_000_000
+    assert all(v == 0 for n, v in got.items() if n != "c")
+
+
+def test_k_betweenness_matches_python_replica(spark):
+    """Deterministic 14-node graph with branching shortest paths (so
+    sigma > 1 and the per-term floor genuinely fires), three sources,
+    k=3: distributed == replica exactly, including 0-delta interiors."""
+    from hikma_engine_spark.operators.graph import k_betweenness
+
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+        ("e", "f"), ("e", "g"), ("f", "h"), ("g", "h"), ("h", "i"),
+        ("b", "j"), ("j", "k"), ("k", "e"), ("c", "l"), ("l", "m"),
+        ("m", "n"), ("i", "n"),
+    ]
+    sources = ["a", "e", "n"]
+    expect = _py_k_betweenness(pairs, sources, k=3)
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    srcs = spark.createDataFrame([(s,) for s in sources], ["node"])
+    got = {r["node"]: r["bc_micro"] for r in k_betweenness(edges, srcs, k=3).collect()}
+    assert got == expect
