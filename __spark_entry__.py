@@ -8865,6 +8865,10 @@ def kg_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = (
         t.groupBy("conv_id")
         .agg(F.max("turn_idx").cast("int").alias("max_idx"))
+        # single-turn convs have no gaps; without the guard Spark's
+        # sequence(0, -1) would emit a DESCENDING [0, -1] while the
+        # twin's range(0, 0) is empty
+        .filter(F.col("max_idx") >= 1)
         .select(
             "conv_id",
             F.explode(F.sequence(F.lit(0), F.col("max_idx") - 1)).alias("g"),
@@ -9750,22 +9754,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 entries, so the head holds the entries with the THINNEST
     evidence history. Round 5 added 116 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 16 session-4 additions (the
+    never-driver-captured coverage: the 6 final-wave additions (PQ
+    ANN, linker AUC, topic segmentation, nDCG, score calibration,
+    betweenness — newest of all), then the session-4 additions (the
     linker-evaluation layer: B³, ablation, blocking quality, extractor
     P/R, functionality, threshold curve, edge support, structural
     equivalence, survivors, signatures, hard negatives, coherence,
-    shard balance, churn, canonical stability, modularity — newest of
-    all, verified at sf0.001/0.01/0.1 this session), then the 8
+    shard balance, churn, canonical stability, modularity), then the 8
     session-3 additions, then the 12 session-2 additions, then
     late-wave additions (newest first — they also have the fewest
     local verify sweeps). The round-5 entries past the window have
     been green in every full tools/verify_entry.py sweep since they
     landed; the 24 r03-captured and 50 r04-captured entries carry
     prior driver rows. Every entry remains verifiable at any sf via
-    tools/verify_entry.py (full-sweep artifacts committed as
-    VERIFY_LOCAL_r5.json — 189-entry sf0.01 pass — and
-    VERIFY_LOCAL_r5_sf01.json — 189-entry sf0.1 pass; g_modularity
-    landed after and passed all three SFs individually)."""
+    tools/verify_entry.py (full-tree sweep artifacts committed as
+    VERIFY_LOCAL_r5.json — full sf0.01 pass — and
+    VERIFY_LOCAL_r5_sf01.json — full sf0.1 pass; each final-wave
+    entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: final-wave additions (newest of all) --
         "e_pq_topk": e_pq_topk,

@@ -3418,3 +3418,38 @@ def test_k_betweenness_matches_python_replica(spark):
     srcs = spark.createDataFrame([(s,) for s in sources], ["node"])
     got = {r["node"]: r["bc_micro"] for r in k_betweenness(edges, srcs, k=3).collect()}
     assert got == expect
+
+
+def test_topic_segments_single_turn_conv_and_boundary(spark, tmp_path):
+    """A single-turn conversation yields NO gap rows (the sequence(0,-1)
+    descending-sequence trap), and a planted topic shift — two 2-turn
+    topic blocks sharing zero vocabulary — is a boundary at the seam
+    with cohesion 0 while intra-topic gaps are not."""
+    docs = pd.DataFrame(
+        {
+            # source = conv; row order within source = doc_id order
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "source": ["solo", "multi", "multi", "multi", "multi", "multi"],
+            "text": [
+                "only turn here",
+                # topic A: shared vocab alpha/beta
+                "alpha beta gamma talk",
+                "alpha beta delta talk",
+                "alpha beta epsilon talk",
+                # topic B: disjoint vocab
+                "zulu yankee xray",
+                "zulu yankee whiskey",
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_topic_segments"](spark, sf).toPandas()
+    assert not (pdf.conv_id == "solo").any()
+    m = pdf[pdf.conv_id == "multi"].set_index("gap")
+    assert len(m) == 4
+    # seam between turn 2 (epsilon) and turn 3 (zulu): blocks share only
+    # 'talk' from turns {1,2} vs nothing -> cohesion 0 at gap 2
+    assert m.loc[2, "cohesion"] == 0
+    assert bool(m.loc[2, "is_boundary"])
+    assert not bool(m.loc[0, "is_boundary"])
+    assert not bool(m.loc[3, "is_boundary"])
