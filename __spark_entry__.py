@@ -732,6 +732,106 @@ def g_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e_mis_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): DIVERSITY SELECTION as a
+    deterministic Luby maximal independent set
+    (operators.graph.luby_mis) over the exact kNN-5 graph — data
+    pruning's complement to dedup: dedup keeps one doc per
+    NEAR-DUPLICATE component; an MIS over the similarity graph keeps
+    a maximal subset of MUTUALLY-dissimilar examples (no kept pair
+    within each other's top-5), the coverage-style selection a
+    curation pipeline runs to de-redundify a training mix. Also the
+    classic distributed-coordination primitive itself: an MIS over a
+    merge-conflict graph is a maximal parallel-commit batch for ER.
+
+    Emits the per-round convergence trace (round 1..6, n_new_mis,
+    n_new_excluded — fixed 6-row shape, zero-filled after
+    convergence) with four in-plan contract scalars stamped on every
+    row: n_mis_total, n_undecided (== 0 is the convergence
+    contract), independent_ok (no kNN edge inside the MIS) and
+    maximal_ok (every excluded node has an MIS neighbor AND nothing
+    is undecided). Measured: 3-5 rounds / MIS ≈ 27-29% of the corpus
+    at all three SFs. The hash-priority rounds are bit-replayed by a
+    6-round unrolled SQL twin; luby_mis itself is additionally pinned
+    by a pure-python replica pytest (chain+clique+star graph).
+
+    Scale: the kNN edges come from the proven knn_join_exact
+    (blocked-GEMM partial top-k at table scale); each MIS round is
+    one semi-joined edge pass + one map-side-combinable
+    min(struct(h, node)) groupBy — Luby's O(log n) expected rounds is
+    the hard scheduler bound, hub nodes sit in the min() combiner."""
+    from hikma_engine_spark.operators.graph import luby_mis
+
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    knn = similarity_search.knn_join_exact(emb, k=5)
+    edges = knn.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    st = luby_mis(edges, rounds=6)
+    rd = spark.range(1, 7).select(F.col("id").cast("long").alias("round"))
+    per = (
+        st.filter(F.col("status") != "undecided")
+        .groupBy("round")
+        .agg(
+            F.sum(F.when(F.col("status") == "mis", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_mis"),
+            F.sum(F.when(F.col("status") == "excluded", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_excluded"),
+        )
+    )
+    base = rd.join(per, "round", "left").select(
+        "round",
+        F.coalesce("n_new_mis", F.lit(0)).cast("long").alias("n_new_mis"),
+        F.coalesce("n_new_excluded", F.lit(0))
+        .cast("long")
+        .alias("n_new_excluded"),
+    )
+    mis = st.filter(F.col("status") == "mis").select("node")
+    totals = st.agg(
+        F.sum(F.when(F.col("status") == "mis", 1).otherwise(0))
+        .cast("long")
+        .alias("n_mis_total"),
+        F.sum(F.when(F.col("status") == "undecided", 1).otherwise(0))
+        .cast("long")
+        .alias("n_undecided"),
+    )
+    ind = (
+        edges.join(mis.select(F.col("node").alias("a")), "a", "left_semi")
+        .join(mis.select(F.col("node").alias("b")), "b", "left_semi")
+        .agg((F.count("*") == 0).alias("independent_ok"))
+    )
+    und_edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    has_mis_nbr = und_edges.join(
+        mis.select(F.col("node").alias("b")), "b", "left_semi"
+    ).select(F.col("a").alias("node")).distinct()
+    maxi = (
+        st.filter(F.col("status") == "excluded")
+        .join(has_mis_nbr, "node", "left_anti")
+        .agg((F.count("*") == 0).alias("all_excluded_covered"))
+    )
+    return (
+        base.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(ind))
+        .crossJoin(F.broadcast(maxi))
+        .select(
+            "round",
+            "n_new_mis",
+            "n_new_excluded",
+            "n_mis_total",
+            "n_undecided",
+            "independent_ok",
+            (F.col("all_excluded_covered") & (F.col("n_undecided") == 0)).alias(
+                "maximal_ok"
+            ),
+        )
+        .orderBy("round")
+    )
+
+
 def g_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (final wave): source-sampled k-bounded Brandes
     betweenness (operators.graph.k_betweenness) over the customer–part
@@ -9779,6 +9879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ndcg_eval": s_ndcg_eval,
         "kg_score_calibration": kg_score_calibration,
         "g_betweenness": g_betweenness,
+        "e_mis_diverse": e_mis_diverse,
         # -- never driver-captured: session-4 additions --
         "kg_alias_candidates": kg_alias_candidates,
         "d_dup_source_matrix": d_dup_source_matrix,
@@ -10427,6 +10528,121 @@ def _knn_exact_sql(extra_cols: str = "") -> str:
         FROM ranked WHERE rank <= 5 ORDER BY a, rank
     """
 
+
+
+def _mis_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled Luby-MIS twin of ``e_mis_diverse``: exact kNN-5 edges
+    (the _knn_exact_sql algebra), then ``rounds`` synchronous
+    hash-priority rounds — m{r} = undecided nodes beating every
+    undecided neighbor's (h, node) priority, x{r} = their undecided
+    neighbors, u{r} = the remainder — followed by the same per-round
+    trace + contract scalars the Spark entry stamps."""
+    parts = [
+        f"""WITH ce AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(range(64), i ->
+                   embedding[i+1]::DOUBLE
+                   + CASE WHEN i = label THEN {_ANN_BOOST} ELSE 0.0 END) AS emb
+          FROM embeddings
+        )""",
+        """sims AS MATERIALIZED (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 round(list_dot_product(x.emb, y.emb)
+                       / (sqrt(list_dot_product(x.emb, x.emb))
+                          * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+          FROM ce x JOIN ce y ON x.vec_id != y.vec_id
+        )""",
+        """knn AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (
+              PARTITION BY a ORDER BY cosine DESC, b) AS rank
+            FROM sims
+          ) WHERE rank <= 5
+        )""",
+        """edges AS MATERIALIZED (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM knn
+        )""",
+        """und AS MATERIALIZED (
+          SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+        )""",
+        """u0 AS MATERIALIZED (
+          SELECT node,
+                 CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM (SELECT DISTINCT u AS node FROM und)
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+              SELECT c.node FROM u{r - 1} c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM und e JOIN u{r - 1} n ON n.node = e.v
+                WHERE e.u = c.node
+                  AND (n.h < c.h OR (n.h = c.h AND n.node < c.node))
+              )
+            )"""
+        )
+        parts.append(
+            f"""x{r} AS MATERIALIZED (
+              SELECT DISTINCT e.v AS node
+              FROM und e
+              JOIN m{r} m ON m.node = e.u
+              JOIN u{r - 1} n ON n.node = e.v
+              WHERE e.v NOT IN (SELECT node FROM m{r})
+            )"""
+        )
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+              SELECT node, h FROM u{r - 1}
+              WHERE node NOT IN (SELECT node FROM m{r})
+                AND node NOT IN (SELECT node FROM x{r})
+            )"""
+        )
+    trace = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+               CAST((SELECT count(*) FROM m{r}) AS BIGINT) AS n_new_mis,
+               CAST((SELECT count(*) FROM x{r}) AS BIGINT) AS n_new_excluded"""
+        for r in range(1, rounds + 1)
+    )
+    misall = " UNION ALL ".join(
+        f"SELECT node FROM m{r}" for r in range(1, rounds + 1)
+    )
+    xall = " UNION ALL ".join(
+        f"SELECT node FROM x{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"misall AS MATERIALIZED ({misall})")
+    parts.append(f"xall AS MATERIALIZED ({xall})")
+    parts.append(f"trace AS ({trace})")
+    parts.append(
+        f"""scal AS (
+          SELECT CAST((SELECT count(*) FROM misall) AS BIGINT) AS n_mis_total,
+                 CAST((SELECT count(*) FROM u{rounds}) AS BIGINT)
+                   AS n_undecided,
+                 NOT EXISTS (
+                   SELECT 1 FROM edges e
+                   WHERE e.u IN (SELECT node FROM misall)
+                     AND e.v IN (SELECT node FROM misall)
+                 ) AS independent_ok,
+                 NOT EXISTS (
+                   SELECT 1 FROM xall d
+                   WHERE NOT EXISTS (
+                     SELECT 1 FROM und e
+                     WHERE e.u = d.node
+                       AND e.v IN (SELECT node FROM misall)
+                   )
+                 ) AS all_excluded_covered
+        )"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+        SELECT t.round, t.n_new_mis, t.n_new_excluded,
+               s.n_mis_total, s.n_undecided, s.independent_ok,
+               (s.all_excluded_covered AND s.n_undecided = 0) AS maximal_ok
+        FROM trace t, scal s ORDER BY t.round
+    """
+    )
 
 
 def _hits_oracle_sql(n_iter: int = 4) -> str:
@@ -13951,6 +14167,7 @@ def oracle_sql() -> dict[str, str]:
         # inlined as a literal (deterministic hash embedding).
         "s_hybrid_blend": _HYBRID_BLEND_SQL,
         "e_knn_join": _knn_exact_sql(),
+        "e_mis_diverse": _mis_oracle_sql(rounds=6),
         "e_knn_join_ivf": _knn_exact_sql(", TRUE AS knn_recall_ok"),
         "s_comprehensive": _COMPREHENSIVE_SQL,
         # SimHash spec mirrored exactly (operators/dedup.py:_token_bits /

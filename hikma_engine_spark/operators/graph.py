@@ -1529,3 +1529,124 @@ def k_betweenness(
     return acc.groupBy("node").agg(
         F.sum("delta_micro").cast("long").alias("bc_micro")
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    rounds: int = 6,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Deterministic Luby-style MAXIMAL INDEPENDENT SET (Luby 1986,
+    "A simple parallel algorithm for the maximal independent set
+    problem") — the classic distributed-coordination primitive: pick a
+    maximal set of nodes no two of which are adjacent, in O(log n)
+    expected synchronous rounds. In a data pipeline this is DIVERSITY
+    SELECTION (an MIS over a kNN graph keeps a maximal subset of
+    mutually-dissimilar examples — data-pruning's complement to
+    dedup's keep-one-per-component) and CONFLICT-FREE SCHEDULING (an
+    MIS over a merge-conflict graph is a maximal batch of ER merges
+    that can commit in parallel).
+
+    Luby's random priorities are replaced by the repo's portable
+    48-bit-md5 hash of the node id, with the node id itself as the
+    tie-break — so every round's decision is a pure function of the
+    graph, rounds replay identically under partition retry, and an
+    unrolled SQL twin reproduces the set bit-for-bit. Fixed-round
+    semantics (the label_propagation precedent): after ``rounds``
+    synchronous rounds any still-undecided nodes are returned as
+    status='undecided' — the caller asserts n_undecided == 0 as its
+    convergence contract rather than trusting an unbounded loop.
+
+    Per round (bounded_sssp's discipline, lineage cut per round):
+    ONE undecided-semi-joined edge pass + ONE algebraic
+    min(struct(h, node)) groupBy gives each undecided node its
+    minimum undecided-neighbor priority; nodes beating that minimum
+    (or isolated among undecided) enter the MIS; their undecided
+    neighbors leave as excluded. Hot hubs sit in the min() groupBy —
+    map-side combinable, no salting needed.
+
+    Returns (node, status ∈ {mis, excluded, undecided}, round —
+    the deciding round, or ``rounds`` for undecided)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+    )
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _pr(c: str) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 12), 16, 10)
+            .cast("long")
+        )
+
+    u = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("h", _pr("node"))
+        .localCheckpoint(eager=True)
+    )
+    decided = None
+    for r in range(1, rounds + 1):
+        live = und.join(
+            u.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(u.select(F.col("node").alias("v")), "v", "left_semi")
+        nbr_min = (
+            live.join(
+                u.select(F.col("node").alias("v"), F.col("h").alias("vh")),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min(F.struct(F.col("vh"), F.col("v"))).alias("nm"))
+        )
+        mis_new = (
+            u.join(nbr_min, "node", "left")
+            .filter(
+                F.col("nm").isNull()
+                | (F.col("h") < F.col("nm.vh"))
+                | ((F.col("h") == F.col("nm.vh")) & (F.col("node") < F.col("nm.v")))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        excl_new = (
+            live.join(mis_new.select(F.col("node").alias("u")), "u", "left_semi")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(mis_new, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        batch = mis_new.select(
+            "node", F.lit("mis").alias("status"), F.lit(r).alias("round")
+        ).unionByName(
+            excl_new.select(
+                "node", F.lit("excluded").alias("status"), F.lit(r).alias("round")
+            )
+        )
+        decided = batch if decided is None else decided.unionByName(batch)
+        u = (
+            u.join(mis_new, "node", "left_anti")
+            .join(excl_new, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if u.limit(1).count() == 0:
+            break
+    out = decided.unionByName(
+        u.select(
+            "node",
+            F.lit("undecided").alias("status"),
+            F.lit(rounds).alias("round"),
+        )
+    )
+    return out.select("node", "status", F.col("round").cast("long").alias("round"))

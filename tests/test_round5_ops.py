@@ -3453,3 +3453,71 @@ def test_topic_segments_single_turn_conv_and_boundary(spark, tmp_path):
     assert bool(m.loc[2, "is_boundary"])
     assert not bool(m.loc[0, "is_boundary"])
     assert not bool(m.loc[3, "is_boundary"])
+
+
+# ---------------------------------------------------------------------------
+# Luby MIS (operators.graph.luby_mis)
+# ---------------------------------------------------------------------------
+
+def _py_luby_mis(pairs, rounds):
+    """Independent replica: hash-priority synchronous Luby rounds."""
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    pr = {
+        v: (int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16), v)
+        for v in adj
+    }
+    undecided = set(adj)
+    status = {}
+    for r in range(1, rounds + 1):
+        if not undecided:
+            break
+        newm = {
+            v
+            for v in undecided
+            if all(u not in undecided or pr[v] < pr[u] for u in adj[v])
+        }
+        excl = {
+            u for v in newm for u in adj[v] if u in undecided
+        } - newm
+        for v in newm:
+            status[v] = ("mis", r)
+        for v in excl:
+            status[v] = ("excluded", r)
+        undecided -= newm
+        undecided -= excl
+    for v in undecided:
+        status[v] = ("undecided", rounds)
+    return status
+
+
+def test_luby_mis_matches_replica_and_is_maximal_independent(spark):
+    """Chain + clique + star mix: distributed == replica exactly per
+    (node, status, round); the MIS is independent and maximal."""
+    from hikma_engine_spark.operators.graph import luby_mis
+
+    pairs = (
+        [(f"n{i}", f"n{i+1}") for i in range(12)]        # 13-chain
+        + [("c1", "c2"), ("c1", "c3"), ("c2", "c3")]      # triangle
+        + [("h", f"s{i}") for i in range(5)]              # star
+        + [("n5", "c1"), ("s0", "n0")]                    # bridges
+    )
+    expect = _py_luby_mis(pairs, rounds=6)
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        r["node"]: (r["status"], r["round"])
+        for r in luby_mis(edges, rounds=6).collect()
+    }
+    assert got == expect
+    mis = {n for n, (s, _) in got.items() if s == "mis"}
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert all(not (adj[v] & mis) for v in mis)            # independent
+    assert all(adj[v] & mis for v in adj if v not in mis)  # maximal
