@@ -9083,6 +9083,113 @@ def kg_linker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (final wave): HUB-REMOVAL ROBUSTNESS readout —
+    the attack-tolerance experiment of Albert, Jeong & Barabási
+    (Nature 2000) run on the entity co-mention graph: scale-free-ish
+    graphs survive random failure but SHATTER when the top hubs are
+    removed, and a KG whose connectivity hangs on two hub entities is
+    a KG one bad merge/split decision can fragment. The entry emits
+    the before/after structure table — (variant ∈ {full, hub_cut},
+    n_nodes, n_edges, n_components, giant_size, n_isolated) — where
+    hub_cut removes the top-2 degree entities (deterministic tie:
+    name), n_isolated counts nodes that lose ALL remaining edges, and
+    giant_size tracks whether a giant component persists.
+
+    Shape: the co-mention edge set is gazetteer-bounded (a dim, same
+    as kg_cooccurrence); degrees/hubs are dim aggregations; both
+    variants run the SAME connected_components operator the dedup /
+    canonicalization paths use (driver union-find under the edge
+    threshold, large-star/small-star above it — the variant tables
+    here are dims, so the readout is cheap by construction and the
+    interesting cost lives upstream in _doc_mentions, shared via the
+    session memo). The DuckDB twin replays both closures with
+    recursive reach CTEs."""
+    from hikma_engine_spark.operators.graph import connected_components
+
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("u"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("v"))
+    edges = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    hubs = deg.orderBy(F.desc("deg"), F.asc("node")).limit(2).select("node")
+    cut = edges.join(
+        hubs.select(F.col("node").alias("u")), "u", "left_anti"
+    ).join(hubs.select(F.col("node").alias("v")), "v", "left_anti")
+
+    def _stats(e: DataFrame, name: str) -> DataFrame:
+        cc = connected_components(e, src="u", dst="v")
+        sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
+        return (
+            cc.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(
+                F.broadcast(e.agg(F.count("*").cast("long").alias("n_edges")))
+            )
+            .crossJoin(
+                F.broadcast(
+                    sizes.agg(
+                        F.count("*").cast("long").alias("n_components"),
+                        F.max("sz").cast("long").alias("giant_size"),
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("variant"),
+                "n_nodes",
+                "n_edges",
+                "n_components",
+                "giant_size",
+            )
+        )
+
+    full_s = _stats(edges, "full")
+    cut_s = _stats(cut, "hub_cut")
+    out = full_s.unionByName(cut_s)
+    # isolated = nodes present in the full graph, not removed as hubs,
+    # with no surviving edge in the variant
+    full_nodes = deg.select("node")
+    cut_nodes = (
+        cut.select(F.col("u").alias("node"))
+        .unionByName(cut.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    iso = (
+        full_nodes.join(hubs, "node", "left_anti")
+        .join(cut_nodes, "node", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_iso_cut"))
+    )
+    return (
+        out.crossJoin(F.broadcast(iso))
+        .select(
+            "variant",
+            "n_nodes",
+            "n_edges",
+            "n_components",
+            "giant_size",
+            F.when(F.col("variant") == "hub_cut", F.col("n_iso_cut"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_isolated"),
+        )
+        .orderBy("variant")
+    )
+
+
 def kg_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (final wave): linker-score CALIBRATION readout
     — the reliability diagram + expected calibration error (ECE,
@@ -9880,6 +9987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_score_calibration": kg_score_calibration,
         "g_betweenness": g_betweenness,
         "e_mis_diverse": e_mis_diverse,
+        "kg_robustness": kg_robustness,
         # -- never driver-captured: session-4 additions --
         "kg_alias_candidates": kg_alias_candidates,
         "d_dup_source_matrix": d_dup_source_matrix,
@@ -11086,6 +11194,76 @@ def oracle_sql() -> dict[str, str]:
                             AND lc + rc - 2*cohesion >= 4, FALSE)
                      AS is_boundary
             FROM d ORDER BY conv_id, gap
+        """,
+        "kg_robustness": f"""
+            WITH RECURSIVE t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            edges AS (
+              SELECT DISTINCT a.e AS u, b.e AS v
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                   AND a.e < b.e
+            ),
+            deg AS (
+              SELECT node, count(*) AS deg
+              FROM (SELECT u AS node FROM edges
+                    UNION ALL SELECT v FROM edges)
+              GROUP BY node
+            ),
+            hubs AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 2),
+            ecut AS (
+              SELECT u, v FROM edges
+              WHERE u NOT IN (SELECT node FROM hubs)
+                AND v NOT IN (SELECT node FROM hubs)
+            ),
+            symf AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+            reachf(u, v) AS (
+              SELECT u, v FROM symf
+              UNION
+              SELECT r.u, s.v FROM reachf r JOIN symf s ON r.v = s.u
+            ),
+            compf AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reachf GROUP BY u
+            ),
+            symc AS (SELECT u, v FROM ecut UNION SELECT v, u FROM ecut),
+            reachc(u, v) AS (
+              SELECT u, v FROM symc
+              UNION
+              SELECT r.u, s.v FROM reachc r JOIN symc s ON r.v = s.u
+            ),
+            compc AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reachc GROUP BY u
+            ),
+            iso AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_iso FROM deg
+              WHERE node NOT IN (SELECT node FROM hubs)
+                AND node NOT IN (SELECT node FROM compc)
+            )
+            SELECT 'full' AS variant,
+                   CAST((SELECT count(*) FROM compf) AS BIGINT) AS n_nodes,
+                   CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(DISTINCT component) FROM compf)
+                        AS BIGINT) AS n_components,
+                   CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM compf
+                                             GROUP BY component)) AS BIGINT)
+                     AS giant_size,
+                   CAST(0 AS BIGINT) AS n_isolated
+            UNION ALL
+            SELECT 'hub_cut',
+                   CAST((SELECT count(*) FROM compc) AS BIGINT),
+                   CAST((SELECT count(*) FROM ecut) AS BIGINT),
+                   CAST((SELECT count(DISTINCT component) FROM compc)
+                        AS BIGINT),
+                   CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM compc
+                                             GROUP BY component)) AS BIGINT),
+                   (SELECT n_iso FROM iso)
+            ORDER BY variant
         """,
         "g_betweenness": """
             WITH base AS (
