@@ -46,6 +46,11 @@ DOC_SURFACES = [
 ]
 _ORDERED = sorted(set(DOC_SURFACES), key=lambda x: (-len(x), x))
 _SQL_GAZ = r"\b(" + "|".join(_ORDERED) + r")\b"
+# definite-NP pattern ("the <entity>") for the anaphora entry — same
+# longest-first alternation as the gazetteer so multi-word surfaces
+# ("the table scan") never lose to a shorter prefix; shared verbatim by
+# the Spark regexp_extract_all call and the DuckDB twin
+_SQL_DEFINITE = r"\bthe (" + "|".join(_ORDERED) + r")\b"
 
 # alias map for the SQL-expressible (LSH-disabled) linking twin —
 # shared verbatim by the Spark path and the DuckDB VALUES list
@@ -9955,15 +9960,187 @@ def d_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# closing wave (round 5, session 6): definite-NP coreference, dictionary
+# encoding, run-length layout audit
+# ---------------------------------------------------------------------------
+
+
+def kg_definite_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): DEFINITE-NP ANAPHORA resolution
+    — the determiner-based slice of coreference (Vieira & Poesio, CL
+    2000): a mention preceded by the definite article ("the hash join")
+    presupposes a discourse-old referent, so it is linked to the most
+    recent PRIOR turn of the same conversation that mentions the same
+    entity. This adds the coreference edge class the extraction layer
+    (extraction.py rules; reference analog: the AST parser's
+    within-file reference edges, src/modules/ast-parser.ts:145-298)
+    does not emit: (mention@turn_t) REFERS_BACK_TO (mention@turn_t'),
+    t' = max{t'' < t : entity mentioned in t''}. Output one row per
+    resolved (conv, turn, entity): antecedent turn + anaphoric gap.
+
+    Shape: the antecedent search is NOT a per-pronoun scan — it is ONE
+    ``lag(turn_idx)`` window over the distinct (conv, entity, turn)
+    mention stream, partitioned by (conv_id, entity), so state per
+    window partition is one prior row and a 10k-turn conversation
+    costs exactly its own rows. The definite-mention set joins that
+    lagged dim on (conv, turn, entity) equality — co-partitioned by
+    the same keys, no skew beyond the conversation itself. Unresolved
+    definites (first reference) drop out via the NOT NULL filter; the
+    DuckDB twin replays both regex streams and the lag verbatim."""
+    t = _doc_transcripts(spark, sf_dir)
+    definite = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_SQL_DEFINITE), 1
+                )
+            )
+        ).alias("entity"),
+    )
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", F.col("surface_norm").alias("entity"))
+        .distinct()
+    )
+    w = Window.partitionBy("conv_id", "entity").orderBy("turn_idx")
+    lagged = m.withColumn("antecedent_turn", F.lag("turn_idx").over(w))
+    return (
+        definite.join(lagged, ["conv_id", "turn_idx", "entity"])
+        .filter(F.col("antecedent_turn").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            "entity",
+            F.col("antecedent_turn").cast("int").alias("antecedent_turn"),
+            (F.col("turn_idx") - F.col("antecedent_turn"))
+            .cast("int")
+            .alias("gap"),
+        )
+        .orderBy("conv_id", "turn_idx", "entity")
+    )
+
+
+def l_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): DISTRIBUTED DICTIONARY ENCODING
+    of the fact-table key column — the storage op every columnar KG
+    store runs before writing (dictionary pages in Parquet, key
+    compression in the reference's SQLite rowids): assign each distinct
+    conv_id a DENSE integer code equal to ``dense_rank() OVER (ORDER BY
+    conv_id) - 1`` and report the exact storage ledger (raw string
+    bytes vs 4-byte codes + dictionary) plus order-sensitive checksums
+    that pin every code assignment.
+
+    Shape: the naive dense_rank is an UNPARTITIONED window — one task
+    sorts the whole dictionary at 10^12 turns. This entry reuses
+    ``operators.ranking.global_rank`` (range-partition → local
+    row_number → broadcast prefix-sum of the ≤32-row partition-count
+    dim), so code assignment scales as a range-partitioned sort and is
+    boundary-invariant (ranges are disjoint + ordered, keys tie-free).
+    The fact-side encode joins codes back on conv_id — dimension-sized
+    state, shuffle co-keyed with the fact's natural partitioning. The
+    checksums (sum of codes over the dict, sum of codes over fact
+    rows) are order-sensitive in the assignment, so a wrong rank
+    anywhere flips the hash; the twin computes the same ledger via
+    plain dense_rank."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    t = _doc_transcripts(spark, sf_dir).select("conv_id")
+    d = t.distinct()
+    codes = global_rank(d, ["conv_id"], out_col="_r").select(
+        "conv_id", (F.col("_r") - 1).cast("long").alias("code")
+    )
+    enc = t.join(codes, "conv_id")
+    dict_stats = codes.agg(
+        F.count("*").cast("long").alias("n_distinct"),
+        F.min("code").cast("long").alias("min_code"),
+        F.max("code").cast("long").alias("max_code"),
+        F.sum("code").cast("long").alias("dict_code_sum"),
+        F.sum(F.length("conv_id") + F.lit(4)).cast("long").alias("dict_bytes"),
+    )
+    fact_stats = enc.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.length("conv_id")).cast("long").alias("raw_bytes"),
+        F.sum("code").cast("long").alias("fact_code_sum"),
+    )
+    return (
+        fact_stats.crossJoin(F.broadcast(dict_stats))
+        .withColumn("encoded_bytes", F.expr("n_rows * 4 + dict_bytes"))
+        .select(
+            "n_rows",
+            "n_distinct",
+            "min_code",
+            "max_code",
+            "dict_code_sum",
+            "fact_code_sum",
+            "raw_bytes",
+            "encoded_bytes",
+            F.expr(
+                "(raw_bytes - encoded_bytes) * 10000 DIV raw_bytes"
+            ).alias("saving_bp"),
+        )
+    )
+
+
+def ev_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): RUN-LENGTH LAYOUT AUDIT — how
+    compressible is each event_type under the table's natural sort
+    order (user_id, ts)? Run-length encoding is the other half of the
+    layout family (z-order `l_zorder_events` optimizes SKIPPING,
+    min-max `l_minmax_prune` measures it; RLE measures ENCODING): a
+    column whose values arrive in long same-value runs costs ~1 token
+    per run in Parquet's RLE/dictionary hybrid, so runs-per-row is the
+    direct proxy for its encoded size under a candidate sort order.
+
+    Shape: run detection is the classic gaps-and-islands pair — ONE
+    ``lag`` + ONE running ``sum`` window, both partitioned by user_id
+    and ordered by the tie-free (ts, event_id), so state per partition
+    is one row and hot users cost only their own stream; the per-run
+    lengths then reduce by (user, run) and the final per-type rollup
+    is algebraic (map-side combinable). avg_run_micro is exact BIGINT
+    micro-arithmetic (n_rows·10⁶ DIV n_runs) — no float-sum order
+    sensitivity, bit-identical to the DuckDB twin."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = e.withColumn(
+        "boundary",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").alias("len")
+    )
+    return (
+        per_run.groupBy("event_type")
+        .agg(
+            F.sum("len").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("len").cast("long").alias("max_run"),
+        )
+        .withColumn("avg_run_micro", F.expr("n_rows * 1000000 DIV n_runs"))
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 116 new entries — far more than the
+    evidence history. Round 5 added 119 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 6 final-wave additions (PQ
+    never-driver-captured coverage: the 3 closing-wave additions
+    (definite-NP anaphora, dictionary encoding, RLE layout audit —
+    newest of all), then the final-wave additions (PQ
     ANN, linker AUC, topic segmentation, nDCG, score calibration,
-    betweenness — newest of all), then the session-4 additions (the
+    betweenness), then the session-4 additions (the
     linker-evaluation layer: B³, ablation, blocking quality, extractor
     P/R, functionality, threshold curve, edge support, structural
     equivalence, survivors, signatures, hard negatives, coherence,
@@ -9979,7 +10156,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5_sf01.json — full sf0.1 pass; each final-wave
     entry additionally verified at sf0.001 individually)."""
     return {
-        # -- never driver-captured: final-wave additions (newest of all) --
+        # -- never driver-captured: closing-wave additions (newest of all) --
+        "kg_definite_anaphora": kg_definite_anaphora,
+        "l_dict_encode": l_dict_encode,
+        "ev_rle_runs": ev_rle_runs,
+        # -- never driver-captured: final-wave additions --
         "e_pq_topk": e_pq_topk,
         "kg_linker_auc": kg_linker_auc,
         "kg_topic_segments": kg_topic_segments,
@@ -10816,6 +10997,99 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # closing wave: definite-NP anaphora — both regex streams and
+        # the per-(conv, entity) lag replayed verbatim
+        "kg_definite_anaphora": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            d AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text),
+                                               '{_SQL_DEFINITE}', 1)) AS entity
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS entity
+              FROM t
+            ),
+            lagged AS (
+              SELECT conv_id, turn_idx, entity,
+                     lag(turn_idx) OVER (
+                       PARTITION BY conv_id, entity ORDER BY turn_idx
+                     ) AS antecedent_turn
+              FROM m
+            )
+            SELECT d.conv_id, d.turn_idx, d.entity,
+                   CAST(l.antecedent_turn AS int) AS antecedent_turn,
+                   CAST(d.turn_idx - l.antecedent_turn AS int) AS gap
+            FROM d
+            JOIN lagged l
+              ON l.conv_id = d.conv_id AND l.turn_idx = d.turn_idx
+             AND l.entity = d.entity
+            WHERE l.antecedent_turn IS NOT NULL
+            ORDER BY d.conv_id, d.turn_idx, d.entity
+        """,
+        # closing wave: dictionary encoding — plain dense_rank twin of
+        # the distributed global_rank assignment; ledger all-BIGINT
+        "l_dict_encode": f"""
+            WITH t AS (SELECT conv_id FROM ({_DOC_TRANSCRIPTS_SQL})),
+            d AS (
+              SELECT conv_id,
+                     CAST(dense_rank() OVER (ORDER BY conv_id) - 1 AS BIGINT)
+                       AS code
+              FROM (SELECT DISTINCT conv_id FROM t)
+            ),
+            e AS (SELECT t.conv_id, d.code FROM t JOIN d USING (conv_id)),
+            ds AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(min(code) AS BIGINT) AS min_code,
+                     CAST(max(code) AS BIGINT) AS max_code,
+                     CAST(sum(code) AS BIGINT) AS dict_code_sum,
+                     CAST(sum(length(conv_id) + 4) AS BIGINT) AS dict_bytes
+              FROM d
+            ),
+            fs AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(length(conv_id)) AS BIGINT) AS raw_bytes,
+                     CAST(sum(code) AS BIGINT) AS fact_code_sum
+              FROM e
+            )
+            SELECT n_rows, n_distinct, min_code, max_code, dict_code_sum,
+                   fact_code_sum, raw_bytes,
+                   CAST(n_rows * 4 + dict_bytes AS BIGINT) AS encoded_bytes,
+                   CAST((raw_bytes - (n_rows * 4 + dict_bytes)) * 10000
+                        // raw_bytes AS BIGINT) AS saving_bp
+            FROM fs, ds
+        """,
+        # closing wave: RLE layout audit — gaps-and-islands lag +
+        # running sum, exact BIGINT micro average
+        "ev_rle_runs": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            r AS (
+              SELECT *, sum(boundary) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM l
+            ),
+            pr AS (
+              SELECT user_id, run_id, event_type, count(*) AS len
+              FROM r GROUP BY user_id, run_id, event_type
+            )
+            SELECT event_type,
+                   CAST(sum(len) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(max(len) AS BIGINT) AS max_run,
+                   CAST(sum(len) * 1000000 // count(*) AS BIGINT)
+                     AS avg_run_micro
+            FROM pr GROUP BY event_type ORDER BY event_type
+        """,
         # cross-label kNN: the label mask is part of the join predicate
         # (x.label != y.label), ranking replays rounded-cosine + id
         "e_hard_negatives": f"""

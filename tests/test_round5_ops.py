@@ -3521,3 +3521,93 @@ def test_luby_mis_matches_replica_and_is_maximal_independent(spark):
         adj.setdefault(b, set()).add(a)
     assert all(not (adj[v] & mis) for v in mis)            # independent
     assert all(adj[v] & mis for v in adj if v not in mis)  # maximal
+
+
+# ---------------------------------------------------------------------------
+# closing wave: definite-NP anaphora / dictionary encode / RLE runs
+# ---------------------------------------------------------------------------
+
+def test_definite_anaphora_resolves_to_latest_prior_mention(spark, tmp_path):
+    """'the <entity>' links to the MOST RECENT prior turn mentioning
+    that entity; first references drop; multi-word surfaces win over
+    any shorter alternation ('the table scan' is one entity)."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "source": ["c", "c", "c", "c", "d", "m", "m"],
+            "text": [
+                "spark is fast",                 # c t0: mention spark
+                "we tune the spark here",        # c t1: definite -> t0
+                "nothing here",                  # c t2
+                "the spark and the window",      # c t3: spark -> t1; window unresolved
+                "the window arrives first",      # d t0: unresolved
+                "we ran a table scan yesterday",  # m t0
+                "the table scan was slow",       # m t1: definite -> t0
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_definite_anaphora"](spark, sf).toPandas()
+    got = {
+        (r.conv_id, r.turn_idx, r.entity): (r.antecedent_turn, r.gap)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        ("c", 1, "spark"): (0, 1),
+        ("c", 3, "spark"): (1, 2),
+        ("m", 1, "table scan"): (0, 1),
+    }
+
+
+def test_dict_encode_ledger_exact(spark, tmp_path):
+    """Codes are dense_rank-1 in conv_id order; every ledger column is
+    exact BIGINT arithmetic (negative saving at toy scale exercises the
+    trunc-toward-zero DIV both engines share)."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "source": ["beta", "beta", "alpha", "gamma", "gamma", "gamma"],
+            "text": ["x"] * 6,
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    row = entrymod.queries()["l_dict_encode"](spark, sf).toPandas().iloc[0]
+    # alpha=0, beta=1, gamma=2
+    assert row.n_rows == 6 and row.n_distinct == 3
+    assert row.min_code == 0 and row.max_code == 2
+    assert row.dict_code_sum == 3
+    assert row.fact_code_sum == 1 * 2 + 0 * 1 + 2 * 3
+    assert row.raw_bytes == 4 * 2 + 5 + 5 * 3
+    assert row.encoded_bytes == 6 * 4 + ((5 + 4) + (4 + 4) + (5 + 4))
+    assert row.saving_bp == (28 - 50) * 10000 // 28 + 1  # trunc, not floor
+    assert row.saving_bp == -7857
+
+
+def test_rle_runs_gaps_islands_and_same_ts_ties(spark, tmp_path):
+    """Same-ts rows order by event_id (stable runs); runs never span
+    users; avg_run_micro is exact integer micro."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "A"),
+        (2, t0, 1, "A"),                       # same ts -> one run of 2
+        (3, t0 + timedelta(hours=1), 1, "B"),
+        (4, t0 + timedelta(hours=2), 1, "A"),  # A again: new run
+        (5, t0, 2, "B"),
+        (6, t0 + timedelta(hours=1), 2, "B"),
+    ]
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events["value"] = 0.0
+    events["props"] = "{}"
+    sf = _write(tmp_path, "events", events)
+    pdf = entrymod.queries()["ev_rle_runs"](spark, sf).toPandas()
+    got = {
+        r.event_type: (r.n_rows, r.n_runs, r.max_run, r.avg_run_micro)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "A": (3, 2, 2, 1500000),
+        "B": (3, 2, 2, 1500000),
+    }
