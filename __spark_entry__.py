@@ -10130,6 +10130,210 @@ def ev_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# qualifier-adjective pattern for attribute extraction: the adjective
+# vocabulary is the corpus's quality lexicon; the entity alternation is
+# the shared longest-first gazetteer so "fast sort merge" binds to
+# "sort merge", never to a shorter prefix. Shared verbatim by the Spark
+# regexp_extract_all calls and the DuckDB twin (same leftmost,
+# alternation-ordered semantics in Java regex and RE2).
+_SQL_QUALIFIER = r"\b(fast|slow|big|small) (" + "|".join(_ORDERED) + r")\b"
+
+# episode split threshold for kg_temporal_edges: a co-mention pair
+# silent for more than this many global turns starts a new validity
+# episode (at the test corpus's density this yields ~2.5 episodes per
+# edge — non-degenerate on both sides of the split)
+_EPISODE_GAP = 40
+
+
+def kg_attribute_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): ATTRIBUTE-EDGE EXTRACTION —
+    adjacent qualifier adjectives become (entity, HAS_QUALITY, adj)
+    attribute edges, the literal/attribute triple class (YAGO-style
+    "hasProperty" facts) that the extraction layer's entity/relation
+    rules (extraction.py; reference analog: the AST parser's node
+    metadata fields, src/modules/ast-parser.ts:145-298) do not emit.
+    A mention matched by ``(fast|slow|big|small) <entity>`` asserts
+    the quality of that entity instance; aggregated over the corpus
+    the table reads as a per-entity quality profile with support
+    counts, and rank 1 per entity is the dominant attribute a
+    canonical node card would surface.
+
+    Shape: extraction is two aligned ``regexp_extract_all`` calls on
+    the same pattern (group 1 = adjective, group 2 = entity) zipped
+    positionally — pure codegen, no second text scan, no UDF; the
+    aggregation key space is |gazetteer|x|adjectives| ≤ 40 rows, so
+    the groupBy is map-side combinable into a dim, the per-entity
+    share is exact integer permille (1000·n DIV entity_total), and
+    the dominance rank is a window over ≤4-row partitions. At 10^12
+    turns the only corpus-sized stage is the narrow regex map."""
+    t = _doc_transcripts(spark, sf_dir)
+    lowered = F.lower(F.col("text"))
+    pairs = t.select(
+        "conv_id",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(lowered, F.lit(_SQL_QUALIFIER), 1).alias(
+                    "quality"
+                ),
+                F.regexp_extract_all(lowered, F.lit(_SQL_QUALIFIER), 2).alias(
+                    "entity"
+                ),
+            )
+        ).alias("z"),
+    ).select("conv_id", F.col("z.quality").alias("quality"), F.col("z.entity").alias("entity"))
+    agg = pairs.groupBy("entity", "quality").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+    tot = Window.partitionBy("entity")
+    rk = Window.partitionBy("entity").orderBy(
+        F.desc("n_mentions"), F.asc("quality")
+    )
+    return (
+        agg.withColumn("_etotal", F.sum("n_mentions").over(tot))
+        .withColumn(
+            "share_permille", F.expr("n_mentions * 1000 DIV _etotal")
+        )
+        .drop("_etotal")
+        .withColumn("qrank", F.row_number().over(rk).cast("int"))
+        .select(
+            "entity", "quality", "n_mentions", "n_convs",
+            F.col("share_permille").cast("long").alias("share_permille"),
+            "qrank",
+        )
+        .orderBy("entity", "quality")
+    )
+
+
+def kg_temporal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): TEMPORAL EDGE VALIDITY —
+    per co-mention edge, the episode structure of its support over a
+    global corpus clock (the temporal-KG primitive behind Wikidata
+    qualifier intervals / YAGO2 occurrence times): an edge mentioned
+    in bursts with long silences is episodic (validity intervals),
+    one mentioned steadily is persistent. The clock is the exact
+    global turn rank under (conv_id, turn_idx); an edge's support
+    splits into a new episode when the gap between consecutive
+    supporting turns exceeds ``_EPISODE_GAP`` ranks. Output is
+    edge-dimension-sized: episode count, total supporting turns,
+    largest episode, clock span, and exact integer activity density
+    (1000·support DIV span).
+
+    Shape: the global clock reuses ``operators.ranking.global_rank``
+    (range-partition → local row_number → broadcast ≤32-row prefix-sum
+    dim) — NO unpartitioned window, so the rank scales as a
+    range-partitioned sort at 10^12 turns; the clock joins the
+    co-mention units on (conv_id, turn_idx) (co-keyed, dim-sized right
+    side per turn); episode detection is the gaps-and-islands pair
+    (ONE lag + ONE running sum) partitioned by the edge key, so a hot
+    edge costs only its own support stream; both reduces are algebraic.
+    The DuckDB twin replays the clock as a plain row_number (the
+    oracle need not scale) — values are identical because the order
+    is tie-free."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    turns = _doc_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    clock = global_rank(turns, ["conv_id", "turn_idx"], out_col="gr")
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("u"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("v"))
+    units = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") < F.col("v"))
+        .select("conv_id", "turn_idx", "u", "v")
+        .distinct()
+    )
+    supported = units.join(clock, ["conv_id", "turn_idx"]).select("u", "v", "gr")
+    w = Window.partitionBy("u", "v").orderBy("gr")
+    prev = F.lag("gr").over(w)
+    ep = supported.withColumn(
+        "boundary",
+        F.when(prev.isNull() | (F.col("gr") - prev > _EPISODE_GAP), 1).otherwise(0),
+    ).withColumn(
+        "episode",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_ep = ep.groupBy("u", "v", "episode").agg(
+        F.count("*").alias("ep_turns"),
+        F.min("gr").alias("ep_start"),
+        F.max("gr").alias("ep_end"),
+    )
+    return (
+        per_ep.groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_episodes"),
+            F.sum("ep_turns").cast("long").alias("n_turns"),
+            F.max("ep_turns").cast("long").alias("max_episode_turns"),
+            F.min("ep_start").cast("long").alias("first_rank"),
+            F.max("ep_end").cast("long").alias("last_rank"),
+        )
+        .withColumn(
+            "density_permille",
+            F.expr("n_turns * 1000 DIV (last_rank - first_rank + 1)").cast("long"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+def kg_mention_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): CONTEXT-WINDOW ASSEMBLY
+    readout — the batching precursor of an LLM-assisted extraction
+    pass: every mention-bearing turn becomes a ±1-turn context window
+    (the prompt unit a model-based triple extractor consumes), and the
+    entry reports the per-conversation packing ledger — window count,
+    exact total/max context size, and integer-micro average — the
+    numbers that size the downstream inference job (batch count, token
+    budget, stragglers) before a single GPU is scheduled.
+
+    Shape: context lengths come from ONE lag + ONE lead over the
+    conversation window (state = one row each side; a 10k-turn
+    conversation costs its own stream, nothing global); the
+    mention-bearing turn set is the extractor's distinct turn
+    dimension, joined on (conv_id, turn_idx) — co-keyed with the
+    window partitioning so the join adds no extra shuffle; the rollup
+    is algebraic per conversation. avg_ctx_micro is exact BIGINT
+    micro-arithmetic (total·10⁶ DIV windows), bit-identical to the
+    DuckDB twin."""
+    t = _doc_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.length("text").cast("long").alias("len")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ctx = t.select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.coalesce(F.lag("len").over(w), F.lit(0))
+            + F.col("len")
+            + F.coalesce(F.lead("len").over(w), F.lit(0))
+        ).alias("ctx_chars"),
+    )
+    mt = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx")
+        .distinct()
+    )
+    return (
+        ctx.join(mt, ["conv_id", "turn_idx"])
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("ctx_chars").cast("long").alias("total_ctx_chars"),
+            F.max("ctx_chars").cast("long").alias("max_ctx_chars"),
+        )
+        .withColumn(
+            "avg_ctx_micro",
+            F.expr("total_ctx_chars * 1000000 DIV n_windows").cast("long"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -10157,6 +10361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: closing-wave additions (newest of all) --
+        "kg_attribute_edges": kg_attribute_edges,
+        "kg_temporal_edges": kg_temporal_edges,
+        "kg_mention_context": kg_mention_context,
         "kg_definite_anaphora": kg_definite_anaphora,
         "l_dict_encode": l_dict_encode,
         "ev_rle_runs": ev_rle_runs,
@@ -10997,6 +11204,125 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # closing wave: attribute-edge extraction — the two aligned
+        # group extractions zip positionally on both engines (DuckDB
+        # zips parallel unnests of equal length); integer permille +
+        # fully tie-broken rank
+        "kg_attribute_edges": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            hits AS (
+              SELECT conv_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '{_SQL_QUALIFIER}', 1)) AS quality,
+                     unnest(regexp_extract_all(lower(text),
+                                               '{_SQL_QUALIFIER}', 2)) AS entity
+              FROM t
+            ),
+            agg AS (
+              SELECT entity, quality,
+                     count(*) AS n_mentions,
+                     count(DISTINCT conv_id) AS n_convs
+              FROM hits GROUP BY entity, quality
+            )
+            SELECT entity, quality, n_mentions, n_convs,
+                   CAST(n_mentions * 1000 //
+                        sum(n_mentions) OVER (PARTITION BY entity)
+                        AS BIGINT) AS share_permille,
+                   CAST(row_number() OVER (
+                     PARTITION BY entity
+                     ORDER BY n_mentions DESC, quality
+                   ) AS INT) AS qrank
+            FROM agg
+            ORDER BY entity, quality
+        """,
+        # closing wave: temporal edge validity — plain row_number
+        # replays the scale-safe global_rank (tie-free order), then the
+        # same gaps-and-islands pair
+        "kg_temporal_edges": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            clock AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (ORDER BY conv_id, turn_idx) AS gr
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+              FROM t
+            ),
+            units AS (
+              SELECT DISTINCT a.conv_id, a.turn_idx, a.s AS u, b.s AS v
+              FROM m a JOIN m b USING (conv_id, turn_idx)
+              WHERE a.s < b.s
+            ),
+            sup AS (
+              SELECT u, v, gr FROM units JOIN clock USING (conv_id, turn_idx)
+            ),
+            marked AS (
+              SELECT u, v, gr,
+                     CASE WHEN lag(gr) OVER w IS NULL
+                               OR gr - lag(gr) OVER w > {_EPISODE_GAP}
+                          THEN 1 ELSE 0 END AS boundary
+              FROM sup
+              WINDOW w AS (PARTITION BY u, v ORDER BY gr)
+            ),
+            eps AS (
+              SELECT u, v, gr,
+                     sum(boundary) OVER (
+                       PARTITION BY u, v ORDER BY gr
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS episode
+              FROM marked
+            ),
+            per_ep AS (
+              SELECT u, v, episode,
+                     count(*) AS ep_turns,
+                     min(gr) AS ep_start,
+                     max(gr) AS ep_end
+              FROM eps GROUP BY u, v, episode
+            )
+            SELECT u, v,
+                   CAST(count(*) AS BIGINT) AS n_episodes,
+                   CAST(sum(ep_turns) AS BIGINT) AS n_turns,
+                   CAST(max(ep_turns) AS BIGINT) AS max_episode_turns,
+                   CAST(min(ep_start) AS BIGINT) AS first_rank,
+                   CAST(max(ep_end) AS BIGINT) AS last_rank,
+                   CAST(sum(ep_turns) * 1000 //
+                        (max(ep_end) - min(ep_start) + 1) AS BIGINT)
+                     AS density_permille
+            FROM per_ep GROUP BY u, v
+            ORDER BY u, v
+        """,
+        # closing wave: context-window assembly — lag/lead lengths and
+        # the integer-micro average replayed verbatim
+        "kg_mention_context": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            ctx AS (
+              SELECT conv_id, turn_idx,
+                     coalesce(lag(length(text)) OVER w, 0)
+                     + length(text)
+                     + coalesce(lead(length(text)) OVER w, 0) AS ctx_chars
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            mt AS (
+              SELECT DISTINCT conv_id, turn_idx
+              FROM (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(lower(text), '{gaz}')) AS s
+                FROM t
+              )
+            )
+            SELECT c.conv_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(c.ctx_chars) AS BIGINT) AS total_ctx_chars,
+                   CAST(max(c.ctx_chars) AS BIGINT) AS max_ctx_chars,
+                   CAST(sum(c.ctx_chars) * 1000000 // count(*) AS BIGINT)
+                     AS avg_ctx_micro
+            FROM ctx c JOIN mt USING (conv_id, turn_idx)
+            GROUP BY c.conv_id
+            ORDER BY c.conv_id
+        """,
         # closing wave: definite-NP anaphora — both regex streams and
         # the per-(conv, entity) lag replayed verbatim
         "kg_definite_anaphora": f"""
