@@ -3611,3 +3611,100 @@ def test_rle_runs_gaps_islands_and_same_ts_ties(spark, tmp_path):
         "A": (3, 2, 2, 1500000),
         "B": (3, 2, 2, 1500000),
     }
+
+
+# ---------------------------------------------------------------------------
+# closing wave: attribute edges / temporal edge episodes / mention context
+# ---------------------------------------------------------------------------
+
+def test_attribute_edges_share_and_rank(spark, tmp_path):
+    """Qualifier adjectives bind the gazetteer entity (multi-word
+    surfaces intact), share_permille is exact integer permille of the
+    per-entity total, and qrank tie-breaks (n_mentions DESC, quality
+    ASC)."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["c", "c", "d", "d"],
+            "text": [
+                "fast spark is a fast spark",        # 2x (fast, spark)
+                "slow spark here",                   # 1x (slow, spark)
+                "fast spark again",                  # 1x (fast, spark)
+                "big sort merge and slow window",    # multi-word entity
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_attribute_edges"](spark, sf).toPandas()
+    got = {
+        (r.entity, r.quality): (
+            r.n_mentions, r.n_convs, r.share_permille, r.qrank
+        )
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        ("spark", "fast"): (3, 2, 750, 1),
+        ("spark", "slow"): (1, 1, 250, 2),
+        ("sort merge", "big"): (1, 1, 1000, 1),
+        ("window", "slow"): (1, 1, 1000, 1),
+    }
+
+
+def test_temporal_edges_episode_split_at_gap(spark, tmp_path):
+    """A co-mention pair silent for more than _EPISODE_GAP global turns
+    starts a new validity episode; adjacent supports merge; density is
+    exact integer permille over the clock span."""
+    gap = entrymod._EPISODE_GAP
+    texts = ["spark and window"]                  # rank 1: support
+    texts += ["nothing here"] * gap               # ranks 2..gap+1
+    texts += ["spark window", "window spark"]     # ranks gap+2, gap+3
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "source": ["c"] * len(texts),
+            "text": texts,
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_temporal_edges"](spark, sf).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    # gap between rank 1 and rank gap+2 is gap+1 > gap -> episode split
+    assert (r.u, r.v) == ("spark", "window")
+    assert r.n_episodes == 2
+    assert r.n_turns == 3
+    assert r.max_episode_turns == 2
+    assert (r.first_rank, r.last_rank) == (1, gap + 3)
+    assert r.density_permille == 3 * 1000 // (gap + 3)
+
+
+def test_mention_context_ledger_edges(spark, tmp_path):
+    """Context windows clamp at conversation edges (lag/lead -> 0), a
+    turn with many mentions yields ONE window, and avg_ctx_micro is
+    exact BIGINT micro arithmetic."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "source": ["c", "c", "c", "d", "m"],
+            "text": [
+                "abcd",                  # len 4, no mention
+                "spark!",                # len 6, mention -> ctx 4+6+2
+                "xy",                    # len 2, no mention
+                "spark",                 # len 5, single-turn conv
+                "spark spark window",    # len 18, 3 mentions -> 1 window
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_mention_context"](spark, sf).toPandas()
+    got = {
+        r.conv_id: (
+            r.n_windows, r.total_ctx_chars, r.max_ctx_chars, r.avg_ctx_micro
+        )
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "c": (1, 12, 12, 12000000),
+        "d": (1, 5, 5, 5000000),
+        "m": (1, 18, 18, 18000000),
+    }
