@@ -10334,6 +10334,73 @@ def kg_mention_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# token-adjacency graph for the WL entry: undirected bigram pairs with
+# at least this many corpus occurrences (prunes one-off adjacencies so
+# the role structure is about the language, not noise) — shared by the
+# Spark entry and the DuckDB twin
+_WL_MIN_PAIR = 2
+
+
+def g_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): WEISFEILER-LEMAN ROLE
+    DISCOVERY — 1-WL color refinement (operators.graph.wl_refinement)
+    over the token-adjacency graph: nodes are corpus tokens, edges are
+    undirected bigram adjacencies with ≥ _WL_MIN_PAIR occurrences, and
+    after r rounds two tokens share a class iff their r-hop adjacency
+    neighborhoods are isomorphic — unsupervised SYNTACTIC ROLE classes
+    (qualifiers, determiners, entities) from pure structure, the
+    role-equivalence prior behind alias suggestion and schema
+    induction in a KG pipeline (complement of g_struct_equiv's
+    set-overlap equivalence: WL sees multiset STRUCTURE at any depth,
+    not 1-hop overlap).
+
+    Scale shape (the operator's docstring carries the full argument):
+    the neighbor multiset is fingerprinted ALGEBRAICALLY (count, Σc,
+    Σc² mod p, Σc³ mod p — commutative, map-side combinable, hub-safe:
+    no collect_list/sort_array of a degree-sized array on a hot node),
+    and label→dense-code assignment each round is
+    ranking.global_rank over the DISTINCT signature dim — a
+    range-partitioned sort, never an unpartitioned dense_rank window.
+    The bigram stream is minted by slice+arrays_zip (narrow, no
+    window); the edge dim is vocabulary²-bounded. The DuckDB twin
+    unrolls the 3 rounds with plain dense_rank (the oracle need not
+    scale); codes match because Spark assigns row_number over the
+    lexicographically-ordered DISTINCT tuple dim = dense_rank."""
+    from hikma_engine_spark.operators.graph import wl_refinement
+
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    docs = d.select("doc_id", arr.alias("toks")).filter(F.size("toks") >= 2)
+    big = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    e = (
+        big.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _WL_MIN_PAIR)
+        .select("a", "b")
+    )
+    out = wl_refinement(e, rounds=3)
+    return out.select(
+        F.col("node").alias("token"), "degree", "c0", "c1", "c2", "c3"
+    ).orderBy("token")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -10361,6 +10428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: closing-wave additions (newest of all) --
+        "g_wl_roles": g_wl_roles,
         "kg_attribute_edges": kg_attribute_edges,
         "kg_temporal_edges": kg_temporal_edges,
         "kg_mention_context": kg_mention_context,
@@ -11204,6 +11272,99 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # closing wave: WL color refinement — 3 unrolled rounds, plain
+        # dense_rank replays global_rank's distinct-dim row_number
+        # (identical dense codes under the same lexicographic order);
+        # the modular power-sum fingerprints are exact BIGINTs on both
+        # engines
+        "g_wl_roles": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS toks
+              FROM documents
+            ),
+            d2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+            bg AS (
+              SELECT bg[1] AS w1, bg[2] AS w2
+              FROM (SELECT unnest(list_zip(toks, toks[2:])) AS bg FROM d2)
+              WHERE bg[2] IS NOT NULL
+            ),
+            e AS MATERIALIZED (
+              SELECT least(w1, w2) AS u, greatest(w1, w2) AS v
+              FROM bg WHERE w1 != w2
+              GROUP BY 1, 2 HAVING count(*) >= {_WL_MIN_PAIR}
+            ),
+            nbr AS MATERIALIZED (
+              SELECT u AS node, v AS nb FROM e
+              UNION
+              SELECT v AS node, u AS nb FROM e
+            ),
+            l0 AS MATERIALIZED (
+              SELECT node, degree,
+                     CAST(dense_rank() OVER (ORDER BY degree) AS BIGINT)
+                       AS code
+              FROM (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                    FROM nbr GROUP BY node)
+            ),
+            g1 AS (
+              SELECT n.node,
+                     CAST(count(*) AS BIGINT) AS d,
+                     CAST(sum(x.code) AS BIGINT) AS s1,
+                     CAST(sum(x.code * x.code % 2147483647)
+                          % 2147483647 AS BIGINT) AS s2,
+                     CAST(sum((x.code * x.code % 2147483647) * x.code
+                              % 2147483647) % 2147483647 AS BIGINT) AS s3
+              FROM nbr n JOIN l0 x ON n.nb = x.node GROUP BY n.node
+            ),
+            l1 AS MATERIALIZED (
+              SELECT l0.node,
+                     CAST(dense_rank() OVER (
+                       ORDER BY l0.code, g1.d, g1.s1, g1.s2, g1.s3
+                     ) AS BIGINT) AS code
+              FROM l0 JOIN g1 USING (node)
+            ),
+            g2 AS (
+              SELECT n.node,
+                     CAST(count(*) AS BIGINT) AS d,
+                     CAST(sum(x.code) AS BIGINT) AS s1,
+                     CAST(sum(x.code * x.code % 2147483647)
+                          % 2147483647 AS BIGINT) AS s2,
+                     CAST(sum((x.code * x.code % 2147483647) * x.code
+                              % 2147483647) % 2147483647 AS BIGINT) AS s3
+              FROM nbr n JOIN l1 x ON n.nb = x.node GROUP BY n.node
+            ),
+            l2 AS MATERIALIZED (
+              SELECT l1.node,
+                     CAST(dense_rank() OVER (
+                       ORDER BY l1.code, g2.d, g2.s1, g2.s2, g2.s3
+                     ) AS BIGINT) AS code
+              FROM l1 JOIN g2 USING (node)
+            ),
+            g3 AS (
+              SELECT n.node,
+                     CAST(count(*) AS BIGINT) AS d,
+                     CAST(sum(x.code) AS BIGINT) AS s1,
+                     CAST(sum(x.code * x.code % 2147483647)
+                          % 2147483647 AS BIGINT) AS s2,
+                     CAST(sum((x.code * x.code % 2147483647) * x.code
+                              % 2147483647) % 2147483647 AS BIGINT) AS s3
+              FROM nbr n JOIN l2 x ON n.nb = x.node GROUP BY n.node
+            ),
+            l3 AS (
+              SELECT l2.node,
+                     CAST(dense_rank() OVER (
+                       ORDER BY l2.code, g3.d, g3.s1, g3.s2, g3.s3
+                     ) AS BIGINT) AS code
+              FROM l2 JOIN g3 USING (node)
+            )
+            SELECT l0.node AS token, l0.degree,
+                   l0.code AS c0, l1.code AS c1, l2.code AS c2, l3.code AS c3
+            FROM l0
+            JOIN l1 USING (node) JOIN l2 USING (node) JOIN l3 USING (node)
+            ORDER BY token
+        """,
         # closing wave: attribute-edge extraction — the two aligned
         # group extractions zip positionally on both engines (DuckDB
         # zips parallel unnests of equal length); integer permille +

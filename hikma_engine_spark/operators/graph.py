@@ -1650,3 +1650,116 @@ def luby_mis(
         )
     )
     return out.select("node", "status", F.col("round").cast("long").alias("round"))
+
+
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Weisfeiler-Leman COLOR REFINEMENT (1-WL; Weisfeiler & Leman
+    1968, the canonical-form/graph-isomorphism primitive and the
+    expressiveness bound of message-passing GNNs): iteratively refine a
+    per-node class label to a hash of (own label, multiset of neighbor
+    labels) until classes stabilize. Two nodes share a round-r class
+    iff their r-hop neighborhood trees are isomorphic — in a knowledge
+    graph this is ROLE DISCOVERY (entities used the same way land in
+    the same class regardless of identity), the structural prior behind
+    alias suggestion and schema induction.
+
+    Distributed shape — the textbook trap is the multiset itself:
+    collect_list + sort of neighbor labels puts a degree-sized array on
+    every hot node (a 10⁸-degree hub materializes a 10⁸-element sorted
+    list in one task). Instead the multiset signature is ALGEBRAIC:
+    dense integer codes for round-r labels, and the neighbor multiset
+    fingerprinted by (count, Σc, Σc² mod p, Σ(c²·c) mod p) with
+    p = 2³¹−1 — commutative, associative, map-side combinable, so a hub
+    costs a partial aggregate, never a sorted array. (Power sums up to
+    degree determine the multiset exactly; three plus count is the
+    practical fingerprint — a collision needs two distinct ≤|V|-value
+    multisets agreeing on all four BIGINTs mod p simultaneously.)
+    Label→dense-code assignment each round is ``ranking.global_rank``
+    over the DISTINCT signature dim (range-partitioned sort, bounded
+    single-task state) — never an unpartitioned dense_rank window.
+    All arithmetic is overflow-safe BIGINT at 10⁹ codes: each mod term
+    < 2³¹ and Σ over a 10⁹-degree hub < 2³¹·10⁹ < 2⁶³.
+
+    Fixed-round semantics (luby_mis/label_propagation precedent):
+    ``rounds`` synchronous refinements, lineage cut per round; classes
+    only split (never merge), so per-round class counts are monotone —
+    the caller's convergence readout. Returns
+    (node, degree, c0, c1, …, c{rounds}) with c0 = degree class.
+
+    No reference analog (the reference's SQLite graph is queried, not
+    canonicalized); cite: graph family operators/graph.py, code
+    assignment operators/ranking.py.
+    """
+    from .ranking import global_rank
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    p = 2147483647
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+    )
+    nbr = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("v").alias("nb"))
+        .localCheckpoint(eager=True)
+    )
+    deg = nbr.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+    deg_dim = global_rank(
+        deg.select("degree").distinct(),
+        ["degree"],
+        out_col="code",
+        num_partitions=num_partitions,
+    )
+    out = deg.join(deg_dim, "degree").select(
+        "node", "degree", F.col("code").alias("c0")
+    )
+    labels = out.select("node", F.col("c0").alias("code")).localCheckpoint(
+        eager=True
+    )
+    for r in range(1, rounds + 1):
+        sig = (
+            nbr.join(
+                labels.select(F.col("node").alias("nb"), F.col("code").alias("nc")),
+                "nb",
+            )
+            .groupBy("node")
+            .agg(
+                F.count("*").cast("long").alias("d"),
+                F.sum("nc").cast("long").alias("s1"),
+                F.expr(f"sum(nc * nc % {p}) % {p}").cast("long").alias("s2"),
+                F.expr(f"sum((nc * nc % {p}) * nc % {p}) % {p}")
+                .cast("long")
+                .alias("s3"),
+            )
+        )
+        tup = labels.join(sig, "node").select(
+            "node", F.col("code").alias("own"), "d", "s1", "s2", "s3"
+        )
+        dim = global_rank(
+            tup.select("own", "d", "s1", "s2", "s3").distinct(),
+            ["own", "d", "s1", "s2", "s3"],
+            out_col="code",
+            num_partitions=num_partitions,
+        )
+        labels = (
+            tup.join(dim, ["own", "d", "s1", "s2", "s3"])
+            .select("node", "code")
+            .localCheckpoint(eager=True)
+        )
+        out = out.join(
+            labels.select("node", F.col("code").alias(f"c{r}")), "node"
+        )
+    return out

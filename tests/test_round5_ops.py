@@ -3708,3 +3708,44 @@ def test_mention_context_ledger_edges(spark, tmp_path):
         "d": (1, 5, 5, 5000000),
         "m": (1, 18, 18, 18000000),
     }
+
+
+def test_wl_refinement_path_and_star_classes(spark):
+    """P5 path: endpoints {a,e} / inner {b,d} / center {c} separate by
+    round 2 and stay stable; codes are dense 1..k."""
+    from hikma_engine_spark.operators.graph import wl_refinement
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["a", "b"]
+    )
+    pdf = wl_refinement(edges, rounds=3).toPandas().set_index("node")
+    # c0 = degree classes: {a,e} deg1, {b,c,d} deg2
+    assert pdf.loc["a", "c0"] == pdf.loc["e", "c0"]
+    assert pdf.loc["b", "c0"] == pdf.loc["c", "c0"] == pdf.loc["d", "c0"]
+    # round 1 splits c (two deg-2 neighbors) from b/d (one deg-1 one deg-2)
+    assert pdf.loc["b", "c1"] == pdf.loc["d", "c1"]
+    assert pdf.loc["c", "c1"] != pdf.loc["b", "c1"]
+    assert pdf.loc["a", "c1"] == pdf.loc["e", "c1"]
+    # round 2 = round 1 partition (stable), still 3 classes, dense codes
+    for col in ("c1", "c2", "c3"):
+        assert sorted(pdf[col].unique()) == [1, 2, 3]
+    assert (
+        pdf.groupby("c2").groups.keys() == pdf.groupby("c3").groups.keys()
+    )
+
+
+def test_wl_refinement_cannot_split_c6_from_two_triangles(spark):
+    """The canonical 1-WL limitation, asserted as a contract: C6 and
+    2xC3 are WL-indistinguishable (every node degree 2, every
+    neighborhood tree identical) — all 12 nodes share one class at
+    every round."""
+    from hikma_engine_spark.operators.graph import wl_refinement
+
+    c6 = [(f"x{i}", f"x{(i + 1) % 6}") for i in range(6)]
+    tri = [("p0", "p1"), ("p1", "p2"), ("p2", "p0"),
+           ("q0", "q1"), ("q1", "q2"), ("q2", "q0")]
+    edges = spark.createDataFrame(c6 + tri, ["a", "b"])
+    pdf = wl_refinement(edges, rounds=3).toPandas()
+    assert len(pdf) == 12
+    for col in ("c0", "c1", "c2", "c3"):
+        assert pdf[col].nunique() == 1
