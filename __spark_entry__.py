@@ -10401,6 +10401,92 @@ def g_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("token")
 
 
+def a_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): SPEARMAN RANK CORRELATION over
+    lineitem measures — the robust (monotone-invariant, outlier-insensitive)
+    sibling of a_corr_lineitem's Pearson matrix, and the entry that
+    exercises the one piece Pearson cannot: EXACT MIDRANKS FOR TIES,
+    distributed. Average ranks are kept integer by working in doubled
+    units: r2(x) = 2·cnt_less(x) + cnt_eq(x) + 1 (= 2× the standard
+    midrank), derived from ranking.global_rank row numbers by the
+    group-sum identity 2·Σrn/cnt — exact division, no floats until the
+    final ρ.
+
+    Scale shape: each column's rank pass is a range-partitioned sort
+    (global_rank — never an unpartitioned window over 10⁹ rows); the
+    midrank dim is |distinct values|-sized and joins back on the value
+    key (11-row discount dim and 50-row quantity dim broadcast; the
+    near-unique price dim hash-joins without skew by construction);
+    the moment pass is ONE map-side-combinable aggregate. BIGINT
+    bounds: r2 ≤ 2n, Σr2² ≤ 4n³ — safe to ~10⁸ rows, DECIMAL(38)
+    beyond (documented, Spark widens natively). ρ enters floating
+    point once per pair with operands cast to double first — the
+    identical expression text in the twin; rho_micro absorbs last-ulp
+    drift. ranks_ok pins the midrank invariant Σr2 = n(n+1) in-plan
+    for all three columns."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("d"),
+    )
+    base = li
+    for c in ("q", "p", "d"):
+        rn = global_rank(
+            li.select("l_orderkey", "l_linenumber", c),
+            [c, "l_orderkey", "l_linenumber"],
+            out_col="rn",
+        )
+        dim = rn.groupBy(c).agg(
+            F.expr("2 * sum(rn) DIV count(*)").cast("long").alias(f"r_{c}")
+        )
+        base = base.join(dim, c)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in ("q", "p", "d"):
+        aggs += [
+            F.sum(f"r_{c}").cast("long").alias(f"s_{c}"),
+            F.sum(F.col(f"r_{c}") * F.col(f"r_{c}"))
+            .cast("long")
+            .alias(f"ss_{c}"),
+        ]
+    for x, y in (("q", "p"), ("q", "d"), ("p", "d")):
+        aggs.append(
+            F.sum(F.col(f"r_{x}") * F.col(f"r_{y}"))
+            .cast("long")
+            .alias(f"sp_{x}{y}")
+        )
+    m = base.agg(*aggs)
+
+    def _rho_micro(x: str, y: str) -> F.Column:
+        # operands → double BEFORE any multiply (n·Σxy exceeds int64);
+        # expression text mirrored verbatim in the DuckDB twin
+        return F.expr(
+            f"CAST(round(("
+            f"CAST(n AS DOUBLE) * CAST(sp_{x}{y} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            f" / sqrt(CAST(n AS DOUBLE) * CAST(ss_{x} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+            f" / sqrt(CAST(n AS DOUBLE) * CAST(ss_{y} AS DOUBLE)"
+            f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            f" * 1e6) AS BIGINT)"
+        ).alias(f"rho_{x}{y}_micro")
+
+    return m.select(
+        "n",
+        _rho_micro("q", "p"),
+        _rho_micro("q", "d"),
+        _rho_micro("p", "d"),
+        (
+            (F.col("s_q") == F.expr("n * (n + 1)"))
+            & (F.col("s_p") == F.expr("n * (n + 1)"))
+            & (F.col("s_d") == F.expr("n * (n + 1)"))
+        ).alias("ranks_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -10429,6 +10515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-captured: closing-wave additions (newest of all) --
         "g_wl_roles": g_wl_roles,
+        "a_spearman": a_spearman,
         "kg_attribute_edges": kg_attribute_edges,
         "kg_temporal_edges": kg_temporal_edges,
         "kg_mention_context": kg_mention_context,
@@ -11272,6 +11359,78 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # closing wave: Spearman — row_number replays global_rank
+        # (tie-free order), the doubled-midrank dim is the same exact
+        # group-sum identity, and the rho expression text is verbatim
+        "a_spearman": """
+            WITH li AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                     CAST(round(l_extendedprice) AS BIGINT) AS p,
+                     CAST(round(l_discount * 1000) AS BIGINT) AS d
+              FROM lineitem
+            ),
+            rq AS (
+              SELECT q, CAST(2 * sum(rn) // count(*) AS BIGINT) AS r_q
+              FROM (SELECT q, row_number() OVER (
+                      ORDER BY q, l_orderkey, l_linenumber) AS rn FROM li)
+              GROUP BY q
+            ),
+            rp AS (
+              SELECT p, CAST(2 * sum(rn) // count(*) AS BIGINT) AS r_p
+              FROM (SELECT p, row_number() OVER (
+                      ORDER BY p, l_orderkey, l_linenumber) AS rn FROM li)
+              GROUP BY p
+            ),
+            rd AS (
+              SELECT d, CAST(2 * sum(rn) // count(*) AS BIGINT) AS r_d
+              FROM (SELECT d, row_number() OVER (
+                      ORDER BY d, l_orderkey, l_linenumber) AS rn FROM li)
+              GROUP BY d
+            ),
+            base AS (
+              SELECT r_q, r_p, r_d
+              FROM li JOIN rq USING (q) JOIN rp USING (p) JOIN rd USING (d)
+            ),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(r_q) AS BIGINT) AS s_q,
+                     CAST(sum(r_q * r_q) AS BIGINT) AS ss_q,
+                     CAST(sum(r_p) AS BIGINT) AS s_p,
+                     CAST(sum(r_p * r_p) AS BIGINT) AS ss_p,
+                     CAST(sum(r_d) AS BIGINT) AS s_d,
+                     CAST(sum(r_d * r_d) AS BIGINT) AS ss_d,
+                     CAST(sum(r_q * r_p) AS BIGINT) AS sp_qp,
+                     CAST(sum(r_q * r_d) AS BIGINT) AS sp_qd,
+                     CAST(sum(r_p * r_d) AS BIGINT) AS sp_pd
+              FROM base
+            )
+            SELECT n,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sp_qp AS DOUBLE)
+                     - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                     - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                     - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                     * 1e6) AS BIGINT) AS rho_qp_micro,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sp_qd AS DOUBLE)
+                     - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                     - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                     - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     * 1e6) AS BIGINT) AS rho_qd_micro,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sp_pd AS DOUBLE)
+                     - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                     - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                     - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     * 1e6) AS BIGINT) AS rho_pd_micro,
+                   (s_q = n * (n + 1) AND s_p = n * (n + 1)
+                    AND s_d = n * (n + 1)) AS ranks_ok
+            FROM m
+        """,
         # closing wave: WL color refinement — 3 unrolled rounds, plain
         # dense_rank replays global_rank's distinct-dim row_number
         # (identical dense codes under the same lexicographic order);

@@ -3749,3 +3749,26 @@ def test_wl_refinement_cannot_split_c6_from_two_triangles(spark):
     assert len(pdf) == 12
     for col in ("c0", "c1", "c2", "c3"):
         assert pdf[col].nunique() == 1
+
+
+def test_spearman_midranks_exact(spark, tmp_path):
+    """Tied quantities take the exact average rank (doubled-integer
+    midranks): q=[1,1,2] vs a strictly increasing p gives
+    rho = 18/sqrt(18*24) = 0.866025...; a perfectly monotone pair
+    gives exactly 1e6; the n(n+1) rank-sum invariant holds."""
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2],
+            "l_linenumber": [1, 2, 1],
+            "l_quantity": [1.0, 1.0, 2.0],
+            "l_extendedprice": [10.0, 20.0, 30.0],
+            "l_discount": [0.0, 0.01, 0.02],
+        }
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    row = entrymod.queries()["a_spearman"](spark, sf).toPandas().iloc[0]
+    assert row.n == 3
+    assert row.rho_qp_micro == 866025
+    assert row.rho_qd_micro == 866025
+    assert row.rho_pd_micro == 1000000
+    assert bool(row.ranks_ok)
