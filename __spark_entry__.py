@@ -10401,6 +10401,104 @@ def g_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("token")
 
 
+def g_jp_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (closing wave): JONES-PLASSMANN GREEDY
+    COLORING (operators.graph.jp_coloring) over the same exact kNN-5
+    similarity graph as e_mis_diverse — the full-partition complement
+    of the MIS entry: where the MIS is ONE maximal conflict-free
+    merge batch, the coloring is the COMPLETE parallel-commit
+    schedule (every color class is a conflict-free batch; an ER
+    pipeline commits them in n_colors waves). Emits the per-color
+    histogram (n_nodes, first/last assignment round) with four
+    contract scalars stamped on every row: n_uncolored (== 0 is the
+    convergence contract for the 18-round budget; measured
+    convergence is 15 rounds at all three SFs), proper_ok (no kNN
+    edge joins two same-colored nodes — checked IN-PLAN on the edge
+    set), n_colors and max_degree with greedy_ok pinning the Δ+1
+    guarantee.
+
+    Scale: the kNN edges come from the proven knn_join_exact
+    (blocked-GEMM partial top-k); each JP round is one
+    uncolored-semi-joined edge pass + map-side-combinable
+    min(struct(h, node)) / count aggregates, with the mex computed
+    relationally (explode(sequence) anti-join, fan-out ≤ colored
+    degree ≤ Δ) — never per-node Python. Synchronous JP rounds are an
+    inherent dependency chain (~15 with 48-bit hash priorities), so
+    the entry's wall-clock is round-latency-bound by design — the
+    price of a deterministic full schedule; the MIS entry is the
+    3-5-round option when one batch suffices. The DuckDB twin unrolls
+    the full 18-round budget and replays every color bit-for-bit."""
+    from hikma_engine_spark.operators.graph import jp_coloring
+
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    knn = similarity_search.knn_join_exact(emb, k=5)
+    edges = knn.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    st = jp_coloring(edges, rounds=18)
+    colored = st.filter(F.col("status") == "colored")
+    hist = colored.groupBy("color").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("round").cast("long").alias("first_round"),
+        F.max("round").cast("long").alias("last_round"),
+    )
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    conflicts = (
+        edges.join(
+            colored.select(F.col("node").alias("a"), F.col("color").alias("ca")),
+            "a",
+        )
+        .join(
+            colored.select(F.col("node").alias("b"), F.col("color").alias("cb")),
+            "b",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+    )
+    scal = (
+        st.agg(
+            F.sum(F.when(F.col("status") == "uncolored", 1).otherwise(0))
+            .cast("long")
+            .alias("n_uncolored"),
+            F.countDistinct(
+                F.when(F.col("status") == "colored", F.col("color"))
+            )
+            .cast("long")
+            .alias("n_colors"),
+        )
+        .crossJoin(
+            F.broadcast(
+                conflicts.agg(
+                    (F.count(F.lit(1)) == 0).alias("proper_ok")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                und.groupBy("a")
+                .agg(F.count("*").alias("d"))
+                .agg(F.max("d").cast("long").alias("max_degree"))
+            )
+        )
+    )
+    return (
+        hist.crossJoin(F.broadcast(scal))
+        .select(
+            "color",
+            "n_nodes",
+            "first_round",
+            "last_round",
+            "n_uncolored",
+            "proper_ok",
+            "n_colors",
+            "max_degree",
+            (F.col("n_colors") <= F.col("max_degree") + 1).alias("greedy_ok"),
+        )
+        .orderBy("color")
+    )
+
+
 def a_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (closing wave): SPEARMAN RANK CORRELATION over
     lineitem measures — the robust (monotone-invariant, outlier-insensitive)
@@ -10515,6 +10613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-captured: closing-wave additions (newest of all) --
         "g_wl_roles": g_wl_roles,
+        "g_jp_coloring": g_jp_coloring,
         "a_spearman": a_spearman,
         "kg_attribute_edges": kg_attribute_edges,
         "kg_temporal_edges": kg_temporal_edges,
@@ -11292,6 +11391,136 @@ def _mis_oracle_sql(rounds: int = 6) -> str:
                s.n_mis_total, s.n_undecided, s.independent_ok,
                (s.all_excluded_covered AND s.n_undecided = 0) AS maximal_ok
         FROM trace t, scal s ORDER BY t.round
+    """
+    )
+
+
+def _coloring_oracle_sql(rounds: int = 18) -> str:
+    """Unrolled Jones-Plassmann twin of ``g_jp_coloring``: the exact
+    kNN-5 edge algebra of _mis_oracle_sql, then ``rounds`` synchronous
+    hash-priority rounds — f{r} = uncolored nodes beating every
+    uncolored neighbor's (h, node) priority, a{r} = their
+    minimum-excludant color over already-colored neighbors, col{r} /
+    u{r} = the running colored/uncolored state — followed by the same
+    per-color histogram + contract scalars the Spark entry stamps."""
+    parts = [
+        f"""WITH ce AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(range(64), i ->
+                   embedding[i+1]::DOUBLE
+                   + CASE WHEN i = label THEN {_ANN_BOOST} ELSE 0.0 END) AS emb
+          FROM embeddings
+        )""",
+        """sims AS MATERIALIZED (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 round(list_dot_product(x.emb, y.emb)
+                       / (sqrt(list_dot_product(x.emb, x.emb))
+                          * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+          FROM ce x JOIN ce y ON x.vec_id != y.vec_id
+        )""",
+        """knn AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (
+              PARTITION BY a ORDER BY cosine DESC, b) AS rank
+            FROM sims
+          ) WHERE rank <= 5
+        )""",
+        """edges AS MATERIALIZED (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM knn
+        )""",
+        """und AS MATERIALIZED (
+          SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+        )""",
+        """u0 AS MATERIALIZED (
+          SELECT node,
+                 CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM (SELECT DISTINCT u AS node FROM und)
+        )""",
+        """col0 AS (
+          SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS color,
+                 CAST(NULL AS BIGINT) AS round
+          WHERE 1 = 0
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""f{r} AS MATERIALIZED (
+              SELECT c.node FROM u{r - 1} c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM und e JOIN u{r - 1} n ON n.node = e.v
+                WHERE e.u = c.node
+                  AND (n.h < c.h OR (n.h = c.h AND n.node < c.node))
+              )
+            )"""
+        )
+        parts.append(
+            f"""used{r} AS MATERIALIZED (
+              SELECT DISTINCT e.u AS node, c.color
+              FROM und e JOIN col{r - 1} c ON c.node = e.v
+              WHERE e.u IN (SELECT node FROM f{r})
+            )"""
+        )
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+              SELECT node, CAST(min(c) AS BIGINT) AS color FROM (
+                SELECT f.node, unnest(range(coalesce(k.cnt, 0) + 1)) AS c
+                FROM f{r} f LEFT JOIN (
+                  SELECT node, count(*) AS cnt FROM used{r} GROUP BY node
+                ) k USING (node)
+              ) cand
+              WHERE NOT EXISTS (
+                SELECT 1 FROM used{r} u
+                WHERE u.node = cand.node AND u.color = cand.c
+              )
+              GROUP BY node
+            )"""
+        )
+        parts.append(
+            f"""col{r} AS MATERIALIZED (
+              SELECT node, color, round FROM col{r - 1}
+              UNION ALL
+              SELECT node, color, CAST({r} AS BIGINT) AS round FROM a{r}
+            )"""
+        )
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+              SELECT node, h FROM u{r - 1}
+              WHERE node NOT IN (SELECT node FROM f{r})
+            )"""
+        )
+    parts.append(
+        f"""hist AS (
+          SELECT color, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(min(round) AS BIGINT) AS first_round,
+                 CAST(max(round) AS BIGINT) AS last_round
+          FROM col{rounds} GROUP BY color
+        )"""
+    )
+    parts.append(
+        f"""scal AS (
+          SELECT CAST((SELECT count(*) FROM u{rounds}) AS BIGINT)
+                   AS n_uncolored,
+                 NOT EXISTS (
+                   SELECT 1 FROM edges e
+                   JOIN col{rounds} x ON x.node = e.u
+                   JOIN col{rounds} y ON y.node = e.v
+                   WHERE x.color = y.color
+                 ) AS proper_ok,
+                 CAST((SELECT count(DISTINCT color) FROM col{rounds})
+                      AS BIGINT) AS n_colors,
+                 CAST((SELECT max(cnt) FROM (
+                        SELECT u, count(*) AS cnt FROM und GROUP BY u))
+                      AS BIGINT) AS max_degree
+        )"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+        SELECT h.color, h.n_nodes, h.first_round, h.last_round,
+               s.n_uncolored, s.proper_ok, s.n_colors, s.max_degree,
+               (s.n_colors <= s.max_degree + 1) AS greedy_ok
+        FROM hist h, scal s ORDER BY h.color
     """
     )
 
@@ -15266,6 +15495,7 @@ def oracle_sql() -> dict[str, str]:
         "s_hybrid_blend": _HYBRID_BLEND_SQL,
         "e_knn_join": _knn_exact_sql(),
         "e_mis_diverse": _mis_oracle_sql(rounds=6),
+        "g_jp_coloring": _coloring_oracle_sql(rounds=18),
         "e_knn_join_ivf": _knn_exact_sql(", TRUE AS knn_recall_ok"),
         "s_comprehensive": _COMPREHENSIVE_SQL,
         # SimHash spec mirrored exactly (operators/dedup.py:_token_bits /

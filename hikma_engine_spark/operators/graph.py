@@ -1763,3 +1763,159 @@ def wl_refinement(
             labels.select("node", F.col("code").alias(f"c{r}")), "node"
         )
     return out
+
+
+def jp_coloring(
+    edges: DataFrame,
+    rounds: int = 24,
+    a_col: str = "a",
+    b_col: str = "b",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Deterministic Jones-Plassmann GREEDY GRAPH COLORING (Jones &
+    Plassmann 1993) — the full-partition complement of luby_mis: where
+    an MIS is ONE maximal conflict-free batch, a coloring schedules the
+    ENTIRE graph into conflict-free batches (color classes). In an ER
+    pipeline a coloring of the merge-conflict graph is the complete
+    parallel-commit schedule; greedy mex assignment guarantees
+    n_colors ≤ Δ+1.
+
+    Same determinism contract as luby_mis: priorities are the portable
+    48-bit-md5 hash of the node id with the node id as tie-break, so
+    rounds replay identically under retry and an unrolled SQL twin
+    reproduces every color bit-for-bit. Fixed-round semantics (the
+    luby_mis precedent): the full ``rounds`` budget always runs (a
+    converged graph makes the tail rounds no-op plan segments, and the
+    SQL twin unrolls the same budget with empty CTEs); nodes still
+    uncolored after ``rounds`` return status='uncolored' and the
+    caller asserts none exist.
+
+    Per round, ONE state DataFrame (node, h, color, round) is rebuilt;
+    lineage is cut every ``checkpoint_every`` rounds (default every
+    round: the state is referenced three times per round — frontier,
+    used-colors, merge-back — so an unmaterialized round TRIPLES the
+    plan subtree and two deferred rounds already blow the optimizer
+    budget; synchronous JP rounds are inherently sequential, ~14-16 on
+    a kNN-5 graph with 48-bit hash priorities, and one job barrier per
+    round is the honest price of that dependency chain): the
+    priority-local-minima frontier among uncolored nodes (an
+    independent set — within-round assignments can never conflict)
+    takes the MINIMUM EXCLUDANT of its already-colored neighbors'
+    colors, computed relationally: explode(sequence(0, n_used))
+    candidates anti-joined against the used set, min per node — never
+    a per-node Python loop; candidate fan-out bounded by the colored
+    degree ≤ Δ. Hot hubs sit in map-side-combinable min()/count()
+    aggregates.
+
+    Returns (node, color, round, status ∈ {colored, uncolored});
+    color/round are NULL for uncolored leftovers."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+    )
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _pr(c: str) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 12), 16, 10)
+            .cast("long")
+        )
+
+    st = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            _pr("node").alias("h"),
+            F.lit(None).cast("long").alias("color"),
+            F.lit(None).cast("long").alias("round"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, rounds + 1):
+        unc = st.filter(F.col("color").isNull()).select("node", "h")
+        nbr_min = (
+            und.join(
+                unc.select(F.col("node").alias("v"), F.col("h").alias("vh")),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min(F.struct(F.col("vh"), F.col("v"))).alias("nm"))
+        )
+        front = (
+            unc.join(nbr_min, "node", "left")
+            .filter(
+                F.col("nm").isNull()
+                | (F.col("h") < F.col("nm.vh"))
+                | (
+                    (F.col("h") == F.col("nm.vh"))
+                    & (F.col("node") < F.col("nm.v"))
+                )
+            )
+            .select("node")
+        )
+        used = (
+            und.join(front.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(
+                st.filter(F.col("color").isNotNull()).select(
+                    F.col("node").alias("v"), "color"
+                ),
+                "v",
+            )
+            .select(F.col("u").alias("node"), "color")
+            .distinct()
+        )
+        cnts = used.groupBy("node").agg(F.count("*").alias("n_used"))
+        assign = (
+            front.join(cnts, "node", "left")
+            .select(
+                "node",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.coalesce(F.col("n_used"), F.lit(0))
+                    )
+                ).alias("c"),
+            )
+            .join(
+                used.select("node", F.col("color").alias("c")),
+                ["node", "c"],
+                "left_anti",
+            )
+            .groupBy("node")
+            .agg(F.min("c").cast("long").alias("new_color"))
+        )
+        st = (
+            st.join(assign, "node", "left")
+            .select(
+                "node",
+                "h",
+                F.coalesce(F.col("color"), F.col("new_color")).alias("color"),
+                F.coalesce(
+                    F.col("round"),
+                    F.when(
+                        F.col("new_color").isNotNull(), F.lit(r).cast("long")
+                    ),
+                ).alias("round"),
+            )
+        )
+        if r % checkpoint_every == 0 or r == rounds:
+            st = st.localCheckpoint(eager=True)
+    return st.select(
+        "node",
+        "color",
+        "round",
+        F.when(F.col("color").isNotNull(), F.lit("colored"))
+        .otherwise(F.lit("uncolored"))
+        .alias("status"),
+    )

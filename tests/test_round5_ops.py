@@ -3772,3 +3772,67 @@ def test_spearman_midranks_exact(spark, tmp_path):
     assert row.rho_qd_micro == 866025
     assert row.rho_pd_micro == 1000000
     assert bool(row.ranks_ok)
+
+
+def _py_jp_coloring(pairs, rounds):
+    """Independent replica: hash-priority synchronous Jones-Plassmann
+    rounds with minimum-excludant color assignment."""
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    pr = {
+        v: (int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16), v)
+        for v in adj
+    }
+    color, rnd = {}, {}
+    uncolored = set(adj)
+    for r in range(1, rounds + 1):
+        front = {
+            v
+            for v in uncolored
+            if all(u not in uncolored or pr[v] < pr[u] for u in adj[v])
+        }
+        for v in front:
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v], rnd[v] = c, r
+        uncolored -= front
+    return {
+        v: (color.get(v), rnd.get(v), "colored" if v in color else "uncolored")
+        for v in adj
+    }
+
+
+def test_jp_coloring_matches_replica_and_is_proper(spark):
+    """Chain + clique + star mix: distributed == replica exactly per
+    (node, color, round); the coloring is proper and within Δ+1."""
+    from hikma_engine_spark.operators.graph import jp_coloring
+
+    pairs = (
+        [(f"n{i}", f"n{i+1}") for i in range(12)]        # 13-chain
+        + [("c1", "c2"), ("c1", "c3"), ("c2", "c3")]      # triangle
+        + [("h", f"s{i}") for i in range(5)]              # star
+        + [("n5", "c1"), ("s0", "n0")]                    # bridges
+    )
+    expect = _py_jp_coloring(pairs, rounds=10)
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        r["node"]: (r["color"], r["round"], r["status"])
+        for r in jp_coloring(edges, rounds=10).collect()
+    }
+    assert got == expect
+    col = {n: c for n, (c, _, _) in got.items()}
+    assert all(c is not None for c in col.values())
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert all(col[a] != col[b] for a, b in pairs)                  # proper
+    max_deg = max(len(v) for v in adj.values())
+    assert len(set(col.values())) <= max_deg + 1                    # greedy
