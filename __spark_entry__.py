@@ -9125,7 +9125,11 @@ def kg_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-    )
+    ).cache()  # consumed by BOTH CC variants + degree/hub/isolated
+    # branches (~8 actions: each connected_components call alone probes
+    # limit+count then collects under the driver threshold) — same
+    # precedent as the dup-pair CC cache above; production reads a
+    # persisted co-mention pair table instead.
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -10585,15 +10589,290 @@ def a_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# kg_entity_bursts: clock-bucket width in global turn ranks. 64 keeps
+# the (entity, bucket) grain dim-sized at every test sf while giving
+# ~15+ buckets per entity at sf0.001; at 10^12 turns the width would be
+# raised so the bucket COUNT (not the width) stays bounded — the output
+# grain is (entity × n_buckets) either way.
+_BURST_BUCKET_W = 64
+# d_k_anonymity: quasi-identifier size-bucket width (chars) and the
+# disclosure threshold k the below-k accounting reports against.
+_ANON_SIZE_BUCKET = 256
+_ANON_K = 5
+
+
+def kg_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): TRIPLE FUSION / truth
+    discovery — the knowledge-fusion step (Dong et al., "From Data
+    Fusion to Knowledge Fusion", VLDB'14) a KG built from 10^12 turns
+    cannot skip: the same edge is asserted by MANY independent
+    conversations, and a fused confidence must weight each assertion
+    by its SOURCE's reliability, not just count votes. One
+    voting round of the classic mutual-reinforcement scheme:
+    an assertion is (source conversation, co-mention edge), a source's
+    reliability is the exact permille share of its assertions that are
+    corroborated (asserted by ≥2 distinct sources), and an edge's
+    fused confidence is the SUM of its asserting sources' reliability
+    permilles. Emits (u, v, n_sources, corroborated, fused_conf_permille).
+
+    Shape: assertions are a distinct on (conv_id, u, v) — co-keyed
+    with the mention grain; per-edge support is a groupBy on the
+    gazetteer-bounded edge dim, joined BACK to assertions broadcast
+    (edge dim ≪ assertion grain); source reliability is one algebraic
+    groupBy on the conversation grain; the fusion reduce is one more
+    edge-dim groupBy. No windows, every reduce map-side-combinable;
+    the only big-grain shuffles are keyed by conv_id — the pipeline's
+    native partitioning. All-integer permille algebra → bit-identical
+    DuckDB twin. Fusion has no reference analog (the reference
+    stores one row per assertion, src/modules/data-loader.ts) — this
+    is the 10^12-scale aggregation of it."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("u"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("v"))
+    asserts = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") < F.col("v"))
+        .select("conv_id", "u", "v")
+        .distinct()
+    )
+    support = asserts.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("n_sources")
+    )
+    rel = (
+        asserts.join(F.broadcast(support), ["u", "v"])
+        .groupBy("conv_id")
+        .agg(
+            F.expr(
+                "1000 * sum(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END)"
+                " DIV count(*)"
+            )
+            .cast("long")
+            .alias("rel_permille")
+        )
+    )
+    return (
+        asserts.join(rel, "conv_id")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            (F.count("*") >= 2).alias("corroborated"),
+            F.sum("rel_permille").cast("long").alias("fused_conf_permille"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): FILTERED NEGATIVE SAMPLING —
+    the corrupted-triple generator KG-embedding training (TransE,
+    Bordes et al. NIPS'13) consumes: for every positive co-mention
+    edge (u, v), corrupt the tail to a deterministic vocabulary entity
+    and FILTER the corruption against the true edge set (a "negative"
+    that is actually positive poisons the loss). Corruption index =
+    md5(u|v) as an integer mod |vocab| — the repo's cross-engine
+    md5→BIGINT idiom (a_topk_sketch precedent), so Spark and the twin
+    mint the IDENTICAL samples; production swaps in xxhash64 with a
+    per-epoch seed, same plan shape. Emits every candidate with its
+    filter verdict (status ∈ ok / self_loop / true_edge) — the
+    accounting a training pipeline needs to size resampling.
+
+    Shape: the entity vocabulary and the positive edge set are
+    gazetteer-bounded dims — the rank dim and the truth filter are
+    BROADCAST joins; at 10^12 turns the positives grain is what scales,
+    and everything touching it here is broadcast-side. The vocab
+    row_number runs on a ≤|gazetteer|-row dim (single-partition sort is
+    the cheap and correct plan at dim size). No reference analog:
+    the reference never trains embeddings on its graph — this is the
+    training-data exit ramp."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("u"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("v"))
+    pos = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    vocab = (
+        m.select(F.col("surface_norm").alias("ent"))
+        .distinct()
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("ent")) - 1,
+        )
+    )
+    n_vocab = vocab.agg(F.count("*").cast("long").alias("n_vocab"))
+    cand = (
+        pos.crossJoin(F.broadcast(n_vocab))
+        .withColumn(
+            "rk",
+            F.expr(
+                "conv(substring(md5(concat(u, '|', v)), 1, 12), 16, 10)"
+            ).cast("long")
+            % F.col("n_vocab"),
+        )
+        .join(F.broadcast(vocab), "rk")
+        .select("u", F.col("v").alias("v_pos"), F.col("ent").alias("v_neg"))
+    )
+    truth = pos.select(
+        F.col("u").alias("tu"), F.col("v").alias("tv")
+    )
+    return (
+        cand.join(
+            F.broadcast(truth),
+            (F.least("u", "v_neg") == F.col("tu"))
+            & (F.greatest("u", "v_neg") == F.col("tv")),
+            "left",
+        )
+        .select(
+            "u",
+            "v_pos",
+            "v_neg",
+            F.when(
+                (F.col("v_neg") == F.col("u"))
+                | (F.col("v_neg") == F.col("v_pos")),
+                F.lit("self_loop"),
+            )
+            .when(F.col("tu").isNotNull(), F.lit("true_edge"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+        .orderBy("u", "v_pos")
+    )
+
+
+def kg_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): ENTITY BURST DETECTION over
+    the global corpus clock — the temporal-anomaly readout (Kleinberg
+    KDD'02 burst family, bucketed form) that separates an entity whose
+    mentions CLUSTER (a topic spike worth a KG freshness pass) from
+    one mentioned at its base rate. The clock is the exact global turn
+    rank (reuses ``operators.ranking.global_rank`` — range-partitioned,
+    NO unpartitioned window); ranks bucket at width
+    ``_BURST_BUCKET_W``; a bucket bursts when its count is ≥2× the
+    entity's expected-per-global-bucket rate, tested in EXACT integers
+    (cnt·n_buckets ≥ 2·total — no division). Emits per entity: total
+    support, active buckets, max bucket, burst-bucket count.
+
+    Shape: the support stream joins the clock on (conv_id, turn_idx) —
+    co-keyed; both reduces ((entity, bucket) then entity) are algebraic
+    map-side-combinable groupBys; the global bucket count is ONE
+    broadcast scalar. A hot entity costs its own bucket dim, never a
+    window over its raw mentions."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    turns = _doc_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    clock = global_rank(turns, ["conv_id", "turn_idx"], out_col="gr")
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    sup = m.join(clock, ["conv_id", "turn_idx"]).select(
+        "surface_norm",
+        F.expr(f"(gr - 1) DIV {_BURST_BUCKET_W}").cast("long").alias("bucket"),
+    )
+    nb = clock.agg(
+        F.expr(f"(max(gr) + {_BURST_BUCKET_W} - 1) DIV {_BURST_BUCKET_W}")
+        .cast("long")
+        .alias("n_buckets")
+    )
+    per = sup.groupBy("surface_norm", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = per.groupBy("surface_norm").agg(
+        F.sum("cnt").cast("long").alias("total_mentions"),
+        F.count("*").cast("long").alias("n_active_buckets"),
+        F.max("cnt").cast("long").alias("max_bucket_cnt"),
+    )
+    bursts = (
+        per.crossJoin(F.broadcast(nb))
+        .join(
+            tot.select("surface_norm", "total_mentions"), "surface_norm"
+        )
+        .filter(
+            F.col("cnt") * F.col("n_buckets")
+            >= F.lit(2) * F.col("total_mentions")
+        )
+        .groupBy("surface_norm")
+        .agg(F.count("*").cast("long").alias("n_burst_buckets"))
+    )
+    return (
+        tot.join(bursts, "surface_norm", "left")
+        .select(
+            "surface_norm",
+            "total_mentions",
+            "n_active_buckets",
+            "max_bucket_cnt",
+            F.coalesce("n_burst_buckets", F.lit(0))
+            .cast("long")
+            .alias("n_burst_buckets"),
+        )
+        .orderBy("surface_norm")
+    )
+
+
+def d_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): K-ANONYMITY READOUT over the
+    corpus quasi-identifiers (Sweeney 2002) — the release gate a
+    training-data pipeline runs AFTER PII scrubbing: scrubbed text can
+    still re-identify through metadata, so the export is graded by the
+    smallest equivalence class over (source, lang, size-bucket). Emits
+    ONE contract row: the achieved k (min class size), class count,
+    row count, rows in classes below ``_ANON_K``, and the exact
+    permille of the corpus that below-k exposure covers.
+
+    Shape: one map-side-combinable groupBy on the quasi-identifier
+    grain, one scalar reduce — the cheapest possible two-stage plan,
+    and the quasi-ID grain is bounded by sources × langs × buckets
+    regardless of corpus size. All-integer output → bit-identical
+    twin."""
+    docs = _t(spark, sf_dir, "documents")
+    cls = docs.select(
+        "source",
+        "lang",
+        F.expr(f"n_chars DIV {_ANON_SIZE_BUCKET}").alias("size_bucket"),
+    ).groupBy("source", "lang", "size_bucket").agg(
+        F.count("*").cast("long").alias("cls_n")
+    )
+    return cls.agg(
+        F.min("cls_n").cast("long").alias("k_anonymity"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("cls_n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("cls_n") < _ANON_K, F.col("cls_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_k"),
+        F.expr(
+            f"1000 * sum(CASE WHEN cls_n < {_ANON_K} THEN cls_n ELSE 0 END)"
+            " DIV sum(cls_n)"
+        )
+        .cast("long")
+        .alias("below_k_permille"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 119 new entries — far more than the
+    evidence history. Round 5 added 123 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 3 closing-wave additions
-    (definite-NP anaphora, dictionary encoding, RLE layout audit —
-    newest of all), then the final-wave additions (PQ
+    never-driver-captured coverage: the 4 capstone-wave additions
+    (triple fusion, filtered negative sampling, entity bursts,
+    k-anonymity — newest of all), then the closing-wave additions
+    (definite-NP anaphora, dictionary encoding, RLE layout audit),
+    then the final-wave additions (PQ
     ANN, linker AUC, topic segmentation, nDCG, score calibration,
     betweenness), then the session-4 additions (the
     linker-evaluation layer: B³, ablation, blocking quality, extractor
@@ -10611,7 +10890,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5_sf01.json — full sf0.1 pass; each final-wave
     entry additionally verified at sf0.001 individually)."""
     return {
-        # -- never driver-captured: closing-wave additions (newest of all) --
+        # -- never driver-captured: capstone-wave additions (newest of all) --
+        "kg_triple_fusion": kg_triple_fusion,
+        "kg_negative_samples": kg_negative_samples,
+        "kg_entity_bursts": kg_entity_bursts,
+        "d_k_anonymity": d_k_anonymity,
+        # -- never driver-captured: closing-wave additions --
         "g_wl_roles": g_wl_roles,
         "g_jp_coloring": g_jp_coloring,
         "a_spearman": a_spearman,
@@ -11588,6 +11872,153 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: triple fusion — the assertion/support/relia-
+        # bility CTE chain replays the three groupBys verbatim; all
+        # permille algebra is integer (// == Spark DIV on BIGINT)
+        "kg_triple_fusion": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}')) AS e
+              FROM t
+            ),
+            asserts AS (
+              SELECT DISTINCT a.conv_id, a.e AS u, b.e AS v
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                   AND a.e < b.e
+            ),
+            support AS (
+              SELECT u, v, CAST(count(*) AS BIGINT) AS n_sources
+              FROM asserts GROUP BY u, v
+            ),
+            rel AS (
+              SELECT a.conv_id,
+                     CAST(1000 * sum(CASE WHEN s.n_sources >= 2
+                                          THEN 1 ELSE 0 END)
+                          // count(*) AS BIGINT) AS rel_permille
+              FROM asserts a JOIN support s USING (u, v)
+              GROUP BY a.conv_id
+            )
+            SELECT a.u, a.v, CAST(count(*) AS BIGINT) AS n_sources,
+                   (count(*) >= 2) AS corroborated,
+                   CAST(sum(r.rel_permille) AS BIGINT)
+                     AS fused_conf_permille
+            FROM asserts a JOIN rel r USING (conv_id)
+            GROUP BY a.u, a.v
+            ORDER BY u, v
+        """,
+        # capstone wave: negative sampling — corruption rank is the
+        # shared 48-bit-md5 BIGINT idiom, vocab rank is the same
+        # tie-free row_number, filter verdicts replay the CASE order
+        "kg_negative_samples": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}')) AS e
+              FROM t
+            ),
+            pos AS (
+              SELECT DISTINCT a.e AS u, b.e AS v
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                   AND a.e < b.e
+            ),
+            vocab AS (
+              SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS rk
+              FROM (SELECT DISTINCT e AS ent FROM m)
+            ),
+            nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vocab),
+            cand AS (
+              SELECT p.u, p.v AS v_pos, vv.ent AS v_neg
+              FROM pos p CROSS JOIN nv
+              JOIN vocab vv
+                ON vv.rk = CAST('0x' || substr(md5(p.u || '|' || p.v), 1, 12)
+                                AS BIGINT) % nv.n_vocab
+            )
+            SELECT c.u, c.v_pos, c.v_neg,
+                   CASE WHEN c.v_neg = c.u OR c.v_neg = c.v_pos
+                          THEN 'self_loop'
+                        WHEN tr.u IS NOT NULL THEN 'true_edge'
+                        ELSE 'ok' END AS status
+            FROM cand c
+            LEFT JOIN pos tr
+              ON least(c.u, c.v_neg) = tr.u
+                 AND greatest(c.u, c.v_neg) = tr.v
+            ORDER BY c.u, c.v_pos
+        """,
+        # capstone wave: entity bursts — the clock replays global_rank
+        # (tie-free total order), the ≥2× test is the same cross-
+        # multiplied integer inequality, no division anywhere
+        "kg_entity_bursts": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            clock AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (ORDER BY conv_id, turn_idx) AS gr
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}')) AS e
+              FROM t
+            ),
+            sup AS (
+              SELECT m.e AS surface_norm,
+                     CAST((c.gr - 1) // {_BURST_BUCKET_W} AS BIGINT) AS bucket
+              FROM m JOIN clock c USING (conv_id, turn_idx)
+            ),
+            nb AS (
+              SELECT CAST((max(gr) + {_BURST_BUCKET_W} - 1)
+                          // {_BURST_BUCKET_W} AS BIGINT) AS n_buckets
+              FROM clock
+            ),
+            per AS (
+              SELECT surface_norm, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM sup GROUP BY surface_norm, bucket
+            ),
+            tot AS (
+              SELECT surface_norm,
+                     CAST(sum(cnt) AS BIGINT) AS total_mentions,
+                     CAST(count(*) AS BIGINT) AS n_active_buckets,
+                     CAST(max(cnt) AS BIGINT) AS max_bucket_cnt
+              FROM per GROUP BY surface_norm
+            ),
+            bursts AS (
+              SELECT p.surface_norm,
+                     CAST(count(*) AS BIGINT) AS n_burst_buckets
+              FROM per p CROSS JOIN nb
+              JOIN tot tt ON tt.surface_norm = p.surface_norm
+              WHERE p.cnt * nb.n_buckets >= 2 * tt.total_mentions
+              GROUP BY p.surface_norm
+            )
+            SELECT tt.surface_norm, tt.total_mentions, tt.n_active_buckets,
+                   tt.max_bucket_cnt,
+                   CAST(coalesce(b.n_burst_buckets, 0) AS BIGINT)
+                     AS n_burst_buckets
+            FROM tot tt LEFT JOIN bursts b USING (surface_norm)
+            ORDER BY surface_norm
+        """,
+        # capstone wave: k-anonymity — one groupBy + one scalar reduce,
+        # all-integer (// == Spark DIV), bucket width shared via the
+        # module constant
+        "d_k_anonymity": f"""
+            WITH cls AS (
+              SELECT source, lang,
+                     n_chars // {_ANON_SIZE_BUCKET} AS size_bucket,
+                     CAST(count(*) AS BIGINT) AS cls_n
+              FROM documents
+              GROUP BY source, lang, n_chars // {_ANON_SIZE_BUCKET}
+            )
+            SELECT CAST(min(cls_n) AS BIGINT) AS k_anonymity,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(cls_n) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN cls_n < {_ANON_K} THEN cls_n
+                                 ELSE 0 END) AS BIGINT) AS n_rows_below_k,
+                   CAST(1000 * sum(CASE WHEN cls_n < {_ANON_K} THEN cls_n
+                                        ELSE 0 END)
+                        // sum(cls_n) AS BIGINT) AS below_k_permille
+            FROM cls
+        """,
         # closing wave: Spearman — row_number replays global_rank
         # (tie-free order), the doubled-midrank dim is the same exact
         # group-sum identity, and the rho expression text is verbatim

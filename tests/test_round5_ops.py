@@ -3836,3 +3836,128 @@ def test_jp_coloring_matches_replica_and_is_proper(spark):
     assert all(col[a] != col[b] for a, b in pairs)                  # proper
     max_deg = max(len(v) for v in adj.values())
     assert len(set(col.values())) <= max_deg + 1                    # greedy
+
+
+# ---------------------------------------------------------------------------
+# capstone wave: triple fusion / negative sampling / bursts / k-anonymity
+# ---------------------------------------------------------------------------
+
+def test_triple_fusion_reliability_weighted_confidence(spark, tmp_path):
+    """Source reliability is the exact permille of its assertions that
+    are corroborated (>=2 sources); fused confidence SUMS the asserting
+    sources' permilles — a corroborated edge from reliable sources
+    outranks a singleton even before counting votes."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["c1", "c2", "c2", "c3"],
+            "text": [
+                "spark window",   # c1 t0: (spark, window)
+                "spark window",   # c2 t0: (spark, window)
+                "spark batch",    # c2 t1: (batch, spark)
+                "batch query",    # c3 t0: (batch, query)
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_triple_fusion"](spark, sf).toPandas()
+    got = {
+        (r.u, r.v): (r.n_sources, r.corroborated, r.fused_conf_permille)
+        for r in pdf.itertuples()
+    }
+    # c1 rel: 1/1 corroborated -> 1000; c2: 1/2 -> 500; c3: 0/1 -> 0
+    assert got == {
+        ("spark", "window"): (2, True, 1500),
+        ("batch", "spark"): (1, False, 500),
+        ("batch", "query"): (1, False, 0),
+    }
+
+
+def test_negative_samples_deterministic_and_filtered(spark, tmp_path):
+    """Corruption index replays md5-48bit mod |vocab| exactly; a
+    corruption landing on the head entity or the true tail is flagged,
+    and re-running mints the identical sample set (no rand())."""
+    import hashlib
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["c1", "c1", "c2"],
+            "text": ["spark window", "spark batch", "window batch"],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_negative_samples"](spark, sf).toPandas()
+    vocab = sorted({"spark", "window", "batch"})
+    pos = {("spark", "window"), ("batch", "spark"), ("batch", "window")}
+    expect = {}
+    for u, v in pos:
+        rk = int(hashlib.md5(f"{u}|{v}".encode()).hexdigest()[:12], 16) % 3
+        v_neg = vocab[rk]
+        if v_neg in (u, v):
+            status = "self_loop"
+        elif (min(u, v_neg), max(u, v_neg)) in pos:
+            status = "true_edge"
+        else:
+            status = "ok"
+        expect[(u, v)] = (v_neg, status)
+    got = {(r.u, r.v_pos): (r.v_neg, r.status) for r in pdf.itertuples()}
+    assert got == expect
+    pdf2 = entrymod.queries()["kg_negative_samples"](spark, sf).toPandas()
+    assert got == {
+        (r.u, r.v_pos): (r.v_neg, r.status) for r in pdf2.itertuples()
+    }
+
+
+def test_entity_bursts_integer_threshold(spark, tmp_path):
+    """130 turns -> 3 global buckets; a front-loaded entity bursts
+    (cnt*n_buckets >= 2*total), an evenly spread one never does, and a
+    singleton bursts by definition; repeated mentions in one turn count
+    once (distinct mention grain)."""
+    texts = ["zzz"] * 130
+    for i in range(10):
+        texts[i] = "spark spark"          # 10 mentions, all bucket 0
+    for i in (0, 64, 128):
+        texts[i] += " window"             # one per bucket
+    texts[5] += " batch"                  # singleton
+    docs = pd.DataFrame(
+        {"doc_id": range(130), "source": ["c"] * 130, "text": texts}
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_entity_bursts"](spark, sf).toPandas()
+    got = {
+        r.surface_norm: (
+            r.total_mentions,
+            r.n_active_buckets,
+            r.max_bucket_cnt,
+            r.n_burst_buckets,
+        )
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "spark": (10, 1, 10, 1),    # 10*3 >= 2*10
+        "window": (3, 3, 1, 0),     # 1*3 < 2*3
+        "batch": (1, 1, 1, 1),      # 1*3 >= 2*1
+    }
+
+
+def test_k_anonymity_contract_row(spark, tmp_path):
+    """k is the SMALLEST class over (source, lang, n_chars//256); the
+    below-k accounting counts rows (not classes) and reports the exact
+    truncated permille."""
+    rows = (
+        [("s", "en", 10)] * 5          # class size 5: not below k=5
+        + [("s", "de", 10)]            # class size 1
+        + [("t", "en", 300)] * 2       # bucket 1, class size 2
+    )
+    docs = pd.DataFrame(rows, columns=["source", "lang", "n_chars"])
+    docs["doc_id"] = range(len(docs))
+    docs["text"] = "zzz"
+    docs["n_chars"] = docs["n_chars"].astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    row = entrymod.queries()["d_k_anonymity"](spark, sf).toPandas().iloc[0]
+    assert row.k_anonymity == 1
+    assert row.n_classes == 3
+    assert row.n_rows == 8
+    assert row.n_rows_below_k == 3
+    assert row.below_k_permille == 1000 * 3 // 8  # 375
