@@ -10862,15 +10862,289 @@ def d_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# kg_negated_mentions: negation cues scoped to the immediately
+# following gazetteer surface — same longest-first alternation as the
+# definite-NP pattern, shared verbatim with the DuckDB twin.
+_SQL_NEGATED = r"\b(?:not|no|never|without) (" + "|".join(_ORDERED) + r")\b"
+# d_l_diversity: the diversity threshold the below-l accounting
+# reports against (distinct sensitive values per quasi-ID class).
+_L_DIV = 3
+
+
+def kg_coref_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): COREFERENCE CHAIN ASSEMBLY —
+    the chain layer over kg_definite_anaphora's pairwise links (Vieira
+    & Poesio, CL 2000): a chain is a maximal run of mentions of the
+    same (conversation, entity) in turn order where every mention
+    after the first is a DEFINITE reference ("the hash join" —
+    discourse-old); a plain re-mention starts a NEW chain. Emits one
+    row per chain: start turn, length, turn span, definite count —
+    the discourse-structure readout an entity-salience ranker and the
+    mention-context batcher both consume.
+
+    Shape: gaps-and-islands, not graph closure — the chain id is ONE
+    running sum over a window partitioned by (conv_id, entity), so
+    state per partition is one counter and a 10k-turn conversation
+    costs exactly its own rows; the definite flag joins co-partitioned
+    on the same keys. No CC iteration: within one (conv, entity)
+    stream the link structure is linear by construction, so islands
+    ARE the connected components. The DuckDB twin replays both regex
+    streams and the running sum verbatim. Reference analog: the
+    within-file reference-edge chains of the AST parser
+    (src/modules/ast-parser.ts:145-298), lifted to discourse."""
+    t = _doc_transcripts(spark, sf_dir)
+    definite = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_SQL_DEFINITE), 1
+                )
+            )
+        ).alias("entity"),
+    ).distinct()
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", F.col("surface_norm").alias("entity"))
+        .distinct()
+    )
+    flagged = m.join(
+        definite.withColumn("is_def", F.lit(1)),
+        ["conv_id", "turn_idx", "entity"],
+        "left",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "entity",
+        F.coalesce("is_def", F.lit(0)).alias("is_def"),
+    )
+    w = (
+        Window.partitionBy("conv_id", "entity")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = flagged.withColumn("island", F.sum(1 - F.col("is_def")).over(w))
+    return (
+        isl.groupBy("conv_id", "entity", "island")
+        .agg(
+            F.min("turn_idx").cast("int").alias("chain_start"),
+            F.count("*").cast("long").alias("chain_len"),
+            (F.max("turn_idx") - F.min("turn_idx")).cast("int").alias("span"),
+            F.sum("is_def").cast("long").alias("n_definite"),
+        )
+        .select(
+            "conv_id", "entity", "chain_start", "chain_len", "span",
+            "n_definite",
+        )
+        .orderBy("conv_id", "entity", "chain_start")
+    )
+
+
+def kg_negated_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): NEGATION-SCOPED assertion
+    filtering — the extraction-quality gate (NegEx-style cue scoping,
+    Chapman et al. 2001, reduced to the determiner-adjacent slice) a
+    triple store needs before fusing: a mention inside a negation
+    scope ("never spark", "without the batch") asserts the OPPOSITE
+    of a co-occurrence, and counting it as support poisons
+    kg_triple_fusion's corroboration. Emits per entity: mention-turn
+    support, negated-turn count, and the exact negated permille — the
+    per-entity discount the fusion layer applies.
+
+    Shape: both streams are ONE regexp_extract_all text scan each
+    (pure codegen, no UDF), distinct at the (conv, turn, entity)
+    grain; both reduces are map-side-combinable groupBys on the
+    gazetteer-bounded entity dim. The negated stream is a subset of
+    the mention stream by construction (the cue pattern embeds the
+    same alternation), so the left join + coalesce(0) accounting is
+    exact. All-integer permille → bit-identical twin."""
+    t = _doc_transcripts(spark, sf_dir)
+    neg = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_SQL_NEGATED), 1
+                )
+            )
+        ).alias("surface_norm"),
+    ).distinct()
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    tot = m.groupBy("surface_norm").agg(
+        F.count("*").cast("long").alias("n_mention_turns")
+    )
+    nneg = neg.groupBy("surface_norm").agg(
+        F.count("*").cast("long").alias("n_negated_turns")
+    )
+    return (
+        tot.join(nneg, "surface_norm", "left")
+        .select(
+            "surface_norm",
+            "n_mention_turns",
+            F.coalesce("n_negated_turns", F.lit(0))
+            .cast("long")
+            .alias("n_negated_turns"),
+        )
+        .withColumn(
+            "negated_permille",
+            F.expr("1000 * n_negated_turns DIV n_mention_turns").cast("long"),
+        )
+        .orderBy("surface_norm")
+    )
+
+
+def d_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): L-DIVERSITY READOUT
+    (Machanavajjhala et al., ICDE'06) — k-anonymity's necessary
+    complement: a quasi-ID class can be large (k-safe) yet expose
+    everyone in it if the SENSITIVE attribute is uniform. Over the
+    events table: quasi-ID = (event_type, hour-of-day), sensitive =
+    user_id; the release gate is the minimum number of DISTINCT
+    sensitive values in any class. One contract row: achieved l,
+    class count, row count, rows in classes below ``_L_DIV``, exact
+    below-l permille.
+
+    Shape: one groupBy on the bounded quasi-ID grain (|event_types| ×
+    24) with an exact count-distinct (two-phase: the distinct
+    pre-aggregation is map-side combinable), one scalar reduce.
+    All-integer → bit-identical twin. Pairs with d_k_anonymity to
+    complete the privacy-release family."""
+    ev = _t(spark, sf_dir, "events")
+    cls = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hour_bucket"),
+            "user_id",
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("l_cnt"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+    return cls.agg(
+        F.min("l_cnt").cast("long").alias("l_diversity"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("l_cnt") < _L_DIV, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_l"),
+        F.expr(
+            f"1000 * sum(CASE WHEN l_cnt < {_L_DIV} THEN n_rows ELSE 0 END)"
+            " DIV sum(n_rows)"
+        )
+        .cast("long")
+        .alias("below_l_permille"),
+    )
+
+
+def kg_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): TRANSITIVE REDUCTION of the
+    introduction DAG (Aho, Garey & Ullman 1972) — the edge-minimal KG
+    the visualization/storage layer wants: co-mention edges are
+    directed from the earlier-introduced entity to the later (first
+    global mention rank, name tie-break — a strict total order, so
+    the digraph is acyclic BY CONSTRUCTION, no cycle check needed),
+    and an edge is redundant when a 2-hop path already implies it.
+    Emits every directed edge with its verdict (direct / redundant) —
+    at 10^12 turns the redundant share is the storage you don't write.
+
+    Shape: first-mention ranks come off the same global_rank clock as
+    kg_entity_bursts (range-partitioned, never an unpartitioned
+    window) reduced by an algebraic min; direction assignment is two
+    broadcast joins of the gazetteer-bounded first-rank dim onto the
+    edge dim; the implied set is ONE self-join of the edge dim on the
+    shared middle vertex (fan-out bounded by entity degree in the
+    edge DIM, not the mention grain) + distinct; the verdict is a
+    left join. For DAGs the 2-hop test IS the full transitive
+    reduction of the minimal-path relation restricted to existing
+    edges. The twin replays clock, direction and 2-hop verbatim."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    turns = _doc_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    clock = global_rank(turns, ["conv_id", "turn_idx"], out_col="gr")
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    first = (
+        m.join(clock, ["conv_id", "turn_idx"])
+        .groupBy("surface_norm")
+        .agg(F.min("gr").cast("long").alias("first_gr"))
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("u"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("v"))
+    edges = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    fu = first.select(F.col("surface_norm").alias("u"),
+                      F.col("first_gr").alias("gu"))
+    fv = first.select(F.col("surface_norm").alias("v"),
+                      F.col("first_gr").alias("gv"))
+    directed = (
+        edges.join(F.broadcast(fu), "u")
+        .join(F.broadcast(fv), "v")
+        .select(
+            F.when(
+                (F.col("gu") < F.col("gv"))
+                | ((F.col("gu") == F.col("gv")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            )
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(
+                (F.col("gu") < F.col("gv"))
+                | ((F.col("gu") == F.col("gv")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            )
+            .otherwise(F.col("u"))
+            .alias("dst"),
+        )
+    )
+    e2 = directed.select(F.col("src").alias("mid"), F.col("dst").alias("d2"))
+    implied = (
+        directed.join(e2, directed["dst"] == e2["mid"])
+        .select("src", F.col("d2").alias("dst"))
+        .distinct()
+        .withColumn("redundant", F.lit(1))
+    )
+    return (
+        directed.join(implied, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("redundant").isNotNull(), F.lit("redundant"))
+            .otherwise(F.lit("direct"))
+            .alias("status"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 123 new entries — far more than the
+    evidence history. Round 5 added 127 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 4 capstone-wave additions
-    (triple fusion, filtered negative sampling, entity bursts,
-    k-anonymity — newest of all), then the closing-wave additions
+    never-driver-captured coverage: the 8 capstone-wave additions
+    (coref chains, negated mentions, l-diversity, transitive
+    reduction, triple fusion, filtered negative sampling, entity
+    bursts, k-anonymity — newest of all), then the closing-wave
+    additions
     (definite-NP anaphora, dictionary encoding, RLE layout audit),
     then the final-wave additions (PQ
     ANN, linker AUC, topic segmentation, nDCG, score calibration,
@@ -10891,6 +11165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "kg_coref_chains": kg_coref_chains,
+        "kg_negated_mentions": kg_negated_mentions,
+        "d_l_diversity": d_l_diversity,
+        "kg_transitive_reduction": kg_transitive_reduction,
         "kg_triple_fusion": kg_triple_fusion,
         "kg_negative_samples": kg_negative_samples,
         "kg_entity_bursts": kg_entity_bursts,
@@ -11872,6 +12150,151 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: coref chains — both regex streams and the
+        # gaps-and-islands running sum replayed verbatim
+        "kg_coref_chains": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            d AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text),
+                                               '{_SQL_DEFINITE}', 1)) AS entity
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}'))
+                       AS entity
+              FROM t
+            ),
+            f AS (
+              SELECT m.conv_id, m.turn_idx, m.entity,
+                     CASE WHEN d.entity IS NULL THEN 0 ELSE 1 END AS is_def
+              FROM m LEFT JOIN d
+                ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx
+                   AND d.entity = m.entity
+            ),
+            isl AS (
+              SELECT conv_id, turn_idx, entity, is_def,
+                     sum(1 - is_def) OVER (
+                       PARTITION BY conv_id, entity ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS island
+              FROM f
+            )
+            SELECT conv_id, entity,
+                   CAST(min(turn_idx) AS int) AS chain_start,
+                   CAST(count(*) AS BIGINT) AS chain_len,
+                   CAST(max(turn_idx) - min(turn_idx) AS int) AS span,
+                   CAST(sum(is_def) AS BIGINT) AS n_definite
+            FROM isl
+            GROUP BY conv_id, entity, island
+            ORDER BY conv_id, entity, chain_start
+        """,
+        # capstone wave: negated mentions — the cue pattern embeds the
+        # same alternation; permille integer-exact
+        "kg_negated_mentions": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            n AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text),
+                                               '{_SQL_NEGATED}', 1))
+                       AS surface_norm
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}'))
+                       AS surface_norm
+              FROM t
+            ),
+            tot AS (
+              SELECT surface_norm, CAST(count(*) AS BIGINT)
+                       AS n_mention_turns
+              FROM m GROUP BY surface_norm
+            ),
+            neg AS (
+              SELECT surface_norm, CAST(count(*) AS BIGINT)
+                       AS n_negated_turns
+              FROM n GROUP BY surface_norm
+            )
+            SELECT t2.surface_norm, t2.n_mention_turns,
+                   CAST(coalesce(g.n_negated_turns, 0) AS BIGINT)
+                     AS n_negated_turns,
+                   CAST(1000 * coalesce(g.n_negated_turns, 0)
+                        // t2.n_mention_turns AS BIGINT)
+                     AS negated_permille
+            FROM tot t2 LEFT JOIN neg g USING (surface_norm)
+            ORDER BY surface_norm
+        """,
+        # capstone wave: l-diversity — exact count-distinct on the
+        # bounded quasi-ID grain, one scalar reduce, all-integer
+        "d_l_diversity": f"""
+            WITH cls AS (
+              SELECT event_type, hour(ts) AS hour_bucket,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS l_cnt,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM events
+              GROUP BY event_type, hour(ts)
+            )
+            SELECT CAST(min(l_cnt) AS BIGINT) AS l_diversity,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l_cnt < {_L_DIV} THEN n_rows
+                                 ELSE 0 END) AS BIGINT) AS n_rows_below_l,
+                   CAST(1000 * sum(CASE WHEN l_cnt < {_L_DIV} THEN n_rows
+                                        ELSE 0 END)
+                        // sum(n_rows) AS BIGINT) AS below_l_permille
+            FROM cls
+        """,
+        # capstone wave: transitive reduction — row_number clock,
+        # (first_gr, name) direction CASE and the 2-hop middle-vertex
+        # join replayed verbatim
+        "kg_transitive_reduction": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            clock AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (ORDER BY conv_id, turn_idx) AS gr
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}'))
+                       AS e
+              FROM t
+            ),
+            first AS (
+              SELECT m.e AS ent, CAST(min(c.gr) AS BIGINT) AS first_gr
+              FROM m JOIN clock c USING (conv_id, turn_idx)
+              GROUP BY m.e
+            ),
+            edges AS (
+              SELECT DISTINCT a.e AS u, b.e AS v
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                   AND a.e < b.e
+            ),
+            directed AS (
+              SELECT CASE WHEN fu.first_gr < fv.first_gr
+                            OR (fu.first_gr = fv.first_gr AND e.u < e.v)
+                          THEN e.u ELSE e.v END AS src,
+                     CASE WHEN fu.first_gr < fv.first_gr
+                            OR (fu.first_gr = fv.first_gr AND e.u < e.v)
+                          THEN e.v ELSE e.u END AS dst
+              FROM edges e
+              JOIN first fu ON fu.ent = e.u
+              JOIN first fv ON fv.ent = e.v
+            ),
+            implied AS (
+              SELECT DISTINCT d1.src, d2.dst
+              FROM directed d1 JOIN directed d2 ON d1.dst = d2.src
+            )
+            SELECT d.src, d.dst,
+                   CASE WHEN i.src IS NOT NULL THEN 'redundant'
+                        ELSE 'direct' END AS status
+            FROM directed d
+            LEFT JOIN implied i ON i.src = d.src AND i.dst = d.dst
+            ORDER BY d.src, d.dst
+        """,
         # capstone wave: triple fusion — the assertion/support/relia-
         # bility CTE chain replays the three groupBys verbatim; all
         # permille algebra is integer (// == Spark DIV on BIGINT)

@@ -3961,3 +3961,118 @@ def test_k_anonymity_contract_row(spark, tmp_path):
     assert row.n_rows == 8
     assert row.n_rows_below_k == 3
     assert row.below_k_permille == 1000 * 3 // 8  # 375
+
+
+def test_coref_chains_break_on_plain_mention(spark, tmp_path):
+    """A definite mention extends the current chain (even across a
+    mention gap); a PLAIN re-mention starts a new chain; a definite
+    first reference forms its own singleton chain."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "source": ["c", "c", "c", "c", "c", "c", "d"],
+            "text": [
+                "spark is here",      # c t0: plain -> chain A
+                "the spark again",    # c t1: definite -> extends A
+                "zzz",                # c t2
+                "the spark onward",   # c t3: definite -> extends A
+                "spark returns",      # c t4: plain -> chain B
+                "the spark",          # c t5: definite -> extends B
+                "the window arrives",  # d t0: definite first ref, singleton
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_coref_chains"](spark, sf).toPandas()
+    got = {
+        (r.conv_id, r.entity, r.chain_start): (r.chain_len, r.span, r.n_definite)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        ("c", "spark", 0): (3, 3, 2),
+        ("c", "spark", 4): (2, 1, 1),
+        ("d", "window", 0): (1, 0, 1),
+    }
+
+
+def test_negated_mentions_cue_scoping(spark, tmp_path):
+    """Only cue-adjacent surfaces count as negated; the negated stream
+    stays a subset of the mention stream at the turn grain; permille is
+    truncated integer."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "source": ["c"] * 5,
+            "text": [
+                "never spark today",       # spark negated
+                "spark is good",           # spark plain
+                "no window",               # window negated
+                "without batch and batch",  # batch negated (distinct per turn)
+                "the query",               # query plain
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_negated_mentions"](spark, sf).toPandas()
+    got = {
+        r.surface_norm: (r.n_mention_turns, r.n_negated_turns,
+                         r.negated_permille)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "spark": (2, 1, 500),
+        "window": (1, 1, 1000),
+        "batch": (1, 1, 1000),
+        "query": (1, 0, 0),
+    }
+
+
+def test_l_diversity_contract_row(spark, tmp_path):
+    """l is the MINIMUM distinct-sensitive count over (event_type,
+    hour); below-l accounting counts rows, permille truncates."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(hours=1, minutes=5), 1, "a"),
+        (2, t0 + timedelta(hours=1, minutes=9), 1, "a"),
+        (3, t0 + timedelta(hours=1, minutes=30), 2, "a"),   # (a,1): l=2, 3 rows
+        (4, t0 + timedelta(hours=2), 3, "a"),               # (a,2): l=1, 1 row
+        (5, t0 + timedelta(hours=1), 4, "b"),
+        (6, t0 + timedelta(hours=1, minutes=2), 5, "b"),
+        (7, t0 + timedelta(hours=1, minutes=4), 6, "b"),    # (b,1): l=3, 3 rows
+    ]
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", events)
+    row = entrymod.queries()["d_l_diversity"](spark, sf).toPandas().iloc[0]
+    assert row.l_diversity == 1
+    assert row.n_classes == 3
+    assert row.n_rows == 7
+    assert row.n_rows_below_l == 4
+    assert row.below_l_permille == 1000 * 4 // 7  # 571
+
+
+def test_transitive_reduction_two_hop(spark, tmp_path):
+    """Direction follows first-introduction order (global clock), and
+    the edge closed by a 2-hop path is flagged redundant."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["c"] * 4,
+            "text": [
+                "spark",          # spark introduced first
+                "spark window",   # window second; edge spark->window
+                "window batch",   # batch third; edge window->batch
+                "spark batch",    # edge spark->batch: implied by 2-hop
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_transitive_reduction"](spark, sf).toPandas()
+    got = {(r.src, r.dst): r.status for r in pdf.itertuples()}
+    assert got == {
+        ("spark", "window"): "direct",
+        ("window", "batch"): "direct",
+        ("spark", "batch"): "redundant",
+    }
