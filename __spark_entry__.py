@@ -11134,14 +11134,322 @@ def kg_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# s_query_expansion: the fixed query, feedback depth and expansion
+# width (classic PRF settings; terms drawn from the corpus domain).
+_QEXP_TERMS = ["spark", "query"]
+_QEXP_FB_DOCS = 10
+_QEXP_K = 15
+# d_dp_sensitivity: the per-user contribution clip bound the lost-rows
+# accounting reports against (the C of DP-SGD-style bounding).
+_DP_CLIP = 10
+# s_spell_suggest: only terms this long get typo'd (shorter terms have
+# too-dense deletion neighborhoods), picked by md5 % mod == 0.
+_SPELL_MIN_LEN = 5
+_SPELL_PICK_MOD = 2
+
+
+def s_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): PSEUDO-RELEVANCE-FEEDBACK
+    query expansion (Rocchio/RM1 family, Lavrenko & Croft SIGIR'01,
+    integer-weight form) — the retrieval op that closes the search
+    family: run the seed query, take the top-``_QEXP_FB_DOCS``
+    feedback docs, and score every non-query term that occurs in them
+    by feedback-to-corpus rarity contrast: score = 10⁶·df_fb DIV df —
+    a term in many feedback docs but few corpus docs is what the
+    query MEANT. Emits the top-``_QEXP_K`` expansion terms.
+
+    Shape: feedback ranking touches only postings of the |Q| query
+    terms (pre-shuffle IN filter, same doctrine as s_bm25_rank) and
+    compiles to TakeOrderedAndProject; the feedback doc set is a
+    ≤``_QEXP_FB_DOCS``-row broadcast dim, so the expansion pass reads
+    only those docs' postings; df is the vocabulary-grain dim joined
+    at vocabulary grain. All-integer scores → bit-identical twin.
+    Complements s_more_like_this (doc seed) with a term seed."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(
+                                F.lower(F.col("text")), r"[^a-z0-9]+", " "
+                            )
+                        ),
+                        " ",
+                    ),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    )
+    df_dim = toks.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    fb = (
+        toks.filter(F.col("token").isin(_QEXP_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_q"))
+        .orderBy(F.desc("n_q"), F.asc("doc_id"))
+        .limit(_QEXP_FB_DOCS)
+    )
+    fb_terms = (
+        toks.join(F.broadcast(fb.select("doc_id")), "doc_id")
+        .filter(~F.col("token").isin(_QEXP_TERMS))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df_fb"))
+    )
+    return (
+        fb_terms.join(df_dim, "token")
+        .withColumn(
+            "score", F.expr("1000000 * df_fb DIV df").cast("long")
+        )
+        .orderBy(F.desc("score"), F.asc("token"))
+        .limit(_QEXP_K)
+    )
+
+
+def d_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): USER-CONTRIBUTION SENSITIVITY
+    audit — the bounding step every differentially-private release
+    runs FIRST (the clip bound C of DP histograms / DP-SGD): a
+    histogram's L∞ sensitivity is the MAX rows one user contributes,
+    and clipping at ``_DP_CLIP`` loses exactly the rows this entry
+    accounts. Per event_type: max per-user rows, user count, row
+    count, rows lost to the clip, exact lost permille — the
+    noise-scale input and the utility cost, both before any noise.
+
+    Shape: two algebraic groupBys — (event_type, user_id) then
+    event_type — both map-side combinable; a hot user is absorbed by
+    partial aggregation before the shuffle, and the second reduce
+    runs on the bounded (type × user) grain. All-integer →
+    bit-identical twin. Completes the privacy family
+    (k-anonymity, l-diversity, right-to-erasure, PII scan)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.max("c").cast("long").alias("max_user_rows"),
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("c") > _DP_CLIP, F.col("c") - _DP_CLIP)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_clipped"),
+            F.expr(
+                f"1000 * sum(CASE WHEN c > {_DP_CLIP} THEN c - {_DP_CLIP}"
+                " ELSE 0 END) DIV sum(c)"
+            )
+            .cast("long")
+            .alias("clipped_permille"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def s_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): SPELL SUGGESTION via the
+    SymSpell deletion-neighborhood join (Garbe's symmetric-delete
+    algorithm, public domain) — the scale path spell correction needs:
+    NEVER levenshtein against the whole vocabulary (that's a cross
+    join); instead index every vocabulary term under itself + its
+    single-char deletions, generate the same variants for each typo,
+    and candidates are an EQUI-join on the shared variant — edit
+    distance then verifies only the tiny candidate set. Typos are
+    minted deterministically (md5-picked terms, md5-positioned
+    deletion — the repo's no-rand() doctrine) so recovery is
+    self-grading. Complements kg_fuzzy_match (first-char blocking +
+    banded levenshtein): the deletion index is the tighter candidate
+    generator when the distance budget is 1.
+
+    Shape: the variant index is vocabulary-grain × (len+1) — a dim;
+    the candidate join is an equi-join on the variant key (hash
+    partitionable, no skew beyond shared variants of short terms —
+    excluded by ``_SPELL_MIN_LEN`` on the typo side); ranking is a
+    per-typo row_number over the candidate dim. The twin replays
+    variants, join and ranking verbatim (both engines ship
+    levenshtein)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(
+                                F.lower(F.col("text")), r"[^a-z0-9]+", " "
+                            )
+                        ),
+                        " ",
+                    ),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    )
+    vocab = (
+        toks.filter(F.col("term").rlike("^[a-z]{3,}$"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    variants = vocab.select(
+        "term",
+        "df",
+        F.explode(
+            F.concat(
+                F.array(F.col("term")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("term")),
+                    lambda i: F.concat(
+                        F.col("term").substr(F.lit(1), i - 1),
+                        F.col("term").substr(i + 1, F.lit(1000)),
+                    ),
+                ),
+            )
+        ).alias("variant"),
+    )
+    typos = (
+        vocab.filter(
+            (F.length("term") >= _SPELL_MIN_LEN)
+            & (
+                F.expr(
+                    "conv(substring(md5(term), 1, 12), 16, 10)"
+                ).cast("long")
+                % _SPELL_PICK_MOD
+                == 0
+            )
+        )
+        .select(
+            F.col("term").alias("orig"),
+            F.expr(
+                "concat(substring(term, 1, CAST("
+                "conv(substring(md5(term), 1, 12), 16, 10) % length(term)"
+                " AS INT)), substring(term, CAST("
+                "conv(substring(md5(term), 1, 12), 16, 10) % length(term)"
+                " AS INT) + 2, 1000))"
+            ).alias("typo"),
+        )
+    )
+    tvar = typos.select(
+        "orig",
+        "typo",
+        F.explode(
+            F.concat(
+                F.array(F.col("typo")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("typo")),
+                    lambda i: F.concat(
+                        F.col("typo").substr(F.lit(1), i - 1),
+                        F.col("typo").substr(i + 1, F.lit(1000)),
+                    ),
+                ),
+            )
+        ).alias("variant"),
+    )
+    cand = (
+        tvar.join(variants, "variant")
+        .select("orig", "typo", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("typo", "term"))
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("typo").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "typo",
+            "orig",
+            F.col("term").alias("suggestion"),
+            F.col("dist").cast("int").alias("dist"),
+            "df",
+            (F.col("term") == F.col("orig")).alias("recovered"),
+        )
+        .orderBy("typo")
+    )
+
+
+def kg_entity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): ENTITY MENTION TREND — the
+    growth/decay readout pairing kg_entity_bursts' spike detector: an
+    exact integer OLS slope of per-bucket mention counts over the
+    SAME global clock buckets, empty buckets included as zeros WITHOUT
+    materializing them — over a fixed bucket range 0..n-1, Σx and Σx²
+    are closed-form (n(n-1)/2, n(n-1)(2n-1)/6), so only the nonzero
+    buckets contribute to Σy and Σxy and the zero tail never exists
+    as rows. slope_micro = 10⁶·(nΣxy − ΣxΣy) DIV (nΣx² − (Σx)²),
+    truncated division (both engines truncate toward zero on
+    negatives — the l_dict_encode precedent).
+
+    Shape: identical scale posture to kg_entity_bursts — clock from
+    ``ranking.global_rank``, two map-side-combinable reduces, ONE
+    broadcast scalar for n_buckets; the closed-form sums mean a
+    10^12-turn clock costs zero extra rows for the empty-bucket
+    correction."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    turns = _doc_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    clock = global_rank(turns, ["conv_id", "turn_idx"], out_col="gr")
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    sup = m.join(clock, ["conv_id", "turn_idx"]).select(
+        "surface_norm",
+        F.expr(f"(gr - 1) DIV {_BURST_BUCKET_W}").cast("long").alias("bucket"),
+    )
+    nb = clock.agg(
+        F.expr(f"(max(gr) + {_BURST_BUCKET_W} - 1) DIV {_BURST_BUCKET_W}")
+        .cast("long")
+        .alias("n")
+    )
+    per = sup.groupBy("surface_norm", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ent = per.groupBy("surface_norm").agg(
+        F.sum(F.col("bucket") * F.col("cnt")).cast("long").alias("sxy"),
+        F.sum("cnt").cast("long").alias("sy"),
+        F.min("bucket").cast("long").alias("first_bucket"),
+        F.max("bucket").cast("long").alias("last_bucket"),
+    )
+    return (
+        ent.crossJoin(F.broadcast(nb))
+        .select(
+            "surface_norm",
+            F.col("sy").alias("total_mentions"),
+            "first_bucket",
+            "last_bucket",
+            F.expr(
+                "CASE WHEN n < 2 THEN 0 ELSE"
+                " 1000000 * (n * sxy - (n * (n - 1) DIV 2) * sy)"
+                " DIV (n * (n * (n - 1) * (2 * n - 1) DIV 6)"
+                " - (n * (n - 1) DIV 2) * (n * (n - 1) DIV 2)) END"
+            )
+            .cast("long")
+            .alias("slope_micro"),
+        )
+        .orderBy("surface_norm")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 127 new entries — far more than the
+    evidence history. Round 5 added 131 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 8 capstone-wave additions
-    (coref chains, negated mentions, l-diversity, transitive
+    never-driver-captured coverage: the 12 capstone-wave additions
+    (query expansion, DP sensitivity, spell suggest, entity trend,
+    coref chains, negated mentions, l-diversity, transitive
     reduction, triple fusion, filtered negative sampling, entity
     bursts, k-anonymity — newest of all), then the closing-wave
     additions
@@ -11165,6 +11473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "s_query_expansion": s_query_expansion,
+        "d_dp_sensitivity": d_dp_sensitivity,
+        "s_spell_suggest": s_spell_suggest,
+        "kg_entity_trend": kg_entity_trend,
         "kg_coref_chains": kg_coref_chains,
         "kg_negated_mentions": kg_negated_mentions,
         "d_l_diversity": d_l_diversity,
@@ -12150,6 +12462,176 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: query expansion — distinct-token stream, PRF
+        # top-docs and the rarity-contrast score replayed verbatim
+        "s_query_expansion": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t != '')) AS token
+              FROM documents
+            ),
+            dfd AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM toks GROUP BY token
+            ),
+            fb AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_q
+              FROM toks
+              WHERE token IN ({", ".join(f"'{t}'" for t in _QEXP_TERMS)})
+              GROUP BY doc_id
+              ORDER BY n_q DESC, doc_id
+              LIMIT {_QEXP_FB_DOCS}
+            ),
+            fbt AS (
+              SELECT t.token, CAST(count(*) AS BIGINT) AS df_fb
+              FROM toks t JOIN fb USING (doc_id)
+              WHERE t.token NOT IN
+                ({", ".join(f"'{t}'" for t in _QEXP_TERMS)})
+              GROUP BY t.token
+            )
+            SELECT f.token, f.df_fb, d.df,
+                   CAST(1000000 * f.df_fb // d.df AS BIGINT) AS score
+            FROM fbt f JOIN dfd d USING (token)
+            ORDER BY score DESC, token
+            LIMIT {_QEXP_K}
+        """,
+        # capstone wave: dp sensitivity — two-level groupBy replayed;
+        # clip accounting all-integer
+        "d_dp_sensitivity": f"""
+            WITH pu AS (
+              SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type,
+                   CAST(max(c) AS BIGINT) AS max_user_rows,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN c > {_DP_CLIP} THEN c - {_DP_CLIP}
+                                 ELSE 0 END) AS BIGINT) AS rows_clipped,
+                   CAST(1000 * sum(CASE WHEN c > {_DP_CLIP}
+                                        THEN c - {_DP_CLIP} ELSE 0 END)
+                        // sum(c) AS BIGINT) AS clipped_permille
+            FROM pu GROUP BY event_type
+            ORDER BY event_type
+        """,
+        # capstone wave: spell suggest — deletion-variant index, typo
+        # minting and the (dist, df, term) ranking replayed verbatim
+        "s_spell_suggest": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       t -> t != '')) AS term
+              FROM documents
+            ),
+            vocab AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM toks WHERE regexp_full_match(term, '[a-z]{{3,}}')
+              GROUP BY term
+            ),
+            variants AS (
+              SELECT term, df, term AS variant FROM vocab
+              UNION ALL
+              SELECT term, df,
+                     substr(term, 1, i - 1) || substr(term, i + 1, 1000)
+                       AS variant
+              FROM vocab, unnest(generate_series(1, length(term))) AS g(i)
+            ),
+            typos AS (
+              SELECT term AS orig,
+                     substr(term, 1,
+                            CAST(CAST('0x' || substr(md5(term), 1, 12)
+                                      AS BIGINT) % length(term) AS INT))
+                     || substr(term,
+                               CAST(CAST('0x' || substr(md5(term), 1, 12)
+                                         AS BIGINT) % length(term) AS INT)
+                               + 2, 1000) AS typo
+              FROM vocab
+              WHERE length(term) >= {_SPELL_MIN_LEN}
+                AND CAST('0x' || substr(md5(term), 1, 12) AS BIGINT)
+                    % {_SPELL_PICK_MOD} = 0
+            ),
+            tvar AS (
+              SELECT orig, typo, typo AS variant FROM typos
+              UNION ALL
+              SELECT orig, typo,
+                     substr(typo, 1, i - 1) || substr(typo, i + 1, 1000)
+                       AS variant
+              FROM typos, unnest(generate_series(1, length(typo))) AS g(i)
+            ),
+            cand AS (
+              SELECT DISTINCT t.orig, t.typo, v.term, v.df
+              FROM tvar t JOIN variants v USING (variant)
+            ),
+            scored AS (
+              SELECT orig, typo, term, df,
+                     levenshtein(typo, term) AS dist
+              FROM cand
+              WHERE levenshtein(typo, term) <= 1
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY typo
+                       ORDER BY dist, df DESC, term) AS rk
+              FROM scored
+            )
+            SELECT typo, orig, term AS suggestion,
+                   CAST(dist AS int) AS dist, df,
+                   (term = orig) AS recovered
+            FROM ranked WHERE rk = 1
+            ORDER BY typo
+        """,
+        # capstone wave: entity trend — closed-form Σx/Σx² over the
+        # full bucket range, truncated integer slope both engines
+        "kg_entity_trend": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            clock AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (ORDER BY conv_id, turn_idx) AS gr
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}'))
+                       AS e
+              FROM t
+            ),
+            sup AS (
+              SELECT m.e AS surface_norm,
+                     CAST((c.gr - 1) // {_BURST_BUCKET_W} AS BIGINT) AS bucket
+              FROM m JOIN clock c USING (conv_id, turn_idx)
+            ),
+            nb AS (
+              SELECT CAST((max(gr) + {_BURST_BUCKET_W} - 1)
+                          // {_BURST_BUCKET_W} AS BIGINT) AS n
+              FROM clock
+            ),
+            per AS (
+              SELECT surface_norm, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM sup GROUP BY surface_norm, bucket
+            ),
+            ent AS (
+              SELECT surface_norm,
+                     CAST(sum(bucket * cnt) AS BIGINT) AS sxy,
+                     CAST(sum(cnt) AS BIGINT) AS sy,
+                     CAST(min(bucket) AS BIGINT) AS first_bucket,
+                     CAST(max(bucket) AS BIGINT) AS last_bucket
+              FROM per GROUP BY surface_norm
+            )
+            SELECT surface_norm, sy AS total_mentions,
+                   first_bucket, last_bucket,
+                   CAST(CASE WHEN n < 2 THEN 0 ELSE
+                     1000000 * (n * sxy - (n * (n - 1) // 2) * sy)
+                     // (n * (n * (n - 1) * (2 * n - 1) // 6)
+                         - (n * (n - 1) // 2) * (n * (n - 1) // 2)) END
+                     AS BIGINT) AS slope_micro
+            FROM ent CROSS JOIN nb
+            ORDER BY surface_norm
+        """,
         # capstone wave: coref chains — both regex streams and the
         # gaps-and-islands running sum replayed verbatim
         "kg_coref_chains": f"""

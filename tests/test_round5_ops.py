@@ -4076,3 +4076,146 @@ def test_transitive_reduction_two_hop(spark, tmp_path):
         ("window", "batch"): "direct",
         ("spark", "batch"): "redundant",
     }
+
+
+def test_query_expansion_rarity_contrast(spark, tmp_path):
+    """Expansion terms are scored by feedback-to-corpus df contrast;
+    query terms and terms absent from the feedback docs drop out; ties
+    break by token."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["s"] * 4,
+            "text": [
+                "spark query alpha beta",
+                "spark alpha gamma",
+                "query beta delta",
+                "gamma delta epsilon",   # no query term: not feedback
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["s_query_expansion"](spark, sf).toPandas()
+    got = [(r.token, r.df_fb, r.df, r.score) for r in pdf.itertuples()]
+    assert got == [
+        ("alpha", 2, 2, 1000000),
+        ("beta", 2, 2, 1000000),
+        ("delta", 1, 2, 500000),
+        ("gamma", 1, 2, 500000),
+    ]
+
+
+def test_dp_sensitivity_clip_accounting(spark, tmp_path):
+    """max_user_rows is the L-inf sensitivity; rows_clipped counts only
+    the excess above the clip; permille truncates."""
+    t0 = datetime(2024, 1, 1)
+    rows = (
+        [(i, t0, 1, "a") for i in range(12)]         # user 1: 12 rows of a
+        + [(100 + i, t0, 2, "a") for i in range(3)]  # user 2: 3 rows of a
+        + [(200, t0, 1, "b"), (201, t0, 1, "b")]     # user 1: 2 rows of b
+    )
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["d_dp_sensitivity"](spark, sf).toPandas()
+    got = {
+        r.event_type: (r.max_user_rows, r.n_users, r.n_rows, r.rows_clipped,
+                       r.clipped_permille)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "a": (12, 2, 15, 2, 1000 * 2 // 15),
+        "b": (2, 1, 2, 0, 0),
+    }
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_spell_suggest_matches_python_replica(spark, tmp_path):
+    """The full SymSpell pipeline (tokenize -> vocab/df -> md5-picked
+    typos -> deletion-variant equi-join -> levenshtein<=1 verify ->
+    (dist, df desc, term) rank) equals a pure-python replica."""
+    import hashlib
+    import re as _re
+
+    texts = (
+        ["distributed compute cluster"] * 3
+        + ["partition pruning rocks"] * 2
+        + ["cluster compute"]
+    )
+    docs = pd.DataFrame(
+        {"doc_id": range(len(texts)), "source": ["s"] * len(texts),
+         "text": texts}
+    )
+    sf = _write(tmp_path, "documents", docs)
+    # replica
+    df_cnt = Counter()
+    for t in texts:
+        df_cnt.update(set(_re.sub(r"[^a-z0-9]+", " ", t.lower()).split()))
+    vocab = {t: c for t, c in df_cnt.items() if _re.fullmatch(r"[a-z]{3,}", t)}
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def dels(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    index = [(v, d, c) for v, c in vocab.items() for d in dels(v)]
+    expect = {}
+    for term in vocab:
+        if len(term) >= 5 and h48(term) % 2 == 0:
+            pos = h48(term) % len(term)
+            typo = term[:pos] + term[pos + 1:]
+            cands = {
+                (v, c) for v, d, c in index
+                if d in dels(typo) and _py_lev(typo, v) <= 1
+            }
+            best = min(
+                cands, key=lambda vc: (_py_lev(typo, vc[0]), -vc[1], vc[0])
+            )
+            expect[typo] = (term, best[0], _py_lev(typo, best[0]), best[1],
+                            best[0] == term)
+    assert expect, "picker must select at least one typo in this corpus"
+    pdf = entrymod.queries()["s_spell_suggest"](spark, sf).toPandas()
+    got = {
+        r.typo: (r.orig, r.suggestion, r.dist, r.df, r.recovered)
+        for r in pdf.itertuples()
+    }
+    assert got == expect
+
+
+def test_entity_trend_closed_form_slope(spark, tmp_path):
+    """Empty buckets enter the slope as zeros via the closed-form
+    Σx/Σx² (never materialized): front-loaded slopes negative, uniform
+    slopes zero, tail-loaded slopes positive."""
+    texts = ["zzz"] * 130
+    for i in range(10):
+        texts[i] = "spark"            # bucket 0 only -> decaying
+    for i in (0, 64, 128):
+        texts[i] += " window"         # uniform across the 3 buckets
+    texts[128] += " batch"            # tail only -> growing
+    docs = pd.DataFrame(
+        {"doc_id": range(130), "source": ["c"] * 130, "text": texts}
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_entity_trend"](spark, sf).toPandas()
+    got = {
+        r.surface_norm: (r.total_mentions, r.first_bucket, r.last_bucket,
+                         r.slope_micro)
+        for r in pdf.itertuples()
+    }
+    # n=3 buckets: sx=3, sxx=5; den = 3*5-9 = 6
+    assert got == {
+        "spark": (10, 0, 0, 1000000 * (3 * 0 - 3 * 10) // 6),   # -5000000
+        "window": (3, 0, 2, 0),
+        "batch": (1, 2, 2, 1000000 * (3 * 2 - 3 * 1) // 6),     # 500000
+    }
