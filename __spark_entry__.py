@@ -11441,14 +11441,251 @@ def kg_entity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# e_matryoshka_topk: prefix width and candidate depth (P=32/C=100 →
+# measured recall 10/10 at every test SF on the clustered view; the
+# margin over min_hits=8 absorbs future corpus regeneration).
+_MRL_PREFIX = 32
+_MRL_CAND = 100
+# d_span_corruption: mask rate in percent and the md5 pick domain.
+_SPAN_MASK_PCT = 15
+
+
+def e_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): MATRYOSHKA / prefix-dimension
+    progressive re-ranking (Kusupati et al., NeurIPS'22 MRL; the
+    adaptive-retrieval deployment pattern): score the corpus with the
+    FIRST ``_MRL_PREFIX`` of 64 dims (half the FLOPs and half the
+    scan bytes — with MRL-trained embeddings the prefix IS a valid
+    coarse embedding), take the top-``_MRL_CAND`` candidates, re-rank
+    only those with the full vector. Completes the ANN family's
+    accuracy/cost lattice: LSH (hash pruning), IVF (partition
+    pruning), PQ (code compression), int8 (scalar quantization),
+    Matryoshka (dimension truncation). Rows are the EXACT top-10 (so
+    the DuckDB twin replays them); ``ann_recall_ok`` asserts the
+    prefix path recovered ≥ 8/10 in-plan (broadcast scalar, no
+    driver collect) — measured 10/10 at every SF.
+
+    Shape: the prefix stage is one slice + cosine scan compiling to
+    TakeOrderedAndProject (never a global sort); the re-rank touches
+    ``_MRL_CAND`` rows via a left-semi join. At table scale the
+    prefix columns are the ONLY bytes stage 1 reads when embeddings
+    are stored column-chunked by dimension group."""
+    emb = _clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    qv = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = similarity_search.brute_force_topk(base, qv, k=10)
+    pref_base = base.withColumn(
+        "embedding", F.slice("embedding", 1, _MRL_PREFIX)
+    )
+    cand_ids = similarity_search.brute_force_topk(
+        pref_base, qv[:_MRL_PREFIX], k=_MRL_CAND
+    ).select("vec_id")
+    ann = similarity_search.brute_force_topk(
+        base.join(cand_ids, "vec_id", "left_semi"), qv, k=10
+    )
+    return _with_recall_contract(exact, ann, min_hits=8)
+
+
+def d_rule_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): FILTER-RULE MARGINAL VALUE —
+    the ablation d_filter_cascade's first-wins ledger cannot answer:
+    a rule's attributed count depends on cascade ORDER, so rule
+    tuning needs the order-free view. Per rule: the attributed count
+    (first-failing, cascade semantics), the total failing count
+    (order-independent), and the UNIQUE-kill count (docs no other
+    rule would catch — the rule's true marginal value; a rule with
+    high attribution but zero unique kills is redundant). Rule
+    predicates are shared verbatim with
+    functions.text.filter_cascade_verdict.
+
+    Shape: ONE narrow projection computing the four boolean flags as
+    integer Column algebra (pure codegen), ONE scalar aggregate of 12
+    sums, and a 4-row stack unpivot — the whole corpus is read once
+    and reduced map-side; the unpivot runs on one row. All-integer →
+    bit-identical twin."""
+    d = _t(spark, sf_dir, "documents")
+    digits = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[0-9]", "")
+    )
+    alnum = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    )
+    ntoks = F.size(
+        F.filter(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            ),
+            lambda t: t != "",
+        )
+    )
+    flags = d.select(
+        (F.col("n_chars") < 200).cast("long").alias("f1"),
+        (F.col("lang") != "en").cast("long").alias("f2"),
+        (digits * 5 > F.col("n_chars")).cast("long").alias("f3"),
+        (alnum > ntoks * 12).cast("long").alias("f4"),
+    )
+    agg = flags.agg(
+        F.sum("f1").alias("t1"),
+        F.sum("f2").alias("t2"),
+        F.sum("f3").alias("t3"),
+        F.sum("f4").alias("t4"),
+        F.sum(F.expr("f1")).alias("a1"),
+        F.sum(F.expr("(1 - f1) * f2")).alias("a2"),
+        F.sum(F.expr("(1 - f1) * (1 - f2) * f3")).alias("a3"),
+        F.sum(F.expr("(1 - f1) * (1 - f2) * (1 - f3) * f4")).alias("a4"),
+        F.sum(F.expr("f1 * (1 - f2) * (1 - f3) * (1 - f4)")).alias("u1"),
+        F.sum(F.expr("(1 - f1) * f2 * (1 - f3) * (1 - f4)")).alias("u2"),
+        F.sum(F.expr("(1 - f1) * (1 - f2) * f3 * (1 - f4)")).alias("u3"),
+        F.sum(F.expr("(1 - f1) * (1 - f2) * (1 - f3) * f4")).alias("u4"),
+    )
+    return agg.selectExpr(
+        "stack(4,"
+        " 'r1_too_short', CAST(a1 AS BIGINT), CAST(t1 AS BIGINT),"
+        "   CAST(u1 AS BIGINT),"
+        " 'r2_not_target_lang', CAST(a2 AS BIGINT), CAST(t2 AS BIGINT),"
+        "   CAST(u2 AS BIGINT),"
+        " 'r3_digit_heavy', CAST(a3 AS BIGINT), CAST(t3 AS BIGINT),"
+        "   CAST(u3 AS BIGINT),"
+        " 'r4_long_words', CAST(a4 AS BIGINT), CAST(t4 AS BIGINT),"
+        "   CAST(u4 AS BIGINT)"
+        ") AS (rule, n_attributed, n_failing, n_unique_kill)"
+    ).orderBy("rule")
+
+
+def d_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): T5-STYLE SPAN-CORRUPTION mask
+    planning (Raffel et al., JMLR'20 §3.1.4) — the pretraining-target
+    generator run over the corpus at export time: each token position
+    is masked when md5(doc|pos|token) mod 100 < ``_SPAN_MASK_PCT``
+    (the repo's no-rand() doctrine — a resumed export re-mints the
+    IDENTICAL masks; production swaps a per-epoch seed into the hash,
+    same plan), and adjacent masked positions merge into one span
+    (the sentinel-token unit). Emits the per-doc mask ledger (tokens,
+    masked, spans, exact masked permille) a batch packer sizes
+    targets with.
+
+    Shape: ONE posexplode token scan; span merging is the classic
+    pos − row_number island trick over a window partitioned by
+    doc_id (state = one counter per doc, no doc ever leaves its
+    partition); both reduces are per-doc groupBys co-keyed with the
+    window. All-integer → bit-identical twin."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col("text")), r"[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("pos", "token"),
+    )
+    marked = toks.withColumn(
+        "masked",
+        (
+            F.expr(
+                "conv(substring(md5(concat(doc_id, '|', pos, '|', token)),"
+                " 1, 12), 16, 10)"
+            ).cast("long")
+            % 100
+            < _SPAN_MASK_PCT
+        ).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        marked.filter(F.col("masked") == 1)
+        .withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_masked"),
+            F.countDistinct("island").cast("long").alias("n_spans"),
+        )
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    return (
+        per_doc.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.expr(
+                "1000 * coalesce(n_masked, 0) DIV n_tokens"
+            ).cast("long").alias("masked_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def kg_entity_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): ENTITY ADOPTION / diffusion
+    readout (the innovation-diffusion primitive, Rogers' curve in
+    exact ranks): which conversation INTRODUCED each entity to the
+    corpus, and how far did it spread — adopting-conversation count,
+    the introduction position on the global clock, the last
+    first-adoption position, and the adoption span. Separates
+    corpus-native vocabulary (introduced at rank ≈ 0, adopted
+    everywhere) from late niche entities — the freshness signal
+    kg_entity_churn tracks across versions, here within one corpus.
+
+    Shape: per-(entity, conv) first-mention rank is ONE algebraic
+    min-groupBy off the shared global clock; the per-entity reduce
+    uses min_by/arg_min (the introducing conv rides the same reduce —
+    no window, no second pass). Both reduces map-side-combinable;
+    grain bounded by |gazetteer| × |convs|. The rank domain is
+    tie-free (one gr per turn) so min_by is deterministic on both
+    engines."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    turns = _doc_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    clock = global_rank(turns, ["conv_id", "turn_idx"], out_col="gr")
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    per_conv = (
+        m.join(clock, ["conv_id", "turn_idx"])
+        .groupBy("surface_norm", "conv_id")
+        .agg(F.min("gr").cast("long").alias("first_gr"))
+    )
+    return (
+        per_conv.groupBy("surface_norm")
+        .agg(
+            F.expr("min_by(conv_id, first_gr)").alias("intro_conv"),
+            F.min("first_gr").cast("long").alias("intro_gr"),
+            F.count("*").cast("long").alias("n_convs"),
+            F.max("first_gr").cast("long").alias("last_adoption_gr"),
+            (F.max("first_gr") - F.min("first_gr"))
+            .cast("long")
+            .alias("adoption_span"),
+        )
+        .orderBy("surface_norm")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 131 new entries — far more than the
+    evidence history. Round 5 added 135 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 12 capstone-wave additions
-    (query expansion, DP sensitivity, spell suggest, entity trend,
+    never-driver-captured coverage: the 16 capstone-wave additions
+    (matryoshka re-rank, rule marginals, span corruption, entity
+    adoption, query expansion, DP sensitivity, spell suggest, entity
+    trend,
     coref chains, negated mentions, l-diversity, transitive
     reduction, triple fusion, filtered negative sampling, entity
     bursts, k-anonymity — newest of all), then the closing-wave
@@ -11473,6 +11710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "e_matryoshka_topk": e_matryoshka_topk,
+        "d_rule_marginals": d_rule_marginals,
+        "d_span_corruption": d_span_corruption,
+        "kg_entity_adoption": kg_entity_adoption,
         "s_query_expansion": s_query_expansion,
         "d_dp_sensitivity": d_dp_sensitivity,
         "s_spell_suggest": s_spell_suggest,
@@ -12462,6 +12703,126 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: matryoshka — rows are the exact top-10 on the
+        # clustered view; the shared ANN contract twin recomputes them
+        # and asserts the in-plan recall flag (TRUE, measured 10/10)
+        "e_matryoshka_topk": _ANN_EXACT_CONTRACT_SQL,
+        # capstone wave: rule marginals — flag algebra and the 12-sum
+        # scalar aggregate replayed; 4-row unpivot as UNION ALL
+        "d_rule_marginals": """
+            WITH f AS (
+              SELECT CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS f1,
+                     CASE WHEN lang != 'en' THEN 1 ELSE 0 END AS f2,
+                     CASE WHEN 5 * (length(text)
+                            - length(regexp_replace(text, '[0-9]', '', 'g')))
+                          > n_chars THEN 1 ELSE 0 END AS f3,
+                     CASE WHEN length(regexp_replace(lower(text),
+                                                     '[^a-z0-9]', '', 'g'))
+                          > 12 * len(list_filter(
+                              string_split(trim(regexp_replace(
+                                lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                              t -> t != '')) THEN 1 ELSE 0 END AS f4
+              FROM documents
+            ),
+            a AS (
+              SELECT sum(f1) AS t1, sum(f2) AS t2, sum(f3) AS t3,
+                     sum(f4) AS t4,
+                     sum(f1) AS a1,
+                     sum((1 - f1) * f2) AS a2,
+                     sum((1 - f1) * (1 - f2) * f3) AS a3,
+                     sum((1 - f1) * (1 - f2) * (1 - f3) * f4) AS a4,
+                     sum(f1 * (1 - f2) * (1 - f3) * (1 - f4)) AS u1,
+                     sum((1 - f1) * f2 * (1 - f3) * (1 - f4)) AS u2,
+                     sum((1 - f1) * (1 - f2) * f3 * (1 - f4)) AS u3,
+                     sum((1 - f1) * (1 - f2) * (1 - f3) * f4) AS u4
+              FROM f
+            )
+            SELECT 'r1_too_short' AS rule, CAST(a1 AS BIGINT) AS n_attributed,
+                   CAST(t1 AS BIGINT) AS n_failing,
+                   CAST(u1 AS BIGINT) AS n_unique_kill FROM a
+            UNION ALL
+            SELECT 'r2_not_target_lang', CAST(a2 AS BIGINT),
+                   CAST(t2 AS BIGINT), CAST(u2 AS BIGINT) FROM a
+            UNION ALL
+            SELECT 'r3_digit_heavy', CAST(a3 AS BIGINT),
+                   CAST(t3 AS BIGINT), CAST(u3 AS BIGINT) FROM a
+            UNION ALL
+            SELECT 'r4_long_words', CAST(a4 AS BIGINT),
+                   CAST(t4 AS BIGINT), CAST(u4 AS BIGINT) FROM a
+            ORDER BY rule
+        """,
+        # capstone wave: span corruption — positions, the md5 mask
+        # pick and the pos − row_number island trick replayed verbatim
+        "d_span_corruption": f"""
+            WITH toks AS (
+              SELECT doc_id, l[i] AS token, i - 1 AS pos
+              FROM (SELECT doc_id,
+                           list_filter(string_split(trim(regexp_replace(
+                             lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                             t -> t != '') AS l
+                    FROM documents),
+                   unnest(generate_series(1, len(l))) AS g(i)
+            ),
+            marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN CAST('0x' || substr(md5(
+                              doc_id || '|' || pos || '|' || token), 1, 12)
+                            AS BIGINT) % 100 < {_SPAN_MASK_PCT}
+                          THEN 1 ELSE 0 END AS masked
+              FROM toks
+            ),
+            sp AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+                     CAST(count(DISTINCT pos - rn) AS BIGINT) AS n_spans
+              FROM (SELECT doc_id, pos,
+                           row_number() OVER (
+                             PARTITION BY doc_id ORDER BY pos) AS rn
+                    FROM marked WHERE masked = 1)
+              GROUP BY doc_id
+            ),
+            pd AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM marked GROUP BY doc_id
+            )
+            SELECT pd.doc_id, pd.n_tokens,
+                   CAST(coalesce(sp.n_masked, 0) AS BIGINT) AS n_masked,
+                   CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(1000 * coalesce(sp.n_masked, 0) // pd.n_tokens
+                        AS BIGINT) AS masked_permille
+            FROM pd LEFT JOIN sp USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # capstone wave: entity adoption — clock, per-conv first rank
+        # and the arg_min introducing-conv reduce replayed verbatim
+        "kg_entity_adoption": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            clock AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (ORDER BY conv_id, turn_idx) AS gr
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}'))
+                       AS e
+              FROM t
+            ),
+            pc AS (
+              SELECT m.e AS surface_norm, conv_id,
+                     CAST(min(c.gr) AS BIGINT) AS first_gr
+              FROM m JOIN clock c USING (conv_id, turn_idx)
+              GROUP BY m.e, conv_id
+            )
+            SELECT surface_norm,
+                   arg_min(conv_id, first_gr) AS intro_conv,
+                   CAST(min(first_gr) AS BIGINT) AS intro_gr,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(max(first_gr) AS BIGINT) AS last_adoption_gr,
+                   CAST(max(first_gr) - min(first_gr) AS BIGINT)
+                     AS adoption_span
+            FROM pc GROUP BY surface_norm
+            ORDER BY surface_norm
+        """,
         # capstone wave: query expansion — distinct-token stream, PRF
         # top-docs and the rarity-contrast score replayed verbatim
         "s_query_expansion": f"""

@@ -4219,3 +4219,158 @@ def test_entity_trend_closed_form_slope(spark, tmp_path):
         "window": (3, 0, 2, 0),
         "batch": (1, 2, 2, 1000000 * (3 * 2 - 3 * 1) // 6),     # 500000
     }
+
+
+def _write_emb(tmp_path, vecs, labels):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arr = pa.array(
+        [np.asarray(v, dtype="float32").tolist() for v in vecs],
+        type=pa.list_(pa.float32()),
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": arr,
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_matryoshka_contract_detects_prefix_misses(spark, tmp_path):
+    """The recall flag MEASURES the prefix path: an adversarial corpus
+    whose similarity lives entirely in the tail dims fills the prefix
+    candidate list with decoys -> ann_recall_ok False, while the exact
+    top-10 rows stay correct."""
+    import numpy as np
+
+    rng = []
+    q = np.zeros(64); q[0] = 1.0; q[32] = 10.0
+    rng.append(q)                       # vec_id 0: the query
+    for i in range(120):                # decoys: prefix-aligned, tail-empty
+        v = np.zeros(64); v[0] = 1.0; v[2] = 1e-4 * (i + 1)
+        rng.append(v)
+    for j in range(30):                 # true: prefix-orthogonal, tail-aligned
+        v = np.zeros(64); v[1] = 1e-3; v[32] = 10.0 + 0.01 * j
+        rng.append(v)
+    sf = _write_emb(tmp_path, rng, [63] * len(rng))
+    pdf = entrymod.queries()["e_matryoshka_topk"](spark, sf).toPandas()
+    assert len(pdf) == 10
+    assert not pdf.ann_recall_ok.any()          # prefix path missed them all
+    assert set(pdf.vec_id) <= set(range(121, 151))   # rows are true tail-top
+
+
+def test_matryoshka_contract_passes_when_prefix_carries_signal(spark, tmp_path):
+    """Signal inside the prefix -> candidates contain the exact top-10
+    and the contract passes."""
+    import numpy as np
+
+    vecs = []
+    q = np.zeros(64); q[0] = 1.0
+    vecs.append(q)
+    for i in range(40):
+        v = np.zeros(64); v[0] = 1.0 + 0.01 * i; v[1] = 0.3 * (i % 7)
+        vecs.append(v)
+    sf = _write_emb(tmp_path, vecs, [63] * len(vecs))
+    pdf = entrymod.queries()["e_matryoshka_topk"](spark, sf).toPandas()
+    assert len(pdf) == 10
+    assert pdf.ann_recall_ok.all()
+
+
+def test_rule_marginals_unique_vs_attributed(spark, tmp_path):
+    """A doc failing two rules is attributed to the first but counts
+    as a unique kill for neither; single-rule docs drive both."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "short en",                    # A: f1 only
+                "word " * 60,                  # B: 300 chars, de -> f2 only
+                "kurz",                        # C: short AND de -> f1+f2
+                "1234567890 " * 25,            # D: digit-heavy -> f3 only
+                "x" * 300,                     # E: one 300-char token -> f4
+                ("ok tokens here " * 20).strip(),   # F: kept
+            ],
+            "lang": ["en", "de", "de", "en", "en", "en"],
+            "source": ["s"] * 6,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_rule_marginals"](spark, sf).toPandas()
+    got = {
+        r.rule: (r.n_attributed, r.n_failing, r.n_unique_kill)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "r1_too_short": (2, 2, 1),
+        "r2_not_target_lang": (1, 2, 1),
+        "r3_digit_heavy": (1, 1, 1),
+        "r4_long_words": (1, 1, 1),
+    }
+
+
+def test_span_corruption_matches_python_replica(spark, tmp_path):
+    """Token positions, the md5 mask pick and adjacent-mask span
+    merging equal a pure-python replica; an all-unmasked doc emits
+    zeros."""
+    import hashlib
+    import re as _re
+
+    texts = ["alpha beta gamma delta epsilon " * 8, "one two", "zzz"]
+    docs = pd.DataFrame(
+        {"doc_id": range(len(texts)), "source": ["s"] * len(texts),
+         "text": texts}
+    )
+    sf = _write(tmp_path, "documents", docs)
+    expect = {}
+    for did, t in enumerate(texts):
+        toks = [x for x in _re.sub(r"[^a-z0-9]+", " ", t.lower()).split()
+                if x]
+        masked = [
+            p for p, tok in enumerate(toks)
+            if int(hashlib.md5(f"{did}|{p}|{tok}".encode()).hexdigest()[:12],
+                   16) % 100 < 15
+        ]
+        spans = len({p - r for r, p in enumerate(masked)})
+        expect[did] = (len(toks), len(masked), spans,
+                       1000 * len(masked) // len(toks))
+    pdf = entrymod.queries()["d_span_corruption"](spark, sf).toPandas()
+    got = {
+        r.doc_id: (r.n_tokens, r.n_masked, r.n_spans, r.masked_permille)
+        for r in pdf.itertuples()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in expect.values())  # the pick fires somewhere
+
+
+def test_entity_adoption_intro_and_span(spark, tmp_path):
+    """The introducing conversation is the arg-min on the global clock;
+    adoption span covers first to last first-adoption rank."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["a", "a", "b", "b"],
+            "text": [
+                "spark",          # a t0 -> gr 1
+                "window",         # a t1 -> gr 2
+                "zzz",            # b t0 -> gr 3
+                "spark window",   # b t1 -> gr 4
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_entity_adoption"](spark, sf).toPandas()
+    got = {
+        r.surface_norm: (r.intro_conv, r.intro_gr, r.n_convs,
+                         r.last_adoption_gr, r.adoption_span)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "spark": ("a", 1, 2, 4, 3),
+        "window": ("a", 2, 2, 4, 2),
+    }
