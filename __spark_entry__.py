@@ -11676,15 +11676,236 @@ def kg_entity_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# kg_extractive_summary: tokens occurring in more turns than this are
+# pruned (stopword prune AND the pair-join fan-out bound — a token's
+# within-conv pair cost is O(occurrences²), so the cap is the skew
+# guard, the standard LexRank practice).
+_SUMM_DF_CAP = 1000
+
+
+def kg_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): EXTRACTIVE conversation
+    summarization — degree-centrality LexRank (Erkan & Radev, JAIR'04;
+    one power iteration = weighted degree): the summary turn of a
+    conversation is the one whose rarity-weighted vocabulary overlap
+    with the OTHER turns is highest. Weight per shared token =
+    10⁶ DIV turn_df (the s_more_like_this integer-rarity doctrine —
+    sharing 'the' says nothing). Emits the top turn per conversation
+    with its centrality and the conversation size — the extractive
+    complement of the template summary path (E6,
+    functions/text.py summarize; reference analog
+    src/modules/summary-generator.ts's fallback summaries).
+
+    Shape: the pair join is keyed (conv_id, token) — co-partitioned
+    with the token stream; fan-out per (conv, token) is occurrences²
+    bounded by the ``_SUMM_DF_CAP`` stopword prune (the skew guard: a
+    token in every turn of a 10k-turn conversation would otherwise
+    pivot 10⁸ pairs). The rarity dim is vocabulary-grain, broadcast.
+    Both reduces map-side-combinable; the per-conv winner is ONE
+    row_number over the conv-grain centrality dim. Conversations with
+    no cross-turn overlap fall back to the template path and emit no
+    row here."""
+    t = _doc_transcripts(spark, sf_dir)
+    toks = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(
+                                F.lower(F.col("text")), r"[^a-z0-9]+", " "
+                            )
+                        ),
+                        " ",
+                    ),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("token"),
+    )
+    tdf = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("turn_df"))
+        .filter(F.col("turn_df") <= _SUMM_DF_CAP)
+        .withColumn("wt", F.expr("1000000 DIV turn_df").cast("long"))
+    )
+    tw = toks.join(F.broadcast(tdf.select("token", "wt")), "token")
+    a = tw.select("conv_id", "token", F.col("turn_idx").alias("ta"), "wt")
+    b = tw.select("conv_id", "token", F.col("turn_idx").alias("tb"))
+    cent = (
+        a.join(b, ["conv_id", "token"])
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy("conv_id", "ta")
+        .agg(F.sum("wt").cast("long").alias("centrality"))
+    )
+    nt = t.groupBy("conv_id").agg(F.count("*").cast("long").alias("n_turns"))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("centrality"), F.asc("ta")
+    )
+    return (
+        cent.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(nt, "conv_id")
+        .select(
+            "conv_id",
+            F.col("ta").cast("int").alias("turn_idx"),
+            "centrality",
+            "n_turns",
+        )
+        .orderBy("conv_id")
+    )
+
+
+def ev_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): POWER ANALYSIS / sample-size
+    readout — the planning step the experimentation trio (SRM, CUPED,
+    Welch) runs BEFORE any test: per event_type, the observed value
+    variance and the per-arm n required to detect a 5% relative lift
+    at α=0.05 / power 0.8 via the classic n ≈ 16σ²/δ² rule (Lehr's
+    equation). Hash doctrine (the a_ols_normal_eq precedent): the
+    reduce carries EXACT integer milli sums (n, Σv, Σv²); variance
+    and the ceil enter floating point once through an IDENTICAL
+    expression tree on both engines, anchored by the exact integer
+    columns in the output.
+
+    Shape: one map-side-combinable groupBy on the event_type dim —
+    O(1) state per type, the cheapest possible plan; a degenerate
+    mean ≤ 0 yields the -1 sentinel instead of a division blowup."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    ).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "sv",
+        "svv",
+        F.expr(
+            "CASE WHEN sv <= 0 THEN -1 ELSE CAST(ceil("
+            " 16.0 * ((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)"
+            "          * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))"
+            "         / CAST(n AS DOUBLE))"
+            " / ((0.05 * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))"
+            "    * (0.05 * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))"
+            ") AS BIGINT) END"
+        ).alias("n_required"),
+    ).orderBy("event_type")
+
+
+def d_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): DATASET DATASHEET — the
+    per-source release card (Gebru et al., 'Datasheets for Datasets',
+    CACM'21) a corpus publisher ships with every export: size, length
+    stats, language mix (count + dominant + en-share), and exact-dup
+    exposure (extra copies by content hash within the source). One
+    row per source, every column integer-exact.
+
+    Shape: three source-grain reduces (stats, language mode via ONE
+    row_number over the (source × lang) dim, dup accounting on the
+    content-hash grain — sum(copies) − distinct(hashes), never a
+    self-join) joined on the bounded source dim. All groupBys
+    map-side-combinable; the hash grain shuffles once, keyed by its
+    own (source, hash) key."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+    )
+    lang_cnt = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wl = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    dom = (
+        lang_cnt.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("dominant_lang"))
+    )
+    dups = (
+        d.select("source", F.md5("text").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("source")
+        .agg(
+            (F.sum("c") - F.count("*")).cast("long").alias("dup_docs")
+        )
+    )
+    return (
+        base.join(dom, "source")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.expr("total_chars DIV n_docs").cast("long").alias("mean_chars"),
+            "n_langs",
+            "dominant_lang",
+            F.expr("1000 * n_en DIV n_docs").cast("long").alias("en_permille"),
+            "dup_docs",
+        )
+        .orderBy("source")
+    )
+
+
+def e_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): PER-DIMENSION VARIANCE of the
+    embedding table — the diagnostic that justifies (or refutes) the
+    Matryoshka prefix: dimensions that carry no variance carry no
+    signal, and the prefix-truncation entry (e_matryoshka_topk) is
+    exactly as good as the variance mass the prefix holds. Values
+    enter as exact integer millis; variance is the all-integer
+    n·Σx² − (Σx)² form in milli² units (truncated DIV — int64-safe
+    through sf0.1 with 10⁹ headroom; at larger corpora the sums
+    promote to decimal(38) per the a_ols_normal_eq note).
+
+    Shape: ONE posexplode scan + ONE map-side-combinable groupBy on
+    the 64-row dimension grain — O(dims) state, the cheapest shape;
+    no window, no join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("m"),
+    )
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("m").cast("long").alias("sx"),
+            F.sum(F.col("m") * F.col("m")).cast("long").alias("sxx"),
+        )
+        .select(
+            "dim",
+            "n_vecs",
+            F.expr("(n_vecs * sxx - sx * sx) DIV (n_vecs * n_vecs)")
+            .cast("long")
+            .alias("var_milli2"),
+        )
+        .orderBy("dim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 135 new entries — far more than the
+    evidence history. Round 5 added 139 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 16 capstone-wave additions
-    (matryoshka re-rank, rule marginals, span corruption, entity
-    adoption, query expansion, DP sensitivity, spell suggest, entity
+    never-driver-captured coverage: the 20 capstone-wave additions
+    (extractive summary, power analysis, dataset datasheet, dim
+    variance, matryoshka re-rank, rule marginals, span corruption,
+    entity adoption, query expansion, DP sensitivity, spell suggest, entity
     trend,
     coref chains, negated mentions, l-diversity, transitive
     reduction, triple fusion, filtered negative sampling, entity
@@ -11710,6 +11931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "kg_extractive_summary": kg_extractive_summary,
+        "ev_power_mde": ev_power_mde,
+        "d_dataset_datasheet": d_dataset_datasheet,
+        "e_dim_variance": e_dim_variance,
         "e_matryoshka_topk": e_matryoshka_topk,
         "d_rule_marginals": d_rule_marginals,
         "d_span_corruption": d_span_corruption,
@@ -12703,6 +12928,137 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: extractive summary — token streams, rarity
+        # weights, the capped pair join and the per-conv row_number
+        # replayed verbatim (all-integer centrality)
+        "kg_extractive_summary": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            toks AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '')) AS token
+              FROM t
+            ),
+            tdf AS (
+              SELECT token, CAST(1000000 // count(*) AS BIGINT) AS wt
+              FROM toks GROUP BY token
+              HAVING count(*) <= {_SUMM_DF_CAP}
+            ),
+            tw AS (
+              SELECT conv_id, turn_idx, toks.token, wt
+              FROM toks JOIN tdf USING (token)
+            ),
+            cent AS (
+              SELECT a.conv_id, a.turn_idx AS ta,
+                     CAST(sum(a.wt) AS BIGINT) AS centrality
+              FROM tw a JOIN tw b
+                ON a.conv_id = b.conv_id AND a.token = b.token
+                   AND a.turn_idx != b.turn_idx
+              GROUP BY a.conv_id, a.turn_idx
+            ),
+            nt AS (
+              SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+              FROM t GROUP BY conv_id
+            ),
+            top AS (
+              SELECT conv_id, ta, centrality,
+                     row_number() OVER (
+                       PARTITION BY conv_id
+                       ORDER BY centrality DESC, ta) AS rk
+              FROM cent
+            )
+            SELECT top.conv_id, CAST(ta AS int) AS turn_idx,
+                   centrality, n_turns
+            FROM top JOIN nt USING (conv_id)
+            WHERE rk = 1
+            ORDER BY conv_id
+        """,
+        # capstone wave: power analysis — exact integer milli anchors,
+        # identical double expression for the Lehr ceil
+        "ev_power_mde": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                          AS BIGINT) AS sv,
+                     CAST(sum(CAST(round(value * 1000) AS BIGINT)
+                              * CAST(round(value * 1000) AS BIGINT))
+                          AS BIGINT) AS svv
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, n, sv, svv,
+                   CASE WHEN sv <= 0 THEN -1 ELSE CAST(ceil(
+                     16.0 * ((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+                              * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                             / CAST(n AS DOUBLE))
+                     / ((0.05 * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (0.05 * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+                   ) AS BIGINT) END AS n_required
+            FROM s ORDER BY event_type
+        """,
+        # capstone wave: datasheet — stats, language mode row_number
+        # and hash-grain dup accounting replayed verbatim
+        "d_dataset_datasheet": """
+            WITH base AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_en
+              FROM documents GROUP BY source
+            ),
+            lc AS (
+              SELECT source, lang, count(*) AS cnt
+              FROM documents GROUP BY source, lang
+            ),
+            dom AS (
+              SELECT source, lang AS dominant_lang
+              FROM (SELECT source, lang,
+                           row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY cnt DESC, lang) AS rk
+                    FROM lc)
+              WHERE rk = 1
+            ),
+            dups AS (
+              SELECT source,
+                     CAST(sum(c) - count(*) AS BIGINT) AS dup_docs
+              FROM (SELECT source, md5(text) AS h,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM documents GROUP BY source, md5(text))
+              GROUP BY source
+            )
+            SELECT b.source, b.n_docs, b.total_chars,
+                   CAST(b.total_chars // b.n_docs AS BIGINT) AS mean_chars,
+                   b.n_langs, d.dominant_lang,
+                   CAST(1000 * b.n_en // b.n_docs AS BIGINT) AS en_permille,
+                   p.dup_docs
+            FROM base b JOIN dom d USING (source) JOIN dups p USING (source)
+            ORDER BY source
+        """,
+        # capstone wave: dim variance — milli quantization and the
+        # n·Σx²−(Σx)² integer form replayed verbatim
+        "e_dim_variance": """
+            WITH x AS (
+              SELECT i - 1 AS dim,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000)
+                          AS BIGINT) AS m
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            s AS (
+              SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+                     CAST(sum(m) AS BIGINT) AS sx,
+                     CAST(sum(m * m) AS BIGINT) AS sxx
+              FROM x GROUP BY dim
+            )
+            SELECT CAST(dim AS int) AS dim, n_vecs,
+                   CAST((n_vecs * sxx - sx * sx) // (n_vecs * n_vecs)
+                        AS BIGINT) AS var_milli2
+            FROM s ORDER BY dim
+        """,
         # capstone wave: matryoshka — rows are the exact top-10 on the
         # clustered view; the shared ANN contract twin recomputes them
         # and asserts the in-plan recall flag (TRUE, measured 10/10)

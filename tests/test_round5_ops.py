@@ -4374,3 +4374,94 @@ def test_entity_adoption_intro_and_span(spark, tmp_path):
         "spark": ("a", 1, 2, 4, 3),
         "window": ("a", 2, 2, 4, 2),
     }
+
+
+def test_extractive_summary_rarity_centrality(spark, tmp_path):
+    """Centrality sums rarity weights over WITHIN-conv shared tokens;
+    ties break to the earlier turn; single-turn and no-overlap convs
+    emit no row (template-path fallback)."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["c", "c", "c", "d"],
+            "text": [
+                "alpha beta gamma",   # c t0
+                "alpha beta delta",   # c t1 (tie with t0 -> t0 wins)
+                "zzz unique",         # c t2: no overlap
+                "alpha",              # d: single turn, no pairs
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_extractive_summary"](spark, sf).toPandas()
+    # turn_df: alpha 3 -> 333333, beta 2 -> 500000
+    assert [(r.conv_id, r.turn_idx, r.centrality, r.n_turns)
+            for r in pdf.itertuples()] == [("c", 0, 833333, 3)]
+
+
+def test_power_mde_lehr_rule(spark, tmp_path):
+    """n_required replays ceil(16 sigma^2 / (0.05 mu)^2) from the exact
+    integer milli anchors; non-positive mean yields the -1 sentinel."""
+    import math
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 1.0), (2, t0, 1, "a", 2.0), (3, t0, 1, "a", 3.0),
+        (4, t0, 1, "b", -1.0),
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["ev_power_mde"](spark, sf).toPandas()
+    got = {r.event_type: (r.n, r.sv, r.svv, r.n_required)
+           for r in pdf.itertuples()}
+    var = (14_000_000 - 6000**2 / 3) / 3
+    exp_n = math.ceil(16.0 * var / (0.05 * 2000) ** 2)
+    assert got == {"a": (3, 6000, 14_000_000, exp_n), "b": (1, -1000, 1_000_000, -1)}
+
+
+def test_datasheet_mode_and_dups(spark, tmp_path):
+    """Dominant language ties break lexicographically; dup_docs counts
+    EXTRA copies per content hash within the source."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "source": ["s", "s", "s", "t", "u", "u"],
+            "lang": ["en", "en", "de", "fr", "en", "de"],
+            "text": ["same text", "same text", "other", "x", "y", "z"],
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_dataset_datasheet"](spark, sf).toPandas()
+    got = {
+        r.source: (r.n_docs, r.n_langs, r.dominant_lang, r.en_permille,
+                   r.dup_docs, r.mean_chars)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "s": (3, 2, "en", 666, 1, (9 + 9 + 5) // 3),
+        "t": (1, 1, "fr", 0, 0, 1),
+        "u": (2, 2, "de", 500, 0, 1),   # tie 1-1 -> lexicographic
+    }
+
+
+def test_dim_variance_integer_form(spark, tmp_path):
+    """var_milli2 = (n sxx - sx^2) DIV n^2 per dimension; constant dims
+    read zero, symmetric dims match by hand."""
+    vecs = [
+        [1.0, 0.0, 0.25, -1.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [1.0, 2.0, 0.0, 1.0],
+    ]
+    sf = _write_emb(tmp_path, vecs, [0, 0, 0])
+    pdf = entrymod.queries()["e_dim_variance"](spark, sf).toPandas()
+    got = {r.dim: (r.n_vecs, r.var_milli2) for r in pdf.itertuples()}
+    assert got == {
+        0: (3, 0),
+        1: (3, (3 * 5_000_000 - 3000 * 3000) // 9),     # 666666
+        2: (3, (3 * 250 * 250 - 250 * 250) // 9),       # 13888
+        3: (3, (3 * 2_000_000 - 0) // 9),               # 666666
+    }
