@@ -4465,3 +4465,115 @@ def test_dim_variance_integer_form(spark, tmp_path):
         2: (3, (3 * 250 * 250 - 250 * 250) // 9),       # 13888
         3: (3, (3 * 2_000_000 - 0) // 9),               # 666666
     }
+
+
+def test_memorization_risk_shared_shingles(spark, tmp_path):
+    """8-gram exposure: a doc sharing one of its two shingles reads
+    500 permille; fully-contained docs read 1000; short docs zeros."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["s"] * 4,
+            "text": [
+                "a b c d e f g h i",     # 2 shingles, 1 shared with doc 1
+                "a b c d e f g h",       # 1 shingle, shared
+                "x x x x x x x x",       # 1 unique shingle
+                "one two",               # too short
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_memorization_risk"](spark, sf).toPandas()
+    got = {r.doc_id: (r.n_shingles, r.n_shared, r.shared_permille)
+           for r in pdf.itertuples()}
+    assert got == {0: (2, 1, 500), 1: (1, 1, 1000), 2: (1, 0, 0),
+                   3: (0, 0, 0)}
+
+
+def test_psi_drift_smoothed_bins(spark, tmp_path):
+    """PSI contributions replay the smoothed (p-q)ln(p/q) exactly;
+    halves split on doc_id*2 <= max."""
+    import math
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["s"] * 4,
+            "text": ["x"] * 4,
+            "n_chars": [100, 300, 100, 100],
+        }
+    )
+    docs["n_chars"] = docs["n_chars"].astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_psi_drift"](spark, sf).toPandas()
+
+    def contrib(ne, nl, te, tl, nb):
+        p = (ne + 1) / (te + nb)
+        q = (nl + 1) / (tl + nb)
+        return round((p - q) * math.log(p / q) * 1_000_000)
+
+    got = {r.bin: (r.n_early, r.n_late, r.contrib_micro)
+           for r in pdf.itertuples()}
+    assert got == {
+        0: (1, 2, contrib(1, 2, 2, 2, 2)),
+        1: (1, 0, contrib(1, 0, 2, 2, 2)),
+    }
+
+
+def test_neyman_alloc_largest_remainder(spark, tmp_path):
+    """Allocation replays N_h sigma_h shares with floor +
+    largest-remainder and sums exactly to the budget; a zero-variance
+    stratum draws nothing."""
+    import math
+
+    rows = (
+        [("s", 10), ("s", 30)]
+        + [("t", 20)]
+        + [("u", 10), ("u", 10), ("u", 40)]
+    )
+    docs = pd.DataFrame(rows, columns=["source", "n_chars"])
+    docs["doc_id"] = range(len(docs))
+    docs["text"] = "x"
+    docs["n_chars"] = docs["n_chars"].astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_neyman_alloc"](spark, sf).toPandas()
+    # python replica
+    stats = {}
+    for src in ("s", "t", "u"):
+        xs = [c for s2, c in rows if s2 == src]
+        n = len(xs); sx = sum(xs); sxx = sum(x * x for x in xs)
+        stats[src] = n * math.sqrt((sxx - sx * sx / n) / n)
+    tot = sum(stats.values())
+    raw = {s2: 1000 * w / tot for s2, w in stats.items()}
+    base = {s2: math.floor(r) for s2, r in raw.items()}
+    left = 1000 - sum(base.values())
+    order = sorted(raw, key=lambda s2: (-(raw[s2] - base[s2]), s2))
+    expect = {
+        s2: base[s2] + (1 if order.index(s2) < left else 0) for s2 in raw
+    }
+    got = {r.source: r.alloc for r in pdf.itertuples()}
+    assert got == expect
+    assert sum(got.values()) == 1000
+    assert got["t"] == 0
+
+
+def test_dedup_threshold_curve_bands(spark, tmp_path):
+    """Pairs land in the band of their exact Jaccard; affected-doc
+    counts are per-band distinct."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["s"] * 4,
+            "text": [
+                base,                                  # doc 0
+                base.rsplit(" ", 1)[0] + " zz",        # doc 1: J 7/9 vs 0
+                base,                                  # doc 2: J 1.0 vs 0
+                "unrelated totally different tokens here now",
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["d_dedup_threshold_curve"](spark, sf).toPandas()
+    got = [(r.band, r.n_pairs, r.n_docs) for r in pdf.itertuples()]
+    assert got == [("a_0.70-0.79", 2, 3), ("c_0.90+", 1, 2)]
