@@ -12139,14 +12139,240 @@ def d_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# kg_entity_polarity: negation-aware qualifier polarity — the same
+# adjective set as _SQL_QUALIFIER with an optional negation-cue group;
+# shared verbatim with the DuckDB twin.
+_SQL_POLARITY = (
+    r"\b(?:(not|never|no) )?(fast|slow|big|small) ("
+    + "|".join(_ORDERED)
+    + r")\b"
+)
+_POLARITY_POS = ("fast", "big")
+
+
+def kg_entity_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): ENTITY POLARITY / stance —
+    the affect layer above kg_attribute_edges' HAS_QUALITY facts:
+    each qualifier occurrence contributes a SIGNED vote (+1 for
+    fast/big, −1 for slow/small), and a negation cue immediately
+    before the qualifier FLIPS it ("not fast spark" is a −1 on
+    spark) — the NegEx scoping rule kg_negated_mentions applies to
+    existence, applied here to sentiment. Per entity: scored-mention
+    count, positive/negative tallies (post-flip), net polarity, and
+    the exact net permille — the signal a KG serving layer renders as
+    entity reputation and a fusion layer can weight edges by.
+
+    Shape: ONE text scan with three ALIGNED regexp_extract_all group
+    captures zipped positionally (the kg_attribute_edges idiom — no
+    UDF, pure codegen); one map-side-combinable groupBy on the
+    gazetteer-bounded entity dim. All-integer → bit-identical twin
+    (the non-participating optional group is NULL in Spark and '' in
+    DuckDB — both sides coalesce before the flip test)."""
+    t = _doc_transcripts(spark, sf_dir)
+    lowered = F.lower(F.col("text"))
+    hits = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(lowered, F.lit(_SQL_POLARITY), 1).alias(
+                    "neg"
+                ),
+                F.regexp_extract_all(lowered, F.lit(_SQL_POLARITY), 2).alias(
+                    "adj"
+                ),
+                F.regexp_extract_all(lowered, F.lit(_SQL_POLARITY), 3).alias(
+                    "entity"
+                ),
+            )
+        ).alias("z")
+    ).select(
+        F.col("z.entity").alias("entity"),
+        (
+            F.when(
+                F.col("z.adj").isin(*_POLARITY_POS), F.lit(1)
+            ).otherwise(F.lit(-1))
+            * F.when(
+                F.coalesce(F.col("z.neg"), F.lit("")) == "", F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias("vote"),
+    )
+    return (
+        hits.groupBy("entity")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.sum(F.when(F.col("vote") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("vote") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg"),
+            F.sum("vote").cast("long").alias("net_polarity"),
+        )
+        .withColumn(
+            "net_permille",
+            F.expr("1000 * net_polarity DIV n_scored").cast("long"),
+        )
+        .orderBy("entity")
+    )
+
+
+def kg_community_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): COMMUNITY PROFILE CARDS —
+    the readout layer over g_lpa_communities' raw label histogram:
+    per detected community, its size, internal edge count, exact
+    internal density permille (2e/(n(n−1))), and the top node by
+    degree (deterministic: degree desc, node asc) — the community
+    summary a KG explorer renders and g_modularity's quality gate
+    scores. Same graph, same 4-round deterministic LPA labels
+    (operators.graph.label_propagation).
+
+    Shape: labels are the LPA fixed rounds (each round one edge pass
+    + one combinable argmax — the operator's documented scale shape);
+    the card assembly is all label-dim algebra: membership joins onto
+    the edge dim, degree from the symmetrized edge dim, the top node
+    ONE row_number over the membership dim. Density is exact integer
+    cross-multiplication; n<2 communities read 0."""
+    from hikma_engine_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, rounds=4)
+    sym = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    nodes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    ma = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    mb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    internal = (
+        edges.join(ma, "a")
+        .join(mb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("n_internal_edges"))
+    )
+    wt = Window.partitionBy("label").orderBy(F.desc("deg"), F.asc("node"))
+    top = (
+        labels.join(deg, "node")
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select("label", F.col("node").alias("top_node"))
+    )
+    return (
+        nodes.join(internal, "label", "left")
+        .join(top, "label")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("n_internal_edges", F.lit(0))
+            .cast("long")
+            .alias("n_internal_edges"),
+            F.expr(
+                "CASE WHEN n_nodes < 2 THEN 0 ELSE"
+                " 2000 * coalesce(n_internal_edges, 0)"
+                " DIV (n_nodes * (n_nodes - 1)) END"
+            )
+            .cast("long")
+            .alias("density_permille"),
+            "top_node",
+        )
+        .orderBy(F.desc("n_nodes"), F.asc("label"))
+    )
+
+
+def ev_step_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): EXACT per-step funnel latency
+    median — the distribution view ev_funnel's total-lag sums can't
+    give (a few slow users dominate a sum; the median is the honest
+    step cost). Per funnel step (view→click, click→purchase): user
+    count and the DOUBLED median lag in exact integer micros
+    (median2 = lower + upper middle element — the a_spearman
+    doubled-integer doctrine, so even-count medians stay exact).
+
+    Shape: step timestamps are the same min-after-join algebra as
+    ev_funnel (algebraic, user-keyed); the median runs on the
+    VALUE-GRAIN lag histogram (groupBy lag → running count sum →
+    two conditional mins), never a row-grain global sort — the
+    a_weighted_median shape. The GK sketch (a_approx_quantile) is
+    the O(1)-state path when even the value grain is too hot; this
+    entry is the exact contract it degrades from."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lag1 = t2.select(
+        F.lit("1_view_to_click").alias("step"),
+        F.expr("timestampdiff(MICROSECOND, t1, t2)").cast("long").alias("lag"),
+    )
+    lag2 = t3.select(
+        F.lit("2_click_to_purchase").alias("step"),
+        F.expr("timestampdiff(MICROSECOND, t2, t3)").cast("long").alias("lag"),
+    )
+    lags = lag1.unionAll(lag2)
+    g = lags.groupBy("step", "lag").agg(F.count("*").cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("step")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.withColumn("cum", F.sum("c").over(wcum))
+    tot = g.groupBy("step").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cum.join(F.broadcast(tot), "step")
+        .groupBy("step")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            (
+                F.min(
+                    F.when(
+                        F.expr("cum >= (n + 1) DIV 2"), F.col("lag")
+                    )
+                )
+                + F.min(
+                    F.when(F.expr("cum >= n DIV 2 + 1"), F.col("lag"))
+                )
+            )
+            .cast("long")
+            .alias("median2_micros"),
+        )
+        .orderBy("step")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 143 new entries — far more than the
+    evidence history. Round 5 added 146 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 24 capstone-wave additions
-    (memorization risk, PSI drift, Neyman allocation, dedup threshold
+    never-driver-captured coverage: the 27 capstone-wave additions
+    (entity polarity, community cards, step-latency median,
+    memorization risk, PSI drift, Neyman allocation, dedup threshold
     curve, extractive summary, power analysis, dataset datasheet, dim
     variance, matryoshka re-rank, rule marginals, span corruption,
     entity adoption, query expansion, DP sensitivity, spell suggest, entity
@@ -12175,6 +12401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "kg_entity_polarity": kg_entity_polarity,
+        "kg_community_cards": kg_community_cards,
+        "ev_step_latency_median": ev_step_latency_median,
         "d_memorization_risk": d_memorization_risk,
         "d_psi_drift": d_psi_drift,
         "d_neyman_alloc": d_neyman_alloc,
@@ -12800,6 +13029,55 @@ def _modularity_sql(rounds: int = 4) -> str:
     )
 
 
+def _community_cards_sql(rounds: int = 4) -> str:
+    """Twin of kg_community_cards: the SAME unrolled LPA rounds as
+    _lpa_sql (shared prefix), then the card algebra — membership-dim
+    joins, degree from sym, one row_number top node, exact integer
+    density permille."""
+    base = _lpa_sql(rounds)
+    prefix = base[: base.rindex("SELECT label, count(*)")].rstrip()
+    return (
+        prefix
+        + f""",
+            deg AS (
+              SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM sym GROUP BY u
+            ),
+            nn AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+              FROM l{rounds} GROUP BY label
+            ),
+            ie AS (
+              SELECT la.label, CAST(count(*) AS BIGINT) AS n_internal_edges
+              FROM e
+              JOIN l{rounds} la ON la.node = e.a
+              JOIN l{rounds} lb ON lb.node = e.b AND la.label = lb.label
+              GROUP BY la.label
+            ),
+            tp AS (
+              SELECT label, node AS top_node
+              FROM (SELECT l.label, l.node,
+                           row_number() OVER (
+                             PARTITION BY l.label
+                             ORDER BY d.deg DESC, l.node) AS rk
+                    FROM l{rounds} l JOIN deg d ON d.node = l.node)
+              WHERE rk = 1
+            )
+            SELECT nn.label, nn.n_nodes,
+                   CAST(coalesce(ie.n_internal_edges, 0) AS BIGINT)
+                     AS n_internal_edges,
+                   CAST(CASE WHEN nn.n_nodes < 2 THEN 0 ELSE
+                        2000 * coalesce(ie.n_internal_edges, 0)
+                        // (nn.n_nodes * (nn.n_nodes - 1)) END AS BIGINT)
+                     AS density_permille,
+                   tp.top_node
+            FROM nn
+            LEFT JOIN ie ON ie.label = nn.label
+            JOIN tp ON tp.label = nn.label
+            ORDER BY nn.n_nodes DESC, nn.label"""
+    )
+
+
 def _kcore_sql(k: int = 20, rounds: int = 8) -> str:
     """Unrolled distributed-peel twin for g_kcore_custpart: ``rounds``
     chained (degree → keep → induce) CTE triples over the customer-part
@@ -13176,6 +13454,91 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: polarity — parallel-unnest zip of the three
+        # aligned group captures; sign algebra all-integer (trunc DIV
+        # on possibly-negative net: both engines truncate)
+        "kg_entity_polarity": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            z AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                              '{_SQL_POLARITY}', 1)) AS neg,
+                     unnest(regexp_extract_all(lower(text),
+                              '{_SQL_POLARITY}', 2)) AS adj,
+                     unnest(regexp_extract_all(lower(text),
+                              '{_SQL_POLARITY}', 3)) AS entity
+              FROM t
+            ),
+            v AS (
+              SELECT entity,
+                     (CASE WHEN adj IN ('fast', 'big') THEN 1 ELSE -1 END)
+                     * (CASE WHEN neg IS NULL OR neg = '' THEN 1
+                        ELSE -1 END) AS vote
+              FROM z
+            )
+            SELECT entity, CAST(count(*) AS BIGINT) AS n_scored,
+                   CAST(sum(CASE WHEN vote > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN vote < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_neg,
+                   CAST(sum(vote) AS BIGINT) AS net_polarity,
+                   CAST(CASE WHEN sum(vote) >= 0
+                        THEN 1000 * sum(vote) // count(*)
+                        ELSE -((1000 * (-sum(vote))) // count(*))
+                        END AS BIGINT) AS net_permille
+            FROM v GROUP BY entity ORDER BY entity
+        """,
+        # capstone wave: community cards — shared unrolled-LPA prefix
+        # + card algebra (see _community_cards_sql)
+        "kg_community_cards": _community_cards_sql(),
+        # capstone wave: step-latency median — min-after-join steps,
+        # value-grain running sum, doubled-median conditional mins
+        "ev_step_latency_median": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+              SELECT e.user_id, t1.t1, min(e.ts) AS t2
+              FROM events e JOIN t1 ON t1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > t1.t1
+              GROUP BY e.user_id, t1.t1
+            ),
+            t3 AS (
+              SELECT e.user_id, t2.t2, min(e.ts) AS t3
+              FROM events e JOIN t2 ON t2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+              GROUP BY e.user_id, t2.t2
+            ),
+            lags AS (
+              SELECT '1_view_to_click' AS step,
+                     CAST(date_diff('microsecond', t1, t2) AS BIGINT) AS lag
+              FROM t2
+              UNION ALL
+              SELECT '2_click_to_purchase',
+                     CAST(date_diff('microsecond', t2, t3) AS BIGINT)
+              FROM t3
+            ),
+            g AS (
+              SELECT step, lag, CAST(count(*) AS BIGINT) AS c
+              FROM lags GROUP BY step, lag
+            ),
+            cum AS (
+              SELECT step, lag, c,
+                     sum(c) OVER (PARTITION BY step ORDER BY lag
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM g
+            ),
+            tot AS (
+              SELECT step, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY step
+            )
+            SELECT cum.step, CAST(max(n) AS BIGINT) AS n_users,
+                   CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lag END)
+                        + min(CASE WHEN cum >= n // 2 + 1 THEN lag END)
+                        AS BIGINT) AS median2_micros
+            FROM cum JOIN tot USING (step)
+            GROUP BY cum.step
+            ORDER BY cum.step
+        """,
         # capstone wave: memorization risk — 8-gram shingle expansion,
         # shared-df accounting and the zero-shingle fallback replayed
         "d_memorization_risk": f"""
@@ -13723,11 +14086,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT surface_norm, sy AS total_mentions,
                    first_bucket, last_bucket,
-                   CAST(CASE WHEN n < 2 THEN 0 ELSE
-                     1000000 * (n * sxy - (n * (n - 1) // 2) * sy)
-                     // (n * (n * (n - 1) * (2 * n - 1) // 6)
-                         - (n * (n - 1) // 2) * (n * (n - 1) // 2)) END
-                     AS BIGINT) AS slope_micro
+                   CAST(CASE WHEN n < 2 THEN 0
+                     WHEN n * sxy - (n * (n - 1) // 2) * sy >= 0 THEN
+                       1000000 * (n * sxy - (n * (n - 1) // 2) * sy)
+                       // (n * (n * (n - 1) * (2 * n - 1) // 6)
+                           - (n * (n - 1) // 2) * (n * (n - 1) // 2))
+                     ELSE
+                       -((1000000 * ((n * (n - 1) // 2) * sy - n * sxy))
+                         // (n * (n * (n - 1) * (2 * n - 1) // 6)
+                             - (n * (n - 1) // 2) * (n * (n - 1) // 2)))
+                     END AS BIGINT) AS slope_micro
             FROM ent CROSS JOIN nb
             ORDER BY surface_norm
         """,

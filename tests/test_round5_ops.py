@@ -4577,3 +4577,78 @@ def test_dedup_threshold_curve_bands(spark, tmp_path):
     pdf = entrymod.queries()["d_dedup_threshold_curve"](spark, sf).toPandas()
     got = [(r.band, r.n_pairs, r.n_docs) for r in pdf.itertuples()]
     assert got == [("a_0.70-0.79", 2, 3), ("c_0.90+", 1, 2)]
+
+
+def test_entity_polarity_negation_flip(spark, tmp_path):
+    """A negation cue immediately before the qualifier flips the vote;
+    positive and negative adjectives tally signed."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "source": ["c"] * 6,
+            "text": [
+                "fast spark today",
+                "not fast spark",
+                "fast spark again",
+                "slow window",
+                "never slow window",
+                "big query and small query",
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_entity_polarity"](spark, sf).toPandas()
+    got = {
+        r.entity: (r.n_scored, r.n_pos, r.n_neg, r.net_polarity,
+                   r.net_permille)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        "spark": (3, 2, 1, 1, 333),
+        "window": (2, 1, 1, 0, 0),
+        "query": (2, 1, 1, 0, 0),
+    }
+
+
+def test_community_cards_k21_graph(spark, tmp_path):
+    """On the K2,1 bipartite graph, 4-round deterministic LPA settles
+    to {c1,c2} + {p10}; internal edges are label-internal only and the
+    top node breaks degree ties lexicographically."""
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2], "o_custkey": [1, 2]}
+    )
+    lineitem = pd.DataFrame(
+        {"l_orderkey": [1, 2], "l_partkey": [10, 10]}
+    )
+    orders.to_parquet(str(tmp_path / "orders.parquet"))
+    lineitem.to_parquet(str(tmp_path / "lineitem.parquet"))
+    pdf = entrymod.queries()["kg_community_cards"](
+        spark, str(tmp_path)
+    ).toPandas()
+    got = [
+        (r.label, r.n_nodes, r.n_internal_edges, r.density_permille,
+         r.top_node)
+        for r in pdf.itertuples()
+    ]
+    assert got == [("c1", 2, 0, 0, "c1"), ("p10", 1, 0, 0, "p10")]
+
+
+def test_step_latency_median_doubled(spark, tmp_path):
+    """median2 is lower+upper middle lag in exact micros; steps with
+    one user read twice that user's lag."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view"), (2, t0 + timedelta(seconds=10), 1, "click"),
+        (3, t0, 2, "view"), (4, t0 + timedelta(seconds=20), 2, "click"),
+        (5, t0, 3, "view"), (6, t0 + timedelta(seconds=30), 3, "click"),
+        (7, t0 + timedelta(seconds=15), 1, "purchase"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["ev_step_latency_median"](spark, sf).toPandas()
+    got = [(r.step, r.n_users, r.median2_micros) for r in pdf.itertuples()]
+    assert got == [
+        ("1_view_to_click", 3, 40_000_000),
+        ("2_click_to_purchase", 1, 10_000_000),
+    ]
