@@ -12364,14 +12364,191 @@ def ev_step_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_burstiness_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): BURSTINESS PARAMETER B =
+    (σ−μ)/(σ+μ) of inter-event times (Goh & Barabási, EPL 2008) — the
+    single number separating Poisson activity (B≈0) from bursty human
+    behavior (B→1) and metronomic automation (B→−1); the
+    inter-arrival-time complement of ev_bursts' bucketed Kleinberg
+    detector. Per event_type: gap count and the exact integer MILLI
+    moments (n, Σg, Σg² — millis keep Σg² in int64 headroom), with B
+    entering floating point once through an identical expression tree
+    (the a_ols_normal_eq doctrine), rounded to micro.
+
+    Shape: consecutive gaps come from ONE lag window partitioned by
+    (user_id, event_type) — a user-stream never leaves its partition;
+    the moment reduce is map-side combinable on the type dim."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            F.expr("timestampdiff(MICROSECOND, prev, ts) DIV 1000000")
+            .cast("long")
+            .alias("g"),
+        )
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sgg"),
+    )
+    return s.select(
+        "event_type",
+        "n_gaps",
+        "sg",
+        "sgg",
+        F.expr(
+            "CASE WHEN sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)"
+            " * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+            " / CAST(n_gaps AS DOUBLE))"
+            " + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) = 0.0 THEN 0"
+            " ELSE CAST(round((sqrt((CAST(sgg AS DOUBLE)"
+            " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)"
+            "   / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))"
+            " - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+            " / (sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)"
+            " * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+            " / CAST(n_gaps AS DOUBLE))"
+            " + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+            " * 1000000) AS BIGINT) END"
+        ).alias("b_micro"),
+    ).orderBy("event_type")
+
+
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): COHORT LTV CURVE — the
+    cumulative-value-per-user table every growth team builds on top
+    of retention counts (ev_retention_cohorts adds the value
+    dimension here): users cohorted by first-event ISO week, value
+    accumulated by cohort age in weeks, LTV = cumulative cohort value
+    per cohort user, all in exact integer millis.
+
+    Shape: first-event timestamps are one algebraic user-grain min;
+    the curve grain is (cohort, age) — bounded by weeks² — so the
+    running sum windows over a DIM, not rows; cohort size joins
+    broadcast. Date arithmetic is date_trunc('week') on both engines
+    (ISO Monday anchor), difference kept integer."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("fts"))
+    csize = (
+        first.select(
+            F.date_format(F.date_trunc("week", "fts"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            )
+        )
+        .groupBy("cohort_week")
+        .agg(F.count("*").cast("long").alias("cohort_users"))
+    )
+    rows = (
+        e.join(first, "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", "fts"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts),"
+                " date_trunc('week', fts)) AS BIGINT) DIV 7"
+            )
+            .cast("long")
+            .alias("age_weeks"),
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("v"),
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.sum("v").cast("long").alias("period_value_milli"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rows.withColumn(
+            "cum_value_milli",
+            F.sum("period_value_milli").over(wc).cast("long"),
+        )
+        .join(F.broadcast(csize), "cohort_week")
+        .withColumn(
+            "ltv_per_user_milli",
+            F.expr("cum_value_milli DIV cohort_users").cast("long"),
+        )
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "period_value_milli",
+            "cum_value_milli",
+            "ltv_per_user_milli",
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+def kg_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): MERGE PREVIEW — the what-if
+    readout an ER operator runs BEFORE loosening a dedup threshold:
+    group structure (grouped docs, group count, max group) at
+    J ≥ 0.80 vs J ≥ 0.70, both closed by the SAME
+    connected_components operator the canonicalization path uses
+    (adaptive: driver union-find under the edge threshold — the
+    distributed path is oracle-forced by g_cc_dupgroups). The 0.70
+    variant answers "how
+    much MORE merging would the looser threshold cause" — the
+    blast-radius number kg_canonical_stability tracks across corpus
+    versions, here across thresholds.
+
+    Shape: ONE ngram_jaccard_pairs run at the loosest threshold (the
+    PPJoin prefix filter prunes once); the 0.80 variant is a filter
+    on the pair-grain output, never a re-scan; both CC runs operate
+    on pair dims. The twin closes both variants with recursive reach
+    CTEs (the kg_robustness precedent)."""
+    from hikma_engine_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs7 = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.7
+    ).select("a", "b", "jaccard")
+    out = []
+    for variant, pv in (
+        ("t_0.70", pairs7),
+        ("t_0.80", pairs7.filter(F.col("jaccard") >= 0.8)),
+    ):
+        # adaptive CC path (driver union-find under the edge threshold,
+        # large-star/small-star above): the distributed path is already
+        # oracle-forced by g_cc_dupgroups; this entry measures the
+        # preview economics, not the CC operator
+        comp = connected_components(pv, src="a", dst="b")
+        grp = comp.groupBy("component").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        out.append(
+            grp.agg(
+                F.sum("c").cast("long").alias("n_grouped_docs"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.max("c").cast("long").alias("max_group"),
+            ).select(
+                F.lit(variant).alias("variant"),
+                "n_grouped_docs",
+                "n_groups",
+                "max_group",
+            )
+        )
+    return out[0].unionAll(out[1]).orderBy("variant")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 146 new entries — far more than the
+    evidence history. Round 5 added 149 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 27 capstone-wave additions
-    (entity polarity, community cards, step-latency median,
+    never-driver-captured coverage: the 30 capstone-wave additions
+    (burstiness, cohort LTV, merge preview, entity polarity,
+    community cards, step-latency median,
     memorization risk, PSI drift, Neyman allocation, dedup threshold
     curve, extractive summary, power analysis, dataset datasheet, dim
     variance, matryoshka re-rank, rule marginals, span corruption,
@@ -12401,6 +12578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "ev_burstiness_param": ev_burstiness_param,
+        "ev_cohort_ltv": ev_cohort_ltv,
+        "kg_merge_preview": kg_merge_preview,
         "kg_entity_polarity": kg_entity_polarity,
         "kg_community_cards": kg_community_cards,
         "ev_step_latency_median": ev_step_latency_median,
@@ -13454,6 +13634,128 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: burstiness — lag gaps in integer millis,
+        # identical double expression for B, exact moment anchors
+        "ev_burstiness_param": """
+            WITH gaps AS (
+              SELECT event_type,
+                     CAST(date_diff('microsecond', prev, ts) // 1000000 AS BIGINT) AS g
+              FROM (SELECT event_type, ts,
+                           lag(ts) OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev
+                    FROM events)
+              WHERE prev IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                     CAST(sum(g) AS BIGINT) AS sg,
+                     CAST(sum(g * g) AS BIGINT) AS sgg
+              FROM gaps GROUP BY event_type
+            )
+            SELECT event_type, n_gaps, sg, sgg,
+                   CASE WHEN sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)
+                          * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                          / CAST(n_gaps AS DOUBLE))
+                        + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) = 0.0
+                        THEN 0
+                   ELSE CAST(round((sqrt((CAST(sgg AS DOUBLE)
+                     - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                       / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+                     - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                     / (sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)
+                       * CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                       / CAST(n_gaps AS DOUBLE))
+                       + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                     * 1000000) AS BIGINT) END AS b_micro
+            FROM s ORDER BY event_type
+        """,
+        # capstone wave: cohort LTV — ISO-week cohorts, (cohort, age)
+        # dim running sum, integer milli value algebra
+        "ev_cohort_ltv": """
+            WITH first AS (
+              SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id
+            ),
+            csize AS (
+              SELECT strftime(date_trunc('week', fts), '%Y-%m-%d')
+                       AS cohort_week,
+                     CAST(count(*) AS BIGINT) AS cohort_users
+              FROM first GROUP BY 1
+            ),
+            rows_ AS (
+              SELECT strftime(date_trunc('week', f.fts), '%Y-%m-%d')
+                       AS cohort_week,
+                     CAST(date_diff('day', date_trunc('week', f.fts),
+                                    date_trunc('week', e.ts)) // 7
+                          AS BIGINT) AS age_weeks,
+                     CAST(sum(CAST(round(e.value * 1000) AS BIGINT))
+                          AS BIGINT) AS period_value_milli
+              FROM events e JOIN first f ON f.user_id = e.user_id
+              GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT cohort_week, age_weeks, period_value_milli,
+                     CAST(sum(period_value_milli) OVER (
+                       PARTITION BY cohort_week ORDER BY age_weeks
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_value_milli
+              FROM rows_
+            )
+            SELECT c.cohort_week, c.age_weeks, s.cohort_users,
+                   c.period_value_milli, c.cum_value_milli,
+                   CAST(c.cum_value_milli // s.cohort_users AS BIGINT)
+                     AS ltv_per_user_milli
+            FROM cum c JOIN csize s USING (cohort_week)
+            ORDER BY cohort_week, age_weeks
+        """,
+        # capstone wave: merge preview — two recursive closures over
+        # the shared shingle algebra (the kg_robustness precedent)
+        "kg_merge_preview": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            p7 AS (SELECT a, b FROM jac WHERE jaccard >= 0.7),
+            p8 AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+            s7 AS (SELECT a AS u, b AS v FROM p7
+                   UNION SELECT b, a FROM p7),
+            r7(u, v) AS (
+              SELECT u, v FROM s7
+              UNION
+              SELECT r.u, s.v FROM r7 r JOIN s7 s ON r.v = s.u
+            ),
+            c7 AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM r7 GROUP BY u
+            ),
+            g7 AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS c
+              FROM c7 GROUP BY component
+            ),
+            s8 AS (SELECT a AS u, b AS v FROM p8
+                   UNION SELECT b, a FROM p8),
+            r8(u, v) AS (
+              SELECT u, v FROM s8
+              UNION
+              SELECT r.u, s.v FROM r8 r JOIN s8 s ON r.v = s.u
+            ),
+            c8 AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM r8 GROUP BY u
+            ),
+            g8 AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS c
+              FROM c8 GROUP BY component
+            )
+            SELECT 't_0.70' AS variant,
+                   CAST((SELECT coalesce(sum(c), 0) FROM g7) AS BIGINT)
+                     AS n_grouped_docs,
+                   CAST((SELECT count(*) FROM g7) AS BIGINT) AS n_groups,
+                   CAST((SELECT max(c) FROM g7) AS BIGINT) AS max_group
+            UNION ALL
+            SELECT 't_0.80',
+                   CAST((SELECT coalesce(sum(c), 0) FROM g8) AS BIGINT),
+                   CAST((SELECT count(*) FROM g8) AS BIGINT),
+                   CAST((SELECT max(c) FROM g8) AS BIGINT)
+            ORDER BY variant
+        """,
         # capstone wave: polarity — parallel-unnest zip of the three
         # aligned group captures; sign algebra all-integer (trunc DIV
         # on possibly-negative net: both engines truncate)

@@ -4652,3 +4652,81 @@ def test_step_latency_median_doubled(spark, tmp_path):
         ("1_view_to_click", 3, 40_000_000),
         ("2_click_to_purchase", 1, 10_000_000),
     ]
+
+
+def test_burstiness_param_hand_moments(spark, tmp_path):
+    """B = (sigma-mu)/(sigma+mu) from exact second moments: regular
+    gaps read negative, a single gap reads -1, zero gaps read the 0
+    sentinel."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"), (2, t0 + timedelta(seconds=10), 1, "a"),
+        (3, t0 + timedelta(seconds=30), 1, "a"),       # gaps 10, 20
+        (4, t0, 2, "b"), (5, t0 + timedelta(seconds=7), 2, "b"),  # one gap
+        (6, t0, 3, "c"), (7, t0, 3, "c"),              # same-ts: gap 0
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["ev_burstiness_param"](spark, sf).toPandas()
+    got = {r.event_type: (r.n_gaps, r.sg, r.sgg, r.b_micro)
+           for r in pdf.itertuples()}
+    # a: mu=15 sigma=5 -> B=-0.5 ; b: sigma=0 -> B=-1 ; c: mu=sigma=0 -> 0
+    assert got == {
+        "a": (2, 30, 500, -500_000),
+        "b": (1, 7, 49, -1_000_000),
+        "c": (1, 0, 0, 0),
+    }
+
+
+def test_cohort_ltv_curve(spark, tmp_path):
+    """Cohorts anchor on the ISO Monday of the user's first event; LTV
+    accumulates cohort value per cohort user in exact millis."""
+    t0 = datetime(2024, 1, 1)         # a Monday
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + timedelta(days=8), 1, "view", 2.0),    # week 1
+        (3, t0 + timedelta(days=2), 2, "view", 3.0),    # same cohort wk0
+        (4, t0 + timedelta(days=9), 3, "view", 5.0),    # cohort 2024-01-08
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["ev_cohort_ltv"](spark, sf).toPandas()
+    got = [
+        (r.cohort_week, r.age_weeks, r.cohort_users, r.period_value_milli,
+         r.cum_value_milli, r.ltv_per_user_milli)
+        for r in pdf.itertuples()
+    ]
+    assert got == [
+        ("2024-01-01", 0, 2, 4000, 4000, 2000),
+        ("2024-01-01", 1, 2, 2000, 6000, 3000),
+        ("2024-01-08", 0, 1, 5000, 5000, 5000),
+    ]
+
+
+def test_merge_preview_threshold_blast_radius(spark, tmp_path):
+    """Loosening 0.8 -> 0.7 absorbs the J=7/9 doc into the exact-dup
+    group: group structure readout changes exactly as hand-computed."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["s"] * 4,
+            "text": [
+                base,
+                base,                              # J=1 with doc 0
+                base.rsplit(" ", 1)[0] + " zz",    # J=7/9 with 0 and 1
+                "unrelated totally different tokens here now",
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_merge_preview"](spark, sf).toPandas()
+    got = [
+        (r.variant, r.n_grouped_docs, r.n_groups, r.max_group)
+        for r in pdf.itertuples()
+    ]
+    assert got == [("t_0.70", 3, 1, 3), ("t_0.80", 2, 1, 2)]
