@@ -12540,14 +12540,257 @@ def kg_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionAll(out[1]).orderBy("variant")
 
 
+# kg_kb_completion: held-out fraction (1 in _KBC_HOLDOUT_MOD by edge
+# md5) and the Hits@k cut the per-edge verdict reports.
+_KBC_HOLDOUT_MOD = 5
+_KBC_HITS_K = 3
+# ev_slo_burn: SLO error budget (permille) and the fast-burn factor
+# (14.4 = the 1h/6h page threshold of the multiwindow SRE alert,
+# carried as 144/10 so the test stays integer).
+_SLO_BUDGET_PERMILLE = 20
+_SLO_BURN_X10 = 144
+
+
+def kg_kb_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): KB-COMPLETION EVALUATION —
+    the ranking protocol KG-embedding papers report (Bordes et al.'s
+    filtered setting): hold out 1-in-5 co-mention edges (md5-picked,
+    no rand()), score every candidate partner of the head entity with
+    the Resource-Allocation index over the REMAINING graph
+    (Σ 10⁶ DIV deg(z) over common neighbors — the g_resource_alloc
+    doctrine), and rank the held-out tail among candidates NOT
+    already linked in training (the 'filtered' rank). Emits one row
+    per held-out edge: RA score, filtered rank, reciprocal-rank
+    micro (10⁶ DIV rank — exact), Hits@``_KBC_HITS_K`` verdict. The
+    aggregate MRR/Hits the papers quote is one trivial mean over
+    these rows; emitting the per-edge grain keeps every rank
+    hash-pinned.
+
+    Shape: candidate scores come from ONE wedge join on the train
+    adjacency (fan-out bounded by the gazetteer dim here; the
+    degree-cap doctrine of g_resource_alloc applies verbatim at open
+    vocabulary); ranking is an anti-join against train edges + one
+    score-comparison join — all on the candidate dim."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("u"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("v"))
+    edges = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    picked = edges.withColumn(
+        "hold",
+        F.expr(
+            "conv(substring(md5(concat(u, '|', v)), 1, 12), 16, 10)"
+        ).cast("long")
+        % _KBC_HOLDOUT_MOD
+        == 0,
+    )
+    test = picked.filter("hold").select("u", "v")
+    train = picked.filter("NOT hold").select("u", "v")
+    sym = train.unionAll(
+        train.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("s", "t")
+    deg = sym.groupBy("t").agg(F.count("*").cast("long").alias("d"))
+    wz = sym.select(F.col("s").alias("uu"), F.col("t").alias("z")).join(
+        F.broadcast(deg.select(F.col("t").alias("z"), "d")), "z"
+    )
+    w2 = sym.select(F.col("s").alias("z"), F.col("t").alias("w"))
+    scores = (
+        wz.join(w2, "z")
+        .filter(F.col("w") != F.col("uu"))
+        .groupBy("uu", "w")
+        .agg(
+            F.sum(F.expr("1000000 DIV d")).cast("long").alias("score")
+        )
+    )
+    # filtered setting: drop candidates already linked in TRAIN
+    tr = train.select(
+        F.col("u").alias("uu"), F.col("v").alias("w")
+    ).unionAll(
+        train.select(F.col("v").alias("uu"), F.col("u").alias("w"))
+    )
+    cand = scores.join(tr, ["uu", "w"], "left_anti")
+    tscore = test.join(
+        cand.select(
+            F.col("uu").alias("u"), F.col("w").alias("v"),
+            F.col("score").alias("s_true"),
+        ),
+        ["u", "v"],
+        "left",
+    ).select(
+        "u", "v", F.coalesce("s_true", F.lit(0)).alias("s_true")
+    )
+    better = (
+        tscore.join(
+            cand.select(
+                F.col("uu").alias("u"), F.col("w").alias("cw"),
+                F.col("score").alias("cs"),
+            ),
+            "u",
+        )
+        .filter(F.col("cw") != F.col("v"))
+        .filter(
+            (F.col("cs") > F.col("s_true"))
+            | ((F.col("cs") == F.col("s_true")) & (F.col("cw") < F.col("v")))
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("n_better"))
+    )
+    return (
+        tscore.join(better, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.col("s_true").cast("long").alias("ra_score"),
+            (F.coalesce("n_better", F.lit(0)) + 1)
+            .cast("long")
+            .alias("rank"),
+            F.expr(
+                f"CAST(1000000 DIV (coalesce(n_better, 0) + 1) AS BIGINT)"
+            ).alias("rr_micro"),
+            (F.coalesce("n_better", F.lit(0)) + 1 <= _KBC_HITS_K).alias(
+                f"hit_at_{_KBC_HITS_K}"
+            ),
+        )
+        .orderBy("u", "v")
+    )
+
+
+def kg_neighborhood_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): NEIGHBORHOOD GROWTH — the
+    dynamic-graph readout completing the entity time family (bursts =
+    mention spikes, trend = mention slope, adoption = conv spread):
+    when does an entity acquire NEW co-mention partners? Each
+    unordered pair's FIRST co-mention bucket on the global clock is
+    an algebraic min; per (entity, bucket): new partners introduced
+    there, plus the running cumulative partner count. Distinguishes
+    an entity re-mentioned with old friends from one actively wiring
+    into new graph neighborhoods — the signal a KG freshness pass
+    prioritizes re-linking for.
+
+    Shape: pair first-buckets are one min-groupBy on the
+    gazetteer-bounded pair dim; per-entity emission doubles the pair
+    dim (both directions); the running sum windows over the bounded
+    (entity × bucket) dim. Nothing scales past the edge dim."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    turns = _doc_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    clock = global_rank(turns, ["conv_id", "turn_idx"], out_col="gr")
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    mb = m.join(clock, ["conv_id", "turn_idx"]).select(
+        "conv_id",
+        "turn_idx",
+        "surface_norm",
+        F.expr(f"(gr - 1) DIV {_BURST_BUCKET_W}").cast("long").alias("bucket"),
+    )
+    a = mb.select(
+        "conv_id", "turn_idx", "bucket", F.col("surface_norm").alias("u")
+    )
+    b = mb.select(
+        "conv_id", "turn_idx", F.col("surface_norm").alias("v")
+    )
+    first_pair = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("bucket").cast("long").alias("fb"))
+    )
+    per_entity = first_pair.select(
+        F.col("u").alias("entity"), "fb"
+    ).unionAll(first_pair.select(F.col("v").alias("entity"), "fb"))
+    grown = per_entity.groupBy("entity", F.col("fb").alias("bucket")).agg(
+        F.count("*").cast("long").alias("new_partners")
+    )
+    wc = (
+        Window.partitionBy("entity")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grown.withColumn(
+            "cum_partners", F.sum("new_partners").over(wc).cast("long")
+        )
+        .select("entity", "bucket", "new_partners", "cum_partners")
+        .orderBy("entity", "bucket")
+    )
+
+
+def ev_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): MULTIWINDOW SLO BURN-RATE
+    alert — the Google SRE workbook's paging rule: page only when the
+    error budget burns fast in BOTH a short (1h) and a long (6h)
+    window, which kills both flappy one-spike pages and slow-burn
+    blindness. Budget ``_SLO_BUDGET_PERMILLE``‰, fast-burn factor
+    14.4 (carried ×10 integer): page ⇔ 10·1000·err > 144·budget·total
+    in the hour AND in its trailing 6 hours. Emits the per-hour
+    ledger with both window counts and the page verdict — exact
+    integer cross-multiplication, no ratio ever materialized.
+
+    Shape: the corpus reduces once to the hour grain (map-side
+    combinable); the trailing window is a RANGE frame over the
+    integer hour index on that bounded dim, so calendar gaps are
+    handled without a calendar join. Completes the ops-alerting
+    family (MAD anomaly, CUSUM, sliding-window max) with the
+    budget-aware member."""
+    e = _t(spark, sf_dir, "events")
+    hours = e.groupBy(
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'2024-01-01 00:00:00', CAST(ts AS TIMESTAMP_NTZ))"
+            " DIV 3600000000 AS BIGINT)"
+        ).alias("hour_idx")
+    ).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    w6 = (
+        Window.orderBy("hour_idx").rangeBetween(-5, 0)
+    )
+    win = hours.select(
+        "hour_idx",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w6).cast("long").alias("n_total_6h"),
+        F.sum("n_err").over(w6).cast("long").alias("n_err_6h"),
+    )
+    fast = _SLO_BURN_X10 * _SLO_BUDGET_PERMILLE
+    return win.select(
+        "hour_idx",
+        "n_total",
+        "n_err",
+        "n_total_6h",
+        "n_err_6h",
+        F.expr(
+            f"(10000 * n_err > {fast} * n_total)"
+            f" AND (10000 * n_err_6h > {fast} * n_total_6h)"
+        ).alias("page"),
+    ).orderBy("hour_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 149 new entries — far more than the
+    evidence history. Round 5 added 152 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 30 capstone-wave additions
-    (burstiness, cohort LTV, merge preview, entity polarity,
+    never-driver-captured coverage: the 33 capstone-wave additions
+    (KB completion, neighborhood growth, SLO burn, burstiness,
+    cohort LTV, merge preview, entity polarity,
     community cards, step-latency median,
     memorization risk, PSI drift, Neyman allocation, dedup threshold
     curve, extractive summary, power analysis, dataset datasheet, dim
@@ -12578,6 +12821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "kg_kb_completion": kg_kb_completion,
+        "kg_neighborhood_growth": kg_neighborhood_growth,
+        "ev_slo_burn": ev_slo_burn,
         "ev_burstiness_param": ev_burstiness_param,
         "ev_cohort_ltv": ev_cohort_ltv,
         "kg_merge_preview": kg_merge_preview,
@@ -13634,6 +13880,157 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: KB completion — holdout pick, RA wedge scores
+        # over the train graph, the filtered anti-join and the
+        # (score, name) rank comparison replayed verbatim
+        "kg_kb_completion": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}'))
+                       AS e
+              FROM t
+            ),
+            edges AS (
+              SELECT DISTINCT a.e AS u, b.e AS v
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                   AND a.e < b.e
+            ),
+            picked AS (
+              SELECT u, v,
+                     CAST('0x' || substr(md5(u || '|' || v), 1, 12)
+                          AS BIGINT) % {_KBC_HOLDOUT_MOD} = 0 AS hold
+              FROM edges
+            ),
+            test AS (SELECT u, v FROM picked WHERE hold),
+            train AS (SELECT u, v FROM picked WHERE NOT hold),
+            sym AS (
+              SELECT u AS s, v AS t2 FROM train
+              UNION ALL SELECT v, u FROM train
+            ),
+            deg AS (
+              SELECT t2, CAST(count(*) AS BIGINT) AS d
+              FROM sym GROUP BY t2
+            ),
+            scores AS (
+              SELECT w1.s AS uu, w2.t2 AS w,
+                     CAST(sum(1000000 // dd.d) AS BIGINT) AS score
+              FROM sym w1
+              JOIN deg dd ON dd.t2 = w1.t2
+              JOIN sym w2 ON w2.s = w1.t2
+              WHERE w2.t2 != w1.s
+              GROUP BY w1.s, w2.t2
+            ),
+            tr AS (
+              SELECT u AS uu, v AS w FROM train
+              UNION ALL SELECT v, u FROM train
+            ),
+            cand AS (
+              SELECT s.uu, s.w, s.score
+              FROM scores s
+              WHERE NOT EXISTS (SELECT 1 FROM tr
+                                WHERE tr.uu = s.uu AND tr.w = s.w)
+            ),
+            tscore AS (
+              SELECT te.u, te.v,
+                     CAST(coalesce(c.score, 0) AS BIGINT) AS s_true
+              FROM test te
+              LEFT JOIN cand c ON c.uu = te.u AND c.w = te.v
+            ),
+            better AS (
+              SELECT ts2.u, ts2.v, CAST(count(*) AS BIGINT) AS n_better
+              FROM tscore ts2 JOIN cand c ON c.uu = ts2.u
+              WHERE c.w != ts2.v
+                AND (c.score > ts2.s_true
+                     OR (c.score = ts2.s_true AND c.w < ts2.v))
+              GROUP BY ts2.u, ts2.v
+            )
+            SELECT t0.u, t0.v, t0.s_true AS ra_score,
+                   CAST(coalesce(b.n_better, 0) + 1 AS BIGINT) AS rank,
+                   CAST(1000000 // (coalesce(b.n_better, 0) + 1) AS BIGINT)
+                     AS rr_micro,
+                   (coalesce(b.n_better, 0) + 1 <= {_KBC_HITS_K})
+                     AS hit_at_{_KBC_HITS_K}
+            FROM tscore t0 LEFT JOIN better b
+              ON b.u = t0.u AND b.v = t0.v
+            ORDER BY t0.u, t0.v
+        """,
+        # capstone wave: neighborhood growth — pair first-buckets on
+        # the clock, doubled per-entity emission, dim running sum
+        "kg_neighborhood_growth": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            clock AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (ORDER BY conv_id, turn_idx) AS gr
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{_SQL_GAZ}'))
+                       AS e
+              FROM t
+            ),
+            mb AS (
+              SELECT m.conv_id, m.turn_idx, m.e,
+                     CAST((c.gr - 1) // {_BURST_BUCKET_W} AS BIGINT)
+                       AS bucket
+              FROM m JOIN clock c USING (conv_id, turn_idx)
+            ),
+            fp AS (
+              SELECT a.e AS u, b.e AS v, CAST(min(a.bucket) AS BIGINT) AS fb
+              FROM mb a JOIN mb b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                   AND a.e < b.e
+              GROUP BY a.e, b.e
+            ),
+            pe AS (
+              SELECT u AS entity, fb FROM fp
+              UNION ALL SELECT v, fb FROM fp
+            ),
+            g AS (
+              SELECT entity, fb AS bucket,
+                     CAST(count(*) AS BIGINT) AS new_partners
+              FROM pe GROUP BY entity, fb
+            )
+            SELECT entity, bucket, new_partners,
+                   CAST(sum(new_partners) OVER (
+                     PARTITION BY entity ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_partners
+            FROM g ORDER BY entity, bucket
+        """,
+        # capstone wave: SLO burn — hour grain via epoch-micros floor,
+        # RANGE-frame trailing window, integer cross-multiplied page
+        "ev_slo_burn": f"""
+            WITH hours AS (
+              SELECT CAST(date_diff('microsecond',
+                            TIMESTAMP '2024-01-01 00:00:00', ts)
+                          // 3600000000 AS BIGINT) AS hour_idx,
+                     CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                                   ELSE 0 END) AS BIGINT) AS n_err
+              FROM events GROUP BY 1
+            ),
+            win AS (
+              SELECT hour_idx, n_total, n_err,
+                     CAST(sum(n_total) OVER (
+                       ORDER BY hour_idx
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_total_6h,
+                     CAST(sum(n_err) OVER (
+                       ORDER BY hour_idx
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_err_6h
+              FROM hours
+            )
+            SELECT hour_idx, n_total, n_err, n_total_6h, n_err_6h,
+                   (10000 * n_err
+                      > {_SLO_BURN_X10 * _SLO_BUDGET_PERMILLE} * n_total)
+                   AND (10000 * n_err_6h
+                      > {_SLO_BURN_X10 * _SLO_BUDGET_PERMILLE} * n_total_6h)
+                     AS page
+            FROM win ORDER BY hour_idx
+        """,
         # capstone wave: burstiness — lag gaps in integer millis,
         # identical double expression for B, exact moment anchors
         "ev_burstiness_param": """

@@ -4730,3 +4730,121 @@ def test_merge_preview_threshold_blast_radius(spark, tmp_path):
         for r in pdf.itertuples()
     ]
     assert got == [("t_0.70", 3, 1, 3), ("t_0.80", 2, 1, 2)]
+
+
+def test_kb_completion_matches_python_replica(spark, tmp_path):
+    """Holdout pick, RA scoring over the train graph, filtered
+    candidate set and (score, name) ranks equal a pure-python
+    replica."""
+    import hashlib
+    from collections import defaultdict
+
+    texts = [
+        "batch filter",     # held out (md5 % 5 == 0)
+        "vector window",    # held out, isolated: no candidates -> rank 1
+        "batch spark", "filter spark", "batch query",
+        "filter query", "spark query",
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": range(len(texts)), "source": ["c"] * len(texts),
+         "text": texts}
+    )
+    sf = _write(tmp_path, "documents", docs)
+    edges = {tuple(sorted(t.split())) for t in texts}
+
+    def held(u, v):
+        return int(hashlib.md5(f"{u}|{v}".encode()).hexdigest()[:12],
+                   16) % 5 == 0
+
+    test = sorted(e for e in edges if held(*e))
+    train = [e for e in edges if not held(*e)]
+    assert test, "fixture must hold out at least one edge"
+    adj = defaultdict(set)
+    for u, v in train:
+        adj[u].add(v); adj[v].add(u)
+    adj = dict(adj)
+    deg = {z: len(n) for z, n in adj.items()}
+
+    def nbr(x):
+        return adj.get(x, set())
+
+    def score(u, w):
+        return sum(1_000_000 // deg[z] for z in nbr(u) & nbr(w))
+
+    expect = {}
+    for u, v in test:
+        cands = {
+            w: score(u, w) for w in adj
+            if w != u and w not in nbr(u) and nbr(u) & nbr(w)
+        }
+        s_true = cands.get(v, 0)
+        n_better = sum(
+            1 for w, s in cands.items()
+            if w != v and (s > s_true or (s == s_true and w < v))
+        )
+        rk = n_better + 1
+        expect[(u, v)] = (s_true, rk, 1_000_000 // rk, rk <= 3)
+    pdf = entrymod.queries()["kg_kb_completion"](spark, sf).toPandas()
+    got = {
+        (r.u, r.v): (r.ra_score, r.rank, r.rr_micro, r.hit_at_3)
+        for r in pdf.itertuples()
+    }
+    assert got == expect
+
+
+def test_neighborhood_growth_first_buckets(spark, tmp_path):
+    """A pair counts once at its FIRST co-mention bucket; cumulative
+    partner counts accumulate per entity."""
+    texts = ["zzz"] * 130
+    texts[0] = "spark window"
+    texts[64] = "batch spark"
+    texts[70] = "spark window again"   # repeat pair: still bucket 0 only
+    texts[128] = "batch window"
+    docs = pd.DataFrame(
+        {"doc_id": range(130), "source": ["c"] * 130, "text": texts}
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_neighborhood_growth"](spark, sf).toPandas()
+    got = {
+        (r.entity, r.bucket): (r.new_partners, r.cum_partners)
+        for r in pdf.itertuples()
+    }
+    assert got == {
+        ("spark", 0): (1, 1), ("spark", 1): (1, 2),
+        ("window", 0): (1, 1), ("window", 2): (1, 2),
+        ("batch", 1): (1, 1), ("batch", 2): (1, 2),
+    }
+
+
+def test_slo_burn_multiwindow_gate(spark, tmp_path):
+    """A fast-burn hour pages only while the trailing 6h window also
+    burns: the diluted later spike does NOT page."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(hour, n_ok, n_err):
+        nonlocal eid
+        for i in range(n_ok):
+            rows.append((eid, t0 + timedelta(hours=hour, minutes=1,
+                                             seconds=i), 1, "view"))
+            eid += 1
+        for i in range(n_err):
+            rows.append((eid, t0 + timedelta(hours=hour, minutes=30,
+                                             seconds=i), 1, "error"))
+            eid += 1
+
+    add(0, 5, 5)      # 1h: 50000>28800 OK; 6h == 1h -> page
+    add(1, 99, 1)     # quiet hour
+    add(2, 6, 4)      # 1h burns, but 6h diluted -> no page
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    sf = _write(tmp_path, "events", ev)
+    pdf = entrymod.queries()["ev_slo_burn"](spark, sf).toPandas()
+    got = {r.hour_idx: (r.n_total, r.n_err, r.n_total_6h, r.n_err_6h, r.page)
+           for r in pdf.itertuples()}
+    assert got == {
+        0: (10, 5, 10, 5, True),
+        1: (100, 1, 110, 6, False),
+        2: (10, 4, 120, 10, False),
+    }
