@@ -12782,14 +12782,192 @@ def ev_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour_idx")
 
 
+# e_dim_covariance_top: how many highest-|covariance| dimension pairs
+# the readout keeps.
+_COV_TOP_K = 20
+# g_rich_club: the degree thresholds the coefficient is evaluated at.
+_RICH_KS = (2, 4, 8, 16)
+
+
+def e_dim_covariance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): TOP-|COVARIANCE| dimension
+    pairs of the embedding table — the redundancy diagnostic next to
+    e_dim_variance's signal-mass readout: two strongly covarying
+    dimensions carry shared information, the PCA/whitening
+    justification and the reason a Matryoshka prefix can be lossless.
+    Values quantize to exact integer millis; covariance is the
+    all-integer n·Σxy − ΣxΣy form in milli² (truncated DIV), top
+    ``_COV_TOP_K`` pairs by |cov| with (i, j) tie-break.
+
+    Shape: the pair expansion self-joins the (vec, dim, value) stream
+    on vec_id with j > i — co-partitioned by vec_id, fan-out d²/2 per
+    vector (d=64 → 2016, a constant); the reduce is map-side
+    combinable on the d²-row pair dim and the ranking compiles to
+    TakeOrderedAndProject. At 10⁹ vectors the same sums come from a
+    per-partition d×d outer-product accumulation (mapInPandas GEMM —
+    the knn-join precedent); the pair-dim algebra downstream is
+    unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("m"),
+    )
+    sums = x.groupBy("dim").agg(F.sum("m").cast("long").alias("sx"))
+    xa = x.select("vec_id", F.col("dim").alias("i"), F.col("m").alias("mi"))
+    xb = x.select("vec_id", F.col("dim").alias("j"), F.col("m").alias("mj"))
+    sxy = (
+        xa.join(xb, "vec_id")
+        .filter(F.col("j") > F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("mi") * F.col("mj")).cast("long").alias("sxy"),
+        )
+    )
+    si = sums.select(F.col("dim").alias("i"), F.col("sx").alias("sxi"))
+    sj = sums.select(F.col("dim").alias("j"), F.col("sx").alias("sxj"))
+    return (
+        sxy.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.expr("(n * sxy - sxi * sxj) DIV (n * n)")
+            .cast("long")
+            .alias("cov_milli2"),
+        )
+        .orderBy(F.abs(F.col("cov_milli2")).desc(), F.asc("i"), F.asc("j"))
+        .limit(_COV_TOP_K)
+    )
+
+
+def g_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): RICH-CLUB COEFFICIENT
+    (Colizza et al., Nature Physics 2006) over the customer–part
+    graph: φ(k) = 2·E_k / (N_k(N_k−1)) among nodes of degree > k —
+    do the hubs wire to EACH OTHER (elite core) or only to the
+    periphery? The structural complement of g_degree_assortativity's
+    single correlation number: the φ(k) profile localizes WHERE in
+    the degree spectrum the mixing happens. Exact integer permille
+    per threshold, thresholds ``_RICH_KS``.
+
+    Shape: degrees are one algebraic reduce; each threshold's rich
+    set is a degree-dim filter joined onto the edge dim (semi-join
+    both endpoints — broadcast, the rich set shrinks with k); counts
+    are scalar reduces. Nothing exceeds the edge dim; the k loop
+    unions 4 one-row frames."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    out = None
+    for k in _RICH_KS:
+        rich = deg.filter(F.col("d") > k).select("node")
+        nr = rich.agg(F.count("*").cast("long").alias("n_rich"))
+        er = (
+            edges.join(
+                rich.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(rich.select(F.col("node").alias("b")), "b", "left_semi")
+            .agg(F.count("*").cast("long").alias("e_rich"))
+        )
+        row = (
+            nr.crossJoin(er)
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                "n_rich",
+                "e_rich",
+                F.expr(
+                    "CASE WHEN n_rich < 2 THEN 0 ELSE"
+                    " 2000 * e_rich DIV (n_rich * (n_rich - 1)) END"
+                )
+                .cast("long")
+                .alias("phi_permille"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("k")
+
+
+def d_quality_dup_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): QUALITY × DUPLICATION
+    confound check — the 2×2 contingency a corpus team actually runs
+    before trusting either signal: are exact-duplicate documents
+    (content-hash count > 1) ALSO the ones the quality cascade kills?
+    Emits the one-row table (kept/killed × unique/dup) with the odds
+    ratio in exact micro (a·d·10⁶ DIV (b·c), −1 sentinel on an empty
+    cell) — OR ≫ 1 means dedup and quality filtering overlap and the
+    pipeline's combined removal is less than the sum of parts.
+
+    Shape: the dup flag is one content-hash groupBy joined back on
+    the hash (co-keyed); the verdict is the shared
+    filter_cascade_verdict Column; the table is ONE scalar reduce.
+    All-integer → bit-identical twin."""
+    d = _t(spark, sf_dir, "documents")
+    hcnt = (
+        d.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("hc"))
+    )
+    flagged = d.withColumn("h", F.md5("text")).join(hcnt, "h").select(
+        (F.col("hc") > 1).cast("long").alias("is_dup"),
+        (
+            tx.filter_cascade_verdict(
+                F.col("text"), F.col("lang"), F.col("n_chars")
+            )
+            == "kept"
+        )
+        .cast("long")
+        .alias("is_kept"),
+    )
+    return flagged.agg(
+        F.sum(F.expr("is_kept * (1 - is_dup)")).cast("long").alias(
+            "kept_unique"
+        ),
+        F.sum(F.expr("is_kept * is_dup")).cast("long").alias("kept_dup"),
+        F.sum(F.expr("(1 - is_kept) * (1 - is_dup)")).cast("long").alias(
+            "killed_unique"
+        ),
+        F.sum(F.expr("(1 - is_kept) * is_dup")).cast("long").alias(
+            "killed_dup"
+        ),
+        F.expr(
+            "CASE WHEN sum(is_kept * is_dup) = 0"
+            " OR sum((1 - is_kept) * (1 - is_dup)) = 0 THEN -1"
+            " ELSE 1000000 * sum(is_kept * (1 - is_dup))"
+            " * sum((1 - is_kept) * is_dup)"
+            " DIV (sum(is_kept * is_dup)"
+            "      * sum((1 - is_kept) * (1 - is_dup))) END"
+        )
+        .cast("long")
+        .alias("odds_ratio_micro"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 152 new entries — far more than the
+    evidence history. Round 5 added 155 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 33 capstone-wave additions
-    (KB completion, neighborhood growth, SLO burn, burstiness,
+    never-driver-captured coverage: the 36 capstone-wave additions
+    (dim covariance, rich club, quality-dup confound, KB completion,
+    neighborhood growth, SLO burn, burstiness,
     cohort LTV, merge preview, entity polarity,
     community cards, step-latency median,
     memorization risk, PSI drift, Neyman allocation, dedup threshold
@@ -12821,6 +12999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "e_dim_covariance_top": e_dim_covariance_top,
+        "g_rich_club": g_rich_club,
+        "d_quality_dup_confound": d_quality_dup_confound,
         "kg_kb_completion": kg_kb_completion,
         "kg_neighborhood_growth": kg_neighborhood_growth,
         "ev_slo_burn": ev_slo_burn,
@@ -13880,6 +14061,117 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: dim covariance — milli pair products, integer
+        # covariance form, |cov| ranking replayed verbatim
+        "e_dim_covariance_top": f"""
+            WITH x AS (
+              SELECT vec_id, i - 1 AS dim,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000)
+                          AS BIGINT) AS m
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            sums AS (
+              SELECT dim, CAST(sum(m) AS BIGINT) AS sx
+              FROM x GROUP BY dim
+            ),
+            sxy AS (
+              SELECT a.dim AS i, b.dim AS j,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(a.m * b.m) AS BIGINT) AS sxy
+              FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.dim > a.dim
+              GROUP BY a.dim, b.dim
+            )
+            SELECT CAST(i AS int) AS i, CAST(j AS int) AS j,
+                   CAST(CASE WHEN p.n * p.sxy - si.sx * sj.sx >= 0 THEN
+                          (p.n * p.sxy - si.sx * sj.sx) // (p.n * p.n)
+                        ELSE -((si.sx * sj.sx - p.n * p.sxy)
+                               // (p.n * p.n)) END AS BIGINT)
+                     AS cov_milli2
+            FROM sxy p
+            JOIN sums si ON si.dim = p.i
+            JOIN sums sj ON sj.dim = p.j
+            ORDER BY abs(CASE WHEN p.n * p.sxy - si.sx * sj.sx >= 0 THEN
+                          (p.n * p.sxy - si.sx * sj.sx) // (p.n * p.n)
+                        ELSE -((si.sx * sj.sx - p.n * p.sxy)
+                               // (p.n * p.n)) END) DESC, i, j
+            LIMIT {_COV_TOP_K}
+        """,
+        # capstone wave: rich club — degree dim, per-threshold rich
+        # semi-joins and the exact permille replayed verbatim
+        "g_rich_club": f"""
+            WITH e AS (
+              SELECT DISTINCT 'c' || o_custkey AS a, 'p' || l_partkey AS b
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY node
+            ),
+            ks AS (
+              SELECT unnest([{", ".join(str(k) for k in _RICH_KS)}]) AS k
+            ),
+            stats AS (
+              SELECT ks.k,
+                     CAST((SELECT count(*) FROM deg
+                           WHERE d > ks.k) AS BIGINT) AS n_rich,
+                     CAST((SELECT count(*) FROM e
+                           WHERE a IN (SELECT node FROM deg
+                                       WHERE d > ks.k)
+                             AND b IN (SELECT node FROM deg
+                                       WHERE d > ks.k)) AS BIGINT)
+                       AS e_rich
+              FROM ks
+            )
+            SELECT CAST(k AS BIGINT) AS k, n_rich, e_rich,
+                   CAST(CASE WHEN n_rich < 2 THEN 0 ELSE
+                        2000 * e_rich // (n_rich * (n_rich - 1)) END
+                        AS BIGINT) AS phi_permille
+            FROM stats ORDER BY k
+        """,
+        # capstone wave: quality × dup confound — shared cascade
+        # verdict, hash-grain dup flag, one scalar reduce
+        "d_quality_dup_confound": """
+            WITH hcnt AS (
+              SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS hc
+              FROM documents GROUP BY md5(text)
+            ),
+            f AS (
+              SELECT CASE WHEN hc > 1 THEN 1 ELSE 0 END AS is_dup,
+                     CASE WHEN (CASE
+                       WHEN n_chars < 200 THEN 'r1'
+                       WHEN lang != 'en' THEN 'r2'
+                       WHEN 5 * (length(text)
+                            - length(regexp_replace(text, '[0-9]', '', 'g')))
+                            > n_chars THEN 'r3'
+                       WHEN length(regexp_replace(lower(text),
+                                                  '[^a-z0-9]', '', 'g'))
+                            > 12 * len(list_filter(
+                                string_split(trim(regexp_replace(
+                                  lower(text), '[^a-z0-9]+', ' ', 'g')),
+                                  ' '),
+                                t -> t != '')) THEN 'r4'
+                       ELSE 'kept' END) = 'kept' THEN 1 ELSE 0 END
+                       AS is_kept
+              FROM documents d JOIN hcnt ON hcnt.h = md5(d.text)
+            )
+            SELECT CAST(sum(is_kept * (1 - is_dup)) AS BIGINT)
+                     AS kept_unique,
+                   CAST(sum(is_kept * is_dup) AS BIGINT) AS kept_dup,
+                   CAST(sum((1 - is_kept) * (1 - is_dup)) AS BIGINT)
+                     AS killed_unique,
+                   CAST(sum((1 - is_kept) * is_dup) AS BIGINT)
+                     AS killed_dup,
+                   CAST(CASE WHEN sum(is_kept * is_dup) = 0
+                          OR sum((1 - is_kept) * (1 - is_dup)) = 0 THEN -1
+                        ELSE 1000000 * sum(is_kept * (1 - is_dup))
+                          * sum((1 - is_kept) * is_dup)
+                          // (sum(is_kept * is_dup)
+                              * sum((1 - is_kept) * (1 - is_dup))) END
+                        AS BIGINT) AS odds_ratio_micro
+            FROM f
+        """,
         # capstone wave: KB completion — holdout pick, RA wedge scores
         # over the train graph, the filtered anti-join and the
         # (score, name) rank comparison replayed verbatim

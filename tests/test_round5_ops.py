@@ -4848,3 +4848,64 @@ def test_slo_burn_multiwindow_gate(spark, tmp_path):
         1: (100, 1, 110, 6, False),
         2: (10, 4, 120, 10, False),
     }
+
+
+def test_dim_covariance_top_integer_form(spark, tmp_path):
+    """Identical dims dominate |cov|; ties order by (i, j); the
+    n·Σxy − ΣxΣy integer form matches by hand."""
+    vecs = [
+        [1.0, 1.0, 0.0],
+        [2.0, 2.0, 0.0],
+        [3.0, 3.0, 1.0],
+    ]
+    sf = _write_emb(tmp_path, vecs, [0, 0, 0])
+    pdf = entrymod.queries()["e_dim_covariance_top"](spark, sf).toPandas()
+    got = [(r.i, r.j, r.cov_milli2) for r in pdf.itertuples()]
+    assert got == [
+        (0, 1, (3 * 14_000_000 - 6000 * 6000) // 9),     # 666666
+        (0, 2, (3 * 3_000_000 - 6000 * 1000) // 9),      # 333333
+        (1, 2, (3 * 3_000_000 - 6000 * 1000) // 9),
+    ]
+
+
+def test_rich_club_profile(spark, tmp_path):
+    """phi(k) counts edges among deg>k nodes only: the single hub-hub
+    edge yields phi=1000 at k=2 and empty clubs read zeros."""
+    orders = pd.DataFrame({"o_orderkey": [1, 2, 3], "o_custkey": [1, 2, 3]})
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 3],
+            "l_partkey": [10, 11, 12, 10, 11, 10],
+        }
+    )
+    orders.to_parquet(str(tmp_path / "orders.parquet"))
+    lineitem.to_parquet(str(tmp_path / "lineitem.parquet"))
+    pdf = entrymod.queries()["g_rich_club"](spark, str(tmp_path)).toPandas()
+    got = [(r.k, r.n_rich, r.e_rich, r.phi_permille) for r in pdf.itertuples()]
+    assert got == [(2, 2, 1, 1000), (4, 0, 0, 0), (8, 0, 0, 0),
+                   (16, 0, 0, 0)]
+
+
+def test_quality_dup_confound_odds_ratio(spark, tmp_path):
+    """The 2x2 cells partition the corpus and the odds ratio replays
+    a·d·10⁶ DIV (b·c) exactly."""
+    good = ("ok tokens here " * 20).strip()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "source": ["s"] * 7,
+            "lang": ["en"] * 7,
+            "text": [
+                good + " one", good + " two",      # kept unique ×2
+                good, good,                        # kept dup pair
+                "short",                           # killed unique
+                "tiny", "tiny",                    # killed dup pair
+            ],
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", docs)
+    row = entrymod.queries()["d_quality_dup_confound"](spark, sf).toPandas().iloc[0]
+    assert (row.kept_unique, row.kept_dup, row.killed_unique,
+            row.killed_dup) == (2, 2, 1, 2)
+    assert row.odds_ratio_micro == 1_000_000 * 2 * 2 // (2 * 1)
