@@ -12959,14 +12959,243 @@ def d_quality_dup_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# kg_conv_threads: an 8-gram span threads conversations when it
+# appears in 2..cap of them — a span in MANY conversations is
+# boilerplate, not thread evidence, and the cap bounds the conv-pair
+# fan-out per span.
+_THREAD_DF_CAP = 5
+# d_epoch_shuffle_quality: |rho| threshold for the decorrelation
+# contract (4+ sigma at every test corpus size).
+_EPOCH_RHO_MAX_MICRO = 200000
+
+
+def d_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): NEAR-DUP TRANSITIVITY audit —
+    the measurement that justifies (or indicts) closing dup pairs
+    into groups with connected components: if a~b and b~c rarely
+    implies a~c, CC-grouping over-merges and the canonical text
+    drifts. Counts wedges (a−b−c paths in the J ≥ 0.8 pair graph),
+    how many close (the (a,c) pair is ALSO ≥ 0.8), and the exact
+    closure permille — the dedup-graph's global clustering
+    coefficient. One contract row.
+
+    Shape: ONE PPJoin pair detection; the wedge join pivots on the
+    shared middle doc over the PAIR dim (fan-out = dup-degree², the
+    quantity this audit exists to measure — a hot middle is itself
+    the finding); closure is a semi-join back onto the pair dim.
+    All-integer → bit-identical twin from the shared shingle
+    algebra."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8
+    ).select("a", "b")
+    sym = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("x", "y")
+    w1 = sym.select(F.col("x").alias("aa"), F.col("y").alias("mid"))
+    w2 = sym.select(F.col("x").alias("mid"), F.col("y").alias("cc"))
+    wedges = (
+        w1.join(w2, "mid")
+        .filter(F.col("aa") < F.col("cc"))
+        .select("aa", "mid", "cc")
+    )
+    closed = wedges.join(
+        pairs.select(F.col("a").alias("aa"), F.col("b").alias("cc")),
+        ["aa", "cc"],
+        "left_semi",
+    )
+    nw = wedges.agg(F.count("*").cast("long").alias("n_wedges"))
+    nc = closed.agg(F.count("*").cast("long").alias("n_closed"))
+    return (
+        nw.crossJoin(F.broadcast(nc))
+        .select(
+            "n_wedges",
+            "n_closed",
+            (F.col("n_wedges") - F.col("n_closed"))
+            .cast("long")
+            .alias("n_open"),
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 1000"
+                " ELSE 1000 * n_closed DIV n_wedges END"
+            )
+            .cast("long")
+            .alias("closure_permille"),
+        )
+    )
+
+
+def kg_conv_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): CROSS-CONVERSATION THREADS —
+    the storyline primitive of news/event threading (TDT track),
+    lifted to the transcript corpus: conversations link when they
+    share a RARE verbatim 8-gram span (present in
+    2..``_THREAD_DF_CAP`` conversations — a span in many
+    conversations is boilerplate, not thread evidence; quoted/pasted
+    text is the strongest cross-document linking signal), and
+    threads are the connected components of that conversation graph.
+    The FIRST graph in the repo at the conversation grain (all prior
+    graphs are entity- or customer-level). Emits per thread: id
+    (min conv), size, clock span (first to last member conversation
+    start on the global rank clock).
+
+    Shape: the (conv, span) dim comes from one shingle scan distinct
+    at the conv grain (the d_memorization_risk expansion, reduced
+    per-conv); the self-join on the span key has fan-out ≤ cap² per
+    span BY CONSTRUCTION; CC via the adaptive connected_components
+    (dim-sized here; the distributed path is oracle-forced by
+    g_cc_dupgroups); thread cards are component-dim reduces joined
+    with the per-conv clock min."""
+    from hikma_engine_spark.operators.ranking import global_rank
+
+    t = _doc_transcripts(spark, sf_dir)
+    turns = t.select("conv_id", "turn_idx")
+    clock = global_rank(turns, ["conv_id", "turn_idx"], out_col="gr")
+    conv_start = clock.groupBy("conv_id").agg(
+        F.min("gr").cast("long").alias("start_gr")
+    )
+    base = t.select(
+        "conv_id",
+        F.filter(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+                ),
+                " ",
+            ),
+            lambda x: x != "",
+        ).alias("l"),
+    )
+    m = (
+        base.filter(F.size("l") >= _MEM_NGRAM)
+        .select(
+            "conv_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {_MEM_NGRAM - 1}),"
+                    f" i -> concat_ws(' ', slice(l, i, {_MEM_NGRAM})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    rare = (
+        m.groupBy("g")
+        .agg(F.count("*").cast("long").alias("nc"))
+        .filter((F.col("nc") >= 2) & (F.col("nc") <= _THREAD_DF_CAP))
+        .select("g")
+    )
+    mr = m.join(rare, "g")
+    c1 = mr.select("g", F.col("conv_id").alias("ca"))
+    c2 = mr.select("g", F.col("conv_id").alias("cb"))
+    cpairs = (
+        c1.join(c2, "g")
+        .filter(F.col("ca") < F.col("cb"))
+        .select("ca", "cb")
+        .distinct()
+    )
+    from hikma_engine_spark.operators.graph import connected_components
+
+    comp = connected_components(cpairs, src="ca", dst="cb")
+    return (
+        comp.join(
+            conv_start, comp["node"] == conv_start["conv_id"]
+        )
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.min("start_gr").cast("long").alias("first_gr"),
+            F.max("start_gr").cast("long").alias("last_gr"),
+            (F.max("start_gr") - F.min("start_gr"))
+            .cast("long")
+            .alias("span_gr"),
+        )
+        .select(
+            F.col("component").alias("thread_id"),
+            "n_convs",
+            "first_gr",
+            "last_gr",
+            "span_gr",
+        )
+        .orderBy("thread_id")
+    )
+
+
+def d_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (capstone wave): EPOCH-SHUFFLE DECORRELATION —
+    the audit behind d_shuffle_export's seeded ordering: two epochs'
+    document orders must be UNCORRELATED or the model sees the same
+    curriculum twice (the repeated-order pathology seeded-hash
+    shuffles exist to prevent). Positions for seeds e1/e2 are
+    md5-hash ranks (tie-free); Spearman over tie-free ranks reduces
+    to the classic 1 − 6Σd²/(n(n²−1)), kept EXACT: rho_micro =
+    10⁶·(n(n²−1) − 6Σd²) DIV n(n²−1) (truncated division, both
+    engines). The contract column asserts |rho| < 0.2 — 4+σ for
+    every test corpus size (σ = 1/√(n−1)).
+
+    Shape: two global_rank-shaped rank assignments (here plain
+    row_number over the md5 key — the dim is the document table;
+    production uses ranking.global_rank, the l_dict_encode
+    precedent), one co-keyed join on doc_id, one scalar moment
+    reduce."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r1 = d.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.expr("md5(concat('e1|', doc_id))"), F.asc("doc_id")
+            )
+        )
+        .alias("p1"),
+    )
+    r2 = d.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.expr("md5(concat('e2|', doc_id))"), F.asc("doc_id")
+            )
+        )
+        .alias("p2"),
+    )
+    s = (
+        r1.join(r2, "doc_id")
+        .select(
+            (F.col("p1").cast("long") - F.col("p2").cast("long")).alias("dd")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("dd") * F.col("dd")).cast("long").alias("sum_d2"),
+        )
+    )
+    return s.select(
+        "n_docs",
+        "sum_d2",
+        F.expr(
+            "CASE WHEN n_docs < 2 THEN 0 ELSE"
+            " CASE WHEN n_docs * (n_docs * n_docs - 1) - 6 * sum_d2 >= 0"
+            " THEN 1000000 * (n_docs * (n_docs * n_docs - 1) - 6 * sum_d2)"
+            "      DIV (n_docs * (n_docs * n_docs - 1))"
+            " ELSE -(1000000 * (6 * sum_d2 - n_docs * (n_docs * n_docs - 1))"
+            "        DIV (n_docs * (n_docs * n_docs - 1))) END END"
+        )
+        .cast("long")
+        .alias("rho_micro"),
+    ).withColumn(
+        "decorrelated",
+        F.expr(f"abs(rho_micro) < {_EPOCH_RHO_MAX_MICRO}"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 155 new entries — far more than the
+    evidence history. Round 5 added 158 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: the 36 capstone-wave additions
-    (dim covariance, rich club, quality-dup confound, KB completion,
+    never-driver-captured coverage: the 39 capstone-wave additions
+    (dup transitivity, conv threads, epoch-shuffle quality, dim
+    covariance, rich club, quality-dup confound, KB completion,
     neighborhood growth, SLO burn, burstiness,
     cohort LTV, merge preview, entity polarity,
     community cards, step-latency median,
@@ -12999,6 +13228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry additionally verified at sf0.001 individually)."""
     return {
         # -- never driver-captured: capstone-wave additions (newest of all) --
+        "d_dup_transitivity": d_dup_transitivity,
+        "kg_conv_threads": kg_conv_threads,
+        "d_epoch_shuffle_quality": d_epoch_shuffle_quality,
         "e_dim_covariance_top": e_dim_covariance_top,
         "g_rich_club": g_rich_club,
         "d_quality_dup_confound": d_quality_dup_confound,
@@ -14061,6 +14293,140 @@ def oracle_sql() -> dict[str, str]:
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
     return {
+        # capstone wave: dup transitivity — shared shingle algebra,
+        # symmetrized wedge pivot, closure semi-join replayed
+        "d_dup_transitivity": f"""
+            WITH {_SHINGLE_CTE},
+            p AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+            sym AS (SELECT a AS x, b AS y FROM p
+                    UNION ALL SELECT b, a FROM p),
+            wedges AS (
+              SELECT w1.x AS aa, w1.y AS mid, w2.y AS cc
+              FROM sym w1 JOIN sym w2 ON w2.x = w1.y
+              WHERE w1.x < w2.y
+            ),
+            closed AS (
+              SELECT w.aa, w.mid, w.cc
+              FROM wedges w
+              WHERE EXISTS (SELECT 1 FROM p
+                            WHERE p.a = w.aa AND p.b = w.cc)
+            )
+            SELECT CAST((SELECT count(*) FROM wedges) AS BIGINT)
+                     AS n_wedges,
+                   CAST((SELECT count(*) FROM closed) AS BIGINT)
+                     AS n_closed,
+                   CAST((SELECT count(*) FROM wedges)
+                        - (SELECT count(*) FROM closed) AS BIGINT)
+                     AS n_open,
+                   CAST(CASE WHEN (SELECT count(*) FROM wedges) = 0
+                        THEN 1000
+                        ELSE 1000 * (SELECT count(*) FROM closed)
+                             // (SELECT count(*) FROM wedges) END
+                        AS BIGINT) AS closure_permille
+        """,
+        # capstone wave: conv threads — rare-entity conv pairs,
+        # recursive closure (robustness precedent), clock-span cards
+        "kg_conv_threads": f"""
+            WITH RECURSIVE t AS ({_DOC_TRANSCRIPTS_SQL}),
+            clock AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (ORDER BY conv_id, turn_idx) AS gr
+              FROM t
+            ),
+            cs AS (
+              SELECT conv_id, CAST(min(gr) AS BIGINT) AS start_gr
+              FROM clock GROUP BY conv_id
+            ),
+            toks AS (
+              SELECT conv_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS l
+              FROM t
+            ),
+            m AS (
+              SELECT DISTINCT conv_id,
+                     unnest([array_to_string(l[i:i+{_MEM_NGRAM - 1}], ' ')
+                             for i in range(1, len(l) - {_MEM_NGRAM - 2})])
+                       AS g
+              FROM toks WHERE len(l) >= {_MEM_NGRAM}
+            ),
+            rare AS (
+              SELECT g FROM m GROUP BY g
+              HAVING count(*) >= 2 AND count(*) <= {_THREAD_DF_CAP}
+            ),
+            mr AS (SELECT m.conv_id, m.g FROM m JOIN rare USING (g)),
+            cp AS (
+              SELECT DISTINCT a.conv_id AS ca, b.conv_id AS cb
+              FROM mr a JOIN mr b
+                ON a.g = b.g AND a.conv_id < b.conv_id
+            ),
+            sym AS (SELECT ca AS u, cb AS v FROM cp
+                    UNION SELECT cb, ca FROM cp),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            comp AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT c.component AS thread_id,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(min(cs.start_gr) AS BIGINT) AS first_gr,
+                   CAST(max(cs.start_gr) AS BIGINT) AS last_gr,
+                   CAST(max(cs.start_gr) - min(cs.start_gr) AS BIGINT)
+                     AS span_gr
+            FROM comp c JOIN cs ON cs.conv_id = c.node
+            GROUP BY c.component
+            ORDER BY thread_id
+        """,
+        # capstone wave: epoch shuffle — md5 ranks, exact Spearman
+        # rational, sign-explicit trunc, contract threshold shared
+        "d_epoch_shuffle_quality": f"""
+            WITH r1 AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5('e1|' || doc_id), doc_id) AS p1
+              FROM documents
+            ),
+            r2 AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5('e2|' || doc_id), doc_id) AS p2
+              FROM documents
+            ),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum((CAST(p1 AS BIGINT) - CAST(p2 AS BIGINT))
+                              * (CAST(p1 AS BIGINT) - CAST(p2 AS BIGINT)))
+                          AS BIGINT) AS sum_d2
+              FROM r1 JOIN r2 USING (doc_id)
+            )
+            SELECT n_docs, sum_d2,
+                   CAST(CASE WHEN n_docs < 2 THEN 0 ELSE
+                     CASE WHEN n_docs * (n_docs * n_docs - 1)
+                               - 6 * sum_d2 >= 0
+                     THEN 1000000 * (n_docs * (n_docs * n_docs - 1)
+                                     - 6 * sum_d2)
+                          // (n_docs * (n_docs * n_docs - 1))
+                     ELSE -(1000000 * (6 * sum_d2
+                                       - n_docs * (n_docs * n_docs - 1))
+                            // (n_docs * (n_docs * n_docs - 1))) END END
+                        AS BIGINT) AS rho_micro,
+                   abs(CASE WHEN n_docs < 2 THEN 0 ELSE
+                     CASE WHEN n_docs * (n_docs * n_docs - 1)
+                               - 6 * sum_d2 >= 0
+                     THEN 1000000 * (n_docs * (n_docs * n_docs - 1)
+                                     - 6 * sum_d2)
+                          // (n_docs * (n_docs * n_docs - 1))
+                     ELSE -(1000000 * (6 * sum_d2
+                                       - n_docs * (n_docs * n_docs - 1))
+                            // (n_docs * (n_docs * n_docs - 1))) END END)
+                     < {_EPOCH_RHO_MAX_MICRO} AS decorrelated
+            FROM s
+        """,
         # capstone wave: dim covariance — milli pair products, integer
         # covariance form, |cov| ranking replayed verbatim
         "e_dim_covariance_top": f"""

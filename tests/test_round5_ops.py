@@ -4909,3 +4909,78 @@ def test_quality_dup_confound_odds_ratio(spark, tmp_path):
     assert (row.kept_unique, row.kept_dup, row.killed_unique,
             row.killed_dup) == (2, 2, 1, 2)
     assert row.odds_ratio_micro == 1_000_000 * 2 * 2 // (2 * 1)
+
+
+def test_dup_transitivity_open_and_closed_wedges(spark, tmp_path):
+    """An identical triple contributes 3 closed wedges; a similarity
+    chain a~b~c with J(a,c) < 0.8 contributes 1 open wedge."""
+    toks = [f"w{i}" for i in range(1, 31)]
+    a = " ".join(toks)
+    b = " ".join(toks[:-1] + ["zz"])                    # J(a,b) = 25/31
+    c = " ".join(["y1", "y2", "y3"] + toks[3:-1] + ["zz"])  # J(b,c)=25/31, J(a,c)<0.8
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "source": ["s"] * 6,
+            "text": [a, b, c, "same alpha beta", "same alpha beta",
+                     "same alpha beta"],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    row = entrymod.queries()["d_dup_transitivity"](spark, sf).toPandas().iloc[0]
+    assert (row.n_wedges, row.n_closed, row.n_open,
+            row.closure_permille) == (4, 3, 1, 750)
+
+
+def test_conv_threads_shared_span(spark, tmp_path):
+    """Conversations sharing a verbatim 8-gram thread together; the
+    unrelated conversation stays out; spans use conv clock starts."""
+    span1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    span2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "source": ["a", "b", "c", "d", "e"],
+            "text": [
+                span1, span1,
+                "totally unrelated words only here now forever more zz",
+                span2, span2,
+            ],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    pdf = entrymod.queries()["kg_conv_threads"](spark, sf).toPandas()
+    got = [(r.thread_id, r.n_convs, r.first_gr, r.last_gr, r.span_gr)
+           for r in pdf.itertuples()]
+    assert got == [("a", 2, 1, 2, 1), ("d", 2, 4, 5, 1)]
+
+
+def test_epoch_shuffle_quality_replica(spark, tmp_path):
+    """md5 epoch ranks and the exact Spearman rational match a pure
+    python replica."""
+    import hashlib
+
+    n = 6
+    docs = pd.DataFrame(
+        {"doc_id": range(n), "source": ["s"] * n, "text": ["x"] * n}
+    )
+    sf = _write(tmp_path, "documents", docs)
+
+    def ranks(seed):
+        order = sorted(
+            range(n),
+            key=lambda d: (hashlib.md5(f"{seed}|{d}".encode()).hexdigest(),
+                           d),
+        )
+        return {d: i + 1 for i, d in enumerate(order)}
+
+    p1, p2 = ranks("e1"), ranks("e2")
+    sum_d2 = sum((p1[d] - p2[d]) ** 2 for d in range(n))
+    den = n * (n * n - 1)
+    num = den - 6 * sum_d2
+    rho = (1_000_000 * num) // den if num >= 0 else -(
+        (1_000_000 * -num) // den
+    )
+    row = entrymod.queries()["d_epoch_shuffle_quality"](spark, sf).toPandas().iloc[0]
+    assert (row.n_docs, row.sum_d2, row.rho_micro) == (n, sum_d2, rho)
+    assert bool(row.decorrelated) == (abs(rho) < 200000)
