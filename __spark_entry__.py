@@ -12594,7 +12594,10 @@ def kg_kb_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
     )
     test = picked.filter("hold").select("u", "v")
-    train = picked.filter("NOT hold").select("u", "v")
+    train = picked.filter("NOT hold").select("u", "v").cache()
+    # train edge DIM, consumed 4x (two sym directions, two filtered
+    # directions) — the kg_robustness edges precedent; production
+    # persists the split once
     sym = train.unionAll(
         train.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).toDF("s", "t")
@@ -12617,7 +12620,9 @@ def kg_kb_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         train.select(F.col("v").alias("uu"), F.col("u").alias("w"))
     )
-    cand = scores.join(tr, ["uu", "w"], "left_anti")
+    cand = scores.join(tr, ["uu", "w"], "left_anti").cache()
+    # candidate DIM (gazetteer-bounded), consumed by the true-score
+    # lookup AND the rank comparison
     tscore = test.join(
         cand.select(
             F.col("uu").alias("u"), F.col("w").alias("v"),
@@ -12988,7 +12993,10 @@ def d_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.8
-    ).select("a", "b")
+    ).select("a", "b").cache()  # pair DIM, consumed 3x (both sym
+    # directions + the closure semi-join) — without it the PPJoin
+    # subtree recomputes per consumer; production reads a persisted
+    # pair table instead (the kg_robustness edges precedent)
     sym = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).toDF("x", "y")
