@@ -13195,6 +13195,283 @@ def d_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 continuation wave: statistical-inference, privacy, and graph
+# operators extending the suite after the capstone close.
+# ---------------------------------------------------------------------------
+
+# Poisson-bootstrap replicate count and the Poisson(1) inverse-CDF
+# thresholds scaled to the 48-bit hash domain — computed once from the
+# exact float CDF and embedded as INTEGER literals in both engines, so
+# the replicate weights are bit-identical across Spark and DuckDB.
+_BOOT_R = 64
+
+
+def _poisson1_thresholds_48() -> list[int]:
+    import math
+
+    out, cdf, p = [], 0.0, math.exp(-1.0)
+    for k in range(8):
+        cdf += p
+        out.append(math.floor(cdf * (1 << 48)))
+        p /= k + 1
+    return out
+
+
+_POIS_T48 = _poisson1_thresholds_48()
+
+
+def _pois_weight_case(u: str) -> str:
+    """CASE expression mapping a uniform 48-bit integer to a
+    Poisson(1) draw via the embedded inverse-CDF thresholds —
+    engine-portable SQL (same string runs in Spark and DuckDB)."""
+    clauses = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T48)
+    )
+    return f"(CASE {clauses} ELSE 8 END)"
+
+
+def ev_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): POISSON BOOTSTRAP — the
+    one bootstrap that works on a cluster (Chamandy et al., Google
+    'Estimating Uncertainty for Massive Data Streams'; Kleiner's BLB
+    is its heavier cousin): classical resampling needs n draws WITH
+    replacement from a distributed table (a global shuffle per
+    replicate), while Poisson(1) weights are independent PER ROW, so
+    all ``_BOOT_R`` replicates run in ONE pass. Each (order,
+    replicate) weight is Poisson(1) via the inverse CDF over a 48-bit
+    md5 hash (deterministic — no rand(), the portable_hash48
+    doctrine), and the statistic (mean order value in exact integer
+    cents) is an algebraic sum/count per replicate. Emits one row per
+    replicate plus the order-statistic 95% CI (2nd and 63rd of the 64
+    sorted replicate means — exact integers, no percentile
+    interpolation).
+
+    Shape: the ×64 explode is absorbed by map-side combine (64 groups
+    total, so each task emits ≤64 partial rows regardless of input
+    size); the CI rank runs on the 64-row replicate dim; the CI
+    scalars ride a broadcast one-row crossJoin (contract-scalar
+    doctrine). No reference analog (the reference reports point
+    estimates only) — this is the uncertainty layer a 10^12-turn
+    metrics pipeline attaches to every mean it publishes."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    r = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("rep"),
+    ).withColumn(
+        "u48",
+        F.expr(
+            "CAST(conv(substring(md5("
+            "concat_ws('|', 'boot', o_orderkey, rep)), 1, 12), 16, 10)"
+            " AS BIGINT)"
+        ),
+    )
+    g = (
+        r.withColumn("w", F.expr(_pois_weight_case("u48")).cast("long"))
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.expr("w * cents")).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.col("rep").cast("long").alias("rep"),
+            "n_eff",
+            "sum_cents",
+            F.expr("sum_cents DIV n_eff").cast("long").alias("mean_cents"),
+        )
+    )
+    rk = g.select(
+        "mean_cents",
+        F.row_number()
+        .over(Window.orderBy("mean_cents", "rep"))
+        .alias("rn"),
+    )
+    ci = rk.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == _BOOT_R - 1, F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )
+    return g.crossJoin(F.broadcast(ci)).orderBy("rep")
+
+
+# t-closeness: sensitive-attribute bucket width and the release
+# threshold (milli-EMD) — shared verbatim with the DuckDB twin.
+_TCLOSE_BUCKET = 100
+_TCLOSE_T_MILLI = 300
+
+
+def d_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): T-CLOSENESS READOUT
+    (Li/Li/Venkatasubramanian, ICDE'07) — the third rung of the
+    release-gate ladder after `d_k_anonymity` (class size) and
+    `d_l_diversity` (distinct sensitive values): a class can be large
+    AND diverse yet still leak because its sensitive-value
+    DISTRIBUTION diverges from the corpus (the skewness attack). Per
+    quasi-identifier class (source, lang), the Earth-Mover's Distance
+    between the class's ordered sensitive distribution (n_chars
+    buckets of ``_TCLOSE_BUCKET``) and the global one — for 1-D
+    ordered data EMD is the mean absolute CDF gap, computed here in
+    exact floor-permille integers (Σ|cdf_c − cdf_g| DIV (B−1)), so
+    the twin is bit-identical. Emits per class: row count, emd_milli,
+    and the ``t_ok`` release verdict against ``_TCLOSE_T_MILLI``.
+
+    Shape: two map-side-combinable groupBys on catalog-bounded grains
+    (classes × buckets), one broadcast dense-grid crossJoin of two
+    tiny dims (bucket dim is bounded by max_doc_len/width regardless
+    of corpus size), window cumsums over the bucket dim only. The
+    class dim never exceeds sources × langs — the same boundedness
+    argument as d_k_anonymity."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        "lang",
+        F.expr(f"n_chars DIV {_TCLOSE_BUCKET}").alias("bucket"),
+    )
+    cls_cnt = b.groupBy("source", "lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_cb")
+    )
+    cls_tot = b.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_c")
+    )
+    g_cnt = b.groupBy("bucket").agg(F.count("*").cast("long").alias("n_gb"))
+    g_tot = b.agg(F.count("*").cast("long").alias("n_g"))
+    g_cum = (
+        g_cnt.crossJoin(F.broadcast(g_tot))
+        .select(
+            "bucket",
+            F.sum("n_gb").over(Window.orderBy("bucket")).alias("cum_g"),
+            "n_g",
+        )
+        .select(
+            "bucket",
+            F.expr("(1000 * cum_g) DIV n_g").cast("long").alias("gpm"),
+        )
+    )
+    dense = cls_tot.crossJoin(F.broadcast(g_cnt.select("bucket")))
+    j = (
+        dense.join(cls_cnt, ["source", "lang", "bucket"], "left")
+        .fillna(0, subset=["n_cb"])
+        .select(
+            "source",
+            "lang",
+            "bucket",
+            "n_c",
+            F.sum("n_cb")
+            .over(
+                Window.partitionBy("source", "lang").orderBy("bucket")
+            )
+            .alias("cum_c"),
+        )
+        .join(F.broadcast(g_cum), "bucket")
+        .select(
+            "source",
+            "lang",
+            "n_c",
+            F.expr("abs((1000 * cum_c) DIV n_c - gpm)")
+            .cast("long")
+            .alias("gap"),
+        )
+    )
+    return (
+        j.groupBy("source", "lang")
+        .agg(
+            F.max("n_c").cast("long").alias("n_rows"),
+            F.expr(
+                "CASE WHEN count(*) < 2 THEN 0"
+                " ELSE sum(gap) DIV (count(*) - 1) END"
+            )
+            .cast("long")
+            .alias("emd_milli"),
+        )
+        .withColumn("t_ok", F.expr(f"emd_milli <= {_TCLOSE_T_MILLI}"))
+        .orderBy("source", "lang")
+    )
+
+
+# eigenvector centrality: fixed power-iteration round count — the
+# readout is the (exactly pinned) 6th iterate under integer
+# max-normalization; convergence to the dominant eigenvector is the
+# documented limit. Shared with the unrolled DuckDB twin.
+_EIGEN_ROUNDS = 6
+
+
+def g_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): EIGENVECTOR CENTRALITY
+    over the entity co-mention graph — lazy power iteration
+    x ← (A+I)·x with integer max-normalization ((10⁶·x) DIV max(x)
+    per round; the self-loop kills bipartite oscillation), the
+    damping-free counterpart of `g_pagerank_entities`: PageRank's
+    teleport term rewards being reachable, eigenvector centrality
+    rewards being endorsed by OTHER central nodes (Bonacich 1987),
+    so hubs linked to hubs pull ahead. ``_EIGEN_ROUNDS`` fixed rounds,
+    each one join + one map-side-combinable groupBy on the
+    vocabulary-bounded node dim; the normalization max rides a
+    broadcast one-row crossJoin (contract-scalar doctrine). All
+    arithmetic is BIGINT (scores ≤10⁶, degree-bounded sums ≤10⁸ —
+    no overflow, no float drift), so the unrolled DuckDB twin replays
+    every iterate bit-for-bit.
+
+    Shape: the iteration state is the node dim (|vocab| rows), never
+    the mention grain; the edge set is cached once (three reuse
+    doctrine of g_triangles). At open vocabulary the join is keyed by
+    node id and AQE handles the hot-entity skew — same argument as
+    kg_salted_entity_histogram."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+    a = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e1"))
+    b = m.select("conv_id", "turn_idx", F.col("surface_norm").alias("e2"))
+    edges = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter(F.col("e1") < F.col("e2"))
+        .select("e1", "e2")
+        .distinct()
+    )
+    und = edges.select(
+        F.col("e1").alias("src"), F.col("e2").alias("dst")
+    ).unionByName(
+        edges.select(F.col("e2").alias("src"), F.col("e1").alias("dst"))
+    )
+    # lazy (A+I) walk: self-loops kill the bipartite oscillation pure
+    # power iteration exhibits (a star graph flips center/leaf scores
+    # every round; A+I converges to the dominant eigenvector of the
+    # lazy operator instead — standard spectral practice)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    sym = und.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).cache()
+    x = nodes.withColumn("s", F.lit(1000000).cast("long"))
+    for _ in range(_EIGEN_ROUNDS):
+        # normalization max via a window over the (vocabulary-sized)
+        # node dim — keeps all 6 rounds in ONE job instead of paying a
+        # sequential broadcast-materialization barrier per round
+        # (measured 85 s → 8 s at sf0.01)
+        x = (
+            sym.join(x, sym["dst"] == x["node"])
+            .groupBy("src")
+            .agg(F.sum("s").cast("long").alias("y"))
+            .select(
+                F.col("src").alias("node"),
+                F.expr("(1000000 * y) DIV max(y) OVER ()")
+                .cast("long")
+                .alias("s"),
+            )
+        )
+    return x.select("node", F.col("s").alias("score_micro")).orderBy(
+        F.desc("score_micro"), "node"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
@@ -13235,7 +13512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERIFY_LOCAL_r5_sf01.json — full sf0.1 pass; each final-wave
     entry additionally verified at sf0.001 individually)."""
     return {
-        # -- never driver-captured: capstone-wave additions (newest of all) --
+        # -- never driver-captured: continuation-wave additions (newest) --
+        "ev_poisson_bootstrap": ev_poisson_bootstrap,
+        "d_t_closeness": d_t_closeness,
+        "g_eigencentrality": g_eigencentrality,
+        # -- never driver-captured: capstone-wave additions --
         "d_dup_transitivity": d_dup_transitivity,
         "kg_conv_threads": kg_conv_threads,
         "d_epoch_shuffle_quality": d_epoch_shuffle_quality,
@@ -14300,7 +14581,151 @@ def oracle_sql() -> dict[str, str]:
     single_pat = r"\b(" + "|".join(
         sorted(s for s in DOC_SURFACES if " " not in s)
     ) + ")"
+    # unrolled power-iteration rounds for the g_eigencentrality twin —
+    # generated from the same _EIGEN_ROUNDS constant as the Spark loop
+    # so the two engines can never drift on round count
+    eig_rounds = ", ".join(
+        f"y{i} AS ("
+        f" SELECT sym.src AS node, CAST(sum(x{i - 1}.s) AS BIGINT) AS y"
+        f" FROM sym JOIN x{i - 1} ON x{i - 1}.node = sym.dst GROUP BY 1),"
+        f" x{i} AS ("
+        f" SELECT node, CAST((1000000 * y) //"
+        f" (SELECT max(y) FROM y{i}) AS BIGINT) AS s FROM y{i})"
+        for i in range(1, _EIGEN_ROUNDS + 1)
+    )
     return {
+        # continuation wave: Poisson bootstrap — identical md5-derived
+        # Poisson(1) weights, identical integer-cent sums, identical
+        # order-statistic CI ranks
+        "ev_poisson_bootstrap": f"""
+            WITH r AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     unnest(range({_BOOT_R})) AS rep
+              FROM orders
+            ),
+            u AS (
+              SELECT rep, cents,
+                     CAST('0x' || substr(md5(
+                       'boot|' || o_orderkey || '|' || rep), 1, 12)
+                       AS BIGINT) AS u48
+              FROM r
+            ),
+            g AS (
+              SELECT CAST(rep AS BIGINT) AS rep,
+                     CAST(sum({_pois_weight_case("u48")}) AS BIGINT)
+                       AS n_eff,
+                     CAST(sum({_pois_weight_case("u48")} * cents)
+                       AS BIGINT) AS sum_cents
+              FROM u GROUP BY 1
+            ),
+            m AS (
+              SELECT rep, n_eff, sum_cents,
+                     CAST(sum_cents // n_eff AS BIGINT) AS mean_cents
+              FROM g
+            ),
+            rk AS (
+              SELECT mean_cents,
+                     row_number() OVER (ORDER BY mean_cents, rep) AS rn
+              FROM m
+            ),
+            ci AS (
+              SELECT CAST(max(CASE WHEN rn = 2 THEN mean_cents END)
+                       AS BIGINT) AS ci_lo_cents,
+                     CAST(max(CASE WHEN rn = {_BOOT_R - 1} THEN mean_cents
+                       END) AS BIGINT) AS ci_hi_cents
+              FROM rk
+            )
+            SELECT rep, n_eff, sum_cents, mean_cents,
+                   ci_lo_cents, ci_hi_cents
+            FROM m CROSS JOIN ci ORDER BY rep
+        """,
+        # continuation wave: t-closeness — same floor-permille CDF
+        # gaps over the same dense class × bucket grid
+        "d_t_closeness": f"""
+            WITH b AS (
+              SELECT source, lang,
+                     n_chars // {_TCLOSE_BUCKET} AS bucket
+              FROM documents
+            ),
+            cls_cnt AS (
+              SELECT source, lang, bucket,
+                     CAST(count(*) AS BIGINT) AS n_cb
+              FROM b GROUP BY 1, 2, 3
+            ),
+            cls_tot AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS n_c
+              FROM b GROUP BY 1, 2
+            ),
+            g_cnt AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_gb
+              FROM b GROUP BY 1
+            ),
+            g_cum AS (
+              SELECT bucket,
+                     CAST((1000 * sum(n_gb) OVER (ORDER BY bucket))
+                          // (SELECT count(*) FROM b) AS BIGINT) AS gpm
+              FROM g_cnt
+            ),
+            dense AS (
+              SELECT c.source, c.lang, c.n_c, g.bucket
+              FROM cls_tot c CROSS JOIN (SELECT bucket FROM g_cnt) g
+            ),
+            j AS (
+              SELECT d.source, d.lang, d.bucket, d.n_c,
+                     sum(coalesce(cc.n_cb, 0)) OVER (
+                       PARTITION BY d.source, d.lang ORDER BY d.bucket)
+                       AS cum_c
+              FROM dense d LEFT JOIN cls_cnt cc
+                ON cc.source = d.source AND cc.lang = d.lang
+               AND cc.bucket = d.bucket
+            ),
+            gaps AS (
+              SELECT j.source, j.lang, j.n_c,
+                     abs((1000 * j.cum_c) // j.n_c - g.gpm) AS gap
+              FROM j JOIN g_cum g ON g.bucket = j.bucket
+            )
+            SELECT source, lang,
+                   CAST(max(n_c) AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN count(*) < 2 THEN 0
+                        ELSE sum(gap) // (count(*) - 1) END AS BIGINT)
+                     AS emd_milli,
+                   (CASE WHEN count(*) < 2 THEN 0
+                         ELSE sum(gap) // (count(*) - 1) END)
+                     <= {_TCLOSE_T_MILLI} AS t_ok
+            FROM gaps GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # continuation wave: eigenvector centrality — unrolled integer
+        # power iteration, bit-identical normalization per round
+        "g_eigencentrality": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            e AS (
+              SELECT DISTINCT a.e AS a, b.e AS b
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND a.e < b.e
+            ),
+            und AS (
+              SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b, a FROM e
+            ),
+            sym AS (
+              SELECT src, dst FROM und
+              UNION ALL SELECT DISTINCT src, src FROM und
+            ),
+            x0 AS (
+              SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS s
+              FROM und
+            ),
+            {eig_rounds}
+            SELECT node, s AS score_micro FROM x{_EIGEN_ROUNDS}
+            ORDER BY score_micro DESC, node
+        """,
         # capstone wave: dup transitivity — shared shingle algebra,
         # symmetrized wedge pivot, closure semi-join replayed
         "d_dup_transitivity": f"""

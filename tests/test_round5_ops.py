@@ -4984,3 +4984,135 @@ def test_epoch_shuffle_quality_replica(spark, tmp_path):
     row = entrymod.queries()["d_epoch_shuffle_quality"](spark, sf).toPandas().iloc[0]
     assert (row.n_docs, row.sum_d2, row.rho_micro) == (n, sum_d2, rho)
     assert bool(row.decorrelated) == (abs(rho) < 200000)
+
+
+# ---------------------------------------------------------------------------
+# continuation wave (round-5 final session)
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_weights_match_reference(spark, tmp_path):
+    """The md5-derived Poisson(1) weights, per-replicate integer-cent
+    sums, and the order-statistic CI replay exactly against a pure-
+    Python reference over a tiny orders table."""
+    import hashlib
+
+    keys = [11, 22, 33, 44, 55]
+    prices = [10.01, 20.02, 33.33, 47.99, 100.00]
+    orders = pd.DataFrame({"o_orderkey": keys, "o_totalprice": prices})
+    orders.to_parquet(str(tmp_path / "orders.parquet"))
+
+    ts = entrymod._POIS_T48
+
+    def w(k, r):
+        u = int(hashlib.md5(f"boot|{k}|{r}".encode()).hexdigest()[:12], 16)
+        for i, t in enumerate(ts):
+            if u < t:
+                return i
+        return 8
+
+    cents = [round(p * 100) for p in prices]
+    reps = []
+    for r in range(entrymod._BOOT_R):
+        ws = [w(k, r) for k in keys]
+        n_eff = sum(ws)
+        s = sum(wi * c for wi, c in zip(ws, cents))
+        reps.append((r, n_eff, s, s // n_eff if n_eff else None))
+    assert all(r[1] > 0 for r in reps), "test fixture: no empty replicate"
+    ordered = sorted(reps, key=lambda t: (t[3], t[0]))
+    ci_lo, ci_hi = ordered[1][3], ordered[entrymod._BOOT_R - 2][3]
+
+    pdf = (
+        entrymod.queries()["ev_poisson_bootstrap"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("rep")
+    )
+    got = list(
+        zip(pdf.rep, pdf.n_eff, pdf.sum_cents, pdf.mean_cents)
+    )
+    assert got == reps
+    assert set(pdf.ci_lo_cents) == {ci_lo}
+    assert set(pdf.ci_hi_cents) == {ci_hi}
+
+
+def test_t_closeness_mirror_class_zero_skewed_class_flagged(spark, tmp_path):
+    """A class whose sensitive distribution mirrors the global one
+    reads a small EMD; a class concentrated in the far bucket reads a
+    large one and fails the t gate — both replayed with the exact
+    floor-permille algebra."""
+    rows = []
+    # classes s1 and s2: identical spread across buckets 0 and 1
+    for src in ("s1", "s2"):
+        rows += [(src, "en", 50), (src, "en", 150)]
+    # class s3: all mass in bucket 2 (the skewness attack shape)
+    rows += [("s3", "en", 250), ("s3", "en", 299)]
+    docs = pd.DataFrame(rows, columns=["source", "lang", "n_chars"])
+    docs["doc_id"] = range(len(docs))
+    docs["text"] = "x"
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python replay of the floor-permille EMD
+    b = [(s, l, c // 100) for s, l, c in rows]
+    buckets = sorted({x[2] for x in b})
+    n_g = len(b)
+    gcum, acc = {}, 0
+    for bk in buckets:
+        acc += sum(1 for x in b if x[2] == bk)
+        gcum[bk] = (1000 * acc) // n_g
+    exp = {}
+    for src in ("s1", "s2", "s3"):
+        mine = [x for x in b if x[0] == src]
+        n_c = len(mine)
+        acc, gaps = 0, []
+        for bk in buckets:
+            acc += sum(1 for x in mine if x[2] == bk)
+            gaps.append(abs((1000 * acc) // n_c - gcum[bk]))
+        exp[src] = sum(gaps) // (len(buckets) - 1)
+
+    pdf = (
+        entrymod.queries()["d_t_closeness"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("source")
+    )
+    for src in ("s1", "s2", "s3"):
+        assert pdf.loc[src].emd_milli == exp[src]
+        assert bool(pdf.loc[src].t_ok) == (exp[src] <= 300)
+    # the mirrored classes are closer than the concentrated one
+    assert exp["s1"] < exp["s3"] and not pdf.loc["s3"].t_ok
+
+
+def test_eigencentrality_star_graph_integer_iteration(spark, tmp_path):
+    """On a star (spark—batch, spark—filter, spark—query) the lazy
+    (A+I) iteration converges with the center at 10⁶ and the three
+    leaves equal; every iterate replays the integer algebra exactly."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["c1", "c1", "c1"],
+            "text": ["spark batch", "spark filter", "spark query"],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+
+    adj = {
+        "spark": ["batch", "filter", "query", "spark"],
+        "batch": ["spark", "batch"],
+        "filter": ["spark", "filter"],
+        "query": ["spark", "query"],
+    }
+    x = {n: 1_000_000 for n in adj}
+    for _ in range(entrymod._EIGEN_ROUNDS):
+        y = {n: sum(x[u] for u in nbrs) for n, nbrs in adj.items()}
+        mx = max(y.values())
+        x = {n: (1_000_000 * v) // mx for n, v in y.items()}
+
+    pdf = (
+        entrymod.queries()["g_eigencentrality"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("node")
+    )
+    for n, v in x.items():
+        assert pdf.loc[n].score_micro == v
+    assert pdf.loc["spark"].score_micro == 1_000_000
+    leaves = {pdf.loc[n].score_micro for n in ("batch", "filter", "query")}
+    assert len(leaves) == 1 and leaves.pop() < 1_000_000
