@@ -5116,3 +5116,113 @@ def test_eigencentrality_star_graph_integer_iteration(spark, tmp_path):
     assert pdf.loc["spark"].score_micro == 1_000_000
     leaves = {pdf.loc[n].score_micro for n in ("batch", "filter", "query")}
     assert len(leaves) == 1 and leaves.pop() < 1_000_000
+
+
+def test_ktruss_prunes_pendant_triangle_keeps_clique(spark, tmp_path):
+    """A 4-clique survives the 4-truss (every edge in 2 triangles
+    inside the survivor set); a triangle hanging off the clique by
+    two weak edges is pruned in round one; the fixpoint converges."""
+    pairs = [
+        ("batch", "filter"), ("batch", "query"), ("batch", "spark"),
+        ("filter", "query"), ("filter", "spark"), ("query", "spark"),
+        ("query", "stream"), ("spark", "stream"),
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(pairs)),
+            "source": ["c1"] * len(pairs),
+            "text": [f"{a} {b}" for a, b in pairs],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    pdf = entrymod.queries()["g_ktruss"](spark, str(tmp_path)).toPandas()
+    got = sorted((r.a, r.b, r.support) for r in pdf.itertuples())
+    clique = ["batch", "filter", "query", "spark"]
+    want = sorted(
+        (a, b, 2)
+        for i, a in enumerate(clique)
+        for b in clique[i + 1:]
+    )
+    assert got == want
+    assert set(pdf.converged) == {True}
+
+
+def test_amie_rules_match_bruteforce_reference(spark, tmp_path):
+    """The mined rule table (support, confidence, head coverage)
+    replays a pure-Python mini-AMIE over the same fact projection."""
+    nation = pd.DataFrame(
+        {"n_nationkey": [1, 2], "n_name": ["A", "B"], "n_regionkey": [0, 0]}
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [1, 2, 3, 4, 5, 6], "c_nationkey": [1, 2, 1, 2, 1, 2]}
+    )
+    supplier = pd.DataFrame({"s_suppkey": [1, 2], "s_nationkey": [1, 2]})
+    orders = pd.DataFrame(
+        {"o_orderkey": [10, 20, 30, 40, 50, 60], "o_custkey": [1, 2, 3, 4, 5, 6]}
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [10, 20, 30, 40, 50, 60, 60],
+            "l_partkey": [7, 7, 7, 7, 7, 8, 7],
+            "l_suppkey": [1, 1, 1, 1, 1, 2, 2],
+        }
+    )
+    for name, df in [
+        ("nation", nation), ("customer", customer), ("supplier", supplier),
+        ("orders", orders), ("lineitem", lineitem),
+    ]:
+        df.to_parquet(str(tmp_path / f"{name}.parquet"))
+
+    facts = set()
+    for _, r in customer.iterrows():
+        facts.add((f"c:{r.c_custkey}", "cust_nation", f"n:{r.c_nationkey}"))
+    for _, r in supplier.iterrows():
+        facts.add((f"s:{r.s_suppkey}", "supp_nation", f"n:{r.s_nationkey}"))
+    for _, r in nation.iterrows():
+        facts.add((f"n:{r.n_nationkey}", "nation_region", f"r:{r.n_regionkey}"))
+    ol = orders.merge(lineitem, left_on="o_orderkey", right_on="l_orderkey")
+    for _, r in ol.iterrows():
+        facts.add((f"c:{r.o_custkey}", "bought", f"p:{r.l_partkey}"))
+        facts.add((f"c:{r.o_custkey}", "ordered_from", f"s:{r.l_suppkey}"))
+    for _, r in lineitem.iterrows():
+        facts.add((f"p:{r.l_partkey}", "sold_by", f"s:{r.l_suppkey}"))
+    cn = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    for _, r in cn.iterrows():
+        facts.add((f"c:{r.c_custkey}", "cust_region", f"r:{r.n_regionkey}"))
+    sn = supplier.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    for _, r in sn.iterrows():
+        facts.add((f"s:{r.s_suppkey}", "supp_region", f"r:{r.n_regionkey}"))
+
+    body = {
+        (p, q, x, z)
+        for (x, p, y1) in facts
+        for (y2, q, z) in facts
+        if y1 == y2 and x != z
+    }
+    bn = Counter((p, q) for p, q, _, _ in body)
+    heads = Counter(p for _, p, _ in facts)
+    sup = Counter(
+        (p, q, r)
+        for (p, q, x, z) in body
+        for r in heads
+        if (x, r, z) in facts
+    )
+    want = sorted(
+        [
+            (p, q, r, s, bn[(p, q)],
+             (1000 * s) // bn[(p, q)], (1000 * s) // heads[r])
+            for (p, q, r), s in sup.items()
+            if s >= entrymod._AMIE_MIN_SUPPORT
+        ],
+        key=lambda t: (-t[5], t[0], t[1], t[2]),
+    )
+
+    pdf = entrymod.queries()["kg_amie_rules"](spark, str(tmp_path)).toPandas()
+    got = [
+        (r.body1, r.body2, r.head, r.support, r.body_n,
+         r.conf_permille, r.head_coverage_permille)
+        for r in pdf.itertuples()
+    ]
+    assert got == want
+    # the deductive composition is rediscovered at full confidence
+    assert ("cust_nation", "nation_region", "cust_region", 6, 6, 1000, 1000) in got
