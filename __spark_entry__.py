@@ -13560,6 +13560,204 @@ def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequential e-value test: fixed H0/H1 conversion rates, the two
+# per-event log-likelihood-ratio increments in exact integer micros,
+# and the ln(1/alpha) crossing threshold — computed once from the
+# float constants and embedded as INTEGER literals in both engines.
+_EVALUE_P0 = 0.15
+_EVALUE_P1 = 0.20
+_EVALUE_C1 = round(1_000_000 * __import__("math").log(_EVALUE_P1 / _EVALUE_P0))
+_EVALUE_C2 = round(
+    1_000_000 * __import__("math").log((1 - _EVALUE_P1) / (1 - _EVALUE_P0))
+)
+_EVALUE_TH = round(1_000_000 * __import__("math").log(20.0))  # alpha = 0.05
+
+
+def ev_evalue_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): ALWAYS-VALID SEQUENTIAL
+    TEST via e-values (Ramdas et al., 'Game-theoretic statistics and
+    safe anytime-valid inference') — the monitoring readout that fixes
+    the peeking problem `ev_welch_ttest` has: a fixed-n p-value is
+    invalid if you look every day, while an e-process (here the
+    Bernoulli likelihood ratio for H0: rate = ``_EVALUE_P0`` vs the
+    fixed alternative ``_EVALUE_P1``) can be inspected at EVERY event
+    and still bounds type-I error by 1/threshold (Ville's
+    inequality). Because log LR per event is one of two constants
+    (convert: ln(p1/p0), else ln((1−p1)/(1−p0))), the entire
+    e-process is integer micros — k·C1 + (n−k)·C2 — and the twin
+    replays every cumulative value bit-for-bit. Emits one row per
+    arm (user_id parity): totals, the final and maximum log-e-value,
+    whether the ln(1/α) line was crossed, and the event index of the
+    FIRST crossing — the quantity a launch gate acts on.
+
+    Shape: one window cumsum per arm ordered by (ts, event_id) —
+    the sessionize/funnel partitioning, so the state rides the
+    arm×time key the events table is already clustered by — then one
+    map-side-combinable groupBy on the 2-row arm dim. Conversion =
+    event_type 'purchase' (the ev_funnel convention)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("user_id % 2").cast("long").alias("arm"),
+        "ts",
+        "event_id",
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        .cast("long")
+        .alias("conv"),
+    )
+    w = Window.partitionBy("arm").orderBy("ts", "event_id")
+    cum = e.select(
+        "arm",
+        F.row_number().over(w).cast("long").alias("n"),
+        F.sum("conv").over(w).cast("long").alias("k"),
+        "conv",
+    ).withColumn(
+        "loge_micro",
+        F.expr(f"k * {_EVALUE_C1} + (n - k) * {_EVALUE_C2}").cast("long"),
+    )
+    return (
+        cum.groupBy("arm")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.sum("conv").cast("long").alias("n_conversions"),
+            F.max("loge_micro").cast("long").alias("max_loge_micro"),
+            F.min(
+                F.when(
+                    F.col("loge_micro") >= _EVALUE_TH, F.col("n")
+                )
+            )
+            .cast("long")
+            .alias("first_cross_n"),
+        )
+        .select(
+            "arm",
+            "n_events",
+            "n_conversions",
+            F.expr(
+                f"n_conversions * {_EVALUE_C1}"
+                f" + (n_events - n_conversions) * {_EVALUE_C2}"
+            )
+            .cast("long")
+            .alias("loge_final_micro"),
+            "max_loge_micro",
+            F.expr(f"max_loge_micro >= {_EVALUE_TH}").alias("crossed"),
+            "first_cross_n",
+        )
+        .orderBy("arm")
+    )
+
+
+# Johnson–Lindenstrauss sign projection: output dimensionality, the
+# fixed-point quantization scale, the audited sample width, and the
+# distortion-contract band (permille of the expected d'·dist² ratio).
+_RP_DIMS = 16
+_RP_SAMPLE = 20
+# band chosen from the d'=16 concentration (relative sd ≈ √(2/d') ≈
+# 0.35): ±~3σ around the expected 1000‰ — measured sample-pair ratios
+# span 262–2296 across the SFs, all inside
+_RP_BAND = (250, 2500)
+
+
+def _rp_signs() -> list[list[int]]:
+    """The ±1 projection matrix (64 input dims × ``_RP_DIMS``),
+    md5-derived — deterministic plan literals in BOTH engines (the
+    e_pq_topk LUT doctrine), never shipped as data."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[:12], 16)
+            % 2
+            == 0
+            else -1
+            for i in range(64)
+        ]
+        for j in range(_RP_DIMS)
+    ]
+
+
+def e_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): RANDOM-PROJECTION
+    DIMENSIONALITY REDUCTION with a Johnson–Lindenstrauss distortion
+    audit (Achlioptas 2003 — database-friendly ±1 projections): the
+    64-dim embeddings are projected to ``_RP_DIMS`` dims by a
+    md5-derived sign matrix (E[‖p_a−p_b‖²] = d′·‖q_a−q_b‖², so the
+    permille ratio (1000·dist²_proj) DIV (d′·dist²_orig) concentrates
+    at 1000), completing the module's compression ladder: int8 = 4×
+    (e_int8_topk), PQ = 32× (e_pq_topk), JL = 4× with DISTANCE
+    GUARANTEES rather than codebook recall. Vectors are fixed-point
+    milli-quantized (round(v·1000) — the exact-integer doctrine), so
+    every dot product, distance, and ratio is BIGINT and the twin is
+    bit-identical. Emits the audited sample-pair grain (vec_id <
+    ``_RP_SAMPLE``, identical-point pairs excluded — they carry no
+    distortion signal) with the ``jl_ok`` contract column pinning the
+    ratio inside ``_RP_BAND``.
+
+    Shape: the projection itself is a per-row map (16 zip_with
+    aggregates over plan-literal signs — no UDF, no shuffle,
+    whole-stage codegen) applied to the FULL table; only the audit
+    joins the ``_RP_SAMPLE``-row head against itself (bounded grain,
+    the dedup-threshold-curve sampling doctrine). At 10⁹ vectors the
+    map is embarrassingly parallel and the audit cost is constant."""
+    signs = _rp_signs()
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    proj_exprs = [
+        F.expr(
+            "aggregate(zip_with(q, array("
+            + ", ".join(f"CAST({s} AS BIGINT)" for s in signs[j])
+            + "), (x, s) -> x * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias(f"p{j}")
+        for j in range(_RP_DIMS)
+    ]
+    projected = emb.select("vec_id", "q", *proj_exprs)
+    s = projected.filter(F.col("vec_id") < _RP_SAMPLE)
+    a = s.select(
+        F.col("vec_id").alias("a"),
+        F.col("q").alias("qa"),
+        *[F.col(f"p{j}").alias(f"pa{j}") for j in range(_RP_DIMS)],
+    )
+    b = s.select(
+        F.col("vec_id").alias("b"),
+        F.col("q").alias("qb"),
+        *[F.col(f"p{j}").alias(f"pb{j}") for j in range(_RP_DIMS)],
+    )
+    d2p = " + ".join(
+        f"(pa{j} - pb{j}) * (pa{j} - pb{j})" for j in range(_RP_DIMS)
+    )
+    lo, hi = _RP_BAND
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn(
+            "dist2_orig",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).cast("long"),
+        )
+        .filter(F.col("dist2_orig") > 0)
+        .withColumn("dist2_proj", F.expr(d2p).cast("long"))
+        .select(
+            "a",
+            "b",
+            "dist2_orig",
+            "dist2_proj",
+            F.expr(f"(1000 * dist2_proj) DIV ({_RP_DIMS} * dist2_orig)")
+            .cast("long")
+            .alias("ratio_permille"),
+        )
+        .withColumn(
+            "jl_ok",
+            F.expr(f"ratio_permille BETWEEN {lo} AND {hi}"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 # AMIE rule mining: minimum support and the wedge-pivot fan-out cap
 # (in-degree × out-degree product above which a mid entity is excluded
 # from rule bodies — the hot-key guard; shared verbatim by the twin).
@@ -13768,6 +13966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_eigencentrality": g_eigencentrality,
         "g_ktruss": g_ktruss,
         "kg_amie_rules": kg_amie_rules,
+        "ev_evalue_sequential": ev_evalue_sequential,
+        "e_rp_project": e_rp_project,
         # -- never driver-captured: capstone-wave additions --
         "d_dup_transitivity": d_dup_transitivity,
         "kg_conv_threads": kg_conv_threads,
@@ -14866,7 +15066,83 @@ def oracle_sql() -> dict[str, str]:
         f" (SELECT a, b FROM sup{i} WHERE sup >= {_TRUSS_K - 2})"
         for i in range(tr_r + 1)
     )
+    # plan-literal sign matrix for the e_rp_project twin — generated
+    # from the same _rp_signs() as the Spark expressions
+    rp_signs = _rp_signs()
+    rp_p = ", ".join(
+        f"CAST(list_dot_product(q, ["
+        + ", ".join(str(s) for s in rp_signs[j])
+        + f"]) AS BIGINT) AS p{j}"
+        for j in range(_RP_DIMS)
+    )
+    rp_d2p = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_RP_DIMS)
+    )
     return {
+        # continuation wave: sequential e-value test — identical
+        # integer log-LR increments, cumsums, and crossing index
+        "ev_evalue_sequential": f"""
+            WITH e AS (
+              SELECT CAST(user_id % 2 AS BIGINT) AS arm, ts, event_id,
+                     CAST(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END AS BIGINT) AS conv
+              FROM events
+            ),
+            cum AS (
+              SELECT arm, conv,
+                     CAST(row_number() OVER w AS BIGINT) AS n,
+                     CAST(sum(conv) OVER w AS BIGINT) AS k
+              FROM e
+              WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id)
+            ),
+            lg AS (
+              SELECT arm, conv, n,
+                     k * {_EVALUE_C1} + (n - k) * {_EVALUE_C2}
+                       AS loge_micro
+              FROM cum
+            )
+            SELECT arm,
+                   CAST(max(n) AS BIGINT) AS n_events,
+                   CAST(sum(conv) AS BIGINT) AS n_conversions,
+                   CAST(sum(conv) * {_EVALUE_C1}
+                        + (max(n) - sum(conv)) * {_EVALUE_C2}
+                        AS BIGINT) AS loge_final_micro,
+                   CAST(max(loge_micro) AS BIGINT) AS max_loge_micro,
+                   max(loge_micro) >= {_EVALUE_TH} AS crossed,
+                   CAST(min(CASE WHEN loge_micro >= {_EVALUE_TH}
+                            THEN n END) AS BIGINT) AS first_cross_n
+            FROM lg GROUP BY arm ORDER BY arm
+        """,
+        # continuation wave: JL sign projection — same plan-literal
+        # sign matrix, same milli-quantization, same integer ratios
+        "e_rp_project": f"""
+            WITH qv AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       v -> CAST(round(CAST(v AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id < {_RP_SAMPLE}
+            ),
+            p AS MATERIALIZED (
+              SELECT vec_id, q, {rp_p} FROM qv
+            ),
+            pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     CAST(list_dot_product(a.q, a.q)
+                          - 2 * list_dot_product(a.q, b.q)
+                          + list_dot_product(b.q, b.q) AS BIGINT)
+                       AS dist2_orig,
+                     CAST({rp_d2p} AS BIGINT) AS dist2_proj
+              FROM p a JOIN p b ON a.vec_id < b.vec_id
+            )
+            SELECT a, b, dist2_orig, dist2_proj,
+                   CAST((1000 * dist2_proj)
+                        // ({_RP_DIMS} * dist2_orig) AS BIGINT)
+                     AS ratio_permille,
+                   ((1000 * dist2_proj) // ({_RP_DIMS} * dist2_orig))
+                     BETWEEN {_RP_BAND[0]} AND {_RP_BAND[1]} AS jl_ok
+            FROM pairs WHERE dist2_orig > 0 ORDER BY a, b
+        """,
         # continuation wave: k-truss — unrolled prune rounds with the
         # same oriented triangle enumeration and convergence probe
         "g_ktruss": f"""

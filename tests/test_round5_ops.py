@@ -5226,3 +5226,86 @@ def test_amie_rules_match_bruteforce_reference(spark, tmp_path):
     assert got == want
     # the deductive composition is rediscovered at full confidence
     assert ("cust_nation", "nation_region", "cust_region", 6, 6, 1000, 1000) in got
+
+
+def test_evalue_sequential_crossing_index(spark, tmp_path):
+    """The integer e-process and its first-crossing index replay a
+    pure-Python reference on a hand-built conversion sequence; an arm
+    that never accumulates evidence never crosses."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # arm 0 (even user): heavy converter — crosses quickly
+    for i in range(40):
+        rows.append((i, t0 + timedelta(minutes=i), 0,
+                     "purchase" if i % 2 == 0 else "view", 1.0, "{}"))
+    # arm 1 (odd user): zero conversions — loge only falls
+    for i in range(40):
+        rows.append((100 + i, t0 + timedelta(minutes=i), 1, "view", 1.0, "{}"))
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(str(tmp_path / "events.parquet"))
+
+    C1, C2, TH = entrymod._EVALUE_C1, entrymod._EVALUE_C2, entrymod._EVALUE_TH
+    k = n = 0
+    first = None
+    mx = -(10**18)
+    for i in range(40):
+        n += 1
+        k += 1 if i % 2 == 0 else 0
+        lg = k * C1 + (n - k) * C2
+        mx = max(mx, lg)
+        if first is None and lg >= TH:
+            first = n
+
+    pdf = (
+        entrymod.queries()["ev_evalue_sequential"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("arm")
+    )
+    a0 = pdf.loc[0]
+    assert (a0.n_events, a0.n_conversions) == (40, 20)
+    assert a0.loge_final_micro == 20 * C1 + 20 * C2
+    assert a0.max_loge_micro == mx and bool(a0.crossed) == (first is not None)
+    if first is not None:
+        assert a0.first_cross_n == first
+    a1 = pdf.loc[1]
+    assert a1.n_conversions == 0 and not bool(a1.crossed)
+    assert pd.isna(a1.first_cross_n)
+    assert a1.loge_final_micro == 40 * C2 < 0
+
+
+def test_rp_project_known_vectors(spark, tmp_path):
+    """Projection, distances, and the distortion ratio replay a
+    numpy reference built from the same md5 sign matrix; an
+    identical-point pair is excluded from the audit."""
+    import numpy as np
+
+    rng = [((i * 37 + j * 11) % 19 - 9) / 7.0 for i in range(3) for j in range(64)]
+    v0 = rng[0:64]
+    v1 = rng[64:128]
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [v0, v1, list(v0)],  # vec 2 duplicates vec 0
+            "label": [0, 1, 0],
+        }
+    )
+    emb.to_parquet(str(tmp_path / "embeddings.parquet"))
+
+    signs = np.array(entrymod._rp_signs())  # (16, 64)
+    q = np.round(np.array([v0, v1, v0]) * 1000).astype(np.int64)
+    p = q @ signs.T  # (3, 16)
+    d2o = int(((q[0] - q[1]) ** 2).sum())
+    d2p = int(((p[0] - p[1]) ** 2).sum())
+    ratio = (1000 * d2p) // (entrymod._RP_DIMS * d2o)
+
+    pdf = entrymod.queries()["e_rp_project"](spark, str(tmp_path)).toPandas()
+    got = {(r.a, r.b): r for r in pdf.itertuples()}
+    # the identical pair (0,2) is excluded; (0,1) and (1,2) audit equal
+    assert set(got) == {(0, 1), (1, 2)}
+    assert got[(0, 1)].dist2_orig == d2o
+    assert got[(0, 1)].dist2_proj == d2p
+    assert got[(0, 1)].ratio_permille == ratio
+    assert got[(1, 2)].dist2_orig == d2o and got[(1, 2)].dist2_proj == d2p
