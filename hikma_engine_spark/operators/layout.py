@@ -112,3 +112,100 @@ def zorder_sort(
         else out.repartitionByRange("_zkey")
     )
     return out.sortWithinPartitions("_zkey")
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve layout (round 5 continuation): the locality-better
+# sibling of the Morton key. Z-order's bit interleave has "seams" —
+# adjacent cells whose keys differ in high bits — while the Hilbert
+# walk moves one cell per step, so key-contiguous files are tighter
+# bounding boxes (the reason Delta/Iceberg both grew HILBERT options
+# next to ZORDER). The per-level rotate/reflect state machine cannot
+# be a single closed-form interleave, so it is generated as one SQL
+# update triple per level and BOUND level-by-level (a select per
+# level in Spark, a chained subquery in DuckDB) — the same generator
+# emits both, so the engines are bit-exact by construction.
+# ---------------------------------------------------------------------------
+
+
+def hilbert_level_updates(
+    bits: int, div: str = "DIV", x: str = "_hx", y: str = "_hy", d: str = "_hd"
+) -> list[dict]:
+    """Per-level (x, y, d) SQL update expressions for the standard
+    xy2d Hilbert walk (top level first). Each level MUST be bound
+    before the next (simultaneous rebinding): inlining all levels
+    into one expression would duplicate subtrees exponentially.
+    ``div`` is the integer-division token ('DIV' Spark, '//' DuckDB);
+    everything else is engine-portable integer arithmetic."""
+    n = 1 << bits
+    out = []
+    for lev in range(bits - 1, -1, -1):
+        s = 1 << lev
+        rx = f"(({x} {div} {s}) % 2)"
+        ry = f"(({y} {div} {s}) % 2)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 AND {ry} = 1 THEN 1"
+            f" WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        out.append(
+            {
+                "d": f"({d} + {s * s} * {quad})",
+                # rotate: when ry=0, reflect (if rx=1) then swap x/y
+                "x": (
+                    f"(CASE WHEN {ry} = 1 THEN {x}"
+                    f" WHEN {rx} = 1 THEN {n - 1} - {y} ELSE {y} END)"
+                ),
+                "y": (
+                    f"(CASE WHEN {ry} = 1 THEN {y}"
+                    f" WHEN {rx} = 1 THEN {n - 1} - {x} ELSE {x} END)"
+                ),
+            }
+        )
+    return out
+
+
+def with_hilbert_key(
+    df: DataFrame, x: Column, y: Column, bits: int, key: str = "_hkey"
+) -> DataFrame:
+    """Append the Hilbert index of the (pre-scaled, in [0, 2^bits))
+    integer coordinates as ``key``. One select per level with
+    SIMULTANEOUS rebinding of (x, y, d) — select() evaluates every
+    expression against the input row, so the swap/reflect can never
+    read a half-updated coordinate (withColumn chains would)."""
+    others = list(df.columns)
+    for tmp in ("_hx", "_hy", "_hd", key):
+        if tmp in others:
+            raise ValueError(f"with_hilbert_key: column {tmp} already exists")
+    out = df.select(
+        "*",
+        x.cast("long").alias("_hx"),
+        y.cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for upd in hilbert_level_updates(bits):
+        out = out.select(
+            *others,
+            F.expr(upd["x"]).cast("long").alias("_hx"),
+            F.expr(upd["y"]).cast("long").alias("_hy"),
+            F.expr(upd["d"]).cast("long").alias("_hd"),
+        )
+    return out.select(*others, F.col("_hd").alias(key))
+
+
+def hilbert_sql_sub(
+    inner: str, keep: list[str], bits: int, div: str = "//", key: str = "_hkey"
+) -> str:
+    """The exact SQL twin of ``with_hilbert_key``: ``inner`` must
+    project ``keep`` + integer ``_hx``/``_hy`` (pre-scaled) and
+    ``0 AS _hd``; returns a chained-subquery expression exposing
+    ``keep`` + the Hilbert index as ``key``."""
+    cols = ", ".join(keep)
+    q = inner
+    for upd in hilbert_level_updates(bits, div=div):
+        q = (
+            f"SELECT {cols}, CAST({upd['x']} AS BIGINT) AS _hx,"
+            f" CAST({upd['y']} AS BIGINT) AS _hy,"
+            f" CAST({upd['d']} AS BIGINT) AS _hd FROM ({q})"
+        )
+    return f"SELECT {cols}, _hd AS {key} FROM ({q})"

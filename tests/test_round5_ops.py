@@ -5309,3 +5309,56 @@ def test_rp_project_known_vectors(spark, tmp_path):
     assert got[(0, 1)].dist2_proj == d2p
     assert got[(0, 1)].ratio_permille == ratio
     assert got[(1, 2)].dist2_orig == d2o and got[(1, 2)].dist2_proj == d2p
+
+
+def test_hilbert_key_matches_xy2d_reference(spark):
+    """The level-bound Hilbert projection replays the canonical xy2d
+    walk cell-for-cell (bits=4: the full 16×16 grid), and the key is
+    a bijection onto [0, 4^bits)."""
+    from hikma_engine_spark.operators import layout
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = (n - 1) - x, (n - 1) - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 16
+    from pyspark.sql import functions as F
+
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = layout.with_hilbert_key(
+        df, F.col("x"), F.col("y"), 4, key="h"
+    ).collect()
+    assert all(r.h == xy2d(n, r.x, r.y) for r in out)
+    assert sorted(r.h for r in out) == list(range(n * n))
+
+
+def test_hilbert_layout_sound_and_tighter_than_zorder(spark, tmp_path):
+    """On a uniform grid the row-balanced Hilbert files carry no more
+    bbox mass than Z-order's (the seam effect), pruning stays sound
+    (false_pruned = 0), and every layout sees the same matches."""
+    rows = [(i, i % 256, float((i * 7) % 512)) for i in range(2048)]
+    ev = pd.DataFrame(rows, columns=["event_id", "user_id", "value"])
+    ev["ts"] = pd.Timestamp("2024-01-01")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["event_type"] = "view"
+    ev["props"] = "{}"
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+    pdf = (
+        entrymod.queries()["l_hilbert_layout"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("layout")
+    )
+    assert set(pdf.false_pruned) == {0}
+    assert len(set(pdf.rows_matched)) == 1
+    assert pdf.loc["hilbert"].bbox_permille_of_zorder <= 1000
+    assert pdf.loc["zorder"].bbox_permille_of_zorder == 1000
