@@ -13560,6 +13560,152 @@ def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): THEIL–SEN ROBUST TREND —
+    the median of all pairwise slopes over the daily-revenue series,
+    the estimator with a 29% breakdown point where `ev_trend_slope`'s
+    OLS is destroyed by ONE corrupted day (an outage or a backfill
+    spike — exactly what production metric series contain). Slopes
+    are exact integer micros with SYMMETRIC truncation (CASE-negate
+    — Spark's DIV truncates toward zero, DuckDB's // floors, so
+    negative slopes must be computed on the absolute value; the
+    a_spearman doctrine), and the median is the exact LOWER median by
+    rank (the midrank doctrine — no float interpolation). Emits one
+    row: day count, pair count, the Theil–Sen slope.
+
+    Shape: the all-pairs join runs on the DAY dim — bounded by the
+    calendar (365·years rows) regardless of event volume, the same
+    bounded-grain argument as ev_seasonal_backtest; the daily rollup
+    below it is one map-side-combinable groupBy on the event grain.
+    The rank is a window over the pair dim."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) DIV 86400000000"
+        )
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("cents").alias("y1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("cents").alias("y2")
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        F.expr(
+            "CASE WHEN y2 - y1 >= 0"
+            " THEN (1000000 * (y2 - y1)) DIV (d2 - d1)"
+            " ELSE -((1000000 * (y1 - y2)) DIV (d2 - d1)) END"
+        )
+        .cast("long")
+        .alias("slope_micro")
+    )
+    ranked = pairs.select(
+        "slope_micro",
+        F.row_number()
+        .over(Window.orderBy("slope_micro"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_pairs"),
+    )
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_micro").alias("ts_slope_micro"),
+    )
+    return nd.crossJoin(F.broadcast(med)).select(
+        "n_days", "n_pairs", "ts_slope_micro"
+    )
+
+
+def ev_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): DIFFERENCE-IN-DIFFERENCES
+    — the quasi-experimental estimator (Card/Krueger style) for when
+    assignment is NOT randomized: treat = odd user parity, the period
+    split is the integer midpoint of the observed time range, and the
+    effect is (Δ treated) − (Δ control) of per-event mean value —
+    subtracting the control trend removes the common time shock the
+    naive post-vs-pre comparison (`ev_experiment_readout`) absorbs
+    into its estimate. All four cell means are exact integer micros
+    of cents ((10⁶·Σcents) DIV n — floor on non-negative sums), so
+    the DiD contrast is plain BIGINT arithmetic and the twin is
+    bit-identical. Emits one row: the 2×2 cell sizes and means, and
+    ``did_micro``.
+
+    Shape: one scan, one map-side-combinable groupBy on the 4-cell
+    dim; the min/max time bounds ride a broadcast one-row crossJoin
+    (contract-scalar doctrine). The parallel-trends caveat is the
+    analyst's, not the operator's."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("user_id % 2").cast("long").alias("treat"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+        .cast("long")
+        .alias("tsu"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    bounds = e.agg(
+        F.expr("(min(tsu) + max(tsu)) DIV 2").cast("long").alias("mid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            "treat",
+            F.expr("CASE WHEN tsu >= mid THEN 1 ELSE 0 END")
+            .cast("long")
+            .alias("post"),
+            "cents",
+        )
+        .groupBy("treat", "post")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("(1000000 * sum(cents)) DIV count(*)")
+            .cast("long")
+            .alias("mean_micro"),
+        )
+    )
+    wide = cells.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treat") == t) & (F.col("post") == p),
+                    F.col(c),
+                )
+            )
+            .cast("long")
+            .alias(f"{c}_{'t' if t else 'c'}{'post' if p else 'pre'}")
+            for c in ("n", "mean_micro")
+            for t in (0, 1)
+            for p in (0, 1)
+        ]
+    )
+    return wide.select(
+        "n_cpre",
+        "n_cpost",
+        "n_tpre",
+        "n_tpost",
+        "mean_micro_cpre",
+        "mean_micro_cpost",
+        "mean_micro_tpre",
+        "mean_micro_tpost",
+        F.expr(
+            "(mean_micro_tpost - mean_micro_tpre)"
+            " - (mean_micro_cpost - mean_micro_cpre)"
+        )
+        .cast("long")
+        .alias("did_micro"),
+    )
+
+
 # Hilbert layout audit: bits per dimension and the target file count.
 # Files are ROW-BALANCED (rank DIV per-file rows), not key-aligned:
 # an aligned 4^k key block is a perfect 2^k×2^k square under BOTH
@@ -14214,6 +14360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_evalue_sequential": ev_evalue_sequential,
         "e_rp_project": e_rp_project,
         "l_hilbert_layout": l_hilbert_layout,
+        "ev_theilsen_trend": ev_theilsen_trend,
+        "ev_diff_in_diff": ev_diff_in_diff,
         # -- never driver-captured: capstone-wave additions --
         "d_dup_transitivity": d_dup_transitivity,
         "kg_conv_threads": kg_conv_threads,
@@ -15328,6 +15476,76 @@ def oracle_sql() -> dict[str, str]:
         # continuation wave: Hilbert vs Z-order layout audit — same
         # generator emits the Spark projections and this twin chain
         "l_hilbert_layout": _hilbert_layout_oracle_sql(),
+        # continuation wave: Theil–Sen — same symmetric-truncation
+        # slope micros, same lower-median rank
+        "ev_theilsen_trend": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1
+            ),
+            pairs AS (
+              SELECT CAST(CASE WHEN b.cents - a.cents >= 0
+                     THEN (1000000 * (b.cents - a.cents))
+                          // (b.day - a.day)
+                     ELSE -((1000000 * (a.cents - b.cents))
+                            // (b.day - a.day)) END AS BIGINT)
+                       AS slope_micro
+              FROM daily a JOIN daily b ON a.day < b.day
+            ),
+            ranked AS (
+              SELECT slope_micro,
+                     row_number() OVER (ORDER BY slope_micro) AS rn,
+                     count(*) OVER () AS n_pairs
+              FROM pairs
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   slope_micro AS ts_slope_micro
+            FROM ranked WHERE rn = (n_pairs + 1) // 2
+        """,
+        # continuation wave: difference-in-differences — same integer
+        # midpoint split, same floor-micro cell means
+        "ev_diff_in_diff": """
+            WITH e AS (
+              SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+                     epoch_us(ts) AS tsu,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            b AS (SELECT (min(tsu) + max(tsu)) // 2 AS mid FROM e),
+            cells AS (
+              SELECT treat,
+                     CAST(CASE WHEN tsu >= (SELECT mid FROM b)
+                          THEN 1 ELSE 0 END AS BIGINT) AS post,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST((1000000 * sum(cents)) // count(*) AS BIGINT)
+                       AS mean_micro
+              FROM e GROUP BY 1, 2
+            ),
+            wide AS (
+              SELECT
+                max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_cpre,
+                max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_cpost,
+                max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_tpre,
+                max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_tpost,
+                max(CASE WHEN treat = 0 AND post = 0 THEN mean_micro END)
+                  AS mean_micro_cpre,
+                max(CASE WHEN treat = 0 AND post = 1 THEN mean_micro END)
+                  AS mean_micro_cpost,
+                max(CASE WHEN treat = 1 AND post = 0 THEN mean_micro END)
+                  AS mean_micro_tpre,
+                max(CASE WHEN treat = 1 AND post = 1 THEN mean_micro END)
+                  AS mean_micro_tpost
+              FROM cells
+            )
+            SELECT *,
+                   CAST((mean_micro_tpost - mean_micro_tpre)
+                        - (mean_micro_cpost - mean_micro_cpre) AS BIGINT)
+                     AS did_micro
+            FROM wide
+        """,
         # continuation wave: sequential e-value test — identical
         # integer log-LR increments, cumsums, and crossing index
         "ev_evalue_sequential": f"""

@@ -5362,3 +5362,67 @@ def test_hilbert_layout_sound_and_tighter_than_zorder(spark, tmp_path):
     assert len(set(pdf.rows_matched)) == 1
     assert pdf.loc["hilbert"].bbox_permille_of_zorder <= 1000
     assert pdf.loc["zorder"].bbox_permille_of_zorder == 1000
+
+
+def test_theilsen_robust_slope_matches_reference(spark, tmp_path):
+    """The pairwise floor-slope median replays a pure-Python
+    reference on a linear series with one corrupted day — and stays
+    at the true trend where the mean of slopes would not."""
+    t0 = datetime(2024, 1, 1)
+    days = list(range(10))
+    cents = [1000 + 250 * d for d in days]
+    cents[5] = 99_000_000  # the backfill spike
+    rows = []
+    for d, c in zip(days, cents):
+        rows.append((d, t0 + timedelta(days=d), 1, "view", c / 100.0, "{}"))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+
+    base_day = (t0 - datetime(1970, 1, 1)).days
+    daily = {base_day + d: c for d, c in zip(days, cents)}
+    slopes = []
+    ds = sorted(daily)
+    for i, d1 in enumerate(ds):
+        for d2 in ds[i + 1:]:
+            num = daily[d2] - daily[d1]
+            den = d2 - d1
+            s = (1_000_000 * num) // den if num >= 0 else -((1_000_000 * -num) // den)
+            slopes.append(s)
+    slopes.sort()
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+
+    row = entrymod.queries()["ev_theilsen_trend"](spark, str(tmp_path)).toPandas().iloc[0]
+    assert (row.n_days, row.n_pairs) == (10, 45)
+    assert row.ts_slope_micro == want
+    # robustness: the estimate stays near the uncorrupted 250¢/day
+    assert abs(row.ts_slope_micro - 250_000_000) < 100_000_000
+
+
+def test_diff_in_diff_two_by_two(spark, tmp_path):
+    """Cell means and the DiD contrast replay exactly: control moves
+    +10, treated moves +30 → effect +20 (in micro-cents)."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # (treat, post, value): control pre 10, post 20; treat pre 40, post 70
+    for treat, post, val, n in [
+        (0, 0, 10.0, 3), (0, 1, 20.0, 3), (1, 0, 40.0, 3), (1, 1, 70.0, 3)
+    ]:
+        for i in range(n):
+            ts = t0 + timedelta(hours=(48 if post else 0) + i)
+            rows.append((eid, ts, treat, "view", val, "{}"))
+            eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+
+    row = entrymod.queries()["ev_diff_in_diff"](spark, str(tmp_path)).toPandas().iloc[0]
+    assert (row.n_cpre, row.n_cpost, row.n_tpre, row.n_tpost) == (3, 3, 3, 3)
+    assert row.mean_micro_cpre == 1_000_000 * 1000
+    assert row.mean_micro_tpost == 1_000_000 * 7000
+    assert row.did_micro == ((7000 - 4000) - (2000 - 1000)) * 1_000_000
