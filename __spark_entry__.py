@@ -13560,6 +13560,207 @@ def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): QUANTILE TREATMENT
+    EFFECTS — the per-quantile arm contrast (Koenker's QTE readout)
+    that mean-based readouts (`ev_experiment_readout`, `ev_cuped`)
+    cannot see: a treatment that fattens the tail while leaving the
+    median alone shows ZERO mean effect until the p75 row exposes it.
+    Quantiles are EXACT order statistics by rank ((n+1)·p DIV 4
+    family, lower-quantile convention — the midrank doctrine, no
+    float interpolation), in integer cents, so the twin replays every
+    figure bit-for-bit. Emits one row: per-arm n / q25 / q50 / q75
+    and the three QTE contrasts.
+
+    Shape: one rank window PER ARM (partitioned — parallel, unlike a
+    global sort), one conditional-agg reduce per arm, one 2-row
+    pivot. At 10^12 events the exact rank is the only change —
+    production swaps in the GK sketch (`a_approx_quantile`) above
+    ~10^9 rows per arm; this entry is the exact contract the sketch
+    is graded against."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("user_id % 2").cast("long").alias("arm"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("arm").orderBy("cents")
+    ranked = e.select(
+        "arm",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("arm")).alias("n"),
+    )
+    per_arm = ranked.groupBy("arm").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("greatest(1, (n + 1) DIV 4)"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("q25"),
+        F.max(
+            F.when(F.col("rn") == F.expr("greatest(1, (n + 1) DIV 2)"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("q50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("greatest(1, (3 * (n + 1)) DIV 4)"),
+                F.col("cents"),
+            )
+        )
+        .cast("long")
+        .alias("q75"),
+    )
+    wide = per_arm.groupBy().agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c)))
+            .cast("long")
+            .alias(f"{c}_{'t' if a else 'c'}")
+            for c in ("n", "q25", "q50", "q75")
+            for a in (0, 1)
+        ]
+    )
+    return wide.select(
+        "n_c",
+        "n_t",
+        "q25_c",
+        "q50_c",
+        "q75_c",
+        "q25_t",
+        "q50_t",
+        "q75_t",
+        F.expr("q25_t - q25_c").cast("long").alias("qte25_cents"),
+        F.expr("q50_t - q50_c").cast("long").alias("qte50_cents"),
+        F.expr("q75_t - q75_c").cast("long").alias("qte75_cents"),
+    )
+
+
+# butterfly counting: part-degree cap bounding the wedge fan-out
+# (the g_resource_alloc doctrine) — shared verbatim with the twin.
+_BFLY_DEG_LO, _BFLY_DEG_HI = 2, 40
+
+
+def g_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): BUTTERFLY COUNTING —
+    the bipartite 4-cycle motif (c1–p1–c2–p2; Sanei-Mehri et al.,
+    'Butterfly Counting in Bipartite Networks') over the
+    customer–part purchase graph, the bipartite analog of
+    `g_triangles`: triangles cannot exist in a bipartite graph, so
+    butterflies are its smallest cohesion unit and the base of
+    bipartite clustering coefficients. Exact identity: butterflies =
+    Σ_pairs C(share(c1,c2), 2), every term integer. Parts outside the
+    ``_BFLY_DEG_LO..HI`` degree band are excluded up front — the
+    g_resource_alloc hot-key doctrine: one part bought by 10^6
+    customers would otherwise pivot 10^12 wedges. Emits one row:
+    kept edges, co-purchasing pairs, wedges, butterflies.
+
+    Shape: one distinct on the (c,p) grain, one broadcast-able degree
+    dim, one self-join keyed by p with the capped fan-out bound, two
+    map-side-combinable reduces."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = (
+        cp.groupBy("p")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d").between(_BFLY_DEG_LO, _BFLY_DEG_HI))
+        .select("p")
+    )
+    kept = cp.join(F.broadcast(deg), "p")
+    a = kept.select(F.col("p"), F.col("c").alias("c1"))
+    b = kept.select(F.col("p"), F.col("c").alias("c2"))
+    share = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count("*").cast("long").alias("share"))
+    )
+    return (
+        share.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("share").cast("long").alias("n_wedges"),
+            F.sum(F.expr("(share * (share - 1)) DIV 2"))
+            .cast("long")
+            .alias("n_butterflies"),
+        )
+        .crossJoin(
+            F.broadcast(kept.agg(F.count("*").cast("long").alias("n_edges")))
+        )
+        .select("n_edges", "n_pairs", "n_wedges", "n_butterflies")
+    )
+
+
+# power-law MLE: the frequency floor (kmin) and the Clauset continuous
+# offset (kmin − 0.5) — shared verbatim with the twin; the plausibility
+# band is the contract column.
+_PLAW_KMIN = 5
+_PLAW_BAND = (1_050_000, 4_000_000)
+
+
+def g_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): POWER-LAW EXPONENT MLE
+    (Clauset/Shalizi/Newman 2009) over the corpus token-frequency
+    distribution — the quantitative form of 'token frequencies are
+    Zipfian' that `d_token_freq` eyeballs: α = 1 + n / Σ ln(k_i /
+    (kmin − ½)) over frequencies k_i ≥ ``_PLAW_KMIN``. Each ln term
+    is rounded to integer micros BEFORE the sum (the log2-milli
+    doctrine of d_keyphrases: both engines evaluate ln on the
+    identical double, round identically, and the sum/division is then
+    exact BIGINT), so α lands bit-identical. Emits one row: kmin, n,
+    Σln micros, α micros, and the ``alpha_plausible`` contract
+    (Zipfian corpora read α ≈ 1.5–2.5).
+
+    Shape: one algebraic token-frequency agg (map-side combine
+    absorbs hot tokens — the d_token_freq argument), one
+    vocabulary-sized reduce. At open vocabulary the frequency dim is
+    the only state."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").cast("long").alias("k"))
+    kept = freq.filter(F.col("k") >= _PLAW_KMIN)
+    lo, hi = _PLAW_BAND
+    return (
+        kept.select(
+            F.expr(
+                f"CAST(round(1000000 * ln(CAST(k AS DOUBLE) / {_PLAW_KMIN - 0.5})) AS BIGINT)"
+            ).alias("ln_micro")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("ln_micro").cast("long").alias("sum_ln_micro"),
+        )
+        .select(
+            F.lit(_PLAW_KMIN).cast("long").alias("kmin"),
+            "n_tokens",
+            "sum_ln_micro",
+            F.expr(
+                "1000000 + (1000000000000 * n_tokens) DIV sum_ln_micro"
+            )
+            .cast("long")
+            .alias("alpha_micro"),
+        )
+        .withColumn(
+            "alpha_plausible",
+            F.expr(f"alpha_micro BETWEEN {lo} AND {hi}"),
+        )
+    )
+
+
 def ev_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (continuation wave): THEIL–SEN ROBUST TREND —
     the median of all pairwise slopes over the daily-revenue series,
@@ -14367,6 +14568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_hilbert_layout": l_hilbert_layout,
         "ev_theilsen_trend": ev_theilsen_trend,
         "ev_diff_in_diff": ev_diff_in_diff,
+        "ev_quantile_treatment": ev_quantile_treatment,
+        "g_butterflies": g_butterflies,
+        "g_powerlaw_alpha": g_powerlaw_alpha,
         # -- never driver-captured: capstone-wave additions --
         "d_dup_transitivity": d_dup_transitivity,
         "kg_conv_threads": kg_conv_threads,
@@ -15481,6 +15685,106 @@ def oracle_sql() -> dict[str, str]:
         # continuation wave: Hilbert vs Z-order layout audit — same
         # generator emits the Spark projections and this twin chain
         "l_hilbert_layout": _hilbert_layout_oracle_sql(),
+        # continuation wave: quantile treatment effects — same exact
+        # rank-by-(n+1) order statistics, same 2-row pivot
+        "ev_quantile_treatment": """
+            WITH e AS (
+              SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            ranked AS (
+              SELECT arm, cents,
+                     row_number() OVER (PARTITION BY arm ORDER BY cents)
+                       AS rn,
+                     count(*) OVER (PARTITION BY arm) AS n
+              FROM e
+            ),
+            per_arm AS (
+              SELECT arm,
+                     CAST(max(n) AS BIGINT) AS n,
+                     CAST(max(CASE WHEN rn = greatest(1, (n + 1) // 4)
+                              THEN cents END) AS BIGINT) AS q25,
+                     CAST(max(CASE WHEN rn = greatest(1, (n + 1) // 2)
+                              THEN cents END) AS BIGINT) AS q50,
+                     CAST(max(CASE WHEN rn = greatest(1, (3 * (n + 1)) // 4)
+                              THEN cents END) AS BIGINT) AS q75
+              FROM ranked GROUP BY arm
+            ),
+            wide AS (
+              SELECT
+                max(CASE WHEN arm = 0 THEN n END) AS n_c,
+                max(CASE WHEN arm = 1 THEN n END) AS n_t,
+                max(CASE WHEN arm = 0 THEN q25 END) AS q25_c,
+                max(CASE WHEN arm = 1 THEN q25 END) AS q25_t,
+                max(CASE WHEN arm = 0 THEN q50 END) AS q50_c,
+                max(CASE WHEN arm = 1 THEN q50 END) AS q50_t,
+                max(CASE WHEN arm = 0 THEN q75 END) AS q75_c,
+                max(CASE WHEN arm = 1 THEN q75 END) AS q75_t
+              FROM per_arm
+            )
+            SELECT n_c, n_t, q25_c, q50_c, q75_c, q25_t, q50_t, q75_t,
+                   CAST(q25_t - q25_c AS BIGINT) AS qte25_cents,
+                   CAST(q50_t - q50_c AS BIGINT) AS qte50_cents,
+                   CAST(q75_t - q75_c AS BIGINT) AS qte75_cents
+            FROM wide
+        """,
+        # continuation wave: butterfly counting — same degree band,
+        # same capped wedge join, same C(share,2) identity
+        "g_butterflies": f"""
+            WITH cp AS (
+              SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            ),
+            deg AS (
+              SELECT p FROM cp GROUP BY p
+              HAVING count(*) BETWEEN {_BFLY_DEG_LO} AND {_BFLY_DEG_HI}
+            ),
+            kept AS (SELECT cp.c, cp.p FROM cp JOIN deg USING (p)),
+            share AS (
+              SELECT a.c AS c1, b.c AS c2,
+                     CAST(count(*) AS BIGINT) AS share
+              FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+              GROUP BY 1, 2
+            )
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_edges,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(share) AS BIGINT) AS n_wedges,
+              CAST(sum((share * (share - 1)) // 2) AS BIGINT)
+                AS n_butterflies
+            FROM share
+        """,
+        # continuation wave: power-law MLE — same per-term rounded ln
+        # micros, same integer alpha
+        "g_powerlaw_alpha": f"""
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '')) AS token
+              FROM documents
+            ),
+            freq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS k
+              FROM toks GROUP BY 1
+              HAVING count(*) >= {_PLAW_KMIN}
+            ),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CAST(round(1000000 * ln(CAST(k AS DOUBLE) / {_PLAW_KMIN - 0.5}))
+                          AS BIGINT)) AS BIGINT) AS sum_ln_micro
+              FROM freq
+            )
+            SELECT CAST({_PLAW_KMIN} AS BIGINT) AS kmin,
+                   n_tokens, sum_ln_micro,
+                   CAST(1000000 + (1000000000000 * n_tokens)
+                        // sum_ln_micro AS BIGINT) AS alpha_micro,
+                   (1000000 + (1000000000000 * n_tokens)
+                    // sum_ln_micro)
+                     BETWEEN {_PLAW_BAND[0]} AND {_PLAW_BAND[1]}
+                     AS alpha_plausible
+            FROM s
+        """,
         # continuation wave: Theil–Sen — same symmetric-truncation
         # slope micros, same lower-median rank
         "ev_theilsen_trend": """

@@ -5426,3 +5426,84 @@ def test_diff_in_diff_two_by_two(spark, tmp_path):
     assert row.mean_micro_cpre == 1_000_000 * 1000
     assert row.mean_micro_tpost == 1_000_000 * 7000
     assert row.did_micro == ((7000 - 4000) - (2000 - 1000)) * 1_000_000
+
+
+def test_quantile_treatment_exact_order_statistics(spark, tmp_path):
+    """Per-arm q25/q50/q75 are the exact (n+1)-rank order statistics
+    and the QTE rows contrast them — replayed in pure Python on a
+    hand-built two-arm value set."""
+    t0 = datetime(2024, 1, 1)
+    ctrl = [10, 20, 30, 40, 50, 60, 70]           # arm 0 (even user)
+    trt = [10, 20, 30, 40, 50, 600, 700]          # tail-fattened arm 1
+    rows = []
+    for i, v in enumerate(ctrl):
+        rows.append((i, t0, 0, "view", float(v), "{}"))
+    for i, v in enumerate(trt):
+        rows.append((100 + i, t0, 1, "view", float(v), "{}"))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+
+    def qs(vals):
+        s = sorted(round(v * 100) for v in vals)
+        n = len(s)
+        pick = lambda r: s[max(1, r) - 1]
+        return pick((n + 1) // 4), pick((n + 1) // 2), pick((3 * (n + 1)) // 4)
+
+    c25, c50, c75 = qs(ctrl)
+    t25, t50, t75 = qs(trt)
+    row = entrymod.queries()["ev_quantile_treatment"](spark, str(tmp_path)).toPandas().iloc[0]
+    assert (row.n_c, row.n_t) == (7, 7)
+    assert (row.q25_c, row.q50_c, row.q75_c) == (c25, c50, c75)
+    assert (row.q25_t, row.q50_t, row.q75_t) == (t25, t50, t75)
+    # the tail effect is invisible at the median, visible at p75
+    assert row.qte50_cents == t50 - c50 == 0
+    assert row.qte75_cents == t75 - c75 > 0
+
+
+def test_butterflies_identity_and_degree_cap(spark, tmp_path):
+    """Two customers sharing 3 kept parts → C(3,2) = 3 butterflies; a
+    part above the degree cap contributes nothing."""
+    # customers 1,2 share parts 10,11,12; part 99 is bought by
+    # 41 customers (degree > _BFLY_DEG_HI) and must be excluded
+    orders = pd.DataFrame(
+        {"o_orderkey": range(1, 44), "o_custkey": [1, 2] + list(range(1, 42))}
+    )
+    li_rows = []
+    for ok, parts in [(1, [10, 11, 12]), (2, [10, 11, 12])]:
+        for p in parts:
+            li_rows.append((ok, p))
+    for ok in range(3, 44):  # orders 3..43 → customers 1..41 buy part 99
+        li_rows.append((ok, 99))
+    lineitem = pd.DataFrame(li_rows, columns=["l_orderkey", "l_partkey"])
+    orders.to_parquet(str(tmp_path / "orders.parquet"))
+    lineitem.to_parquet(str(tmp_path / "lineitem.parquet"))
+    row = entrymod.queries()["g_butterflies"](spark, str(tmp_path)).toPandas().iloc[0]
+    # kept edges: (1,10),(1,11),(1,12),(2,10),(2,11),(2,12)
+    assert row.n_edges == 6
+    assert row.n_pairs == 1 and row.n_wedges == 3
+    assert row.n_butterflies == 3
+
+
+def test_powerlaw_alpha_matches_reference(spark, tmp_path):
+    """α replays the Clauset MLE with per-term rounded-ln micros on a
+    constructed frequency spectrum."""
+    import math
+
+    words = {"alpha": 20, "beta": 10, "gamma": 5, "rare": 2}
+    text = " ".join(w for w, k in words.items() for _ in range(k))
+    docs = pd.DataFrame(
+        {"doc_id": [0], "source": ["s"], "lang": ["en"], "text": [text]}
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+
+    kmin = entrymod._PLAW_KMIN
+    ks = [k for k in words.values() if k >= kmin]
+    s = sum(round(1_000_000 * math.log(k / (kmin - 0.5))) for k in ks)
+    alpha = 1_000_000 + (1_000_000_000_000 * len(ks)) // s
+    row = entrymod.queries()["g_powerlaw_alpha"](spark, str(tmp_path)).toPandas().iloc[0]
+    assert (row.kmin, row.n_tokens, row.sum_ln_micro) == (kmin, len(ks), s)
+    assert row.alpha_micro == alpha
