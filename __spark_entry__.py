@@ -14516,13 +14516,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 168 new entries — far more than the
+    evidence history. Round 5 added 171 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: first the 10 continuation-wave
+    never-driver-captured coverage: first the 13 continuation-wave
     additions (Poisson bootstrap, t-closeness, eigencentrality,
     k-truss, AMIE rules, e-value sequential, JL projection, Hilbert
-    layout, Theil–Sen, diff-in-diff — newest of all, zero driver
-    history AND the fewest local sweeps), then the 39 capstone-wave
+    layout, Theil–Sen, diff-in-diff, quantile treatment effects,
+    butterflies, power-law MLE — newest of all, zero driver history
+    AND the fewest local sweeps), then the 39 capstone-wave
     additions
     (dup transitivity, conv threads, epoch-shuffle quality, dim
     covariance, rich club, quality-dup confound, KB completion,
