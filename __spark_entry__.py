@@ -13560,6 +13560,177 @@ def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shape-constraint audit: per-rule violation-rate ceilings (permille)
+# — the release thresholds, set from the measured corpus rates plus
+# headroom (r2 reads 288–316‰ and r3 363–410‰ across the SFs; the
+# ceilings grade the RATE while violations stay non-zero, proving the
+# counting fires). r5 is the by-construction invariant: ceiling 0.
+_SHAPE_MAX_PERMILLE = {
+    "r1_conv_min_turns": 100,
+    "r2_turn_len_cap": 400,
+    "r3_mention_fanout_cap": 500,
+    "r4_entity_min_support": 400,
+    "r5_triple_domain_range": 0,
+}
+
+
+def kg_shape_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): SHAPE-CONSTRAINT AUDIT —
+    the SHACL / Great-Expectations layer a production KG runs before
+    publishing (W3C SHACL's cardinality/datatype/domain-range shapes,
+    expressed as declarative counts): five rules over the
+    conversation/mention/triple grains, each emitting checked count,
+    violation count, exact violation permille, and a ``shape_ok``
+    verdict against its per-rule ceiling. Rules are chosen to FIRE on
+    real data (min conversation length, turn length cap, per-turn
+    mention fan-out, min entity support) plus one by-construction
+    invariant (triple domain/range: every MENTIONS edge is
+    turn:→entity:) whose ceiling is zero — the regression tripwire.
+
+    Shape: every rule is one map-side-combinable groupBy on its
+    natural grain (conversation / turn / entity dims) + one O(dim)
+    reduce; the five rule rows are unioned — no joins against the
+    corpus beyond the shared mention extraction. The audit output is
+    five rows regardless of corpus size — the cheapest possible
+    release gate at 10^12 turns. Reference analog: the validation
+    family (P5/P6 referential checks); this is their declarative,
+    threshold-graded form."""
+    t = _doc_transcripts(spark, sf_dir)
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .filter(F.col("kind") == "gazetteer")
+        .select("conv_id", "turn_idx", "surface_norm")
+        .distinct()
+    )
+
+    def rule(rid, checked_df, viol_col):
+        lim = _SHAPE_MAX_PERMILLE[rid]
+        return (
+            checked_df.select(viol_col.cast("long").alias("v"))
+            .agg(
+                F.lit(rid).alias("rule_id"),
+                F.count("*").cast("long").alias("n_checked"),
+                F.sum("v").cast("long").alias("n_violations"),
+                F.expr(
+                    "CASE WHEN count(*) = 0 THEN 0"
+                    " ELSE (1000 * sum(v)) DIV count(*) END"
+                )
+                .cast("long")
+                .alias("violation_permille"),
+            )
+            .withColumn("shape_ok", F.expr(f"violation_permille <= {lim}"))
+        )
+
+    conv = t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    r1 = rule("r1_conv_min_turns", conv, F.col("n_turns") < 2)
+    turns = t.select(F.length("text").alias("len"))
+    r2 = rule("r2_turn_len_cap", turns, F.col("len") > 400)
+    fanout = m.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n_mentions")
+    )
+    r3 = rule("r3_mention_fanout_cap", fanout, F.col("n_mentions") > 6)
+    ent = m.groupBy("surface_norm").agg(
+        F.countDistinct("conv_id").alias("n_convs")
+    )
+    r4 = rule("r4_entity_min_support", ent, F.col("n_convs") < 2)
+    triples = m.select(
+        F.concat(F.lit("turn:"), F.col("conv_id")).alias("src"),
+        F.concat(F.lit("entity:"), F.col("surface_norm")).alias("dst"),
+    )
+    r5 = rule(
+        "r5_triple_domain_range",
+        triples,
+        ~(F.col("src").startswith("turn:") & F.col("dst").startswith("entity:")),
+    )
+    out = r1
+    for r in (r2, r3, r4, r5):
+        out = out.unionByName(r)
+    return out.orderBy("rule_id")
+
+
+def ev_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): QINI UPLIFT CURVE
+    (Radcliffe's Qini coefficient family) — the targeting readout the
+    flat `ev_diff_in_diff` / `ev_experiment_readout` estimates cannot
+    give: rank users by a targeting score (here their click
+    engagement — a deterministic proxy model), and per score-decile
+    report the CUMULATIVE incremental conversions
+    Qini(k) = conv_t(k) − conv_c(k)·n_t(k)/n_c(k) — the area under
+    this curve is the Qini coefficient, and a flat curve says the
+    score does not identify persuadable users. All integer micros
+    (the control term is one guarded floor division), exact decile
+    assignment by rank ((rn−1)·10 DIV n — no ntile tie ambiguity:
+    ties broken by user_id).
+
+    Shape: one user-grain groupBy (map-side combinable over the
+    event stream), one rank over the user dim (range-partitionable
+    at scale — the global_rank doctrine), one 10-row decile reduce +
+    a 10-row window cumsum. The user dim is the only state."""
+    e = _t(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("treat"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    ranked = users.select(
+        "treat",
+        "conv",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("user_id")))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    ).select(
+        "treat",
+        "conv",
+        F.expr("((rn - 1) * 10) DIV n").cast("long").alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.sum(F.expr("CASE WHEN treat = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.expr("CASE WHEN treat = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.expr("CASE WHEN treat = 1 THEN conv ELSE 0 END"))
+        .cast("long")
+        .alias("k_t"),
+        F.sum(F.expr("CASE WHEN treat = 0 THEN conv ELSE 0 END"))
+        .cast("long")
+        .alias("k_c"),
+    )
+    w = Window.orderBy("decile")
+    cum = per.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "k_t",
+        "k_c",
+        F.sum("n_t").over(w).cast("long").alias("cn_t"),
+        F.sum("n_c").over(w).cast("long").alias("cn_c"),
+        F.sum("k_t").over(w).cast("long").alias("ck_t"),
+        F.sum("k_c").over(w).cast("long").alias("ck_c"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "k_t",
+        "k_c",
+        F.expr(
+            "CASE WHEN cn_c = 0 THEN 1000000 * ck_t"
+            " ELSE 1000000 * ck_t - (1000000 * ck_c * cn_t) DIV cn_c END"
+        )
+        .cast("long")
+        .alias("qini_micro"),
+    ).orderBy("decile")
+
+
 def ev_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (continuation wave): QUANTILE TREATMENT
     EFFECTS — the per-quantile arm contrast (Koenker's QTE readout)
@@ -14516,14 +14687,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 171 new entries — far more than the
+    evidence history. Round 5 added 173 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: first the 13 continuation-wave
+    never-driver-captured coverage: first the 15 continuation-wave
     additions (Poisson bootstrap, t-closeness, eigencentrality,
     k-truss, AMIE rules, e-value sequential, JL projection, Hilbert
     layout, Theil–Sen, diff-in-diff, quantile treatment effects,
-    butterflies, power-law MLE — newest of all, zero driver history
-    AND the fewest local sweeps), then the 39 capstone-wave
+    butterflies, power-law MLE, shape constraints, Qini uplift —
+    newest of all, zero driver history AND the fewest local sweeps), then the 39 capstone-wave
     additions
     (dup transitivity, conv threads, epoch-shuffle quality, dim
     covariance, rich club, quality-dup confound, KB completion,
@@ -14572,6 +14743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_quantile_treatment": ev_quantile_treatment,
         "g_butterflies": g_butterflies,
         "g_powerlaw_alpha": g_powerlaw_alpha,
+        "kg_shape_constraints": kg_shape_constraints,
+        "ev_qini_uplift": ev_qini_uplift,
         # -- never driver-captured: capstone-wave additions --
         "d_dup_transitivity": d_dup_transitivity,
         "kg_conv_threads": kg_conv_threads,
@@ -15686,6 +15859,132 @@ def oracle_sql() -> dict[str, str]:
         # continuation wave: Hilbert vs Z-order layout audit — same
         # generator emits the Spark projections and this twin chain
         "l_hilbert_layout": _hilbert_layout_oracle_sql(),
+        # continuation wave: shape-constraint audit — same five rules,
+        # same permille ceilings, computed per-rule-CTE
+        "kg_shape_constraints": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     unnest(regexp_extract_all(lower(text), '{gaz}')) AS e
+              FROM t
+            ),
+            conv AS (SELECT conv_id, count(*) AS n_turns FROM t GROUP BY 1),
+            r1 AS (
+              SELECT 'r1_conv_min_turns' AS rule_id,
+                     CAST(count(*) AS BIGINT) AS n_checked,
+                     CAST(sum(CASE WHEN n_turns < 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_violations
+              FROM conv
+            ),
+            turns AS (SELECT length(text) AS len FROM t),
+            r2 AS (
+              SELECT 'r2_turn_len_cap',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN len > 400 THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM turns
+            ),
+            fanout AS (
+              SELECT conv_id, turn_idx, count(*) AS n_mentions
+              FROM m GROUP BY 1, 2
+            ),
+            r3 AS (
+              SELECT 'r3_mention_fanout_cap',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN n_mentions > 6 THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM fanout
+            ),
+            ent AS (
+              SELECT e, count(DISTINCT conv_id) AS n_convs
+              FROM m GROUP BY 1
+            ),
+            r4 AS (
+              SELECT 'r4_entity_min_support',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN n_convs < 2 THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM ent
+            ),
+            triples AS (
+              SELECT 'turn:' || conv_id AS src, 'entity:' || e AS dst
+              FROM m
+            ),
+            r5 AS (
+              SELECT 'r5_triple_domain_range',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN NOT (src LIKE 'turn:%'
+                              AND dst LIKE 'entity:%')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM triples
+            ),
+            allr AS (
+              SELECT * FROM r1 UNION ALL SELECT * FROM r2
+              UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+              UNION ALL SELECT * FROM r5
+            ),
+            lims(rule_id, lim) AS (VALUES
+              ('r1_conv_min_turns', {_SHAPE_MAX_PERMILLE['r1_conv_min_turns']}),
+              ('r2_turn_len_cap', {_SHAPE_MAX_PERMILLE['r2_turn_len_cap']}),
+              ('r3_mention_fanout_cap',
+               {_SHAPE_MAX_PERMILLE['r3_mention_fanout_cap']}),
+              ('r4_entity_min_support',
+               {_SHAPE_MAX_PERMILLE['r4_entity_min_support']}),
+              ('r5_triple_domain_range',
+               {_SHAPE_MAX_PERMILLE['r5_triple_domain_range']}))
+            SELECT a.rule_id, a.n_checked, a.n_violations,
+                   CAST(CASE WHEN a.n_checked = 0 THEN 0
+                        ELSE (1000 * a.n_violations) // a.n_checked END
+                        AS BIGINT) AS violation_permille,
+                   (CASE WHEN a.n_checked = 0 THEN 0
+                         ELSE (1000 * a.n_violations) // a.n_checked END)
+                     <= l.lim AS shape_ok
+            FROM allr a JOIN lims l ON l.rule_id = a.rule_id
+            ORDER BY a.rule_id
+        """,
+        # continuation wave: Qini uplift — same engagement score,
+        # same rank-decile assignment, same guarded control term
+        "ev_qini_uplift": """
+            WITH users AS (
+              SELECT user_id,
+                     CAST(user_id % 2 AS BIGINT) AS treat,
+                     CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS score,
+                     CAST(max(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS conv
+              FROM events GROUP BY 1
+            ),
+            ranked AS (
+              SELECT treat, conv,
+                     ((row_number() OVER (ORDER BY score DESC, user_id)
+                       - 1) * 10) // (count(*) OVER ()) AS decile
+              FROM users
+            ),
+            per AS (
+              SELECT CAST(decile AS BIGINT) AS decile,
+                     CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_t,
+                     CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_c,
+                     CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END)
+                          AS BIGINT) AS k_t,
+                     CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END)
+                          AS BIGINT) AS k_c
+              FROM ranked GROUP BY 1
+            ),
+            cum AS (
+              SELECT decile, n_t, n_c, k_t, k_c,
+                     sum(n_t) OVER w AS cn_t, sum(n_c) OVER w AS cn_c,
+                     sum(k_t) OVER w AS ck_t, sum(k_c) OVER w AS ck_c
+              FROM per WINDOW w AS (ORDER BY decile)
+            )
+            SELECT decile, n_t, n_c, k_t, k_c,
+                   CAST(CASE WHEN cn_c = 0 THEN 1000000 * ck_t
+                        ELSE 1000000 * ck_t
+                             - (1000000 * ck_c * cn_t) // cn_c END
+                        AS BIGINT) AS qini_micro
+            FROM cum ORDER BY decile
+        """,
         # continuation wave: quantile treatment effects — same exact
         # rank-by-(n+1) order statistics, same 2-row pivot
         "ev_quantile_treatment": """

@@ -5507,3 +5507,90 @@ def test_powerlaw_alpha_matches_reference(spark, tmp_path):
     row = entrymod.queries()["g_powerlaw_alpha"](spark, str(tmp_path)).toPandas().iloc[0]
     assert (row.kmin, row.n_tokens, row.sum_ln_micro) == (kmin, len(ks), s)
     assert row.alpha_micro == alpha
+
+
+def test_shape_constraints_fire_on_planted_violations(spark, tmp_path):
+    """Every rule's violation counter fires on a planted offender:
+    a single-turn conversation, an over-long turn, a turn with 7+
+    mentions, and a single-conversation entity; the by-construction
+    domain/range rule stays at zero."""
+    long_text = "x" * 401
+    seven = "spark batch filter query stream vector window"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["lonely", "c1", "c1", "c1"],
+            "text": ["hash join alone", long_text, seven, "spark again"],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    pdf = (
+        entrymod.queries()["kg_shape_constraints"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("rule_id")
+    )
+    # conv 'lonely' has 1 turn -> r1 fires once over 2 conversations
+    assert (pdf.loc["r1_conv_min_turns"].n_checked,
+            pdf.loc["r1_conv_min_turns"].n_violations) == (2, 1)
+    assert (pdf.loc["r2_turn_len_cap"].n_checked,
+            pdf.loc["r2_turn_len_cap"].n_violations) == (4, 1)
+    # mention-bearing turns: 'hash join alone'(1), seven(7), 'spark again'(1)
+    assert (pdf.loc["r3_mention_fanout_cap"].n_checked,
+            pdf.loc["r3_mention_fanout_cap"].n_violations) == (3, 1)
+    # entities: hash join (1 conv), + the 7 (1 conv each except spark in c1
+    # twice but still ONE conv) -> every entity has exactly 1 conv except none
+    r4 = pdf.loc["r4_entity_min_support"]
+    assert r4.n_checked == 8 and r4.n_violations == 8
+    r5 = pdf.loc["r5_triple_domain_range"]
+    assert r5.n_violations == 0 and bool(r5.shape_ok)
+
+
+def test_qini_uplift_targets_persuadables(spark, tmp_path):
+    """Users are ranked by click engagement; the top decile holds the
+    treated converters, so the cumulative Qini rises there — replayed
+    against a pure-Python reference."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 10 users: ids 0..9; treat = id % 2. High-click users 8,9; user 9
+    # (treated) converts, user 8 (control) does not. Low-click users
+    # 0..7 never convert.
+    for uid in range(10):
+        clicks = 10 if uid >= 8 else uid + 1  # distinct scores, all >= 1
+        for _ in range(clicks):
+            rows.append((eid, t0, uid, "click", 1.0, "{}")); eid += 1
+        if uid == 9:
+            rows.append((eid, t0, uid, "purchase", 1.0, "{}")); eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+
+    users = []
+    for uid in range(10):
+        clicks = 10 if uid >= 8 else uid + 1
+        users.append((uid, uid % 2, clicks, 1 if uid == 9 else 0))
+    ranked = sorted(users, key=lambda u: (-u[2], u[0]))
+    n = len(ranked)
+    per = {}
+    for i, (uid, tr, sc, cv) in enumerate(ranked):
+        d = (i * 10) // n
+        a = per.setdefault(d, [0, 0, 0, 0])
+        if tr: a[0] += 1; a[2] += cv
+        else: a[1] += 1; a[3] += cv
+    cn_t = cn_c = ck_t = ck_c = 0
+    want = []
+    for d in sorted(per):
+        n_t, n_c, k_t, k_c = per[d]
+        cn_t += n_t; cn_c += n_c; ck_t += k_t; ck_c += k_c
+        q = (1_000_000 * ck_t) if cn_c == 0 else (
+            1_000_000 * ck_t - (1_000_000 * ck_c * cn_t) // cn_c)
+        want.append((d, n_t, n_c, k_t, k_c, q))
+
+    pdf = entrymod.queries()["ev_qini_uplift"](spark, str(tmp_path)).toPandas()
+    got = [tuple(r) for r in pdf.itertuples(index=False)]
+    assert got == want
+    # once the treated converter enters the ranking (decile 1), the
+    # cumulative Qini turns and stays positive
+    assert got[1][5] > 0 and got[-1][5] > 0
