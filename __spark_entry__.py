@@ -13240,9 +13240,10 @@ def ev_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate), while Poisson(1) weights are independent PER ROW, so
     all ``_BOOT_R`` replicates run in ONE pass. Each (order,
     replicate) weight is Poisson(1) via the inverse CDF over a 48-bit
-    md5 hash (deterministic — no rand(), the portable_hash48
-    doctrine), and the statistic (mean order value in exact integer
-    cents) is an algebraic sum/count per replicate. Emits one row per
+    md5 slice (deterministic — no rand(), the portable_hash48
+    doctrine; one 128-bit md5 feeds TWO replicates, halving the
+    dominant hash cost), and the statistic (mean order value in exact
+    integer cents) is an algebraic sum/count per replicate. Emits one row per
     replicate plus the order-statistic 95% CI (2nd and 63rd of the 64
     sorted replicate means — exact integers, no percentile
     interpolation).
@@ -13258,27 +13259,54 @@ def ev_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
-    r = o.select(
-        "o_orderkey",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("rep"),
-    ).withColumn(
-        "u48",
-        F.expr(
-            "CAST(conv(substring(md5("
-            "concat_ws('|', 'boot', o_orderkey, rep)), 1, 12), 16, 10)"
-            " AS BIGINT)"
-        ),
+    # one md5 yields 128 bits = TWO independent 48-bit draws (hex
+    # slices 1-12 and 13-24), so replicates 2h and 2h+1 share a hash
+    # — the md5 is the dominant per-row cost and this halves it
+    # (measured 10.4 s → ~6 s at sf0.1)
+    r = (
+        o.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R // 2 - 1))).alias(
+                "h"
+            ),
+        )
+        .withColumn(
+            "md", F.expr("md5(concat_ws('|', 'boot', o_orderkey, h))")
+        )
+        .withColumn(
+            "u1", F.expr("CAST(conv(substring(md, 1, 12), 16, 10) AS BIGINT)")
+        )
+        .withColumn(
+            "u2",
+            F.expr("CAST(conv(substring(md, 13, 12), 16, 10) AS BIGINT)"),
+        )
+    )
+    g2 = (
+        r.withColumn("w1", F.expr(_pois_weight_case("u1")).cast("long"))
+        .withColumn("w2", F.expr(_pois_weight_case("u2")).cast("long"))
+        .groupBy("h")
+        .agg(
+            F.sum("w1").cast("long").alias("n1"),
+            F.sum(F.expr("w1 * cents")).cast("long").alias("s1"),
+            F.sum("w2").cast("long").alias("n2"),
+            F.sum(F.expr("w2 * cents")).cast("long").alias("s2"),
+        )
     )
     g = (
-        r.withColumn("w", F.expr(_pois_weight_case("u48")).cast("long"))
-        .groupBy("rep")
-        .agg(
-            F.sum("w").cast("long").alias("n_eff"),
-            F.sum(F.expr("w * cents")).cast("long").alias("sum_cents"),
+        g2.select(
+            F.explode(
+                F.expr(
+                    "array(struct(CAST(2 * h AS BIGINT) AS rep,"
+                    " n1 AS n_eff, s1 AS sum_cents),"
+                    " struct(CAST(2 * h + 1 AS BIGINT) AS rep,"
+                    " n2 AS n_eff, s2 AS sum_cents))"
+                )
+            ).alias("x")
         )
+        .select("x.rep", "x.n_eff", "x.sum_cents")
         .select(
-            F.col("rep").cast("long").alias("rep"),
+            "rep",
             "n_eff",
             "sum_cents",
             F.expr("sum_cents DIV n_eff").cast("long").alias("mean_cents"),
@@ -16325,23 +16353,34 @@ def oracle_sql() -> dict[str, str]:
             WITH r AS (
               SELECT o_orderkey,
                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                     unnest(range({_BOOT_R})) AS rep
+                     unnest(range({_BOOT_R // 2})) AS h
               FROM orders
             ),
             u AS (
-              SELECT rep, cents,
+              SELECT h, cents,
                      CAST('0x' || substr(md5(
-                       'boot|' || o_orderkey || '|' || rep), 1, 12)
-                       AS BIGINT) AS u48
+                       'boot|' || o_orderkey || '|' || h), 1, 12)
+                       AS BIGINT) AS u1,
+                     CAST('0x' || substr(md5(
+                       'boot|' || o_orderkey || '|' || h), 13, 12)
+                       AS BIGINT) AS u2
               FROM r
             ),
-            g AS (
-              SELECT CAST(rep AS BIGINT) AS rep,
-                     CAST(sum({_pois_weight_case("u48")}) AS BIGINT)
-                       AS n_eff,
-                     CAST(sum({_pois_weight_case("u48")} * cents)
-                       AS BIGINT) AS sum_cents
+            g2 AS (
+              SELECT h,
+                     CAST(sum({_pois_weight_case("u1")}) AS BIGINT) AS n1,
+                     CAST(sum({_pois_weight_case("u1")} * cents)
+                       AS BIGINT) AS s1,
+                     CAST(sum({_pois_weight_case("u2")}) AS BIGINT) AS n2,
+                     CAST(sum({_pois_weight_case("u2")} * cents)
+                       AS BIGINT) AS s2
               FROM u GROUP BY 1
+            ),
+            g AS (
+              SELECT CAST(2 * h AS BIGINT) AS rep, n1 AS n_eff,
+                     s1 AS sum_cents FROM g2
+              UNION ALL
+              SELECT CAST(2 * h + 1 AS BIGINT), n2, s2 FROM g2
             ),
             m AS (
               SELECT rep, n_eff, sum_cents,

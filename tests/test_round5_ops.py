@@ -5005,7 +5005,9 @@ def test_poisson_bootstrap_weights_match_reference(spark, tmp_path):
     ts = entrymod._POIS_T48
 
     def w(k, r):
-        u = int(hashlib.md5(f"boot|{k}|{r}".encode()).hexdigest()[:12], 16)
+        # replicates 2h and 2h+1 share one md5: hex slices [0:12]/[12:24]
+        hx = hashlib.md5(f"boot|{k}|{r // 2}".encode()).hexdigest()
+        u = int(hx[:12] if r % 2 == 0 else hx[12:24], 16)
         for i, t in enumerate(ts):
             if u < t:
                 return i
