@@ -13759,6 +13759,120 @@ def ev_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+# rule application: minimum confidence for a rule to propose facts
+# (150‰ keeps the non-deductive rules — measured 199-962‰ across the
+# SFs — proposing, while the 39-57‰ noise rules stay out), and the
+# proposal-list cap — shared verbatim with the twin.
+_RULE_APPLY_MIN_CONF = 150
+_RULE_APPLY_TOP = 50
+
+
+def _kb_entity_name(col: str) -> str:
+    """CASE expression decoding a type·2^56+key entity code back to
+    its 'c:123'-style name — applied only on the proposal output."""
+    clauses = " ".join(
+        f"WHEN {col} DIV 72057594037927936 = {t}"
+        f" THEN concat('{c}:', CAST({col} % 72057594037927936 AS STRING))"
+        for c, t in _KB_TYPE.items()
+    )
+    return f"(CASE {clauses} END)"
+
+
+def kg_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 operator (continuation wave): RULE-BASED KB COMPLETION
+    — the step that makes `kg_amie_rules` USEFUL: every mined rule
+    with confidence ≥ ``_RULE_APPLY_MIN_CONF``‰ is APPLIED, proposing
+    head facts r(x,z) for body pairs the KB does not yet contain (the
+    AMIE prediction protocol; `kg_kb_completion` scores candidates by
+    graph structure, this ranks them by mined-rule confidence — the
+    two standard completion families side by side). Emits the top
+    ``_RULE_APPLY_TOP`` proposals by (confidence, subject, object):
+    rule, decoded subject/object names, and the rule's confidence as
+    the proposal score.
+
+    Shape: everything reuses the dictionary-encoded fact/body tables
+    (integer keys ride the joins — the kg_amie_rules doctrine); the
+    proposal set is body MINUS facts per qualifying rule — one
+    left-anti join keyed (r, x, z); qualifying rules are a broadcast
+    |P|²-bounded dim; entity/predicate names are decoded only on the
+    ``_RULE_APPLY_TOP``-row output (TakeOrderedAndProject)."""
+    facts = _kb_facts(spark, sf_dir).cache()
+    in_d = facts.groupBy(F.col("o").alias("y")).agg(
+        F.count("*").alias("in_n")
+    )
+    out_d = facts.groupBy(F.col("s").alias("y")).agg(
+        F.count("*").alias("out_n")
+    )
+    mids = in_d.join(out_d, "y").filter(
+        F.col("in_n") * F.col("out_n") <= _AMIE_MID_CAP
+    ).select("y")
+    f1 = facts.select(
+        F.col("p").alias("p"), F.col("s").alias("x"), F.col("o").alias("y")
+    )
+    f2 = facts.select(
+        F.col("p").alias("q"), F.col("s").alias("y"), F.col("o").alias("z")
+    )
+    body = (
+        f1.join(mids, "y")
+        .join(f2, "y")
+        .filter(F.col("x") != F.col("z"))
+        .select("p", "q", "x", "z")
+        .distinct()
+    )
+    bn = body.groupBy("p", "q").agg(F.count("*").cast("long").alias("body_n"))
+    sup = (
+        body.join(
+            facts.select(
+                F.col("p").alias("r"),
+                F.col("s").alias("x"),
+                F.col("o").alias("z"),
+            ),
+            ["x", "z"],
+        )
+        .groupBy("p", "q", "r")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= _AMIE_MIN_SUPPORT)
+    )
+    rules = (
+        sup.join(F.broadcast(bn), ["p", "q"])
+        .select(
+            "p",
+            "q",
+            "r",
+            F.expr("(1000 * support) DIV body_n")
+            .cast("long")
+            .alias("conf_permille"),
+        )
+        .filter(F.col("conf_permille") >= _RULE_APPLY_MIN_CONF)
+    )
+    proposals = (
+        body.join(F.broadcast(rules), ["p", "q"])
+        .join(
+            facts.select(
+                F.col("p").alias("r"),
+                F.col("s").alias("x"),
+                F.col("o").alias("z"),
+            ),
+            ["r", "x", "z"],
+            "left_anti",
+        )
+    )
+    return (
+        proposals.select(
+            F.expr(_kb_pred_name("p")).alias("body1"),
+            F.expr(_kb_pred_name("q")).alias("body2"),
+            F.expr(_kb_pred_name("r")).alias("head"),
+            F.expr(_kb_entity_name("x")).alias("subj"),
+            F.expr(_kb_entity_name("z")).alias("obj"),
+            "conf_permille",
+        )
+        .orderBy(
+            F.desc("conf_permille"), "subj", "obj", "body1", "body2", "head"
+        )
+        .limit(_RULE_APPLY_TOP)
+    )
+
+
 def ev_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 operator (continuation wave): QUANTILE TREATMENT
     EFFECTS — the per-quantile arm contrast (Koenker's QTE readout)
@@ -14749,13 +14863,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is deliberate (rotated every round per the verdict's
     standing ask): the driver's correctness artifact captures the FIRST
     50 entries, so the head holds the entries with the THINNEST
-    evidence history. Round 5 added 173 new entries — far more than the
+    evidence history. Round 5 added 174 new entries — far more than the
     window — so for this FINAL round the head-50 is chosen to maximise
-    never-driver-captured coverage: first the 15 continuation-wave
+    never-driver-captured coverage: first the 16 continuation-wave
     additions (Poisson bootstrap, t-closeness, eigencentrality,
     k-truss, AMIE rules, e-value sequential, JL projection, Hilbert
     layout, Theil–Sen, diff-in-diff, quantile treatment effects,
-    butterflies, power-law MLE, shape constraints, Qini uplift —
+    butterflies, power-law MLE, shape constraints, Qini uplift,
+    rule application —
     newest of all, zero driver history AND the fewest local sweeps), then the 39 capstone-wave
     additions
     (dup transitivity, conv threads, epoch-shuffle quality, dim
@@ -14807,6 +14922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_powerlaw_alpha": g_powerlaw_alpha,
         "kg_shape_constraints": kg_shape_constraints,
         "ev_qini_uplift": ev_qini_uplift,
+        "kg_rule_apply": kg_rule_apply,
         # -- never driver-captured: capstone-wave additions --
         "d_dup_transitivity": d_dup_transitivity,
         "kg_conv_threads": kg_conv_threads,
@@ -16046,6 +16162,56 @@ def oracle_sql() -> dict[str, str]:
                              - (1000000 * ck_c * cn_t) // cn_c END
                         AS BIGINT) AS qini_micro
             FROM cum ORDER BY decile
+        """,
+        # continuation wave: rule application — same mined-rule gate,
+        # same anti-join proposal set, same total-order cut
+        "kg_rule_apply": f"""
+            WITH facts AS MATERIALIZED ({_KB_FACTS_SQL}),
+            ind AS (SELECT o AS y, count(*) AS in_n FROM facts GROUP BY 1),
+            outd AS (SELECT s AS y, count(*) AS out_n FROM facts GROUP BY 1),
+            mids AS (
+              SELECT y FROM ind JOIN outd USING (y)
+              WHERE in_n * out_n <= {_AMIE_MID_CAP}
+            ),
+            body AS MATERIALIZED (
+              SELECT DISTINCT f1.p AS p, f2.p AS q, f1.s AS x, f2.o AS z
+              FROM facts f1
+              JOIN mids md ON md.y = f1.o
+              JOIN facts f2 ON f2.s = f1.o
+              WHERE f1.s != f2.o
+            ),
+            bn AS (
+              SELECT p, q, CAST(count(*) AS BIGINT) AS body_n
+              FROM body GROUP BY 1, 2
+            ),
+            sup AS (
+              SELECT b.p, b.q, f.p AS r,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM body b JOIN facts f ON f.s = b.x AND f.o = b.z
+              GROUP BY 1, 2, 3
+              HAVING count(*) >= {_AMIE_MIN_SUPPORT}
+            ),
+            rules AS (
+              SELECT s.p, s.q, s.r,
+                     CAST((1000 * s.support) // bn.body_n AS BIGINT)
+                       AS conf_permille
+              FROM sup s JOIN bn ON bn.p = s.p AND bn.q = s.q
+              WHERE (1000 * s.support) // bn.body_n
+                    >= {_RULE_APPLY_MIN_CONF}
+            ),
+            props AS (
+              SELECT b.p AS body1, b.q AS body2, r.r AS head,
+                     b.x AS subj, b.z AS obj, r.conf_permille
+              FROM body b JOIN rules r ON r.p = b.p AND r.q = b.q
+              WHERE NOT EXISTS (
+                SELECT 1 FROM facts f
+                WHERE f.p = r.r AND f.s = b.x AND f.o = b.z
+              )
+            )
+            SELECT body1, body2, head, subj, obj, conf_permille
+            FROM props
+            ORDER BY conf_permille DESC, subj, obj, body1, body2, head
+            LIMIT {_RULE_APPLY_TOP}
         """,
         # continuation wave: quantile treatment effects — same exact
         # rank-by-(n+1) order statistics, same 2-row pivot

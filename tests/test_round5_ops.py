@@ -5596,3 +5596,90 @@ def test_qini_uplift_targets_persuadables(spark, tmp_path):
     # once the treated converter enters the ranking (decile 1), the
     # cumulative Qini turns and stays positive
     assert got[1][5] > 0 and got[-1][5] > 0
+
+
+def test_rule_apply_proposes_missing_heads(spark, tmp_path):
+    """Applied rules propose exactly the body pairs whose head fact is
+    absent, scored by the mined confidence — replayed by the same
+    brute-force mini-AMIE used for the rule table."""
+    nation = pd.DataFrame(
+        {"n_nationkey": [1, 2], "n_name": ["A", "B"], "n_regionkey": [0, 0]}
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [1, 2, 3, 4, 5, 6], "c_nationkey": [1, 2, 1, 2, 1, 2]}
+    )
+    supplier = pd.DataFrame({"s_suppkey": [1, 2], "s_nationkey": [1, 2]})
+    orders = pd.DataFrame(
+        {"o_orderkey": [10, 20, 30, 40, 50, 60], "o_custkey": [1, 2, 3, 4, 5, 6]}
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [10, 20, 30, 40, 50, 60, 60],
+            "l_partkey": [7, 7, 7, 7, 7, 8, 7],
+            "l_suppkey": [1, 1, 1, 1, 1, 2, 2],
+        }
+    )
+    for name, df in [
+        ("nation", nation), ("customer", customer), ("supplier", supplier),
+        ("orders", orders), ("lineitem", lineitem),
+    ]:
+        df.to_parquet(str(tmp_path / f"{name}.parquet"))
+
+    facts = set()
+    for _, r in customer.iterrows():
+        facts.add((f"c:{r.c_custkey}", "cust_nation", f"n:{r.c_nationkey}"))
+    for _, r in supplier.iterrows():
+        facts.add((f"s:{r.s_suppkey}", "supp_nation", f"n:{r.s_nationkey}"))
+    for _, r in nation.iterrows():
+        facts.add((f"n:{r.n_nationkey}", "nation_region", f"r:{r.n_regionkey}"))
+    ol = orders.merge(lineitem, left_on="o_orderkey", right_on="l_orderkey")
+    for _, r in ol.iterrows():
+        facts.add((f"c:{r.o_custkey}", "bought", f"p:{r.l_partkey}"))
+        facts.add((f"c:{r.o_custkey}", "ordered_from", f"s:{r.l_suppkey}"))
+    for _, r in lineitem.iterrows():
+        facts.add((f"p:{r.l_partkey}", "sold_by", f"s:{r.l_suppkey}"))
+    cn = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    for _, r in cn.iterrows():
+        facts.add((f"c:{r.c_custkey}", "cust_region", f"r:{r.n_regionkey}"))
+    sn = supplier.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    for _, r in sn.iterrows():
+        facts.add((f"s:{r.s_suppkey}", "supp_region", f"r:{r.n_regionkey}"))
+
+    body = {
+        (p, q, x, z)
+        for (x, p, y1) in facts
+        for (y2, q, z) in facts
+        if y1 == y2 and x != z
+    }
+    bn = Counter((p, q) for p, q, _, _ in body)
+    heads = {p for _, p, _ in facts}
+    sup = Counter(
+        (p, q, r)
+        for (p, q, x, z) in body
+        for r in heads
+        if (x, r, z) in facts
+    )
+    rules = {
+        (p, q, r): (1000 * s) // bn[(p, q)]
+        for (p, q, r), s in sup.items()
+        if s >= entrymod._AMIE_MIN_SUPPORT
+        and (1000 * s) // bn[(p, q)] >= entrymod._RULE_APPLY_MIN_CONF
+    }
+    props = [
+        (p, q, r, x, z, conf)
+        for (p, q, r), conf in rules.items()
+        for (p2, q2, x, z) in body
+        if p2 == p and q2 == q and (x, r, z) not in facts
+    ]
+    props.sort(key=lambda t: (-t[5], t[3], t[4], t[0], t[1], t[2]))
+    want = props[: entrymod._RULE_APPLY_TOP]
+
+    pdf = entrymod.queries()["kg_rule_apply"](spark, str(tmp_path)).toPandas()
+    got = [
+        (r.body1, r.body2, r.head, r.subj, r.obj, r.conf_permille)
+        for r in pdf.itertuples()
+    ]
+    assert got == want
+    # every proposal's head fact is genuinely absent from the KB
+    assert all((x, r, z) not in facts for _, _, r, x, z, _ in got)
+    assert len(got) > 0
