@@ -13792,49 +13792,23 @@ def kg_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: everything reuses the dictionary-encoded fact/body tables
     (integer keys ride the joins — the kg_amie_rules doctrine); the
-    proposal set is body MINUS facts per qualifying rule — one
-    left-anti join keyed (r, x, z); qualifying rules are a broadcast
-    |P|²-bounded dim; entity/predicate names are decoded only on the
-    ``_RULE_APPLY_TOP``-row output (TakeOrderedAndProject)."""
+    proposal set is body MINUS facts per qualifying rule; qualifying
+    rules are a broadcast |P|²-bounded dim; entity/predicate names are
+    decoded only for the final ordered projection.
+
+    Round-6 optimization: the mining pipeline (wedge → body → support)
+    is the shared `operators.rules.mine_kb_rules` stage — one persisted
+    wedge pass instead of three re-evaluations, the anti-join replaced
+    by an array-membership filter on the co-partitioned (x,z) grain
+    (see operators/rules.py for the equivalence argument)."""
+    from hikma_engine_spark.operators import rules as rules_op
+
     facts = _kb_facts(spark, sf_dir).cache()
-    in_d = facts.groupBy(F.col("o").alias("y")).agg(
-        F.count("*").alias("in_n")
-    )
-    out_d = facts.groupBy(F.col("s").alias("y")).agg(
-        F.count("*").alias("out_n")
-    )
-    mids = in_d.join(out_d, "y").filter(
-        F.col("in_n") * F.col("out_n") <= _AMIE_MID_CAP
-    ).select("y")
-    f1 = facts.select(
-        F.col("p").alias("p"), F.col("s").alias("x"), F.col("o").alias("y")
-    )
-    f2 = facts.select(
-        F.col("p").alias("q"), F.col("s").alias("y"), F.col("o").alias("z")
-    )
-    body = (
-        f1.join(mids, "y")
-        .join(f2, "y")
-        .filter(F.col("x") != F.col("z"))
-        .select("p", "q", "x", "z")
-        .distinct()
-    )
-    bn = body.groupBy("p", "q").agg(F.count("*").cast("long").alias("body_n"))
-    sup = (
-        body.join(
-            facts.select(
-                F.col("p").alias("r"),
-                F.col("s").alias("x"),
-                F.col("o").alias("z"),
-            ),
-            ["x", "z"],
-        )
-        .groupBy("p", "q", "r")
-        .agg(F.count("*").cast("long").alias("support"))
-        .filter(F.col("support") >= _AMIE_MIN_SUPPORT)
+    kb = rules_op.mine_kb_rules(
+        facts, mid_cap=_AMIE_MID_CAP, min_support=_AMIE_MIN_SUPPORT
     )
     rules = (
-        sup.join(F.broadcast(bn), ["p", "q"])
+        kb.sup.join(F.broadcast(kb.bn), ["p", "q"])
         .select(
             "p",
             "q",
@@ -13845,18 +13819,7 @@ def kg_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("conf_permille") >= _RULE_APPLY_MIN_CONF)
     )
-    proposals = (
-        body.join(F.broadcast(rules), ["p", "q"])
-        .join(
-            facts.select(
-                F.col("p").alias("r"),
-                F.col("s").alias("x"),
-                F.col("o").alias("z"),
-            ),
-            ["r", "x", "z"],
-            "left_anti",
-        )
-    )
+    proposals = rules_op.rule_proposals(kb, rules)
     return (
         proposals.select(
             F.expr(_kb_pred_name("p")).alias("body1"),
@@ -14798,50 +14761,21 @@ def kg_amie_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (p,q,x,z) grain before counting; rule aggregates are
     map-side-combinable groupBys on the predicate-pair dim (|P|² ≤ 64
     rows); the head check is one join against the facts table keyed
-    by (x,z)."""
+    by (x,z).
+
+    Round-6 optimization: mining runs in the shared
+    `operators.rules.mine_kb_rules` stage (one persisted wedge pass,
+    consumed by this entry AND kg_rule_apply — see operators/rules.py
+    for the plan shape and the equivalence argument)."""
+    from hikma_engine_spark.operators import rules as rules_op
+
     facts = _kb_facts(spark, sf_dir).cache()
-    in_d = facts.groupBy(F.col("o").alias("y")).agg(
-        F.count("*").alias("in_n")
-    )
-    out_d = facts.groupBy(F.col("s").alias("y")).agg(
-        F.count("*").alias("out_n")
-    )
-    mids = in_d.join(out_d, "y").filter(
-        F.col("in_n") * F.col("out_n") <= _AMIE_MID_CAP
-    ).select("y")
-    f1 = facts.select(
-        F.col("p").alias("p"), F.col("s").alias("x"), F.col("o").alias("y")
-    )
-    f2 = facts.select(
-        F.col("p").alias("q"), F.col("s").alias("y"), F.col("o").alias("z")
-    )
-    body = (
-        f1.join(mids, "y")
-        .join(f2, "y")
-        .filter(F.col("x") != F.col("z"))
-        .select("p", "q", "x", "z")
-        .distinct()
-    )
-    bn = body.groupBy("p", "q").agg(F.count("*").cast("long").alias("body_n"))
-    heads = facts.groupBy(F.col("p").alias("r")).agg(
-        F.count("*").cast("long").alias("head_n")
-    )
-    sup = (
-        body.join(
-            facts.select(
-                F.col("p").alias("r"),
-                F.col("s").alias("x"),
-                F.col("o").alias("z"),
-            ),
-            ["x", "z"],
-        )
-        .groupBy("p", "q", "r")
-        .agg(F.count("*").cast("long").alias("support"))
-        .filter(F.col("support") >= _AMIE_MIN_SUPPORT)
+    kb = rules_op.mine_kb_rules(
+        facts, mid_cap=_AMIE_MID_CAP, min_support=_AMIE_MIN_SUPPORT
     )
     return (
-        sup.join(F.broadcast(bn), ["p", "q"])
-        .join(F.broadcast(heads), "r")
+        kb.sup.join(F.broadcast(kb.bn), ["p", "q"])
+        .join(F.broadcast(kb.heads), "r")
         .select(
             F.expr(_kb_pred_name("p")).alias("body1"),
             F.expr(_kb_pred_name("q")).alias("body2"),
