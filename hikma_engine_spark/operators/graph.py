@@ -1865,7 +1865,18 @@ def jp_coloring(
             )
             .select("node")
         )
-        used = (
+        # mex via array algebra (round-6 optimization): one
+        # collect_set aggregate replaces the old distinct +
+        # count-groupBy + explode(sequence) anti-join + min-groupBy
+        # (3 exchanges per round → 1). Equivalence: collect_set dedups
+        # exactly like the old distinct, size(used) == the old n_used
+        # (count of DISTINCT used colors), and
+        # array_min(array_except(sequence(0, n), used)) is the same
+        # minimum excludant the anti-join computed — sequence has n+1
+        # candidates vs n used colors, so a mex always exists. The
+        # per-node array is bounded by the colored degree ≤ Δ, the
+        # same bound the old explode fan-out had.
+        used_sets = (
             und.join(front.select(F.col("node").alias("u")), "u", "left_semi")
             .join(
                 st.filter(F.col("color").isNotNull()).select(
@@ -1873,27 +1884,19 @@ def jp_coloring(
                 ),
                 "v",
             )
-            .select(F.col("u").alias("node"), "color")
-            .distinct()
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.collect_set("color").alias("used"))
         )
-        cnts = used.groupBy("node").agg(F.count("*").alias("n_used"))
         assign = (
-            front.join(cnts, "node", "left")
+            front.join(used_sets, "node", "left")
             .select(
                 "node",
-                F.explode(
-                    F.sequence(
-                        F.lit(0), F.coalesce(F.col("n_used"), F.lit(0))
-                    )
-                ).alias("c"),
+                F.expr(
+                    "coalesce(array_min(array_except("
+                    " sequence(0L, CAST(coalesce(size(used), 0) AS BIGINT)),"
+                    " coalesce(used, CAST(array() AS ARRAY<BIGINT>)))), 0L)"
+                ).cast("long").alias("new_color"),
             )
-            .join(
-                used.select("node", F.col("color").alias("c")),
-                ["node", "c"],
-                "left_anti",
-            )
-            .groupBy("node")
-            .agg(F.min("c").cast("long").alias("new_color"))
         )
         st = (
             st.join(assign, "node", "left")
@@ -1911,6 +1914,15 @@ def jp_coloring(
         )
         if r % checkpoint_every == 0 or r == rounds:
             st = st.localCheckpoint(eager=True)
+            # early exit (round-6 optimization): once every node is
+            # colored the remaining budget rounds are exact no-ops
+            # (empty frontier, st unchanged) — skip them. Output is
+            # identical; only dead work is avoided. The check is one
+            # tiny job over the just-materialized state.
+            if r < rounds and (
+                st.filter(F.col("color").isNull()).limit(1).count() == 0
+            ):
+                break
     return st.select(
         "node",
         "color",
