@@ -60,40 +60,8 @@ _SQL_ALIAS_VALUES = ", ".join(
 )
 
 
-# Round-6 optimization (guide §2.5 input skew, §6 input splits): the
-# sf test tables are SINGLE-ROW-GROUP parquet files, so a scan stage
-# runs as ONE task no matter how many byte-range splits Spark makes —
-# every split without a row-group start is empty (the splits.py
-# doctrine), and all pre-exchange work (builds of broadcast-joined
-# fact tables, regex scans, md5 fan-outs, explodes) serializes on one
-# core of the 32. Tables with real per-row work downstream are
-# repartitioned to defaultParallelism right after the scan, gated on
-# the REAL split count (row groups, probed once per (sf_dir, table))
-# so this is a NO-OP on healthy multi-row-group tables — a production
-# cluster table never pays the extra exchange. Tiny dims (nation,
-# region, supplier) stay unrepartitioned: they ride broadcasts, an
-# exchange would only add a stage.
-_T_REBALANCE = frozenset(
-    {"lineitem", "orders", "events", "documents", "customer", "part"}
-)
-_T_SPLITS_MEMO: dict = {}
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name not in _T_REBALANCE:
-        return df
-    key = (sf_dir, name)
-    need = _T_SPLITS_MEMO.get(key)
-    if need is None:
-        from hikma_engine_spark.splits import effective_scan_splits
-
-        target = spark.sparkContext.defaultParallelism
-        need = effective_scan_splits(df, target) < target
-        _T_SPLITS_MEMO[key] = need
-    if need:
-        return df.repartition(spark.sparkContext.defaultParallelism)
-    return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13314,7 +13282,14 @@ def ev_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doctrine). No reference analog (the reference reports point
     estimates only) — this is the uncertainty layer a 10^12-turn
     metrics pipeline attaches to every mean it publishes."""
-    o = _t(spark, sf_dir, "orders").select(
+    from hikma_engine_spark.splits import rebalance_scan
+
+    # rebalance the scan (round-6 opt., guide §2.5 input skew): the sf
+    # orders table is a single-row-group file, so the ×32 explode and
+    # the 4.8M md5/conv evaluations below otherwise run in ONE scan
+    # task on one core; no-op on healthy multi-row-group tables.
+    # Measured at sf0.1/local[32]: 7.5 → 2.4 s.
+    o = rebalance_scan(_t(spark, sf_dir, "orders")).select(
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
