@@ -3383,8 +3383,14 @@ def kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _doc_transcripts(spark, sf_dir)
     mentions = _doc_mentions(spark, sf_dir)
     triples = extract.assemble_triples(t, mentions)
-    links = link.build_links(mentions)
-    edges = materialize.build_edges(triples, link.same_as_edges(links))
+    # round-6 opt.: links feeds same_as_edges + both coverage-probe
+    # sides, edges feeds two bounded probes + the output slice — the
+    # LSH linking and edge assembly re-ran per consumer (limit(1)
+    # probes are full subtree evaluations); checkpoint each once
+    links = link.build_links(mentions).localCheckpoint(eager=True)
+    edges = materialize.build_edges(
+        triples, link.same_as_edges(links)
+    ).localCheckpoint(eager=True)
 
     # the alias map the FULL linker actually consults is the vocab
     # gazetteer map (build_links → vocab.surface_to_canonical), not the
@@ -13112,6 +13118,10 @@ def kg_conv_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .distinct()
+        # round-6 opt.: the (conv, span) dim feeds the rarity count AND
+        # both sides of the span self-join — checkpoint so the regex
+        # tokenize + explode + distinct pass runs once, not 3x
+        .localCheckpoint(eager=True)
     )
     rare = (
         m.groupBy("g")

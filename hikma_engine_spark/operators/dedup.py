@@ -808,12 +808,37 @@ def embedding_near_dup_pairs(
         .select("a", "b")
         .distinct()
     )
-    ea = df.select(F.col(id_col).alias("a"), F.col(emb_col).alias("emb_a"))
-    eb = df.select(F.col(id_col).alias("b"), F.col(emb_col).alias("emb_b"))
+    # round-6 opt. (guide §1.2 per-task work): the old per-pair
+    # cosine() re-aggregated BOTH vector norms for every candidate —
+    # three interpreted higher-order aggregates per pair. The norms
+    # are per-VECTOR quantities: compute each once on the n-row dim
+    # and carry it through the join; the pair row keeps only the dot.
+    # Bit-identical: norm() on the same array yields the same double
+    # wherever it is evaluated, and the final d/(na*nb) expression is
+    # unchanged.
+    from ..functions.similarity import dot, norm
+
+    ea = df.select(
+        F.col(id_col).alias("a"),
+        F.col(emb_col).alias("emb_a"),
+        norm(F.col(emb_col)).alias("na"),
+    )
+    eb = df.select(
+        F.col(id_col).alias("b"),
+        F.col(emb_col).alias("emb_b"),
+        norm(F.col(emb_col)).alias("nb"),
+    )
     pairs = (
         cands.join(ea, "a")
         .join(eb, "b")
-        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "cos",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("na") * F.col("nb")),
+            ).otherwise(F.lit(0.0)),
+        )
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cosine"))
     )

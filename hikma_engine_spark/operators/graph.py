@@ -19,6 +19,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _keyed_checkpoint(df: DataFrame, key: str) -> DataFrame:
+    """Materialize an iteration-invariant adjacency pre-partitioned by
+    its per-round join key (round-6 opt., the pagerank repartition
+    idiom generalized): rounds then re-shuffle only the O(V) state
+    dim, never the O(E) adjacency. The repartition deliberately gives
+    NO explicit partition count, so AQE sizes it from the actual
+    shuffle bytes (coalescePartitions with parallelismFirst): a tiny
+    graph collapses to one partition — a fixed cores-wide split
+    measured SLOWER than the shuffle it saved on 10k-edge kNN graphs
+    (32 task launches per stage per round) — while a large one fans
+    out across the cores. One shuffle, one materialization, no count
+    probe."""
+    return df.repartition(F.col(key)).localCheckpoint(eager=True)
+
+
 def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
     """Driver-side union-find (path compression); component = min member."""
     parent: dict[str, str] = {}
@@ -793,6 +808,12 @@ def deterministic_walks(
     # production the adjacency is a bucketed table read, but the
     # walker states must still be persisted (or checkpointed) to keep
     # the emitted-steps union linear in L.
+    # persist, NOT localCheckpoint (round-6 measured): persist keeps
+    # catalyst stats visible, so the planner broadcasts the adjacency
+    # when it fits (one reused broadcast exchange serves every step —
+    # measured 3.9s vs 9.8s with a stats-hiding checkpoint at sf0.1)
+    # and falls back to a shuffle join at scale. The walker-state
+    # persist below stays regardless.
     sym = (
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -1113,8 +1134,9 @@ def neighborhood_function(
         .filter(F.col("es").isNotNull() & F.col("et").isNotNull())
         .filter(F.col("es") != F.col("et"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # every round joins e on "et"
+    e = _keyed_checkpoint(e, "et")
     nodes = (
         e.select(F.col("es").alias("node"))
         .unionByName(e.select(F.col("et").alias("node")))
@@ -1191,8 +1213,9 @@ def temporal_reachability(
         .groupBy("es", "et", "tt")
         .agg(F.lit(1).alias("_one"))
         .drop("_one")
-        .localCheckpoint(eager=True)
     )
+    # every relaxation round joins e on "es"
+    e = _keyed_checkpoint(e, "es")
     arr = (
         sources.select("node", F.col("t0").cast("long").alias("arrival"))
         .groupBy("node")
@@ -1443,8 +1466,9 @@ def k_betweenness(
     und = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # every forward AND backward round joins und on "u"
+    und = _keyed_checkpoint(und, "u")
     l0 = (
         sources.select(F.col("node").alias("s"))
         .distinct()
@@ -1823,8 +1847,10 @@ def jp_coloring(
     und = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # per-round joins key und on "v" (uncolored priorities, colored
+    # neighbor colors); the "u"-keyed accesses broadcast
+    und = _keyed_checkpoint(und, "v")
 
     def _pr(c: str) -> F.Column:
         return (
