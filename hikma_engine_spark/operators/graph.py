@@ -1418,6 +1418,7 @@ def k_betweenness(
     k: int = 4,
     a_col: str = "a",
     b_col: str = "b",
+    assume_simple: bool = False,
 ) -> DataFrame:
     """Source-sampled k-bounded Brandes betweenness centrality
     (Brandes 2001 "A faster algorithm for betweenness centrality";
@@ -1454,19 +1455,21 @@ def k_betweenness(
     caller samples."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    e = (
-        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(
-            F.col("u").isNotNull()
-            & F.col("v").isNotNull()
-            & (F.col("u") != F.col("v"))
-        )
-        .distinct()
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).filter(
+        F.col("u").isNotNull()
+        & F.col("v").isNotNull()
+        & (F.col("u") != F.col("v"))
     )
-    und = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-    )
+    # round-6 opt. (guide §2.2): ``assume_simple`` lets a caller that
+    # already guarantees a DISTINCT simple edge list with no symmetric
+    # (v,u) duplicates (e.g. a deduped bipartite dim whose endpoint
+    # namespaces are disjoint) skip the two full-table wide distincts —
+    # on anything else the exact round-5 normalization runs unchanged.
+    if not assume_simple:
+        e = e.distinct()
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not assume_simple:
+        und = und.distinct()
     # every forward AND backward round joins und on "u"
     und = _keyed_checkpoint(und, "u")
     l0 = (
@@ -1480,7 +1483,11 @@ def k_betweenness(
         .localCheckpoint(eager=True)
     )
     levels = [l0]
-    assigned = l0.select("s", "node").localCheckpoint(eager=True)
+    # round-6 opt.: ``assigned`` is a plain union of the already-
+    # checkpointed levels' (s, node) keys — re-checkpointing the
+    # growing union each round materialized the same rows k times; the
+    # anti-join below scans the ≤ k checkpointed leaves instead.
+    assigned = l0.select("s", "node")
     frontier = l0
     for _ in range(k):
         nxt = (
@@ -1494,9 +1501,7 @@ def k_betweenness(
         if nxt.limit(1).count() == 0:
             break
         levels.append(nxt)
-        assigned = assigned.unionByName(
-            nxt.select("s", "node")
-        ).localCheckpoint(eager=True)
+        assigned = assigned.unionByName(nxt.select("s", "node"))
         frontier = nxt
     depth = len(levels) - 1
     all_nodes = und.select(F.col("u").alias("node")).distinct()
@@ -1505,20 +1510,26 @@ def k_betweenness(
         return all_nodes.select(
             "node", F.lit(0).cast("long").alias("bc_micro")
         ).limit(0)
+    # round-6 opt.: delta carries the level's sigma alongside
+    # delta_micro, so each backward round joins its successor level
+    # ONCE (on the shared (s, w) grain) instead of separately joining
+    # the level-(d+1) sigma dim and the delta dim — one shuffle join
+    # fewer per round, identical per-edge terms.
     delta = levels[depth].select(
-        "s", "node", F.lit(0).cast("long").alias("delta_micro")
+        "s", "node", "sigma", F.lit(0).cast("long").alias("delta_micro")
     )
     parts = []
     for d in range(depth - 1, 0, -1):
         cur = levels[d]
-        succ = levels[d + 1].select(
-            "s", F.col("node").alias("w"), F.col("sigma").alias("sigma_w")
+        dn = delta.select(
+            "s",
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            "delta_micro",
         )
-        dn = delta.select("s", F.col("node").alias("w"), "delta_micro")
         contrib = (
             cur.join(und, cur["node"] == und["u"])
             .select("s", "node", "sigma", F.col("v").alias("w"))
-            .join(succ, ["s", "w"])
             .join(dn, ["s", "w"])
             .select(
                 "s",
@@ -1529,8 +1540,7 @@ def k_betweenness(
             )
         )
         delta = (
-            cur.select("s", "node")
-            .join(
+            cur.join(
                 contrib.groupBy("s", "node").agg(
                     F.sum("t").alias("delta_micro")
                 ),
@@ -1540,6 +1550,7 @@ def k_betweenness(
             .select(
                 "s",
                 "node",
+                "sigma",
                 F.coalesce("delta_micro", F.lit(0))
                 .cast("long")
                 .alias("delta_micro"),
@@ -1547,9 +1558,9 @@ def k_betweenness(
             .localCheckpoint(eager=True)
         )
         parts.append(delta)
-    acc = parts[0]
+    acc = parts[0].select("s", "node", "delta_micro")
     for p in parts[1:]:
-        acc = acc.unionByName(p)
+        acc = acc.unionByName(p.select("s", "node", "delta_micro"))
     return acc.groupBy("node").agg(
         F.sum("delta_micro").cast("long").alias("bc_micro")
     )
@@ -1560,6 +1571,7 @@ def luby_mis(
     rounds: int = 6,
     a_col: str = "a",
     b_col: str = "b",
+    assume_simple: bool = False,
 ) -> DataFrame:
     """Deterministic Luby-style MAXIMAL INDEPENDENT SET (Luby 1986,
     "A simple parallel algorithm for the maximal independent set
@@ -1594,20 +1606,19 @@ def luby_mis(
     the deciding round, or ``rounds`` for undecided)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = (
-        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(
-            F.col("u").isNotNull()
-            & F.col("v").isNotNull()
-            & (F.col("u") != F.col("v"))
-        )
-        .distinct()
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).filter(
+        F.col("u").isNotNull()
+        & F.col("v").isNotNull()
+        & (F.col("u") != F.col("v"))
     )
-    und = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # assume_simple (round-6 opt., same contract as k_betweenness): a
+    # caller guaranteeing a distinct simple edge list with no symmetric
+    # duplicates skips the two normalization distincts.
+    if not assume_simple:
+        e = e.distinct()
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not assume_simple:
+        und = und.distinct()
 
     def _pr(c: str) -> F.Column:
         return (
@@ -1621,18 +1632,23 @@ def luby_mis(
         .withColumn("h", _pr("node"))
         .localCheckpoint(eager=True)
     )
+    # round-6 opt. (the k_core peel-state pattern): maintain the LIVE
+    # edge set — edges whose BOTH endpoints are still undecided — as
+    # loop state with the v-side priority attached once, instead of
+    # re-deriving it from the full edge table every round (two
+    # semi-joins + a hash join per round before). Round r's live set
+    # is exactly {(u,v) ∈ und : u,v undecided at round r} by
+    # induction (newly-decided endpoints are anti-joined out below),
+    # so nbr_min — and every downstream decision — is value-identical
+    # to the round-5 formulation; the state SHRINKS as rounds decide
+    # nodes (Luby decides the bulk in round 1).
+    live = und.join(
+        u.select(F.col("node").alias("v"), F.col("h").alias("vh")), "v"
+    ).localCheckpoint(eager=True)
     decided = None
     for r in range(1, rounds + 1):
-        live = und.join(
-            u.select(F.col("node").alias("u")), "u", "left_semi"
-        ).join(u.select(F.col("node").alias("v")), "v", "left_semi")
-        nbr_min = (
-            live.join(
-                u.select(F.col("node").alias("v"), F.col("h").alias("vh")),
-                "v",
-            )
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min(F.struct(F.col("vh"), F.col("v"))).alias("nm"))
+        nbr_min = live.groupBy(F.col("u").alias("node")).agg(
+            F.min(F.struct(F.col("vh"), F.col("v"))).alias("nm")
         )
         mis_new = (
             u.join(nbr_min, "node", "left")
@@ -1659,13 +1675,16 @@ def luby_mis(
             )
         )
         decided = batch if decided is None else decided.unionByName(batch)
-        u = (
-            u.join(mis_new, "node", "left_anti")
-            .join(excl_new, "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        dec = mis_new.unionByName(excl_new)
+        u = u.join(dec, "node", "left_anti").localCheckpoint(eager=True)
         if u.limit(1).count() == 0:
             break
+        if r < rounds:
+            live = (
+                live.join(dec.select(F.col("node").alias("u")), "u", "left_anti")
+                .join(dec.select(F.col("node").alias("v")), "v", "left_anti")
+                .localCheckpoint(eager=True)
+            )
     out = decided.unionByName(
         u.select(
             "node",

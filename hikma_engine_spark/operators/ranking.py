@@ -67,6 +67,59 @@ def global_rank(
     )
 
 
+def midrank2_dim(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "r2",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """DOUBLED-MIDRANK dim over ``value_col`` (round-6 opt., guide
+    §2.2): for each distinct value x of the input,
+
+        r2(x) = 2·cnt_less(x) + cnt_eq(x) + 1
+
+    — exactly ``2·Σrank DIV count`` over x's tie group under ANY total
+    order that sorts by ``value_col`` first (the a_spearman identity:
+    ranks in the group are cnt_less+1 … cnt_less+cnt_eq, so
+    2·Σ = cnt_eq·(2·cnt_less + cnt_eq + 1), an exact division) — i.e.
+    2× the standard average/midrank, kept integer.
+
+    Shape: ONE map-side-combinable groupBy shrinks the table to its
+    |distinct|-sized value dim, then the prefix sum of per-value counts
+    runs over THAT dim with ``global_rank``'s range-partition +
+    per-partition-offset machinery (weighted by count instead of
+    counting rows) — never a full-table range sort, never an
+    unpartitioned window. Boundary-invariant for the same reason
+    global_rank is: values are distinct after the groupBy, so no tie
+    can split across range partitions."""
+    counts = df.groupBy(value_col).agg(F.count("*").alias("_mr_n"))
+    ranged = counts.repartitionByRange(num_partitions, value_col).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    ptot = ranged.groupBy(_PID).agg(F.sum("_mr_n").alias("_mr_t"))
+    # ≤ num_partitions rows — bounded single-task state
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ptot.select(
+        _PID,
+        F.coalesce(F.sum("_mr_t").over(w), F.lit(0)).cast("long").alias(_OFF),
+    )
+    wl = (
+        Window.partitionBy(_PID)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_mr_less",
+        F.coalesce(F.sum("_mr_n").over(wl), F.lit(0)).cast("long"),
+    )
+    return local.join(F.broadcast(offsets), _PID).select(
+        value_col,
+        (2 * (F.col(_OFF) + F.col("_mr_less")) + F.col("_mr_n") + 1)
+        .cast("long")
+        .alias(out_col),
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list,

@@ -497,6 +497,45 @@ def test_exact_ntile_matches_window_ntile(spark):
         assert got.equals(want), (n, k)
 
 
+def test_midrank2_dim_matches_global_rank_formula(spark):
+    """operators.ranking.midrank2_dim (round-6 opt.) parity: the
+    distinct-value prefix-sum midrank dim is bit-identical to the
+    original full-table derivation 2·Σrank DIV cnt over global_rank row
+    numbers, on a ties-heavy input whose tie groups straddle range
+    partitions."""
+    from pyspark.sql import functions as F
+
+    from hikma_engine_spark.operators import ranking
+
+    df = spark.range(500).select(
+        (F.col("id") % 13).alias("v"), F.col("id").alias("uid")
+    )
+    got = {
+        r["v"]: r["r2"]
+        for r in ranking.midrank2_dim(
+            df.select("v"), "v", out_col="r2", num_partitions=7
+        ).collect()
+    }
+    rn = ranking.global_rank(df, ["v", "uid"], out_col="rn", num_partitions=7)
+    want = {
+        r["v"]: r["r2"]
+        for r in rn.groupBy("v")
+        .agg(F.expr("2 * sum(rn) DIV count(*)").cast("long").alias("r2"))
+        .collect()
+    }
+    assert got == want
+    # midrank invariant: Σ r2 over all rows = 2·Σrank = n(n+1)
+    n = 500
+    tot = (
+        df.join(
+            ranking.midrank2_dim(df.select("v"), "v", out_col="r2"), "v"
+        )
+        .agg(F.sum("r2"))
+        .collect()[0][0]
+    )
+    assert tot == n * (n + 1)
+
+
 def test_ewma_halflife_is_exact_power_decay(spark):
     """EWMA contract: the head user's score equals a pandas replay of
     the 2^-gap weighting exactly (integer arithmetic, no tolerance)."""
