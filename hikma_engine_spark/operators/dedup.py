@@ -282,10 +282,12 @@ def containment_pairs(
     bound but do not eliminate — document-level truth, no false
     positives/negatives either way.
 
-    Verification mirrors ``ngram_jaccard_pairs``: candidate-doc
-    semi-join pruning, then |A∩B| by inverted-index COUNTING (plain
-    equi-joins + groupBy, whole-stage codegen), filter
-    n_inter ≥ ⌈t·|A|⌉.
+    Verification (round-6 opt.): |A∩B| per candidate pair by
+    ``array_intersect`` over the per-doc shingle-set arrays (two
+    equi-joins on the doc-array dim, no counting re-shuffle; arrays are
+    doc-length-bounded so the per-row cost is O(|A|+|B|)), filter
+    n_inter ≥ ⌈t·|A|⌉ — value-identical to the former inverted-index
+    counting verify because ``word_shingles`` emits distinct shingles.
     """
     from fractions import Fraction
 
@@ -340,21 +342,28 @@ def containment_pairs(
         )
         .select("a", "b", "sz_a")
         .distinct()
-        .persist()  # feeds the verify join AND the semi-join filter
     )
-    cand_docs = (
-        cands.select(F.col("a").alias("doc"))
-        .unionByName(cands.select(F.col("b").alias("doc")))
-        .distinct()
-    )
-    ex_cand = exploded.join(cand_docs, "doc", "left_semi")
-    ex_a = ex_cand.select(F.col("doc").alias("a"), "g")
-    ex_b = ex_cand.select(F.col("doc").alias("b"), "g")
+    # Verification (round-6 opt., guide §2.2): |A∩B| per candidate pair
+    # via array_intersect on the per-doc shingle-SET arrays (word_shingles
+    # is array_distinct, so set semantics are exact) — two equi-joins on
+    # the |docs|-sized array dim and ZERO further shuffles, replacing the
+    # former inverted-index counting verify (candidate×shingle explode +
+    # groupBy re-shuffle of the fan-out). Arrays are doc-length-bounded,
+    # so the per-row intersection is O(|A|+|B|) — no hot-key state; the
+    # candidate set, the n_inter integers and the output are identical.
     return (
-        cands.join(ex_a, "a")
-        .join(ex_b, ["b", "g"])
-        .groupBy("a", "b", "sz_a")
-        .agg(F.count("*").alias("n_inter"))
+        cands.join(
+            sh.select(F.col("doc").alias("a"), F.col("sh").alias("_sh_a")), "a"
+        )
+        .join(
+            sh.select(F.col("doc").alias("b"), F.col("sh").alias("_sh_b")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            "sz_a",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).alias("n_inter"),
+        )
         .withColumn(
             "containment", F.col("n_inter") / F.col("sz_a").cast("double")
         )
