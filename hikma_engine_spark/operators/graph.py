@@ -649,7 +649,12 @@ def personalized_pagerank(
     return ranks
 
 
-def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    assume_canonical: bool = False,
+) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED simple graph given as
     unique (a < b) edge pairs — the graph-quality metric behind
     clustering coefficients and community sanity checks.
@@ -687,11 +692,20 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Dat
     wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
     # close the wedge: (v, w) must be an edge. Wedges already carry
     # v < w, and the canonical edge set is a < b, so a plain two-key
-    # equi-semi-join closes it (hash join, no expression keys)
-    canon = edges.select(
-        F.least(F.col(a_col), F.col(b_col)).alias("v"),
-        F.greatest(F.col(a_col), F.col(b_col)).alias("w"),
-    ).distinct()
+    # equi-semi-join closes it (hash join, no expression keys).
+    # assume_canonical (round-6 opt.): the docstring contract is
+    # already "unique (a < b) pairs" — a caller that guarantees it
+    # (the shared edge dims) skips the defensive re-canonicalization
+    # (least/greatest are per-row no-ops, the distinct a wide shuffle).
+    if assume_canonical:
+        canon = edges.select(
+            F.col(a_col).alias("v"), F.col(b_col).alias("w")
+        )
+    else:
+        canon = edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("w"),
+        ).distinct()
     tri = wedges.join(canon, ["v", "w"], "left_semi")
     # credit each corner
     corners = (
@@ -708,6 +722,7 @@ def k_core(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Nodes of the k-core — the maximal induced subgraph in which
     every node has degree ≥ k — with their in-core degree. The
@@ -730,12 +745,20 @@ def k_core(
     Input: unique undirected (a, b) pairs; self-loops dropped.
     Returns (node, core_deg) for k-core members, core_deg ≥ k.
     """
-    sym = (
-        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
-        .distinct()
-    )
+    # assume_canonical (round-6 opt.): a caller guaranteeing unique
+    # a < b pairs (which also excludes self-loops) skips the defensive
+    # normalization distinct; everyone else gets the round-5 path.
+    if assume_canonical:
+        sym = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    else:
+        sym = (
+            edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .distinct()
+        )
     cur = (
         sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(sym.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -1349,7 +1372,10 @@ def functional_scc(
 
 
 def edge_support(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-EDGE triangle support over an undirected simple graph given
     as unique (a < b) pairs — support(e) = number of triangles through
@@ -1383,10 +1409,18 @@ def edge_support(
     w1 = oriented.select(F.col("u"), F.col("v"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("w"))
     wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
-    canon = edges.select(
-        F.least(F.col(a_col), F.col(b_col)).alias("v"),
-        F.greatest(F.col(a_col), F.col(b_col)).alias("w"),
-    ).distinct()
+    # assume_canonical (round-6 opt.): same contract note as
+    # triangle_counts — a caller guaranteeing unique a < b pairs skips
+    # the two defensive re-canonicalization distincts.
+    if assume_canonical:
+        canon = edges.select(
+            F.col(a_col).alias("v"), F.col(b_col).alias("w")
+        )
+    else:
+        canon = edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("w"),
+        ).distinct()
     tri = wedges.join(canon, ["v", "w"], "left_semi")
     credits = (
         tri.select(
@@ -1400,10 +1434,15 @@ def edge_support(
         .unionByName(tri.select(F.col("v").alias("ea"), F.col("w").alias("eb")))
     )
     sup = credits.groupBy("ea", "eb").agg(F.count("*").alias("support"))
-    base = edges.select(
-        F.least(F.col(a_col), F.col(b_col)).alias("ea"),
-        F.greatest(F.col(a_col), F.col(b_col)).alias("eb"),
-    ).distinct()
+    if assume_canonical:
+        base = edges.select(
+            F.col(a_col).alias("ea"), F.col(b_col).alias("eb")
+        )
+    else:
+        base = edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("ea"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("eb"),
+        ).distinct()
     return base.join(sup, ["ea", "eb"], "left").select(
         F.col("ea").alias(a_col),
         F.col("eb").alias(b_col),
